@@ -1,0 +1,50 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
+single JSON line the driver records as BENCH_r{N}.json.
+
+Each query is forced with a full-result count-style action (collect on
+the final, already-limited/aggregated DataFrame — the same action the
+driver's correctness harness takes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from roblox_vector_search_datagen_spark.plans.registry import QUERIES
+    from roblox_vector_search_datagen_spark.session import get_spark
+
+    spark = get_spark("rvsd-bench")
+    # warm the JVM + parquet footers once so per-query times measure the
+    # plans, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        t0 = time.perf_counter()
+        q.builder(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+if __name__ == "__main__":
+    main()
