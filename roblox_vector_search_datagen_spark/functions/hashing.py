@@ -1,0 +1,68 @@
+"""Portable hashing primitives shared by the dedup operators.
+
+Everything here must produce bit-identical values in Spark and DuckDB
+so the dedup pipelines are oracle-checkable: the base 32-bit hash is
+the first 8 hex chars of md5 (md5 is identical everywhere), and all
+derived hashes are integer arithmetic on top of it.
+
+MinHash/SimHash parameters are module constants baked into both the
+Spark expressions and the generated oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime modulus for the affine minhash family.
+P = 2_147_483_647
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+
+SIMHASH_BITS = 32
+SHINGLE_WORDS = 3
+
+def _lcg(i: int, mult: int, add: int) -> int:
+    v = (mult * (i + 1) + add) % P
+    return v if v != 0 else 1
+
+# Deterministic affine coefficients (same constants enter the SQL text).
+MINHASH_A = [_lcg(i, 1103515245, 12345) for i in range(MINHASH_K)]
+MINHASH_B = [_lcg(i, 134775813, 1) for i in range(MINHASH_K)]
+
+def h32_expr(col: Column) -> Column:
+    """Portable 32-bit string hash: int(md5(s)[:8], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+def h32_sql(col: str) -> str:
+    return f"(('0x' || substring(md5({col}), 1, 8))::BIGINT)"
+
+def minhash_value_expr(h: Column, i: int) -> Column:
+    """i-th affine minhash transform of an h32 value. h is reduced mod P
+    first so a*h never overflows int64."""
+    return (F.lit(MINHASH_A[i]) * (h % P) + F.lit(MINHASH_B[i])) % P
+
+def minhash_value_sql(h: str, i: int) -> str:
+    return f"(({MINHASH_A[i]} * (({h}) % {P}) + {MINHASH_B[i]}) % {P})"
+
+def word_shingles_expr(text: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Distinct n-word shingles of lowercased text; empty array when the
+    document is shorter than n words."""
+    w = F.split(F.lower(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]))
+    return F.when(F.size(w) >= n, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+def word_shingles_sql(text: str, n: int = SHINGLE_WORDS) -> str:
+    """DuckDB equivalent (1-indexed lists)."""
+    w = f"string_split_regex(lower({text}), '\\s+')"
+    parts = " || ' ' || ".join(f"({w})[i+{j}]" for j in range(n))
+    return (
+        f"(CASE WHEN len({w}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({w}) - {n - 2}), i -> {parts})) "
+        f"ELSE [] END)"
+    )

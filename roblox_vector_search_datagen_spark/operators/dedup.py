@@ -1,0 +1,288 @@
+"""Large-scale deduplication operators over the `documents` corpus —
+the LLM-training-pipeline surface (BASELINE.json north star): exact,
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 100 TB):
+
+* Exact dedup is a single hash aggregation — map-side partial agg, one
+  shuffle on the digest.
+* MinHash signatures are computed WITHOUT exploding shingles x K: one
+  explode to (doc, shingle-hash), then K min() aggregates in a single
+  groupBy — one shuffle, K columns, no row multiplication.
+* LSH candidate pairs self-join on (band, signature) — the join key IS
+  the bucket, so Spark shuffles both sides by bucket and never forms
+  the quadratic pair space.
+* SimHash is 32 conditional sums in one aggregation; pairing joins on a
+  cheap blocking key before the Hamming filter.
+* All hashes are md5-derived integer arithmetic (functions.hashing) so
+  every pipeline is bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import vector as V
+from ..sources import tables
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by md5 of normalized text: representative
+    (min doc_id) + group size. Groups of size 1 are unique docs."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.trim(F.lower("text"))).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+def dedup_exact_oracle() -> str:
+    return """
+SELECT md5(trim(lower(text))) AS digest,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates
+# ---------------------------------------------------------------------------
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh15): explode distinct shingles once, then K min
+    aggregates in one pass."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(H.word_shingles_expr(F.col("text"))).alias("shingle")
+    ).withColumn("h", H.h32_expr(F.col("shingle")))
+    aggs = [F.min(H.minhash_value_expr(F.col("h"), i)).alias(f"mh{i}") for i in range(H.MINHASH_K)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+_MINHASH_SIG_SQL = None
+
+def _minhash_signatures_sql() -> str:
+    global _MINHASH_SIG_SQL
+    if _MINHASH_SIG_SQL is None:
+        shingles = H.word_shingles_sql("text")
+        h = H.h32_sql("shingle")
+        mins = ",\n       ".join(
+            f"min({H.minhash_value_sql(h, i)}) AS mh{i}" for i in range(H.MINHASH_K)
+        )
+        _MINHASH_SIG_SQL = f"""
+SELECT doc_id, {mins}
+FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
+GROUP BY doc_id
+"""
+    return _MINHASH_SIG_SQL
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signatures(spark, sf_dir)
+
+def minhash_signatures_oracle() -> str:
+    return _minhash_signatures_sql()
+
+def _band_sig(prefix: str, band: int):
+    cols = [f"{prefix}mh{band * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)]
+    return cols
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing at least one LSH band.
+    The bands are unpivoted to (doc_id, band, sig) and self-joined on
+    the band signature — the shuffle key is the bucket id, so cluster
+    layout co-locates each bucket and the pair space never materializes
+    beyond actual collisions."""
+    sig = _minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(H.LSH_BANDS):
+        cols = _band_sig("", b)
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+            )
+        )
+    unpivoted = bands[0]
+    for bdf in bands[1:]:
+        unpivoted = unpivoted.unionByName(bdf)
+    left = unpivoted.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    right = unpivoted.select("band", "sig", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+def lsh_candidate_pairs_oracle() -> str:
+    band_selects = []
+    for b in range(H.LSH_BANDS):
+        cols = _band_sig("", b)
+        sig = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs")
+    unpiv = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sigs AS ({_minhash_signatures_sql()}),
+bands AS ({unpiv})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit frequency-weighted SimHash per document: one explode to
+    tokens, then 32 conditional sums in a single aggregation."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).withColumn("h", H.h32_expr(F.col("tok")))
+    bit = lambda j: F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+    sums = [
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}") for j in range(H.SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    fp = None
+    for j in range(H.SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+_SIMHASH_SQL = None
+
+def simhash_oracle() -> str:
+    global _SIMHASH_SQL
+    if _SIMHASH_SQL is None:
+        h = H.h32_sql("tok")
+        sums = ", ".join(
+            f"sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+            for j in range(H.SIMHASH_BITS)
+        )
+        fp = " + ".join(
+            f"CASE WHEN s{j} > 0 THEN 1::BIGINT << {j} ELSE 0::BIGINT END"
+            for j in range(H.SIMHASH_BITS)
+        )
+        _SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM sums
+"""
+    return _SIMHASH_SQL
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
+    """SimHash pairs within Hamming distance <= max_hamming, blocked by
+    `source` (at scale the blocking key would be simhash prefix bands —
+    same join shape)."""
+    fps = simhash(spark, sf_dir)
+    src = tables.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    fps = fps.join(src, "doc_id")
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "source")
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "source")
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+def simhash_near_dups_oracle(max_hamming: int = 6) -> str:
+    return f"""
+WITH fps AS ({simhash_oracle()}),
+j AS (
+  SELECT f.doc_id, f.simhash, d.source FROM fps f JOIN documents d ON f.doc_id = d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Word-3-gram Jaccard similarity >= threshold, computed via a
+    shingle-equality self-join (inverted-index pattern): intersection
+    counts come from the join, union sizes from per-doc shingle counts.
+    Co-partitioned on the shingle — no quadratic pair space."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(H.word_shingles_expr(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+def ngram_jaccard_pairs_oracle(threshold: float = 0.3) -> str:
+    shingles = H.word_shingles_sql("text")
+    return f"""
+WITH sh AS (SELECT doc_id, unnest({shingles}) AS shingle FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 6) >= {threshold}
+"""
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.35) -> DataFrame:
+    """Vector near-duplicates: cosine >= threshold, blocked by `label`
+    (at scale the block key is an LSH/IVF bucket; the join shape is
+    identical). Threshold 0.35 reflects the fixtures' random-gaussian
+    embeddings (max pairwise cosine ~0.48)."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label")
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(V.cosine_expr(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )
+
+def embedding_near_dups_oracle(threshold: float = 0.35) -> str:
+    cos = V.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label, round({cos}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {threshold}
+"""

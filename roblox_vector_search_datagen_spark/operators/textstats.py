@@ -1,0 +1,175 @@
+"""Text-analysis operators over the `documents` corpus: language-ID,
+quality scoring, token counting, and document fingerprinting — the
+text side of the LLM-training-data pipeline.
+
+All four are pure Catalyst expression pipelines (no UDFs): string and
+higher-order array functions that stay inside whole-stage codegen, so
+a 100 TB corpus pays exactly one columnar scan per operator and the
+aggregation-free ones are embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..sources import tables
+
+# Deterministic per-language marker-word profiles. The fixtures' text is
+# synthetic word soup, so these profiles are drawn from the corpus vocab
+# to exercise the mechanism; a real deployment would load real n-gram
+# profiles the same way (a small broadcast list folded into the plan).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "fast", "slow", "big", "small"),
+    "es": ("data", "table", "vector", "part"),
+    "fr": ("query", "row", "column", "line"),
+    "de": ("spark", "hash", "merge", "sort"),
+    "zh": ("join", "filter", "group", "agg"),
+}
+_LANG_ORDER = tuple(sorted(LANG_PROFILES))  # deterministic tie-break
+
+def _profile_score_expr(words, lang: str):
+    markers = F.array(*[F.lit(m) for m in LANG_PROFILES[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID: score each profile against the token
+    stream, argmax with alphabetical tie-break, 'und' when no marker
+    hits. Emits (doc_id, lang, predicted_lang, score)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), r"\s+")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[_profile_score_expr(words, lg).alias(f"score_{lg}") for lg in _LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in _LANG_ORDER])
+    pred = F.lit("und")
+    for lg in reversed(_LANG_ORDER):  # earlier alphabetical wins ties
+        pred = F.when(F.col(f"score_{lg}") == best, lg).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("predicted_lang"),
+        best.cast("int").alias("score"),
+    )
+
+def lang_id_oracle() -> str:
+    words = "string_split_regex(lower(text), '\\s+')"
+
+    def score(lg: str) -> str:
+        markers = ", ".join(f"'{m}'" for m in LANG_PROFILES[lg])
+        return f"len(list_filter({words}, w -> list_contains([{markers}], w)))"
+
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in _LANG_ORDER) + ")"
+    pred = "'und'"
+    for lg in reversed(_LANG_ORDER):
+        pred = f"CASE WHEN score_{lg} = {best} THEN '{lg}' ELSE {pred} END"
+    scores = ", ".join(f"{score(lg)} AS score_{lg}" for lg in _LANG_ORDER)
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS predicted_lang,
+       CAST({best} AS INT) AS score
+FROM scored
+"""
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length, word stats, stopword ratio)
+    in one projection pass — the filters a pretraining pipeline runs
+    before anything expensive."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), r"\s+")
+    n_words = F.size(words)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words, 6
+    )
+    stop_ratio = F.round(n_stop.cast("double") / n_words, 6)
+    quality = F.round(
+        F.when(n_words < 5, 0.0).otherwise(
+            F.least(F.lit(1.0), n_words.cast("double") / 100.0) * 0.5
+            + F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 0.3).otherwise(0.0)
+            + F.least(F.lit(0.2), stop_ratio * 2.0)
+        ),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+def text_quality_oracle() -> str:
+    words = "string_split_regex(lower(text), '\\s+')"
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, {words} AS words,
+         len({words}) AS n_words,
+         len(list_filter({words}, x -> list_contains([{stop}], x))) AS n_stop,
+         round(list_aggregate(list_transform({words}, x -> CAST(length(x) AS DOUBLE)), 'sum') / len({words}), 6) AS mean_word_len
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(n_words AS INT) AS n_words,
+       mean_word_len,
+       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+         least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5
+         + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 0.3 ELSE 0.0 END
+         + least(0.2, round(CAST(n_stop AS DOUBLE) / n_words, 6) * 2.0)
+       END, 6) AS quality
+FROM w
+"""
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    word/punct regex — the unit-economics column of a training corpus."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias("re_tokens"),
+        F.ceil(F.length("text") / 4).cast("int").alias("approx_bpe_tokens"),
+    )
+
+def token_counts_oracle() -> str:
+    return r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS re_tokens,
+       CAST(ceil(length(text) / 4.0) AS INT) AS approx_bpe_tokens
+FROM documents
+"""
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: whole-text hash + winnowing-style minimum
+    shingle hash (the cheap pre-cluster key for near-dup sharding)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    shingle_hashes = F.transform(
+        H.word_shingles_expr(F.col("text")), lambda s: H.h32_expr(s)
+    )
+    return d.select(
+        "doc_id",
+        H.h32_expr(F.col("text")).alias("content_hash"),
+        F.when(F.size(shingle_hashes) > 0, F.array_min(shingle_hashes)).alias("min_shingle_hash"),
+    )
+
+def doc_fingerprints_oracle() -> str:
+    shingles = H.word_shingles_sql("text")
+    h = H.h32_sql("s")
+    return f"""
+SELECT doc_id,
+       {H.h32_sql("text")} AS content_hash,
+       list_min(list_transform({shingles}, s -> {h})) AS min_shingle_hash
+FROM documents
+"""

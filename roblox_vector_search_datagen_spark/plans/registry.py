@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import search
+from ..operators import ann, dedup, maintenance, search, textstats
 
 @dataclass
 class Query:
@@ -55,6 +55,98 @@ def _registry() -> dict[str, Query]:
         lambda spark, sf: search.stats(spark, sf),
         search.stats_oracle(),
         ("agg", "bench"),
+    )
+
+    # --- corpus maintenance (reference CLI commands) ---
+    r["merge_games_gather"] = Query(
+        maintenance.merge_games_gather, maintenance.merge_games_gather_oracle(), ("merge", "bench")
+    )
+    r["merge_games_search"] = Query(
+        maintenance.merge_games_search, maintenance.merge_games_search_oracle(), ("merge",)
+    )
+    r["merge_games_rolimons"] = Query(
+        maintenance.merge_games_rolimons, maintenance.merge_games_rolimons_oracle(), ("merge",)
+    )
+    r["prune_games"] = Query(
+        maintenance.prune_games, maintenance.prune_games_oracle(), ("prune", "bench")
+    )
+    r["prune_counts"] = Query(maintenance.prune_counts, maintenance.prune_counts_oracle(), ("prune",))
+    r["prune_orphan_embeddings"] = Query(
+        maintenance.orphan_embeddings, maintenance.orphan_embeddings_oracle(), ("prune",)
+    )
+    r["needs_details_worklist"] = Query(
+        maintenance.needs_details_worklist,
+        maintenance.needs_details_worklist_oracle(),
+        ("worklist",),
+    )
+    r["missing_images_worklist"] = Query(
+        maintenance.missing_images_worklist,
+        maintenance.missing_images_worklist_oracle(),
+        ("worklist",),
+    )
+    r["needs_embeddings_worklist"] = Query(
+        maintenance.needs_embeddings_worklist,
+        maintenance.needs_embeddings_worklist_oracle(),
+        ("worklist",),
+    )
+    r["latest_event_per_user"] = Query(
+        maintenance.latest_event_per_user,
+        maintenance.latest_event_per_user_oracle(),
+        ("dedup", "bench"),
+    )
+    r["jobs_by_status"] = Query(
+        maintenance.jobs_by_status, maintenance.jobs_by_status_oracle(), ("jobs",)
+    )
+    r["jobs_page"] = Query(
+        lambda spark, sf: maintenance.jobs_page(spark, sf),
+        maintenance.jobs_page_oracle(),
+        ("jobs",),
+    )
+    r["old_jobs"] = Query(
+        lambda spark, sf: maintenance.old_jobs(spark, sf),
+        maintenance.old_jobs_oracle(),
+        ("jobs",),
+    )
+
+    # --- training-data pipeline: dedup ---
+    r["dedup_exact"] = Query(dedup.dedup_exact, dedup.dedup_exact_oracle(), ("dedup", "bench"))
+    r["minhash_signatures"] = Query(
+        dedup.minhash_signatures, dedup.minhash_signatures_oracle(), ("dedup", "bench")
+    )
+    r["lsh_candidate_pairs"] = Query(
+        dedup.lsh_candidate_pairs, dedup.lsh_candidate_pairs_oracle(), ("dedup", "bench")
+    )
+    r["simhash"] = Query(dedup.simhash, dedup.simhash_oracle(), ("dedup",))
+    r["simhash_near_dups"] = Query(
+        lambda spark, sf: dedup.simhash_near_dups(spark, sf),
+        dedup.simhash_near_dups_oracle(),
+        ("dedup",),
+    )
+    r["ngram_jaccard_pairs"] = Query(
+        lambda spark, sf: dedup.ngram_jaccard_pairs(spark, sf),
+        dedup.ngram_jaccard_pairs_oracle(),
+        ("dedup", "bench"),
+    )
+    r["embedding_near_dups"] = Query(
+        lambda spark, sf: dedup.embedding_near_dups(spark, sf),
+        dedup.embedding_near_dups_oracle(),
+        ("dedup", "vector", "bench"),
+    )
+
+    # --- training-data pipeline: similarity search ---
+    r["ann_topk"] = Query(
+        lambda spark, sf: ann.ann_topk(spark, sf), ann.ann_topk_oracle(), ("vector", "bench")
+    )
+    r["ann_ivf_topk"] = Query(
+        lambda spark, sf: ann.ann_ivf_topk(spark, sf), ann.ann_ivf_topk_oracle(), ("vector",)
+    )
+
+    # --- training-data pipeline: text analysis ---
+    r["lang_id"] = Query(textstats.lang_id, textstats.lang_id_oracle(), ("text", "bench"))
+    r["text_quality"] = Query(textstats.text_quality, textstats.text_quality_oracle(), ("text",))
+    r["token_counts"] = Query(textstats.token_counts, textstats.token_counts_oracle(), ("text",))
+    r["doc_fingerprints"] = Query(
+        textstats.doc_fingerprints, textstats.doc_fingerprints_oracle(), ("text",)
     )
     return r
 

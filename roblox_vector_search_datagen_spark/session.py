@@ -36,6 +36,9 @@ def get_spark(app_name: str = "rvsd-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS); read as long + convert
+        # in sources.tables.load_table (Spark has no ns timestamp type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()

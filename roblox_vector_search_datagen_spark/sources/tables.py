@@ -38,8 +38,16 @@ TPCH_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Column pruning + predicate pushdown reach the scan
-    because downstream operators select/filter declaratively."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    because downstream operators select/filter declaratively.
+
+    events.ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it
+    as long (legacy.parquet.nanosAsLong) and it is converted here with
+    integer division (double division would lose low bits at 1e18 ns).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 # ---------------------------------------------------------------------------
 # games projection (reference Game rows — src/types.d.ts:59-66)
@@ -107,6 +115,142 @@ SELECT
 FROM part
 """
 
+def new_games(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic merge-input batch (FIXTURES.md §3): the role of a
+    fresh gather result (gatherGames.ts:9-40). Derived from `part`:
+
+    * p_partkey % 5 == 0 -> same universeId as an existing game, changed
+      name/rootPlaceId (matched-update path)
+    * % 5 == 1 -> new id (p_partkey + 1_000_000) (insert path)
+    * % 5 == 2 -> new id (p_partkey + 2_000_000) emitted TWICE with an
+      `ord` batch-position column (keep-last dedup, gatherGames.ts:89)
+
+    description is text-or-NULL only (no known-blank '') so the
+    rolimons `?? `-coalesce variant is unambiguous under the tri-state
+    encoding.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 <= 2)
+    mod5 = F.col("p_partkey") % 5
+    base = p.select(
+        F.when(mod5 == 0, F.col("p_partkey"))
+        .when(mod5 == 1, F.col("p_partkey") + 1_000_000)
+        .otherwise(F.col("p_partkey") + 2_000_000)
+        .cast("long")
+        .alias("universeId"),
+        (F.col("p_partkey") * 10 + 7).cast("long").alias("rootPlaceId"),
+        F.concat(F.lit("new "), F.col("p_name")).alias("name"),
+        F.when(F.col("p_partkey") % 2 == 0, F.concat(F.lit("fresh "), F.col("p_type")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("description"),
+        ((F.col("p_partkey") * 11) % 600).cast("int").alias("playerCount"),
+        (F.col("p_partkey") * 2).cast("long").alias("ord"),
+    )
+    dups = (
+        p.filter(mod5 == 2)
+        .select(
+            (F.col("p_partkey") + 2_000_000).cast("long").alias("universeId"),
+            (F.col("p_partkey") * 10 + 9).cast("long").alias("rootPlaceId"),
+            F.concat(F.lit("dup "), F.col("p_name")).alias("name"),
+            F.lit(None).cast("string").alias("description"),
+            F.lit(None).cast("int").alias("playerCount"),
+            (F.col("p_partkey") * 2 + 1).cast("long").alias("ord"),
+        )
+    )
+    return base.unionByName(dups)
+
+NEW_GAMES_SQL = """
+SELECT
+  CAST(CASE WHEN p_partkey % 5 = 0 THEN p_partkey
+            WHEN p_partkey % 5 = 1 THEN p_partkey + 1000000
+            ELSE p_partkey + 2000000 END AS BIGINT) AS universeId,
+  CAST(p_partkey * 10 + 7 AS BIGINT) AS rootPlaceId,
+  'new ' || p_name AS name,
+  CASE WHEN p_partkey % 2 = 0 THEN 'fresh ' || p_type ELSE NULL END AS description,
+  CAST((p_partkey * 11) % 600 AS INT) AS playerCount,
+  CAST(p_partkey * 2 AS BIGINT) AS ord
+FROM part WHERE p_partkey % 5 <= 2
+UNION ALL
+SELECT
+  CAST(p_partkey + 2000000 AS BIGINT),
+  CAST(p_partkey * 10 + 9 AS BIGINT),
+  'dup ' || p_name,
+  NULL,
+  NULL,
+  CAST(p_partkey * 2 + 1 AS BIGINT)
+FROM part WHERE p_partkey % 5 = 2
+"""
+
+def images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-inventory listing table (FIXTURES.md §4): which games have
+    icon/thumbnail files (reference probes the filesystem per row,
+    stats.get.ts:48-71; here it's a DataFrame the stats/skip-existing
+    operators anti-join against). ~70% icons, ~60% thumbnails."""
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("universeId"))
+    icon = p.filter(F.col("universeId") % 10 <= 6).select(
+        "universeId", F.lit("icon").alias("kind")
+    )
+    thumb = p.filter(F.col("universeId") % 10 <= 5).select(
+        "universeId", F.lit("thumbnail").alias("kind")
+    )
+    both = icon.unionByName(thumb)
+    return both.withColumn(
+        "path",
+        F.concat(F.lit("images/"), F.col("universeId").cast("string"), F.lit("/"), F.col("kind"), F.lit(".png")),
+    )
+
+IMAGES_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS universeId, kind,
+       'images/' || CAST(p_partkey AS VARCHAR) || '/' || kind || '.png' AS path
+FROM part, (SELECT unnest(['icon','thumbnail']) AS kind)
+WHERE (kind = 'icon' AND p_partkey % 10 <= 6)
+   OR (kind = 'thumbnail' AND p_partkey % 10 <= 5)
+"""
+
+def jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jobs metadata table (SQLite DDL, jobManager.ts:46-60) projected
+    from `events`: event_id -> job id, ts -> created_at, deterministic
+    status/progress so ordering + paging + status-group queries have
+    all four statuses and NULL progress pairs."""
+    e = load_table(spark, sf_dir, "events")
+    m10 = F.col("event_id") % 10
+    status = (
+        F.when(m10 <= 3, "completed").when(m10 <= 6, "running").when(m10 <= 8, "pending").otherwise("failed")
+    )
+    return e.select(
+        F.concat(F.lit("job_"), F.col("event_id").cast("string")).alias("id"),
+        F.col("event_type").alias("command"),
+        status.alias("status"),
+        F.when(F.col("event_id") % 2 == 0, F.floor(F.col("value") % 100).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("progress_current"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(100).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("progress_total"),
+        F.when(m10 == 9, F.lit("boom")).otherwise(F.lit(None).cast("string")).alias("error"),
+        F.col("ts").alias("created_at"),
+        F.when(m10 <= 6, F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("started_at"),
+        F.when((m10 <= 3) | (m10 == 9), F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias(
+            "completed_at"
+        ),
+    )
+
+JOBS_SQL = """
+SELECT
+  'job_' || CAST(event_id AS VARCHAR) AS id,
+  event_type AS command,
+  CASE WHEN event_id % 10 <= 3 THEN 'completed'
+       WHEN event_id % 10 <= 6 THEN 'running'
+       WHEN event_id % 10 <= 8 THEN 'pending'
+       ELSE 'failed' END AS status,
+  CASE WHEN event_id % 2 = 0 THEN CAST(floor(value % 100) AS INT) END AS progress_current,
+  CASE WHEN event_id % 2 = 0 THEN CAST(100 AS INT) END AS progress_total,
+  CASE WHEN event_id % 10 = 9 THEN 'boom' END AS error,
+  ts AS created_at,
+  CASE WHEN event_id % 10 <= 6 THEN ts + INTERVAL 1 MINUTE END AS started_at,
+  CASE WHEN event_id % 10 <= 3 OR event_id % 10 = 9 THEN ts + INTERVAL 5 MINUTE END AS completed_at
+FROM events
+"""
+
 def game_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings.json analog: (universeId, embedding ARRAY<FLOAT>).
 
@@ -122,9 +266,13 @@ def game_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAME_EMBEDDINGS_SQL = "SELECT CAST(vec_id AS BIGINT) AS universeId, embedding FROM embeddings"
 
 def with_domain_views(sql: str) -> str:
-    """Wrap an oracle query with the games/game_embeddings CTEs so it can
-    reference the projected domain tables by name."""
+    """Wrap an oracle query with the domain-view CTEs so it can
+    reference the projected tables (games, game_embeddings, new_games,
+    images, jobs) by name."""
     return (
         "WITH games AS (" + GAMES_SQL + "),\n"
-        "game_embeddings AS (" + GAME_EMBEDDINGS_SQL + ")\n" + sql
+        "game_embeddings AS (" + GAME_EMBEDDINGS_SQL + "),\n"
+        "new_games AS (" + NEW_GAMES_SQL + "),\n"
+        "images AS (" + IMAGES_SQL + "),\n"
+        "jobs AS (" + JOBS_SQL + ")\n" + sql
     )
