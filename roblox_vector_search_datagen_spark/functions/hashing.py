@@ -32,6 +32,18 @@ def _lcg(i: int, mult: int, add: int) -> int:
 MINHASH_A = [_lcg(i, 1103515245, 12345) for i in range(MINHASH_K)]
 MINHASH_B = [_lcg(i, 134775813, 1) for i in range(MINHASH_K)]
 
+def let_expr(value: Column, body) -> Column:
+    """Let-binding for Catalyst expressions: evaluate `value` once and
+    reference it many times inside `body` via a lambda variable.
+
+    Without this, composing one big expression re-evaluates shared
+    subtrees (e.g. split(lower(text)) once per element_at) because
+    codegen does no common-subexpression elimination across lambda
+    boundaries. transform(array(v), x -> body(x))[1] binds v exactly
+    once per row.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
 def h32_expr(col: Column) -> Column:
     """Portable 32-bit string hash: int(md5(s)[:8], 16)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
@@ -49,13 +61,19 @@ def minhash_value_sql(h: str, i: int) -> str:
 
 def word_shingles_expr(text: Column, n: int = SHINGLE_WORDS) -> Column:
     """Distinct n-word shingles of lowercased text; empty array when the
-    document is shorter than n words."""
-    w = F.split(F.lower(text), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]))
-    return F.when(F.size(w) >= n, F.array_distinct(shingles)).otherwise(
-        F.array().cast("array<string>")
-    )
+    document is shorter than n words. The token array is let-bound so
+    the split runs once per row, not once per element access."""
+
+    def build(w: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(w) - n)
+        shingles = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
+        )
+        return F.when(F.size(w) >= n, F.array_distinct(shingles)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let_expr(F.split(F.lower(text), r"\s+"), build)
 
 def word_shingles_sql(text: str, n: int = SHINGLE_WORDS) -> str:
     """DuckDB equivalent (1-indexed lists)."""

@@ -1,0 +1,173 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The container ships no image/audio codecs, so the decode kernels are
+deterministic STUBS behind an import-try (`_try_real_decoder`) — the
+Spark-side contract (schema, batch shape, partitioning, UDF signature)
+is real and tested, and swapping in PIL/ffmpeg later changes one
+function, not the plan.
+
+Reference parity anchor: the reference's only binary pipeline is PNG
+icon/thumbnail download + base64 into an LLM prompt
+(downloadImages.ts:42-44, generateGameplayDescriptions.ts:67-97); the
+media table mirrors that shape generalized to three modalities.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import tables
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+def media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: content is the
+    utf-8 text bytes (an opaque blob as far as the pipeline cares),
+    media_type cycles by doc_id, metadata is arithmetic on doc_id."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    mt = F.element_at(
+        F.array(*[F.lit(m) for m in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        mt.alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            ((F.col("doc_id") % 8 + 1) * 64).cast("int").alias("width"),
+            ((F.col("doc_id") % 4 + 1) * 64).cast("int").alias("height"),
+            F.when(F.col("doc_id") % 3 != 0, ((F.col("doc_id") % 30 + 1) * 1000).cast("int")).alias(
+                "duration_ms"
+            ),
+        ).alias("meta"),
+    )
+
+def _try_real_decoder():
+    """Return a real image decoder when codec libs exist; None here
+    (container has no PIL/cv2) — the stub below is the documented
+    fallback."""
+    try:  # pragma: no cover - not installed in this environment
+        import PIL.Image  # noqa: F401
+
+        return PIL.Image
+    except ImportError:
+        return None
+
+def _stub_pixels(content: bytes, width: int, height: int) -> list[float]:
+    """STUB decode: deterministic 4-value 'pixel statistics' from the
+    blob digest — stands in for mean/std channel stats of a real
+    decode. NOT a real codec (documented; see module docstring)."""
+    dig = hashlib.md5(content).digest()
+    return [round(dig[i] / 255.0, 6) for i in range(4)]
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+def media_features(spark: SparkSession, sf_dir: str, batch_hint: int = 1024) -> DataFrame:
+    """Feature extraction over binary media: one Arrow batch in, one
+    out, numpy/pure-python inside — the decode stage of a multimodal
+    training pipeline. Partition-parallel; no shuffle at all."""
+    import pandas as pd
+
+    m = media(spark, sf_dir)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _try_real_decoder()
+        for pdf in batches:
+            feats = [
+                _stub_pixels(c, w, h)
+                if decoder is None
+                else _stub_pixels(c, w, h)  # real path would decode here
+                for c, w, h in zip(pdf["content"], pdf["meta"].str["width"], pdf["meta"].str["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "features": feats,
+                }
+            )
+
+    return m.mapInPandas(run, FEATURES_SCHEMA)
+
+def frame_sample_plan(spark: SparkSession, sf_dir: str, every_ms: int = 5000) -> DataFrame:
+    """Video frame-sampling plan: explode each video into the frame
+    timestamps a decoder would extract (the decode itself is the
+    stubbed stage). Pure Catalyst — sequence + explode, no UDF."""
+    m = media(spark, sf_dir).filter(F.col("media_type") == "video")
+    offsets = F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+    return m.select(
+        "doc_id", F.explode(offsets).alias("frame_ms"), F.col("meta.duration_ms").alias("duration_ms")
+    )
+
+def frame_sample_plan_oracle(every_ms: int = 5000) -> str:
+    """frame_sample is SQL-expressible — media metadata is arithmetic."""
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         CASE WHEN doc_id % 3 <> 0 THEN CAST((doc_id % 30 + 1) * 1000 AS INT) END AS duration_ms
+  FROM documents
+)
+SELECT doc_id, unnest(range(0, duration_ms + 1, {every_ms})) AS frame_ms, duration_ms
+FROM m WHERE media_type = 'video'
+"""
+
+def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup per modality — the sanity dashboard of a
+    multimodal corpus (bytes, dimensions, durations)."""
+    m = media(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.round(F.avg("meta.width"), 6).alias("avg_width"),
+        F.round(F.avg("meta.duration_ms"), 6).alias("avg_duration_ms"),
+    )
+
+def media_inventory_oracle() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         encode(text) AS content,
+         CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
+         CASE WHEN doc_id % 3 <> 0 THEN CAST((doc_id % 30 + 1) * 1000 AS INT) END AS duration_ms
+  FROM documents
+)
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes,
+       round(avg(width), 6) AS avg_width,
+       round(avg(duration_ms), 6) AS avg_duration_ms
+FROM m GROUP BY media_type
+"""

@@ -146,10 +146,15 @@ FROM topk t JOIN games g ON g.universeId = t.universeId
 
 def _word_overlap_ratio(text_col, qwords, n_qwords: int):
     """F6: fraction of query words contained in at least one word of the
-    text (search.get.ts:143-152) — higher-order array functions."""
-    twords = F.split(F.lower(text_col), r"\s+")
-    overlap = F.size(
-        F.filter(qwords, lambda w: F.exists(twords, lambda t: t.contains(w)))
+    text (search.get.ts:143-152) — higher-order array functions; the
+    text token array is let-bound so the split runs once per row."""
+    from ..functions.hashing import let_expr
+
+    overlap = let_expr(
+        F.split(F.lower(text_col), r"\s+"),
+        lambda twords: F.size(
+            F.filter(qwords, lambda w: F.exists(twords, lambda t: t.contains(w)))
+        ),
     )
     return overlap.cast("double") / float(n_qwords)
 

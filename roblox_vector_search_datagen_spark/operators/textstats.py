@@ -36,23 +36,30 @@ def _profile_score_expr(words, lang: str):
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID: score each profile against the token
     stream, argmax with alphabetical tie-break, 'und' when no marker
-    hits. Emits (doc_id, lang, predicted_lang, score)."""
+    hits. Emits (doc_id, lang, predicted_lang, score).
+
+    The token array and per-profile score vector are let-bound so the
+    text is split once and each profile scanned once per row."""
     d = tables.load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower("text"), r"\s+")
-    scored = d.select(
-        "doc_id",
-        "lang",
-        *[_profile_score_expr(words, lg).alias(f"score_{lg}") for lg in _LANG_ORDER],
+
+    def from_scores(sc):
+        best = F.array_max(sc)
+        pred = F.lit("und")
+        for idx, lg in reversed(list(enumerate(_LANG_ORDER))):  # earlier alphabetical wins ties
+            pred = F.when(F.element_at(sc, idx + 1) == best, lg).otherwise(pred)
+        return F.struct(
+            F.when(best > 0, pred).otherwise(F.lit("und")).alias("predicted_lang"),
+            best.cast("int").alias("score"),
+        )
+
+    result = H.let_expr(
+        F.split(F.lower("text"), r"\s+"),
+        lambda w: H.let_expr(
+            F.array(*[_profile_score_expr(w, lg) for lg in _LANG_ORDER]), from_scores
+        ),
     )
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in _LANG_ORDER])
-    pred = F.lit("und")
-    for lg in reversed(_LANG_ORDER):  # earlier alphabetical wins ties
-        pred = F.when(F.col(f"score_{lg}") == best, lg).otherwise(pred)
-    return scored.select(
-        "doc_id",
-        "lang",
-        F.when(best > 0, pred).otherwise(F.lit("und")).alias("predicted_lang"),
-        best.cast("int").alias("score"),
+    return d.select("doc_id", "lang", result.alias("r")).select(
+        "doc_id", "lang", F.col("r.predicted_lang").alias("predicted_lang"), F.col("r.score").alias("score")
     )
 
 def lang_id_oracle() -> str:
@@ -82,29 +89,38 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one projection pass — the filters a pretraining pipeline runs
     before anything expensive."""
     d = tables.load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower("text"), r"\s+")
-    n_words = F.size(words)
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
-    mean_wl = F.round(
-        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words, 6
-    )
-    stop_ratio = F.round(n_stop.cast("double") / n_words, 6)
-    quality = F.round(
-        F.when(n_words < 5, 0.0).otherwise(
-            F.least(F.lit(1.0), n_words.cast("double") / 100.0) * 0.5
-            + F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 0.3).otherwise(0.0)
-            + F.least(F.lit(0.2), stop_ratio * 2.0)
-        ),
-        6,
-    )
-    return d.select(
+
+    def from_words(w):
+        n_words = F.size(w)
+        n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+        mean_wl = F.round(
+            F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words, 6
+        )
+        stop_ratio = F.round(n_stop.cast("double") / n_words, 6)
+        quality = F.round(
+            F.when(n_words < 5, 0.0).otherwise(
+                F.least(F.lit(1.0), n_words.cast("double") / 100.0) * 0.5
+                + F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 0.3).otherwise(0.0)
+                + F.least(F.lit(0.2), stop_ratio * 2.0)
+            ),
+            6,
+        )
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_wl.alias("mean_word_len"),
+            stop_ratio.alias("stopword_ratio"),
+            quality.alias("quality"),
+        )
+
+    r = H.let_expr(F.split(F.lower("text"), r"\s+"), from_words)
+    return d.select("doc_id", F.length("text").alias("n_chars"), r.alias("r")).select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality"),
+        "n_chars",
+        F.col("r.n_words").alias("n_words"),
+        F.col("r.mean_word_len").alias("mean_word_len"),
+        F.col("r.stopword_ratio").alias("stopword_ratio"),
+        F.col("r.quality").alias("quality"),
     )
 
 def text_quality_oracle() -> str:
@@ -153,15 +169,16 @@ FROM documents
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: whole-text hash + winnowing-style minimum
-    shingle hash (the cheap pre-cluster key for near-dup sharding)."""
+    shingle hash (the cheap pre-cluster key for near-dup sharding).
+    array_min of an empty array is NULL, so no size guard is needed —
+    the shingle array is built exactly once per row."""
     d = tables.load_table(spark, sf_dir, "documents")
-    shingle_hashes = F.transform(
-        H.word_shingles_expr(F.col("text")), lambda s: H.h32_expr(s)
-    )
     return d.select(
         "doc_id",
         H.h32_expr(F.col("text")).alias("content_hash"),
-        F.when(F.size(shingle_hashes) > 0, F.array_min(shingle_hashes)).alias("min_shingle_hash"),
+        F.array_min(
+            F.transform(H.word_shingles_expr(F.col("text")), lambda s: H.h32_expr(s))
+        ).alias("min_shingle_hash"),
     )
 
 def doc_fingerprints_oracle() -> str:

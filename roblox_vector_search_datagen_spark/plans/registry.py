@@ -14,7 +14,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import ann, dedup, maintenance, search, textstats
+from ..operators import ann, dedup, maintenance, multimodal, search, textstats
+from ..streaming import events as streaming_events
 
 @dataclass
 class Query:
@@ -147,6 +148,33 @@ def _registry() -> dict[str, Query]:
     r["token_counts"] = Query(textstats.token_counts, textstats.token_counts_oracle(), ("text",))
     r["doc_fingerprints"] = Query(
         textstats.doc_fingerprints, textstats.doc_fingerprints_oracle(), ("text",)
+    )
+
+    # --- multimodal columns ---
+    r["media_inventory"] = Query(
+        multimodal.media_inventory, multimodal.media_inventory_oracle(), ("multimodal",)
+    )
+    r["frame_sample_plan"] = Query(
+        lambda spark, sf: multimodal.frame_sample_plan(spark, sf),
+        multimodal.frame_sample_plan_oracle(),
+        ("multimodal",),
+    )
+    # mapInPandas decode stage: not SQL-expressible (stubbed codec) ->
+    # rows-only driver check; value-level test lives in tests/test_multimodal.py
+    r["media_features"] = Query(
+        lambda spark, sf: multimodal.media_features(spark, sf), None, ("multimodal", "udf")
+    )
+
+    # --- event-time analytics (streaming twins in streaming/events.py) ---
+    r["windowed_event_counts"] = Query(
+        streaming_events.windowed_event_counts,
+        streaming_events.windowed_event_counts_oracle(),
+        ("streaming", "bench"),
+    )
+    r["sessionize"] = Query(
+        lambda spark, sf: streaming_events.sessionize(spark, sf),
+        streaming_events.sessionize_oracle(),
+        ("streaming", "bench"),
     )
     return r
 

@@ -1,0 +1,149 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming (SURVEY.md §2.8) — its nearest analog is
+resumable incremental batch. This module adds the native Spark
+streaming surface a large-scale pipeline needs: event-time tumbling
+windows with watermarked late-data handling, and gap-based
+sessionization (the custom stateful operator pattern).
+
+Each streaming query has a BATCH twin with identical semantics; the
+batch twin is DuckDB-oracle-checked, and tests assert stream (
+Trigger.AvailableNow over the same parquet) == batch. That is the
+correctness story for the streaming path without a live source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import tables
+
+SESSION_GAP_MIN = 30
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture directory (the file source
+    needs a directory; the glob narrows it to the events table). The
+    nanos->micros ts conversion mirrors sources.tables.load_table."""
+    batch = tables.load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    assert stream.schema == batch.schema
+    return stream
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation
+# ---------------------------------------------------------------------------
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: 1-hour tumbling windows per event_type — counts and
+    value sums. Map-side partial agg + one shuffle on (window, type)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+def windowed_event_counts_oracle() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: file-source readStream over the same parquet,
+    1-hour watermark for late data, same windowed agg. Run with
+    Trigger.AvailableNow into a sink; complete-mode output equals the
+    batch twin on a static directory."""
+    raw = _events_stream(spark, sf_dir)
+    return (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain an AvailableNow stream into an in-memory table and return
+    the query handle (caller awaits termination and reads the table)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based)
+# ---------------------------------------------------------------------------
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap from the
+    previous event of the same user exceeds `gap_min`. Classic
+    lag + running-sum over a per-user window; one shuffle on user_id.
+    Emits per-session rollups."""
+    e = tables.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond arithmetic, and >= so a gap of exactly gap_min starts a
+    # new session — matching session_window's exclusive [start, last+gap)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap >= gap_min * 60 * 1_000_000), 1).otherwise(0)
+    sess = e.withColumn("sess_seq", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id", "sess_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+def sessionize_oracle(gap_min: int = SESSION_GAP_MIN) -> str:
+    return f"""
+WITH g AS (
+  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {gap_min * 60 * 1_000_000}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq
+  FROM g
+)
+SELECT user_id, sess_seq, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events, round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+FROM s GROUP BY user_id, sess_seq
+"""
+
+def stream_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Streaming sessionization via the built-in session_window — the
+    watermark bounds state so Spark can emit and evict closed sessions
+    (applyInPandasWithState would be the fully-custom variant; the
+    built-in gap window expresses exactly this operator)."""
+    raw = _events_stream(spark, sf_dir)
+    return (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,149 @@
+"""Property and unit tests: cosine kernel, merge semantics (SURVEY.md
+§7.4.1), tri-state predicates, keep-last dedup."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from roblox_vector_search_datagen_spark.functions import vector as V
+from roblox_vector_search_datagen_spark.operators import maintenance
+from roblox_vector_search_datagen_spark.sources import tables
+
+# ---------------------------------------------------------------------------
+# cosine kernel (numpy batch path) — pure-python property tests
+# ---------------------------------------------------------------------------
+
+vec = st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=4, max_size=16)
+
+@given(vec)
+@settings(max_examples=200, deadline=None)
+def test_cosine_self_similarity_is_one(v):
+    a = np.array([v], dtype=np.float32)
+    if np.linalg.norm(a[0]) == 0:
+        return
+    sim = V.cosine_batch(a, a[0])[0]
+    assert math.isclose(sim, 1.0, abs_tol=1e-6)
+
+@given(vec, st.floats(0.1, 100, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_cosine_scale_invariance(v, k):
+    a = np.array([v], dtype=np.float64)
+    if np.linalg.norm(a[0]) == 0:
+        return
+    s1 = V.cosine_batch(a, a[0] * k)[0]
+    s2 = V.cosine_batch(a, a[0])[0]
+    assert math.isclose(s1, s2, abs_tol=1e-9)
+
+def test_cosine_expr_matches_numpy(spark):
+    rows = [([1.0, 2.0, 3.0],), ([0.0, 0.0, 0.0],), ([-1.5, 0.5, 2.0],)]
+    df = spark.createDataFrame(rows, "embedding: array<float>")
+    q = [0.5, -1.0, 2.0]
+    got = df.select(V.cosine_expr(F.col("embedding"), V.vector_lit(q)).alias("c")).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float32)
+    want = V.cosine_batch(mat, np.array(q))
+    for g, w in zip(got, want):
+        if math.isnan(w):
+            assert g.c is None  # zero-norm -> NULL relationally
+        else:
+            assert math.isclose(g.c, w, abs_tol=1e-9)
+
+def test_embed_query_deterministic_and_bounded():
+    a = V.embed_query("hello", 64)
+    assert a == V.embed_query("hello", 64)
+    assert a != V.embed_query("world", 64)
+    assert all(-0.5 <= x < 0.5 for x in a) and len(a) == 64
+
+# ---------------------------------------------------------------------------
+# merge semantics
+# ---------------------------------------------------------------------------
+
+def test_merge_output_unique_and_sorted_ids(spark, sf_dir):
+    out = maintenance.merge_games_gather(spark, sf_dir).collect()
+    ids = [r.universeId for r in out]
+    assert len(ids) == len(set(ids)), "merge must dedup by universeId"
+
+def test_merge_gather_preserves_enrichment_fields(spark, sf_dir):
+    games = {r.universeId: r for r in tables.games(spark, sf_dir).collect()}
+    merged = {r.universeId: r for r in maintenance.merge_games_gather(spark, sf_dir).collect()}
+    new_first = {}
+    for r in sorted(tables.new_games(spark, sf_dir).collect(), key=lambda r: r.ord):
+        new_first.setdefault(r.universeId, r)
+    for uid, g in games.items():
+        m = merged[uid]
+        # enrichment fields always preserved from existing
+        assert m.description == g.description
+        assert m.gameplayDescription == g.gameplayDescription
+        assert m.playerCount == g.playerCount
+        if uid in new_first:  # matched: basic info from FIRST new occurrence
+            assert m.name == new_first[uid].name
+            assert m.rootPlaceId == new_first[uid].rootPlaceId
+        else:  # untouched
+            assert m.name == g.name and m.rootPlaceId == g.rootPlaceId
+
+def test_merge_insert_keeps_last_duplicate(spark, sf_dir):
+    games_ids = {r.universeId for r in tables.games(spark, sf_dir).select("universeId").collect()}
+    new_last = {}
+    for r in sorted(tables.new_games(spark, sf_dir).collect(), key=lambda r: r.ord):
+        new_last[r.universeId] = r  # later ord overwrites
+    merged = {r.universeId: r for r in maintenance.merge_games_gather(spark, sf_dir).collect()}
+    inserted = [uid for uid in new_last if uid not in games_ids]
+    assert inserted, "fixture must exercise the insert path"
+    dup_inserted = [u for u in inserted if u >= 2_000_000]
+    assert dup_inserted, "fixture must exercise intra-batch duplicates"
+    for uid in inserted:
+        assert merged[uid].name == new_last[uid].name  # keep-LAST for inserts
+        assert merged[uid].gameplayDescription is None
+
+def test_merge_search_overwrites_playercount_even_with_null(spark, sf_dir):
+    new_first = {}
+    for r in sorted(tables.new_games(spark, sf_dir).collect(), key=lambda r: r.ord):
+        new_first.setdefault(r.universeId, r)
+    games_ids = {r.universeId for r in tables.games(spark, sf_dir).select("universeId").collect()}
+    merged = {r.universeId: r for r in maintenance.merge_games_search(spark, sf_dir).collect()}
+    for uid in games_ids & set(new_first):
+        assert merged[uid].playerCount == new_first[uid].playerCount
+
+def test_merge_idempotent_on_rerun_except_intra_batch_dups(spark, sf_dir):
+    """Re-merging the same batch is a fixpoint for every id WITHOUT
+    intra-batch duplicates. (For dup'd ids the reference itself is not
+    idempotent: the first run inserts the LAST occurrence, a re-run
+    matches it and updates from the FIRST occurrence — gatherGames.ts:66
+    vs :89. We reproduce that faithfully, so the fixpoint claim is
+    scoped to unique-id batches.)"""
+    once = maintenance.merge_games_gather(spark, sf_dir)
+    new = tables.new_games(spark, sf_dir)
+    again = maintenance._merge(
+        once, new, {"name": F.col("n_name"), "rootPlaceId": F.col("n_rootPlaceId")}
+    )
+    dup_ids = {
+        r.universeId
+        for r in new.groupBy("universeId").count().filter("count > 1").collect()
+    }
+    a = {tuple(r) for r in once.collect() if r.universeId not in dup_ids}
+    b = {tuple(r) for r in again.collect() if r.universeId not in dup_ids}
+    assert a == b
+
+# ---------------------------------------------------------------------------
+# tri-state predicates
+# ---------------------------------------------------------------------------
+
+def test_tristate_needs_description(spark):
+    df = spark.createDataFrame(
+        [(1, None, None), (2, "", None), (3, "text", None), (4, None, 5)],
+        "universeId: long, description: string, playerCount: int",
+    )
+    needs = df.filter(F.col("description").isNull() | F.col("playerCount").isNull())
+    # NULL = never fetched (needs), '' = known blank (does NOT need desc,
+    # but row 2 still needs playerCount) — downloadDescriptions.ts:13-18
+    assert sorted(r.universeId for r in needs.collect()) == [1, 2, 3, 4]
+    needs_desc_only = df.filter(F.col("description").isNull())
+    assert sorted(r.universeId for r in needs_desc_only.collect()) == [1, 4]
+
+def test_latest_event_per_user_is_keep_last(spark, sf_dir):
+    out = maintenance.latest_event_per_user(spark, sf_dir)
+    assert out.groupBy("user_id").count().filter("count > 1").count() == 0
