@@ -1,0 +1,440 @@
+"""CLI command surface: the reference's 13-command registry
+(src/lib/commands.ts:15-29) dispatched over the Corpus storage layer.
+
+Every command is a plain function (corpus, transport, args) so tests
+inject canned transports; `main()` wires the default stdlib transport
+and prints results as JSON lines. The composite processGamesFromSearch
+pipeline (processGamesFromSearch.ts:14-27) chains the same functions.
+
+Command -> engine mapping:
+
+    gatherGames                  S5 cursor scan -> J1 merge (gather)
+    gatherGamesFromSearch <q>    S6 scan -> J1 merge (search variant)
+    gatherGamesRolimons          S7/S8/S9 -> J1 merge (rolimons variant)
+    downloadDescriptions         P5 worklist -> S10 mapInPandas -> J2/J3
+    downloadImages               P6 anti-join -> S11/S12/S13 mapInPandas
+    pruneGames [flags]           P10 cascade + J4 orphan cleanup, --dry-run
+    countGames                   A1/A2
+    findSimilarGames <id>        J6/J7/J8 similarity top-k
+    search <text> [--limit n]    S16 query embed -> vector top-k
+    clearGameplayDescriptions    column reset
+    generateGameplayDescriptions P7 worklist -> S14 LLM mapInPandas
+    generateEmbeddings           P8 worklist -> S15 mapInPandas -> append
+    processGamesFromSearch <q>   composite of the above
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .corpus import Corpus
+from .functions import vector as V
+from .operators import maintenance, search
+from .operators.maintenance import PRUNE_REASONS
+from .sources import http
+
+NEW_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("universeId", T.LongType(), False),
+        T.StructField("rootPlaceId", T.LongType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("playerCount", T.IntegerType(), True),
+        T.StructField("ord", T.LongType(), False),
+    ]
+)
+
+def _new_batch_df(corpus: Corpus, rows: list[dict]) -> DataFrame:
+    """Lift driver-gathered rows into the merge-input shape; `ord` is the
+    batch position (keep-last dedup key, gatherGames.ts:89)."""
+    full = [
+        {
+            "universeId": r["universeId"],
+            "rootPlaceId": r["rootPlaceId"],
+            "name": r["name"],
+            "description": r.get("description"),
+            "playerCount": r.get("playerCount"),
+            "ord": i,
+        }
+        for i, r in enumerate(rows)
+    ]
+    return corpus.spark.createDataFrame(full, NEW_BATCH_SCHEMA)
+
+# ---------------------------------------------------------------------------
+# gather family
+# ---------------------------------------------------------------------------
+
+def gather_games(corpus: Corpus, transport: http.Transport, **retry_kw) -> int:
+    rows = http.gather_games_pages(transport, str(uuid.uuid4()), **retry_kw)
+    merged = maintenance._merge(
+        corpus.games(),
+        _new_batch_df(corpus, rows),
+        {"name": F.col("n_name"), "rootPlaceId": F.col("n_rootPlaceId")},
+    )
+    corpus.write_games(merged)
+    return len(rows)
+
+def gather_games_from_search(corpus: Corpus, transport: http.Transport, query: str, **retry_kw) -> int:
+    rows = http.gather_games_from_search(transport, query, str(uuid.uuid4()), **retry_kw)
+    merged = maintenance._merge(
+        corpus.games(),
+        _new_batch_df(corpus, rows),
+        {
+            "name": F.col("n_name"),
+            "rootPlaceId": F.col("n_rootPlaceId"),
+            "playerCount": F.col("n_playerCount"),
+        },
+    )
+    corpus.write_games(merged)
+    return len(rows)
+
+def gather_games_rolimons(corpus: Corpus, transport: http.Transport, **retry_kw) -> int:
+    _, html = transport("GET", "https://rolimons.com/games", {}, None)
+    rows = http.rolimons_rows(transport, html.decode(), **retry_kw)
+    merged = maintenance._merge(
+        corpus.games(),
+        _new_batch_df(corpus, rows),
+        {
+            "name": F.col("n_name"),
+            "rootPlaceId": F.col("n_rootPlaceId"),
+            "description": F.coalesce(F.col("n_description"), F.col("description")),
+        },
+    )
+    corpus.write_games(merged)
+    return len(rows)
+
+# ---------------------------------------------------------------------------
+# enrichment commands
+# ---------------------------------------------------------------------------
+
+def download_descriptions(
+    corpus: Corpus,
+    transport_factory: Callable[[], http.Transport],
+    *,
+    concurrency: int = 4,
+    retry: http.RetryPolicy | None = None,
+) -> int:
+    """downloadDescriptions.ts:12-79. Returned games take the fetched
+    description ('' when the API sent blank/null — known-blank encoding)
+    and playerCount; worklist ids the API did NOT return are marked ''
+    so they are never refetched (J3, downloadDescriptions.ts:64-76)."""
+    g = corpus.games()
+    wl = g.filter(F.col("description").isNull() | F.col("playerCount").isNull()).select("universeId")
+    if wl.isEmpty():
+        return 0
+    details = http.enrich_with_game_details(
+        wl, transport_factory, concurrency=concurrency, retry=retry
+    ).select(
+        "universeId",
+        F.coalesce(F.col("description"), F.lit("")).alias("n_desc"),
+        F.col("playing").alias("n_pc"),
+        F.lit(1).alias("_returned"),
+    )
+    wl_flag = wl.withColumn("_wl", F.lit(1))
+    out = (
+        g.join(wl_flag, "universeId", "left")
+        .join(details, "universeId", "left")
+        .select(
+            "universeId",
+            "rootPlaceId",
+            "name",
+            F.when(F.col("_returned").isNotNull(), F.col("n_desc"))
+            .when(F.col("_wl").isNotNull(), F.lit(""))
+            .otherwise(F.col("description"))
+            .alias("description"),
+            "gameplayDescription",
+            F.when(F.col("_returned").isNotNull(), F.col("n_pc"))
+            .otherwise(F.col("playerCount"))
+            .alias("playerCount"),
+        )
+    )
+    n = out.filter(F.col("description").isNotNull()).count()
+    corpus.write_games(out)
+    return n
+
+def download_images(
+    corpus: Corpus,
+    transport_factory: Callable[[], http.Transport],
+    *,
+    concurrency: int = 4,
+    retry: http.RetryPolicy | None = None,
+) -> int:
+    """downloadImages.ts:48-219: anti-join skip-existing worklist, fetch
+    icon+thumbnail binaries, append new rows to the images table. The
+    pre-write anti-join keeps Spark task retries idempotent."""
+    have_both = (
+        corpus.images().groupBy("universeId").count().filter(F.col("count") >= 2).select("universeId")
+    )
+    wl = corpus.games().select("universeId").join(have_both, "universeId", "left_anti")
+    if wl.isEmpty():
+        return 0
+    fetched = http.download_images(wl, transport_factory, concurrency=concurrency, retry=retry)
+    fresh = fetched.join(
+        corpus.images().select("universeId", "kind"), ["universeId", "kind"], "left_anti"
+    )
+    n = fresh.count()
+    corpus.write_images(fresh, mode="append")
+    return n
+
+def generate_gameplay_descriptions(
+    corpus: Corpus,
+    transport_factory: Callable[[], http.Transport],
+    *,
+    base_url: str,
+    model: str,
+    concurrency: int = 4,
+    retry: http.RetryPolicy | None = None,
+) -> int:
+    """generateGameplayDescriptions.ts:27-188: P7 worklist (description
+    present, gameplay missing), icon/thumbnail data-URLs attached from
+    the images table (F17), LLM struct -> markdown, J2 update."""
+    g = corpus.games()
+    ok = lambda c: F.col(c).isNotNull() & (F.trim(c) != "")
+    wl = g.filter(ok("description") & ~ok("gameplayDescription")).select(
+        "universeId", "name", "description"
+    )
+    if wl.isEmpty():
+        return 0
+    imgs = corpus.images().select("universeId", "kind", http.base64_image_expr().alias("b64"))
+    icon = imgs.filter(F.col("kind") == "icon").select("universeId", F.col("b64").alias("icon_b64"))
+    thumb = imgs.filter(F.col("kind") == "thumbnail").select(
+        "universeId", F.col("b64").alias("thumb_b64")
+    )
+    wl = wl.join(icon, "universeId", "left").join(thumb, "universeId", "left")
+    descs = http.generate_descriptions(
+        wl, transport_factory, base_url=base_url, model=model, concurrency=concurrency, retry=retry
+    ).select("universeId", F.col("gameplayDescription").alias("n_gp"))
+    out = (
+        g.join(descs, "universeId", "left")
+        .select(
+            "universeId",
+            "rootPlaceId",
+            "name",
+            "description",
+            F.coalesce(F.col("n_gp"), F.col("gameplayDescription")).alias("gameplayDescription"),
+            "playerCount",
+        )
+    )
+    n = descs.count()
+    corpus.write_games(out)
+    return n
+
+def generate_embeddings(
+    corpus: Corpus,
+    transport_factory: Callable[[], http.Transport],
+    *,
+    base_url: str,
+    model: str,
+    concurrency: int = 4,
+    retry: http.RetryPolicy | None = None,
+) -> int:
+    """generateEmbeddings.ts:24-108: P8 anti-join worklist, batch-10
+    embedding calls, append-only sink (idempotent via the worklist)."""
+    g = corpus.games()
+    ok = F.col("gameplayDescription").isNotNull() & (F.trim("gameplayDescription") != "")
+    wl = (
+        g.filter(ok)
+        .join(corpus.embeddings().select("universeId"), "universeId", "left_anti")
+        .select("universeId", "gameplayDescription")
+    )
+    if wl.isEmpty():
+        return 0
+    vecs = http.embed_texts(
+        wl, transport_factory, base_url=base_url, model=model, concurrency=concurrency, retry=retry
+    )
+    n = vecs.count()
+    corpus.write_embeddings(vecs, mode="append")
+    return n
+
+# ---------------------------------------------------------------------------
+# local commands
+# ---------------------------------------------------------------------------
+
+PRUNE_FLAG_MAP = {
+    "--missing-embeddings": PRUNE_REASONS[0],
+    "--zero-players": PRUNE_REASONS[1],
+    "--missing-player-count": PRUNE_REASONS[2],
+    "--empty-descriptions": PRUNE_REASONS[3],
+    "--empty-gameplay-descriptions": PRUNE_REASONS[4],
+}
+
+def prune_games(corpus: Corpus, flags: list[str], dry_run: bool = False) -> dict[str, int]:
+    """pruneGames.ts:33-241: enabled-flag cascade; --dry-run reports the
+    per-reason counts without writing; a real run also drops orphaned
+    embedding rows (J4, pruneGames.ts:188-198)."""
+    enabled = tuple(PRUNE_FLAG_MAP[f] for f in flags if f in PRUNE_FLAG_MAP) or PRUNE_REASONS
+    reasons = maintenance.prune_reason_df(corpus.games(), corpus.embeddings(), enabled)
+    counts = {
+        r["prune_reason"]: r["n"]
+        for r in reasons.filter(F.col("prune_reason").isNotNull())
+        .groupBy("prune_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not dry_run:
+        retained = reasons.filter(F.col("prune_reason").isNull()).drop("prune_reason")
+        kept_emb = corpus.embeddings().join(
+            retained.select("universeId"), "universeId", "left_semi"
+        )
+        from .schemas import EMBEDDING_SCHEMA, GAME_SCHEMA
+
+        corpus.rewrite_many(
+            {
+                "games.parquet": retained.select(*[f.name for f in GAME_SCHEMA.fields]),
+                "embeddings.parquet": kept_emb.select(*[f.name for f in EMBEDDING_SCHEMA.fields]),
+            }
+        )
+    return counts
+
+def count_games(corpus: Corpus) -> dict:
+    return search.count_games_df(corpus.games()).collect()[0].asDict()
+
+def find_similar_games(corpus: Corpus, target: int, limit: int = 10) -> DataFrame:
+    return search.similar_search_df(corpus.games(), corpus.embeddings(), target, limit)
+
+def search_games(corpus: Corpus, query: str, limit: int = 10) -> DataFrame:
+    """CLI `search` (search.ts:7-108): embed the query (S16 — the
+    deterministic local encoder; swap embed_query for a live transport
+    call in production) then vector top-k."""
+    return search.vector_search_df(
+        corpus.games(), corpus.embeddings(), V.embed_query(query), limit
+    )
+
+def clear_gameplay_descriptions(corpus: Corpus) -> int:
+    g = corpus.games()
+    n = g.count()
+    corpus.write_games(g.withColumn("gameplayDescription", F.lit(None).cast("string")))
+    return n
+
+def process_games_from_search(
+    corpus: Corpus,
+    transport_factory: Callable[[], http.Transport],
+    query: str,
+    *,
+    llm_base_url: str,
+    llm_model: str,
+    embed_base_url: str,
+    embed_model: str,
+    concurrency: int = 4,
+    retry: http.RetryPolicy | None = None,
+) -> dict[str, int]:
+    """Composite pipeline (processGamesFromSearch.ts:14-27): gather ->
+    (descriptions, images) -> LLM gameplay -> embeddings. The reference
+    runs descriptions and images concurrently with Promise.all; here
+    each stage is its own Spark job and the cluster parallelizes within
+    stages — per-stage counts are returned for the timing log parity."""
+    out: dict[str, int] = {}
+    out["gathered"] = gather_games_from_search(corpus, transport_factory(), query)
+    out["descriptions"] = download_descriptions(
+        corpus, transport_factory, concurrency=concurrency, retry=retry
+    )
+    out["images"] = download_images(corpus, transport_factory, concurrency=concurrency, retry=retry)
+    out["gameplay"] = generate_gameplay_descriptions(
+        corpus,
+        transport_factory,
+        base_url=llm_base_url,
+        model=llm_model,
+        concurrency=concurrency,
+        retry=retry,
+    )
+    out["embeddings"] = generate_embeddings(
+        corpus,
+        transport_factory,
+        base_url=embed_base_url,
+        model=embed_model,
+        concurrency=concurrency,
+        retry=retry,
+    )
+    return out
+
+# ---------------------------------------------------------------------------
+# argv dispatch (src/interactive.ts:5-20)
+# ---------------------------------------------------------------------------
+
+COMMANDS = (
+    "gatherGames",
+    "gatherGamesFromSearch",
+    "gatherGamesRolimons",
+    "downloadImages",
+    "downloadDescriptions",
+    "pruneGames",
+    "countGames",
+    "findSimilarGames",
+    "search",
+    "clearGameplayDescriptions",
+    "generateGameplayDescriptions",
+    "generateEmbeddings",
+    "processGamesFromSearch",
+)
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in COMMANDS:
+        print(f"usage: cli <command> [args]; commands: {', '.join(COMMANDS)}", file=sys.stderr)
+        return 2
+    import os
+
+    from .session import get_spark
+
+    cmd, args = argv[0], argv[1:]
+    spark = get_spark(f"rvsd-cli-{cmd}")
+    corpus = Corpus(spark, os.environ.get("RVSD_DATA_DIR", "data"))
+    corpus.init_empty()
+    tf = lambda: http.urllib_transport
+    llm = os.environ.get("RVSD_LLM_BASE_URL", "http://localhost:11434/v1")
+    emb = os.environ.get("RVSD_EMBED_BASE_URL", llm)
+
+    def show(df: DataFrame) -> None:
+        for row in df.collect():
+            print(json.dumps(row.asDict(), default=str))
+
+    if cmd == "gatherGames":
+        print(gather_games(corpus, tf()))
+    elif cmd == "gatherGamesFromSearch":
+        print(gather_games_from_search(corpus, tf(), args[0]))
+    elif cmd == "gatherGamesRolimons":
+        print(gather_games_rolimons(corpus, tf()))
+    elif cmd == "downloadDescriptions":
+        print(download_descriptions(corpus, tf))
+    elif cmd == "downloadImages":
+        print(download_images(corpus, tf))
+    elif cmd == "pruneGames":
+        print(json.dumps(prune_games(corpus, args, dry_run="--dry-run" in args)))
+    elif cmd == "countGames":
+        print(json.dumps(count_games(corpus)))
+    elif cmd == "findSimilarGames":
+        show(find_similar_games(corpus, int(args[0])))
+    elif cmd == "search":
+        limit = int(args[args.index("--limit") + 1]) if "--limit" in args else 10
+        show(search_games(corpus, args[0], limit))
+    elif cmd == "clearGameplayDescriptions":
+        print(clear_gameplay_descriptions(corpus))
+    elif cmd == "generateGameplayDescriptions":
+        print(generate_gameplay_descriptions(corpus, tf, base_url=llm, model="local"))
+    elif cmd == "generateEmbeddings":
+        print(generate_embeddings(corpus, tf, base_url=emb, model="local"))
+    elif cmd == "processGamesFromSearch":
+        print(
+            json.dumps(
+                process_games_from_search(
+                    corpus,
+                    tf,
+                    args[0],
+                    llm_base_url=llm,
+                    llm_model="local",
+                    embed_base_url=emb,
+                    embed_model="local",
+                )
+            )
+        )
+    return 0
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -160,21 +160,35 @@ PRUNE_REASONS = (
     "empty gameplayDescription",
 )
 
-def _prune_reason(spark: SparkSession, sf_dir: str) -> DataFrame:
+def prune_reason_df(
+    games_df: DataFrame, emb_df: DataFrame, flags: tuple[str, ...] = PRUNE_REASONS
+) -> DataFrame:
     """games + first-match prune reason (short-circuit cascade order,
-    pruneGames.ts:152-186). Reason NULL = retained."""
-    g = tables.games(spark, sf_dir)
-    emb_ids = tables.game_embeddings(spark, sf_dir).select("universeId").distinct()
-    has_emb = g.join(emb_ids.withColumn("_has_emb", F.lit(1)), "universeId", "left")
+    pruneGames.ts:152-186), restricted to the enabled `flags` (the CLI's
+    per-reason switches, pruneGames.ts:33-102). Reason NULL = retained."""
     empty = lambda c: F.col(c).isNull() | (F.trim(c) == "")  # hasEmptyText, pruneGames.ts:104-106
-    reason = (
-        F.when(F.col("_has_emb").isNull(), PRUNE_REASONS[0])
-        .when(F.col("playerCount") == 0, PRUNE_REASONS[1])
-        .when(F.col("playerCount").isNull(), PRUNE_REASONS[2])
-        .when(empty("description"), PRUNE_REASONS[3])
-        .when(empty("gameplayDescription"), PRUNE_REASONS[4])
+    preds = {
+        PRUNE_REASONS[0]: F.col("_has_emb").isNull(),
+        PRUNE_REASONS[1]: F.col("playerCount") == 0,
+        PRUNE_REASONS[2]: F.col("playerCount").isNull(),
+        PRUNE_REASONS[3]: empty("description"),
+        PRUNE_REASONS[4]: empty("gameplayDescription"),
+    }
+    g = games_df
+    if PRUNE_REASONS[0] in flags:
+        emb_ids = emb_df.select("universeId").distinct()
+        g = g.join(emb_ids.withColumn("_has_emb", F.lit(1)), "universeId", "left")
+    else:
+        g = g.withColumn("_has_emb", F.lit(1))
+    reason = F.lit(None).cast("string")
+    for name in reversed([f for f in PRUNE_REASONS if f in flags]):
+        reason = F.when(preds[name], name).otherwise(reason)
+    return g.withColumn("prune_reason", reason).drop("_has_emb")
+
+def _prune_reason(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prune_reason_df(
+        tables.games(spark, sf_dir), tables.game_embeddings(spark, sf_dir)
     )
-    return has_emb.withColumn("prune_reason", reason).drop("_has_emb")
 
 _PRUNE_REASON_SQL = """
 SELECT g.*,
@@ -354,4 +368,24 @@ def old_jobs_oracle(days: int = 30) -> str:
 SELECT id, command, status, created_at FROM jobs
 WHERE status IN ('completed', 'failed')
   AND created_at < (SELECT CAST(max(created_at) AS DATE) - INTERVAL {days} DAY FROM jobs)
+""")
+
+# ---------------------------------------------------------------------------
+# clearGameplayDescriptions — column reset
+# ---------------------------------------------------------------------------
+
+def clear_gameplay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clearGameplayDescriptions (clearGameplayDescriptions.ts:14-16):
+    reset every game's gameplayDescription to never-fetched (the
+    reference deletes the key -> undefined; engine encoding NULL).
+    A pure projection — no shuffle, the column rewrite is map-side."""
+    return tables.games(spark, sf_dir).withColumn(
+        "gameplayDescription", F.lit(None).cast("string")
+    )
+
+def clear_gameplay_oracle() -> str:
+    return tables.with_domain_views("""
+SELECT universeId, rootPlaceId, name, description,
+       CAST(NULL AS VARCHAR) AS gameplayDescription, playerCount
+FROM games
 """)

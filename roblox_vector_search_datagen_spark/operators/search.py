@@ -43,21 +43,16 @@ def _decorate_topk(topk: DataFrame, games_df: DataFrame) -> DataFrame:
         .select(*GAME_COLS, "similarity")
     )
 
-def vector_search(
-    spark: SparkSession, sf_dir: str, query_text: str = "deep space mining adventure", limit: int = 10
+def vector_search_df(
+    games_df: DataFrame, emb_df: DataFrame, query_vec: list[float], limit: int = 10
 ) -> DataFrame:
-    """Semantic search (vectorSearch.get.ts:72-168).
-
-    Query embedding is computed once on the driver and enters the plan
-    as a literal array — broadcast with the task closures, no join.
-    """
+    """DataFrame-level core of semantic search — shared by the fixture
+    registry query and the corpus CLI/API surface."""
     limit = max(1, min(100, limit))  # clamp, vectorSearch.get.ts:84-90
-    qv = V.vector_lit(V.embed_query(query_text))
-    emb = tables.game_embeddings(spark, sf_dir)
-    g = tables.games(spark, sf_dir)
+    qv = V.vector_lit(query_vec)
     scored = (
-        emb.filter(F.size("embedding") == 64)  # P11 dimension guard, search.ts:74-76
-        .join(g.select("universeId", "playerCount"), "universeId", "left")
+        emb_df.filter(F.size("embedding") == len(query_vec))  # P11 guard, search.ts:74-76
+        .join(games_df.select("universeId", "playerCount"), "universeId", "left")
         .select(
             "universeId",
             F.round(
@@ -66,7 +61,22 @@ def vector_search(
         )
     )
     topk = scored.orderBy(F.col("similarity").desc_nulls_last(), F.col("universeId")).limit(limit)
-    return _decorate_topk(topk, g)
+    return _decorate_topk(topk, games_df)
+
+def vector_search(
+    spark: SparkSession, sf_dir: str, query_text: str = "deep space mining adventure", limit: int = 10
+) -> DataFrame:
+    """Semantic search (vectorSearch.get.ts:72-168).
+
+    Query embedding is computed once on the driver and enters the plan
+    as a literal array — broadcast with the task closures, no join.
+    """
+    return vector_search_df(
+        tables.games(spark, sf_dir),
+        tables.game_embeddings(spark, sf_dir),
+        V.embed_query(query_text),
+        limit,
+    )
 
 def vector_search_oracle(query_text: str = "deep space mining adventure", limit: int = 10) -> str:
     limit = max(1, min(100, limit))
@@ -89,25 +99,18 @@ SELECT g.universeId, g.rootPlaceId, g.name, g.description, g.gameplayDescription
 FROM topk t JOIN games g ON g.universeId = t.universeId
 """)
 
-def similar_search(spark: SparkSession, sf_dir: str, target: int = 7, limit: int = 10) -> DataFrame:
-    """Item-to-item similarity (similarSearch.get.ts:104-159): seed
-    vector from the stored embedding of `target`, score everything else
-    (J8 self-exclusion), boost, top-k, decorate.
-
-    The single-row target side is broadcast — a degenerate
-    broadcast-nested-loop join, exactly the right physical plan for
-    one-vs-all at any scale.
-    """
+def similar_search_df(
+    games_df: DataFrame, emb_df: DataFrame, target: int, limit: int = 10
+) -> DataFrame:
+    """DataFrame-level core of item-to-item similarity."""
     limit = max(1, min(100, limit))
-    emb = tables.game_embeddings(spark, sf_dir)
-    g = tables.games(spark, sf_dir)
     target_vec = F.broadcast(
-        emb.filter(F.col("universeId") == target).select(F.col("embedding").alias("qv"))
+        emb_df.filter(F.col("universeId") == target).select(F.col("embedding").alias("qv"))
     )
     scored = (
-        emb.filter(F.col("universeId") != target)  # J8
+        emb_df.filter(F.col("universeId") != target)  # J8
         .crossJoin(target_vec)
-        .join(g.select("universeId", "playerCount"), "universeId", "left")
+        .join(games_df.select("universeId", "playerCount"), "universeId", "left")
         .select(
             "universeId",
             F.round(
@@ -118,7 +121,20 @@ def similar_search(spark: SparkSession, sf_dir: str, target: int = 7, limit: int
         )
     )
     topk = scored.orderBy(F.col("similarity").desc_nulls_last(), F.col("universeId")).limit(limit)
-    return _decorate_topk(topk, g)
+    return _decorate_topk(topk, games_df)
+
+def similar_search(spark: SparkSession, sf_dir: str, target: int = 7, limit: int = 10) -> DataFrame:
+    """Item-to-item similarity (similarSearch.get.ts:104-159): seed
+    vector from the stored embedding of `target`, score everything else
+    (J8 self-exclusion), boost, top-k, decorate.
+
+    The single-row target side is broadcast — a degenerate
+    broadcast-nested-loop join, exactly the right physical plan for
+    one-vs-all at any scale.
+    """
+    return similar_search_df(
+        tables.games(spark, sf_dir), tables.game_embeddings(spark, sf_dir), target, limit
+    )
 
 def similar_search_oracle(target: int = 7, limit: int = 10) -> str:
     limit = max(1, min(100, limit))
@@ -158,7 +174,7 @@ def _word_overlap_ratio(text_col, qwords, n_qwords: int):
     )
     return overlap.cast("double") / float(n_qwords)
 
-def text_search(spark: SparkSession, sf_dir: str, q: str = "blue rod", limit: int = 10) -> DataFrame:
+def text_search_df(games_df: DataFrame, q: str = "blue rod", limit: int = 10) -> DataFrame:
     """F7 scoring cascade, first-match-wins priority title > description
     > gameplayDescription (search.get.ts:123-187), popularity boost,
     2-decimal rounding (F10), top-k."""
@@ -166,7 +182,7 @@ def text_search(spark: SparkSession, sf_dir: str, q: str = "blue rod", limit: in
     ql = q.lower()
     n_qwords = max(1, len(ql.split()))
     qwords = F.split(F.lit(ql), r"\s+")
-    g = tables.games(spark, sf_dir)
+    g = games_df
 
     name_l = F.lower(F.col("name"))
     title_hit = name_l.contains(ql)
@@ -202,6 +218,9 @@ def text_search(spark: SparkSession, sf_dir: str, q: str = "blue rod", limit: in
         .orderBy(F.col("score").desc_nulls_last(), F.col("universeId"))
         .limit(limit)
     )
+
+def text_search(spark: SparkSession, sf_dir: str, q: str = "blue rod", limit: int = 10) -> DataFrame:
+    return text_search_df(tables.games(spark, sf_dir), q, limit)
 
 def text_search_oracle(q: str = "blue rod", limit: int = 10) -> str:
     limit = max(1, min(100, limit))
@@ -249,14 +268,17 @@ ORDER BY score DESC NULLS LAST, universeId LIMIT {limit}
 # Listing / stats / counts
 # ---------------------------------------------------------------------------
 
+def list_games_df(games_df: DataFrame, limit: int | None = 50) -> DataFrame:
+    g = games_df.select("universeId", "name", "rootPlaceId")
+    out = g.orderBy("name", "universeId")
+    return out.limit(limit) if limit else out
+
 def list_games(spark: SparkSession, sf_dir: str, limit: int | None = 50) -> DataFrame:
     """GET /games (games.get.ts:63-66): name-sorted listing. The
     reference uses ICU localeCompare; binary collation is the documented
     deviation (SURVEY.md §7.4.4), with universeId as the deterministic
     tie-break for duplicate names."""
-    g = tables.games(spark, sf_dir).select("universeId", "name", "rootPlaceId")
-    out = g.orderBy("name", "universeId")
-    return out.limit(limit) if limit else out
+    return list_games_df(tables.games(spark, sf_dir), limit)
 
 def list_games_oracle(limit: int | None = 50) -> str:
     lim = f" LIMIT {limit}" if limit else ""
@@ -264,16 +286,19 @@ def list_games_oracle(limit: int | None = 50) -> str:
         f"SELECT universeId, name, rootPlaceId FROM games ORDER BY name, universeId{lim}"
     )
 
-def count_games(spark: SparkSession, sf_dir: str) -> DataFrame:
+def count_games_df(games_df: DataFrame) -> DataFrame:
     """CLI countGames (countGames.ts:10-17): total + conditional counts.
     Single pass, three count_ifs — map-side partial aggregation."""
-    g = tables.games(spark, sf_dir)
+    g = games_df
     has = lambda c: F.col(c).isNotNull() & (F.trim(c) != "")
     return g.agg(
         F.count(F.lit(1)).alias("total"),
         F.count_if(has("description")).alias("with_description"),
         F.count_if(has("gameplayDescription")).alias("with_gameplay_description"),
     )
+
+def count_games(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return count_games_df(tables.games(spark, sf_dir))
 
 def count_games_oracle() -> str:
     return tables.with_domain_views("""
@@ -283,13 +308,13 @@ SELECT CAST(count(*) AS BIGINT) AS total,
 FROM games
 """)
 
-def stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stats_df(games_df: DataFrame, emb_df: DataFrame) -> DataFrame:
     """GET /stats (stats.get.ts:45-113): corpus completeness. The
     missing-embeddings metric is a left-anti probe; expressed as a
     broadcast-able existence join then count_if so the whole thing is
     one aggregation pass over games."""
-    g = tables.games(spark, sf_dir)
-    emb_ids = tables.game_embeddings(spark, sf_dir).select("universeId").distinct()
+    g = games_df
+    emb_ids = emb_df.select("universeId").distinct()
     lacking = lambda c: F.col(c).isNull() | (F.trim(c) == "")
     joined = g.join(
         emb_ids.withColumn("has_embedding", F.lit(1)), "universeId", "left"
@@ -301,6 +326,9 @@ def stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("playerCount").isNull()).alias("lacking_player_count"),
         F.count_if(F.col("has_embedding").isNull()).alias("lacking_embeddings"),
     )
+
+def stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats_df(tables.games(spark, sf_dir), tables.game_embeddings(spark, sf_dir))
 
 def stats_oracle() -> str:
     return tables.with_domain_views("""

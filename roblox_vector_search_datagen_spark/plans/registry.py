@@ -108,6 +108,9 @@ def _registry() -> dict[str, Query]:
         maintenance.old_jobs_oracle(),
         ("jobs",),
     )
+    r["clear_gameplay"] = Query(
+        maintenance.clear_gameplay, maintenance.clear_gameplay_oracle(), ("maintenance",)
+    )
 
     # --- training-data pipeline: dedup ---
     r["dedup_exact"] = Query(dedup.dedup_exact, dedup.dedup_exact_oracle(), ("dedup", "bench"))

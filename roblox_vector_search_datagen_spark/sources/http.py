@@ -271,3 +271,243 @@ def base64_image_expr(content_col: str = "content") -> F.Column:
     """F17 (generateGameplayDescriptions.ts:81,97): data-URL encoding of
     an image binary column, JVM-side."""
     return F.concat(F.lit("data:image/png;base64,"), F.base64(F.col(content_col)))
+
+OMNI_SEARCH_URL = "https://apis.roblox.com/search-api/omni-search?searchQuery={q}&sessionId={sid}"
+
+def gather_games_from_search(
+    transport: Transport, query: str, session_id: str, retry: RetryPolicy | None = None, sleep=time.sleep
+) -> list[dict]:
+    """S6 (gatherGamesFromSearch.ts:32-51): single omni-search page;
+    keep contentGroupType=='Game' groups (P3), flatten their contents to
+    core rows + playerCount."""
+    from urllib.parse import quote
+
+    url = OMNI_SEARCH_URL.format(q=quote(query), sid=session_id)
+    data = request_json(transport, "GET", url, retry=retry, sleep=sleep) or {}
+    out: list[dict] = []
+    for group in data.get("searchResults", []):
+        if group.get("contentGroupType") != "Game":
+            continue
+        for g in group.get("contents", []):
+            out.append(
+                {
+                    "universeId": int(g["universeId"]),
+                    "rootPlaceId": int(g["rootPlaceId"]),
+                    "name": g["name"],
+                    "playerCount": int(g.get("playerCount") or 0),
+                }
+            )
+    return out
+
+PLACE_DETAILS_URL = "https://games.roblox.com/v1/games/multiget-place-details?placeIds={ids}"
+UNIVERSE_URL = "https://apis.roblox.com/universes/v1/places/{pid}/universe"
+PLACE_DETAILS_BATCH = 50  # gatherGamesRolimons.ts:77
+
+def rolimons_rows(
+    transport: Transport,
+    html: str,
+    *,
+    retry: RetryPolicy | None = None,
+    sleep=time.sleep,
+) -> list[dict]:
+    """S7+S8+S9 (gatherGamesRolimons.ts:18-188): parse the scraped
+    `var games = {...}` map, resolve placeId -> universe details in
+    batches of 50 with bisect-on-4xx isolation, and fall back to the
+    per-id universe endpoint for ids the batch API rejects (name then
+    comes from the scrape, description stays never-fetched)."""
+    games_map = parse_rolimons_games(html)
+    place_ids = [int(p) for p in games_map]
+
+    def fetch(ids: list) -> list[dict]:
+        url = PLACE_DETAILS_URL.format(ids=",".join(str(i) for i in ids))
+        data = request_json(transport, "GET", url, retry=retry, sleep=sleep) or []
+        return [
+            {
+                "universeId": int(d["universeId"]),
+                "rootPlaceId": int(d["placeId"]),
+                "name": d.get("name") or games_map[str(d["placeId"])].get("name"),
+                "description": d.get("description"),
+            }
+            for d in data
+        ]
+
+    def single_fallback(pid) -> list[dict]:
+        data = request_json(
+            transport, "GET", UNIVERSE_URL.format(pid=pid), retry=retry, sleep=sleep
+        ) or {}
+        uid = data.get("universeId")
+        if uid is None:
+            return []
+        return [
+            {
+                "universeId": int(uid),
+                "rootPlaceId": int(pid),
+                "name": games_map[str(pid)].get("name"),
+                "description": None,
+            }
+        ]
+
+    rows: list[dict] = []
+    for chunk in chunked(place_ids, PLACE_DETAILS_BATCH):
+        rows.extend(bisect_batches(chunk, fetch, on_single_failure=single_fallback))
+    return rows
+
+# ---------------------------------------------------------------------------
+# Image pipeline (S11 icon URLs, S12 thumbnail URLs, S13 binary sink)
+# ---------------------------------------------------------------------------
+
+ICONS_URL = "https://thumbnails.roblox.com/v1/games/icons?universeIds={ids}&size=512x512&format=Png"
+THUMBS_URL = (
+    "https://thumbnails.roblox.com/v1/games/multiget/thumbnails"
+    "?universeIds={ids}&size=768x432&format=Png"
+)
+IMAGE_BATCH = 50  # downloadImages.ts:14
+
+IMAGE_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("universeId", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+def download_images(
+    worklist: DataFrame,
+    transport_factory: Callable[[], Transport],
+    *,
+    concurrency: int = 4,
+    retry: RetryPolicy | None = None,
+) -> DataFrame:
+    """Distributed S11/S12/S13 (downloadImages.ts:60-219): per partition,
+    batch-50 CDN-URL lookups for icons and thumbnails, then one GET per
+    completed image; yields IMAGE_SCHEMA rows (binary column sink —
+    the engine's images table replaces the reference's loose PNG files).
+    Skipped states (not 'Completed') produce no row, matching the
+    reference's continue-on-missing behavior."""
+    import pandas as pd
+
+    def run(batches: Iterable) -> Iterator:
+        transport = transport_factory()
+
+        def get_bytes(url: str) -> bytes:
+            policy = retry or RetryPolicy()
+            while True:
+                status, raw = transport("GET", url, {}, None)
+                if status in policy.retry_statuses:
+                    time.sleep(policy.backoff_seconds)
+                    continue
+                if status >= 400:
+                    raise HttpSourceError(status, url, raw[:200])
+                return raw
+
+        for pdf in batches:
+            rows = []
+            ids = [int(x) for x in pdf["universeId"]]
+            for chunk in chunked(ids, IMAGE_BATCH):
+                idstr = ",".join(str(i) for i in chunk)
+                icons = request_json(transport, "GET", ICONS_URL.format(ids=idstr), retry=retry) or {}
+                for item in icons.get("data", []):
+                    if item.get("state") == "Completed" and item.get("imageUrl"):
+                        uid = int(item["targetId"])
+                        rows.append((uid, "icon", f"images/{uid}/icon.png", get_bytes(item["imageUrl"])))
+                thumbs = request_json(transport, "GET", THUMBS_URL.format(ids=idstr), retry=retry) or {}
+                for item in thumbs.get("data", []):
+                    # reference takes thumbnails[0] (downloadImages.ts:186)
+                    tlist = item.get("thumbnails") or []
+                    first = tlist[0] if tlist else None
+                    if first and first.get("state") == "Completed" and first.get("imageUrl"):
+                        uid = int(item["universeId"])
+                        rows.append(
+                            (uid, "thumbnail", f"images/{uid}/thumbnail.png", get_bytes(first["imageUrl"]))
+                        )
+            yield pd.DataFrame(rows, columns=["universeId", "kind", "path", "content"])
+
+    return worklist.select("universeId").repartition(concurrency).mapInPandas(run, IMAGE_ROWS_SCHEMA)
+
+# ---------------------------------------------------------------------------
+# S14: LLM gameplay-description source
+# ---------------------------------------------------------------------------
+
+GAMEPLAY_JSON_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "gameplaySummary": {"type": "string"},
+        "genreTags": {"type": "array", "items": {"type": "string"}},
+        "gameFeatures": {"type": "array", "items": {"type": "string"}},
+    },
+    "required": ["gameplaySummary", "genreTags", "gameFeatures"],
+    "additionalProperties": False,
+}
+
+def format_gameplay_markdown(parsed: dict) -> str:
+    """F19 markdown assembly (generateGameplayDescriptions.ts:160-163)."""
+    return (
+        f"**Gameplay Summary**: {parsed['gameplaySummary']}\n\n"
+        f"**Genre Tags**: {', '.join(parsed['genreTags'])}\n\n"
+        f"**Game Features**: {', '.join(parsed['gameFeatures'])}"
+    )
+
+def generate_descriptions(
+    worklist: DataFrame,
+    transport_factory: Callable[[], Transport],
+    *,
+    base_url: str,
+    model: str,
+    system_prompt: str = "Describe the gameplay of this Roblox game.",
+    concurrency: int = 4,
+    retry: RetryPolicy | None = None,
+) -> DataFrame:
+    """Distributed S14 (generateGameplayDescriptions.ts:99-163): one
+    chat-completions call per game with a strict json_schema response
+    format; the validated struct is rendered to the reference's markdown
+    shape. Partition count bounds concurrency (the reference's
+    DESCRIPTION_CONCURRENCY knob). Worklist columns: universeId, name,
+    description, optional icon_b64/thumb_b64 data-URLs."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("universeId", T.LongType()),
+            T.StructField("gameplayDescription", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterable) -> Iterator:
+        transport = transport_factory()
+        for pdf in batches:
+            out_ids, out_md = [], []
+            has_imgs = {"icon_b64", "thumb_b64"} <= set(pdf.columns)
+            for row in pdf.itertuples(index=False):
+                user_content: list | str = f"Title: {row.name}\n\nDescription: {row.description}"
+                if has_imgs and (row.icon_b64 or row.thumb_b64):
+                    parts = [{"type": "text", "text": user_content}]
+                    for url in (row.icon_b64, row.thumb_b64):
+                        if url:
+                            parts.append({"type": "image_url", "image_url": {"url": url}})
+                    user_content = parts
+                payload = {
+                    "model": model,
+                    "messages": [
+                        {"role": "system", "content": system_prompt},
+                        {"role": "user", "content": user_content},
+                    ],
+                    "response_format": {
+                        "type": "json_schema",
+                        "json_schema": {
+                            "name": "gameplay_analysis",
+                            "strict": True,
+                            "schema": GAMEPLAY_JSON_SCHEMA,
+                        },
+                    },
+                }
+                data = request_json(
+                    transport, "POST", f"{base_url}/chat/completions", payload=payload, retry=retry
+                )
+                parsed = json.loads(data["choices"][0]["message"]["content"])
+                out_ids.append(int(row.universeId))
+                out_md.append(format_gameplay_markdown(parsed))
+            yield pd.DataFrame({"universeId": out_ids, "gameplayDescription": out_md})
+
+    cols = [c for c in ("universeId", "name", "description", "icon_b64", "thumb_b64") if c in worklist.columns]
+    return worklist.select(*cols).repartition(concurrency).mapInPandas(run, schema)

@@ -1,0 +1,285 @@
+"""CLI command surface over a Corpus in tmpdir, all HTTP through a
+canned in-process transport (no network). Covers the gather family,
+enrichment stages, prune/count/clear, search commands, and the
+composite processGamesFromSearch pipeline."""
+
+from __future__ import annotations
+
+import json
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from roblox_vector_search_datagen_spark import cli
+from roblox_vector_search_datagen_spark.corpus import Corpus
+from roblox_vector_search_datagen_spark.schemas import EMBEDDING_SCHEMA, GAME_SCHEMA
+
+class FakeRoblox:
+    """Picklable transport: routes the reference's public API shapes.
+    State (call log) lives driver-side only; executor copies are fresh
+    — fine, responses are pure functions of the URL."""
+
+    def __call__(self, method: str, url: str, headers: dict, body: bytes | None):
+        u = urlparse(url)
+        q = parse_qs(u.query)
+        if "get-sorts" in u.path:
+            if "sortsPageToken" not in u.query:
+                return 200, json.dumps(
+                    {
+                        "sorts": [
+                            {
+                                "contentType": "Games",
+                                "games": [
+                                    {"universeId": 1, "rootPlaceId": 11, "name": "renamed alpha"},
+                                    {"universeId": 100, "rootPlaceId": 110, "name": "fresh game"},
+                                ],
+                            },
+                            {"contentType": "Ads", "games": [{"universeId": 999}]},
+                        ],
+                        "nextSortsPageToken": "p2",
+                    }
+                ).encode()
+            return 200, json.dumps(
+                {
+                    "sorts": [
+                        {
+                            "contentType": "Games",
+                            "games": [
+                                {"universeId": 101, "rootPlaceId": 111, "name": "page two game"},
+                                {"universeId": 101, "rootPlaceId": 112, "name": "page two dup"},
+                            ],
+                        }
+                    ]
+                }
+            ).encode()
+        if "omni-search" in u.path:
+            return 200, json.dumps(
+                {
+                    "searchResults": [
+                        {
+                            "contentGroupType": "Game",
+                            "contents": [
+                                {
+                                    "universeId": 2,
+                                    "rootPlaceId": 22,
+                                    "name": "renamed beta",
+                                    "playerCount": 450,
+                                },
+                                {
+                                    "universeId": 200,
+                                    "rootPlaceId": 220,
+                                    "name": "searched game",
+                                    "playerCount": 7,
+                                },
+                            ],
+                        },
+                        {"contentGroupType": "Other", "contents": [{"universeId": 999}]},
+                    ]
+                }
+            ).encode()
+        if u.path == "/games" and u.netloc == "rolimons.com":
+            html = (
+                "<script>var games = {\"31\": {\"name\": \"roli one\"}, "
+                "\"32\": {\"name\": \"roli two\"}};document.addEventListener('x');</script>"
+            )
+            return 200, html.encode()
+        if "multiget-place-details" in u.path:
+            ids = [int(x) for x in q["placeIds"][0].split(",")]
+            if 32 in ids and len(ids) > 1:
+                return 400, b'{"errors": [{"message": "bad id"}]}'
+            if ids == [32]:
+                return 400, b'{"errors": [{"message": "bad id"}]}'
+            return 200, json.dumps(
+                [
+                    {"placeId": pid, "universeId": 300 + pid, "name": f"place {pid}", "description": "from rolimons"}
+                    for pid in ids
+                ]
+            ).encode()
+        if "/universe" in u.path:
+            pid = int(u.path.split("/")[-2])
+            return 200, json.dumps({"universeId": 300 + pid}).encode()
+        if u.path == "/v1/games" and u.netloc == "games.roblox.com":
+            ids = [int(x) for x in q["universeIds"][0].split(",")]
+            data = [
+                {"id": i, "description": f"desc for {i}" if i % 2 == 0 else None, "playing": i * 3}
+                for i in ids
+                if i != 5  # id 5 is never returned -> J3 known-blank marking
+            ]
+            return 200, json.dumps({"data": data}).encode()
+        if "games/icons" in u.path:
+            ids = [int(x) for x in q["universeIds"][0].split(",")]
+            return 200, json.dumps(
+                {
+                    "data": [
+                        {"targetId": i, "state": "Completed", "imageUrl": f"https://cdn/icon/{i}"}
+                        for i in ids
+                        if i % 3 != 0  # some icons pending
+                    ]
+                }
+            ).encode()
+        if "multiget/thumbnails" in u.path:
+            ids = [int(x) for x in q["universeIds"][0].split(",")]
+            return 200, json.dumps(
+                {
+                    "data": [
+                        {
+                            "universeId": i,
+                            "thumbnails": [
+                                {"state": "Completed", "imageUrl": f"https://cdn/thumb/{i}"}
+                            ],
+                        }
+                        for i in ids
+                    ]
+                }
+            ).encode()
+        if u.netloc == "cdn":
+            return 200, f"PNG:{u.path}".encode()
+        if u.path.endswith("/chat/completions"):
+            payload = json.loads(body)
+            title = payload["messages"][1]["content"]
+            if isinstance(title, list):
+                title = title[0]["text"]
+            name = title.split("Title: ")[1].split("\n")[0]
+            content = json.dumps(
+                {
+                    "gameplaySummary": f"You play {name}",
+                    "genreTags": ["sim"],
+                    "gameFeatures": ["multiplayer"],
+                }
+            )
+            return 200, json.dumps({"choices": [{"message": {"content": content}}]}).encode()
+        if u.path.endswith("/embeddings"):
+            payload = json.loads(body)
+            data = [
+                {"embedding": [float(len(t) % 7), 1.0, 0.5]} for t in payload["input"]
+            ]
+            return 200, json.dumps({"data": data}).encode()
+        raise AssertionError(f"unrouted url: {url}")
+
+SEED_GAMES = [
+    # (universeId, rootPlaceId, name, description, gameplayDescription, playerCount)
+    (1, 10, "alpha", "old desc", "**Gameplay Summary**: a", 100),
+    (2, 20, "beta", None, None, None),  # needs description
+    (3, 30, "gamma", "has desc", None, 0),  # needs gameplay; zero players
+    (4, 40, "delta", "", "", 50),  # known blank
+    (5, 50, "epsilon", None, None, 60),  # worklist id the API won't return
+    (331, 60, "zeta", "z desc", "**Gameplay Summary**: z", 10),  # rolimons overlap
+]
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    c = Corpus(spark, str(tmp_path / "data"))
+    c.write_games(spark.createDataFrame(SEED_GAMES, GAME_SCHEMA))
+    c.write_embeddings(
+        spark.createDataFrame([(1, [1.0, 0.0, 0.5]), (999, [0.1, 0.2, 0.3])], EMBEDDING_SCHEMA)
+    )
+    return c
+
+def test_gather_games_merge(corpus):
+    n = cli.gather_games(corpus, FakeRoblox())
+    assert n == 4  # ads row filtered, dup kept in batch
+    games = {r["universeId"]: r for r in corpus.games().collect()}
+    # matched id 1: name/rootPlaceId updated, rest preserved
+    assert games[1]["name"] == "renamed alpha" and games[1]["rootPlaceId"] == 11
+    assert games[1]["description"] == "old desc" and games[1]["playerCount"] == 100
+    # inserts; intra-batch dup keeps LAST occurrence
+    assert games[100]["name"] == "fresh game"
+    assert games[101]["name"] == "page two dup" and games[101]["rootPlaceId"] == 112
+
+def test_gather_from_search_updates_player_count(corpus):
+    cli.gather_games_from_search(corpus, FakeRoblox(), "tycoon")
+    games = {r["universeId"]: r for r in corpus.games().collect()}
+    assert games[2]["playerCount"] == 450 and games[2]["name"] == "renamed beta"
+    assert games[200]["playerCount"] == 7
+
+def test_gather_rolimons_bisect_and_fallback(corpus):
+    n = cli.gather_games_rolimons(corpus, FakeRoblox())
+    assert n == 2
+    games = {r["universeId"]: r for r in corpus.games().collect()}
+    # place 31 via batch API (universe 331 exists -> matched update with description coalesce)
+    assert games[331]["name"] == "place 31" and games[331]["description"] == "from rolimons"
+    # place 32 rejected by batch API -> per-id universe fallback, scrape name, no description
+    assert games[332]["name"] == "roli two" and games[332]["description"] is None
+
+def test_download_descriptions_tristate(corpus):
+    n = cli.download_descriptions(corpus, FakeRoblox)
+    assert n > 0
+    games = {r["universeId"]: r for r in corpus.games().collect()}
+    assert games[2]["description"] == "desc for 2" and games[2]["playerCount"] == 6
+    # odd ids get JSON null -> known blank ''
+    assert games[3]["description"] == "has desc"  # not in worklist (desc+pc present? pc=0 ok)
+    # id 5 was requested but not returned -> marked known-blank
+    assert games[5]["description"] == ""
+    # untouched row
+    assert games[1]["description"] == "old desc"
+    # rerun is a no-op for returned ids (worklist only keeps still-missing)
+    again = cli.download_descriptions(corpus, FakeRoblox)
+    games2 = {r["universeId"]: r for r in corpus.games().collect()}
+    assert games2[5]["description"] == ""
+
+def test_download_images_skip_existing(corpus):
+    n = cli.download_images(corpus, FakeRoblox)
+    imgs = {(r["universeId"], r["kind"]): bytes(r["content"]) for r in corpus.images().collect()}
+    assert imgs[(1, "icon")] == b"PNG:/icon/1"
+    assert imgs[(2, "thumbnail")] == b"PNG:/thumb/2"
+    assert (3, "icon") not in imgs  # state pending -> skipped
+    assert n == len(imgs)
+    # second run only fetches what's still missing, never duplicates
+    cli.download_images(corpus, FakeRoblox)
+    pairs = corpus.images().groupBy("universeId", "kind").count().filter("count > 1").count()
+    assert pairs == 0
+
+def test_generate_gameplay_and_embeddings(corpus):
+    cli.download_images(corpus, FakeRoblox)
+    n = cli.generate_gameplay_descriptions(
+        corpus, FakeRoblox, base_url="http://llm/v1", model="m"
+    )
+    assert n == 1  # only gamma: real description present, gameplay missing
+    games = {r["universeId"]: r for r in corpus.games().collect()}
+    assert games[3]["gameplayDescription"].startswith("**Gameplay Summary**: You play gamma")
+    # delta has known-blank description -> NOT eligible (needs real description)
+    assert games[4]["gameplayDescription"] == ""
+    before = corpus.embeddings().count()
+    added = cli.generate_embeddings(corpus, FakeRoblox, base_url="http://emb/v1", model="m")
+    assert added > 0 and corpus.embeddings().count() == before + added
+    # idempotent: everything embedded now
+    assert cli.generate_embeddings(corpus, FakeRoblox, base_url="http://emb/v1", model="m") == 0
+
+def test_prune_and_counts_and_clear(corpus):
+    counts = cli.prune_games(corpus, ["--dry-run"], dry_run=True)
+    assert counts["missing embedding"] > 0
+    total_before = corpus.games().count()
+    cli.prune_games(corpus, [])
+    retained = corpus.games().collect()
+    assert 0 < len(retained) < total_before
+    # orphan embeddings removed (999 had no game)
+    emb_ids = {r["universeId"] for r in corpus.embeddings().collect()}
+    assert 999 not in emb_ids
+    c = cli.count_games(corpus)
+    assert c["total"] == len(retained)
+    cli.clear_gameplay_descriptions(corpus)
+    assert corpus.games().filter("gameplayDescription IS NOT NULL").count() == 0
+
+def test_search_commands(corpus):
+    rows = cli.find_similar_games(corpus, 999, limit=5).collect()
+    assert [r["universeId"] for r in rows] == [1]  # only id 1 has a game row + embedding
+    out = cli.search_games(corpus, "alpha", limit=3)
+    assert out.count() == 0  # 3-dim seed vectors vs 64-dim query -> P11 guard filters all
+
+def test_process_games_from_search_composite(corpus):
+    res = cli.process_games_from_search(
+        corpus,
+        FakeRoblox,
+        "obby",
+        llm_base_url="http://llm/v1",
+        llm_model="m",
+        embed_base_url="http://emb/v1",
+        embed_model="m",
+    )
+    assert res["gathered"] == 2
+    assert res["descriptions"] > 0
+    assert res["gameplay"] > 0 and res["embeddings"] > 0
+    games = {r["universeId"]: r for r in corpus.games().collect()}
+    assert games[200]["gameplayDescription"].startswith("**Gameplay Summary**")
+    emb_ids = {r["universeId"] for r in corpus.embeddings().collect()}
+    assert 200 in emb_ids
