@@ -30,17 +30,28 @@ GAME_COLS = ["universeId", "rootPlaceId", "name", "description", "gameplayDescri
 # J1 merge/upsert — three field-preservation variants
 # ---------------------------------------------------------------------------
 
-def _dedup_new(new: DataFrame, keep: str) -> DataFrame:
-    """Collapse intra-batch duplicate ids by batch position `ord`."""
-    order = F.col("ord").asc() if keep == "first" else F.col("ord").desc()
-    w = Window.partitionBy("universeId").orderBy(order)
-    return new.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "ord")
+_NEW_COLS = ("rootPlaceId", "name", "description", "playerCount")
 
 def _merge(existing: DataFrame, new: DataFrame, matched_updates: dict[str, object]) -> DataFrame:
     """Shared J1 skeleton. matched_updates maps column -> expression
-    (built from ex/nw columns) applied when the id exists in both."""
-    new_first = _dedup_new(new, "first").select(
-        *[F.col(c).alias(f"n_{c}") for c in ["universeId", "rootPlaceId", "name", "description", "playerCount"]]
+    (built from n_* columns) applied when the id exists in both.
+
+    Intra-batch duplicate ids collapse in ONE aggregation: min_by(ord)
+    gives the first occurrence (the `games.find` probe that feeds
+    matched updates, gatherGames.ts:66), max_by(ord) the last (the
+    `new Map(...)` keep-last that wins inserts, gatherGames.ts:89).
+    The matched left join and the insert anti-join both hash on
+    universeId off the same aggregated exchange, and no global sort is
+    taken — canonical universeId order is the JSON exporter's concern
+    (jsonio.write_games_json), not the merge's."""
+    pack = F.struct(*[F.col(c) for c in _NEW_COLS])
+    new_agg = new.groupBy("universeId").agg(
+        F.min_by(pack, F.col("ord")).alias("_f"),
+        F.max_by(pack, F.col("ord")).alias("_l"),
+    )
+    new_first = new_agg.select(
+        F.col("universeId").alias("n_universeId"),
+        *[F.col(f"_f.{c}").alias(f"n_{c}") for c in _NEW_COLS],
     )
     matched = existing.join(
         new_first, existing["universeId"] == new_first["n_universeId"], "left"
@@ -56,18 +67,17 @@ def _merge(existing: DataFrame, new: DataFrame, matched_updates: dict[str, objec
         ],
     )
     inserts = (
-        _dedup_new(new, "last")
-        .join(existing.select("universeId"), "universeId", "left_anti")
+        new_agg.join(existing.select("universeId"), "universeId", "left_anti")
         .select(
             "universeId",
-            "rootPlaceId",
-            "name",
-            "description",
+            F.col("_l.rootPlaceId").alias("rootPlaceId"),
+            F.col("_l.name").alias("name"),
+            F.col("_l.description").alias("description"),
             F.lit(None).cast("string").alias("gameplayDescription"),
-            "playerCount",
+            F.col("_l.playerCount").alias("playerCount"),
         )
     )
-    return updated.unionByName(inserts).orderBy("universeId")
+    return updated.unionByName(inserts)
 
 def merge_games_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gatherGames variant (gatherGames.ts:63-91): matched rows take
