@@ -348,3 +348,156 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label, {cos} AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """
+
+# ---------------------------------------------------------------------------
+# Dedup cluster assignment (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: every doc
+    that appears in at least one near-dup pair is labeled with its
+    component's minimum doc_id — the cluster representative a training
+    pipeline keeps while dropping the rest.
+
+    Iterative min-label propagation with a driver convergence loop;
+    each round is one hash join + min aggregate, and labels are
+    localCheckpoint-ed so lineage doesn't grow with iterations (the
+    standard Spark pattern for iterative graph algorithms). Converges in
+    O(component diameter) rounds — near-dup components are shallow
+    star-ish clusters, so this beats the O(log n) large-star/small-star
+    machinery in practice; swap it in if components ever get deep.
+
+    Not SQL-expressible as one query in Spark, but DuckDB's recursive
+    CTE reaches the same fixpoint — see dedup_clusters_oracle.
+    """
+    edges = lsh_candidate_pairs(spark, sf_dir)
+    und = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster"))
+
+def dedup_clusters_oracle() -> str:
+    pairs = lsh_candidate_pairs_oracle()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM und),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN und e ON e.src = reach.r
+)
+SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, LSH-bucketed (the scale path)
+# ---------------------------------------------------------------------------
+
+LSH_SIGN_BITS = 8  # sign bits over 8-dim coordinate blocks of the 64-dim vectors
+
+def _sign_bucket_expr(emb) -> F.Column:
+    """Cosine-LSH bucket id: sign bits of the vector's projections onto
+    LSH_SIGN_BITS fixed hyperplanes (block-indicator vectors — each bit
+    is the sign of an 8-dim coordinate block sum). Same double
+    accumulation order as the oracle, so signs match bit-for-bit."""
+    bucket = F.lit(0)
+    dims_per = 64 // LSH_SIGN_BITS
+    for j in range(LSH_SIGN_BITS):
+        block = F.aggregate(
+            F.slice(emb, j * dims_per + 1, dims_per),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+        bucket = bucket + F.when(block >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.35) -> DataFrame:
+    """embedding_near_dups' 100 TB path: block on a random-hyperplane
+    sign bucket instead of the `label` column, then exact-verify cosine
+    within each bucket. The bucket join is the same shape as the
+    label-blocked variant but the key is derived from the vector itself,
+    so it needs no metadata column and its selectivity scales with the
+    bit count (2^LSH_SIGN_BITS buckets; multi-probe or banded repeats
+    raise recall the same way MinHash bands do)."""
+    e = tables.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _sign_bucket_expr(F.col("embedding")).alias("bucket"),
+        V.norm_expr(F.col("embedding")).alias("nrm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), "bucket",
+    )
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    cosine = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        V.dot_expr(F.col("emb_a"), F.col("emb_b")) / denom
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "bucket", "cosine")
+    )
+
+def embedding_lsh_near_dups_oracle(threshold: float = 0.35) -> str:
+    dims_per = 64 // LSH_SIGN_BITS
+    blocks = " + ".join(
+        f"CASE WHEN list_sum(emb_d[{j * dims_per + 1}:{(j + 1) * dims_per}]) >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(LSH_SIGN_BITS)
+    )
+    dot = "list_dot_product(a.emb_d, b.emb_d)"
+    cos = f"round(CASE WHEN a.nrm * b.nrm = 0 THEN NULL ELSE {dot} / (a.nrm * b.nrm) END, 6)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d FROM embeddings
+),
+eb AS (
+  SELECT vec_id, emb_d, {blocks} AS bucket,
+         sqrt(list_dot_product(emb_d, emb_d)) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket, {cos} AS cosine
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""

@@ -126,6 +126,16 @@ def _registry() -> dict[str, Query]:
         dedup.simhash_near_dups_oracle(),
         ("dedup",),
     )
+    r["dedup_clusters"] = Query(
+        lambda spark, sf: dedup.dedup_clusters(spark, sf),
+        dedup.dedup_clusters_oracle(),
+        ("dedup", "iterative"),
+    )
+    r["embedding_lsh_near_dups"] = Query(
+        lambda spark, sf: dedup.embedding_lsh_near_dups(spark, sf),
+        dedup.embedding_lsh_near_dups_oracle(),
+        ("dedup", "vector"),
+    )
     r["ngram_jaccard_pairs"] = Query(
         lambda spark, sf: dedup.ngram_jaccard_pairs(spark, sf),
         dedup.ngram_jaccard_pairs_oracle(),

@@ -147,3 +147,46 @@ def stream_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_G
             "sum_value",
         )
     )
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def running_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful stream below: final per-user totals."""
+    e = tables.load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-custom stateful streaming operator: cumulative per-user
+    event count + value total maintained in GroupState across
+    microbatches (applyInPandasWithState — the escape hatch when the
+    built-in windowed/session aggregations can't express the state
+    machine). Each microbatch emits the group's updated running totals;
+    state is two scalars per user, so memory is O(users) regardless of
+    stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = _events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    return raw.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

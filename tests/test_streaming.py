@@ -26,3 +26,25 @@ def test_stream_sessionize_matches_batch_sessions(spark, sf_dir):
     cols = ["user_id", "session_start", "n_events", "sum_value"]
     assert _collect_set(streamed, cols) == _collect_set(batch, cols)
     assert len(batch) > 0
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState custom operator: the last update emitted
+    per user equals the batch aggregate (float compared with tolerance —
+    pandas partial sums accumulate in a different order than the batch
+    agg)."""
+    batch = {r.user_id: r for r in S.running_user_totals_batch(spark, sf_dir).collect()}
+    q = S.run_stream_to_memory(
+        S.stream_running_user_totals(spark, sf_dir), "running_totals", output_mode="update"
+    )
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM running_totals").collect():
+        # update mode: totals are monotone, so the row with the highest
+        # n_events is the final state regardless of sink row order
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    assert set(latest) == set(batch) and len(batch) > 0
+    for uid, b in batch.items():
+        s = latest[uid]
+        assert s.n_events == b.n_events, uid
+        assert abs(s.sum_value - b.sum_value) < 1e-6, uid
