@@ -104,3 +104,47 @@ class Corpus:
             self.write_games(self.spark.createDataFrame([], GAME_SCHEMA))
         if not os.path.exists(self._path("embeddings.parquet")):
             self.write_embeddings(self.spark.createDataFrame([], EMBEDDING_SCHEMA))
+
+    # -- reference image-directory interchange (S13) -----------------------
+
+    def import_images_dir(self, path: str) -> None:
+        """Ingest the reference's loose-file layout
+        data/games/images/<universeId>/{icon,thumbnail}.png
+        (downloadImages.ts:42-44) through Spark's binaryFile source —
+        a distributed scan, not a driver directory walk."""
+        from pyspark.sql import functions as F
+
+        raw = (
+            self.spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.png")
+            .option("recursiveFileLookup", "true")
+            .load(path)
+        )
+        pat = r"(\d+)/(icon|thumbnail)\.png$"
+        parsed = raw.select(
+            F.regexp_extract("path", pat, 1).cast("long").alias("universeId"),
+            F.regexp_extract("path", pat, 2).alias("kind"),
+            F.concat(
+                F.lit("images/"),
+                F.regexp_extract("path", pat, 1),
+                F.lit("/"),
+                F.regexp_extract("path", pat, 2),
+                F.lit(".png"),
+            ).alias("path"),
+            "content",
+        ).filter(F.col("kind") != "")
+        self.write_images(parsed, mode="overwrite")
+
+    def export_images_dir(self, path: str) -> int:
+        """Write the images table back out as the reference's loose-file
+        tree. Driver-side streaming by design — a real cluster would
+        foreachPartition this against shared storage; the byte layout is
+        the contract here. Returns files written."""
+        n = 0
+        for r in self.images().toLocalIterator():
+            d = os.path.join(path, str(r["universeId"]))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{r['kind']}.png"), "wb") as f:
+                f.write(bytes(r["content"]))
+            n += 1
+        return n

@@ -80,3 +80,22 @@ def test_games_jsonl_roundtrip(spark, sf_dir, tmp_path):
     jsonio.write_games_jsonl(df, path)
     back = jsonio.read_games_jsonl(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+def test_images_dir_roundtrip(spark, tmp_path):
+    """S13 loose-PNG tree -> binaryFile import -> export reproduces the
+    reference directory layout byte-for-byte."""
+    from roblox_vector_search_datagen_spark.corpus import Corpus
+
+    src = tmp_path / "images"
+    for uid, kind, blob in [(7, "icon", b"PNG7i"), (7, "thumbnail", b"PNG7t"), (9, "icon", b"PNG9i")]:
+        d = src / str(uid)
+        d.mkdir(exist_ok=True, parents=True)
+        (d / f"{kind}.png").write_bytes(blob)
+    c = Corpus(spark, str(tmp_path / "data"))
+    c.import_images_dir(str(src))
+    rows = {(r["universeId"], r["kind"]): bytes(r["content"]) for r in c.images().collect()}
+    assert rows == {(7, "icon"): b"PNG7i", (7, "thumbnail"): b"PNG7t", (9, "icon"): b"PNG9i"}
+    out = tmp_path / "out_images"
+    assert c.export_images_dir(str(out)) == 3
+    assert (out / "7" / "thumbnail.png").read_bytes() == b"PNG7t"
+    assert (out / "9" / "icon.png").read_bytes() == b"PNG9i"

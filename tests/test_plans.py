@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4
+promises — broadcast joins where a side is small, predicate pushdown
+and column pruning reaching the parquet scans, no Python evaluation in
+pure-Catalyst paths — asserted against explain("formatted") output so a
+refactor that silently degrades the plan fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from roblox_vector_search_datagen_spark.operators import maintenance, multimodal, search
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+def test_vector_search_broadcasts_topk(spark, sf_dir):
+    """The decoration join must broadcast the k<=100 top-k rows against
+    the corpus-sized games table — never sort-merge."""
+    p = plan_of(search.vector_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+def test_list_games_prunes_columns(spark, sf_dir):
+    """A 3-column listing must not read the description/gameplay source
+    columns (p_brand/p_type/p_size feed gameplayDescription)."""
+    p = plan_of(search.list_games(spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: (.*)", p)
+    assert schemas, p
+    for s in schemas:
+        assert "p_brand" not in s and "p_type" not in s and "p_retailprice" not in s
+
+def test_similar_search_pushes_target_filter(spark, sf_dir):
+    """The target-vector lookup and the J8 self-exclusion must reach the
+    embeddings parquet scan as pushed filters, not post-scan filters."""
+    p = plan_of(search.similar_search(spark, sf_dir, target=7))
+    pushed = " ".join(re.findall(r"PushedFilters: (.*)", p))
+    assert "EqualTo(vec_id,7)" in pushed
+    assert "Not(EqualTo(vec_id,7))" in pushed
+
+def test_text_search_is_pure_catalyst(spark, sf_dir):
+    """The F7 scoring cascade is JVM-side only — any Python evaluation
+    node here means someone reintroduced a row UDF into the hot path."""
+    p = plan_of(search.text_search(spark, sf_dir))
+    assert "EvalPython" not in p and "MapInPandas" not in p
+
+def test_media_features_is_arrow_batched(spark, sf_dir):
+    """The decode stage must be the Arrow mapInPandas operator (one
+    python process per partition), not row-at-a-time eval."""
+    p = plan_of(multimodal.media_features(spark, sf_dir))
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+def test_merge_has_no_global_sort(spark, sf_dir):
+    """The J1 merge must not pay a range-exchange sort: canonical order
+    belongs to the JSON exporter, not the operator."""
+    p = plan_of(maintenance.merge_games_gather(spark, sf_dir))
+    assert "rangepartitioning" not in p.lower()
+
+def test_worklists_avoid_python(spark, sf_dir):
+    for fn in (
+        maintenance.needs_details_worklist,
+        maintenance.missing_images_worklist,
+        maintenance.needs_embeddings_worklist,
+        maintenance.prune_games,
+    ):
+        p = plan_of(fn(spark, sf_dir))
+        assert "EvalPython" not in p, fn.__name__
