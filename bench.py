@@ -26,11 +26,17 @@ def main() -> None:
     # plans, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # min of two runs per query: run 1 pays codegen/JIT compilation, so
+    # the min reflects the plan's steady-state cost, which is what a
+    # cluster executing the query repeatedly actually sees
     times: dict[str, float] = {}
     for name, q in QUERIES.items():
-        t0 = time.perf_counter()
-        q.builder(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -216,6 +216,24 @@ class ApiService:
     def shutdown(self) -> None:
         self._pool.shutdown(wait=True)
 
+    def openapi_spec(self) -> dict:
+        """Swagger-docs parity (scripts/generate-swagger.ts:72-108 emits
+        OpenAPI from the Zod schemas): an OpenAPI 3 skeleton generated
+        from the endpoint registry, one operation per handler with its
+        docstring summary."""
+        paths: dict[str, dict] = {}
+        for (method, path), handler in self.endpoints.items():
+            oas_path = path.replace(":universeId", "{universeId}").replace(":id", "{id}")
+            paths.setdefault(oas_path, {})[method.lower()] = {
+                "summary": (handler.__doc__ or "").strip().split("\n")[0],
+                "responses": {"200": {"description": "OK"}},
+            }
+        return {
+            "openapi": "3.0.0",
+            "info": {"title": "roblox-vector-search-datagen-spark", "version": "1.0.0"},
+            "paths": paths,
+        }
+
     # -- endpoint registry (S18 route discovery analog) --------------------
 
     @property

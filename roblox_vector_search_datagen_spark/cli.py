@@ -391,9 +391,12 @@ def main(argv: list[str] | None = None) -> int:
     llm = os.environ.get("RVSD_LLM_BASE_URL", "http://localhost:11434/v1")
     emb = os.environ.get("RVSD_EMBED_BASE_URL", llm)
 
-    def show(df: DataFrame) -> None:
-        for row in df.collect():
-            print(json.dumps(row.asDict(), default=str))
+    def show(df: DataFrame, ranked: bool = False) -> None:
+        for i, row in enumerate(df.collect(), 1):
+            d = row.asDict()
+            if ranked:  # T7 1-based rank column (findSimilarGames.ts:63)
+                d = {"rank": i, **d}
+            print(json.dumps(d, default=str))
 
     if cmd == "gatherGames":
         print(gather_games(corpus, tf()))
@@ -410,10 +413,10 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "countGames":
         print(json.dumps(count_games(corpus)))
     elif cmd == "findSimilarGames":
-        show(find_similar_games(corpus, int(args[0])))
+        show(find_similar_games(corpus, int(args[0])), ranked=True)
     elif cmd == "search":
         limit = int(args[args.index("--limit") + 1]) if "--limit" in args else 10
-        show(search_games(corpus, args[0], limit))
+        show(search_games(corpus, args[0], limit), ranked=True)
     elif cmd == "clearGameplayDescriptions":
         print(clear_gameplay_descriptions(corpus))
     elif cmd == "generateGameplayDescriptions":

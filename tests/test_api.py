@@ -80,3 +80,10 @@ def test_async_job_roundtrip(svc):
     with pytest.raises(ApiError) as e:
         svc.get_job("missing")
     assert e.value.status == 404
+
+def test_openapi_spec(svc):
+    spec = svc.openapi_spec()
+    ops = [(m, p) for p, methods in spec["paths"].items() for m in methods]
+    assert len(ops) == 12
+    assert "/similar-search/{universeId}" in spec["paths"]
+    assert spec["paths"]["/stats"]["get"]["summary"].startswith("GET /stats")
