@@ -151,6 +151,16 @@ def _registry() -> dict[str, Query]:
     r["ann_topk"] = Query(
         lambda spark, sf: ann.ann_topk(spark, sf), ann.ann_topk_oracle(), ("vector", "bench")
     )
+    r["ivf_assignments"] = Query(
+        lambda spark, sf: ann.ivf_assignments(spark, sf),
+        ann.ivf_assignments_oracle(),
+        ("vector", "index-build"),
+    )
+    r["ivf_centroid_update"] = Query(
+        lambda spark, sf: ann.ivf_centroid_update(spark, sf),
+        ann.ivf_centroid_update_oracle(),
+        ("vector", "index-build"),
+    )
     r["ann_ivf_topk"] = Query(
         lambda spark, sf: ann.ann_ivf_topk(spark, sf), ann.ann_ivf_topk_oracle(), ("vector",)
     )
