@@ -181,17 +181,34 @@ SELECT doc_id, {fp} AS simhash FROM sums
 """
     return _SIMHASH_SQL
 
+SALT_BUCKETS = 8
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
     """SimHash pairs within Hamming distance <= max_hamming, blocked by
     `source` (at scale the blocking key would be simhash prefix bands —
-    same join shape)."""
+    same join shape).
+
+    `source` has single-digit cardinality, so a plain equi-join would
+    land every block on one reducer — the textbook skewed-key join. The
+    left side is SALTED (salt = doc_id % S) and the right side
+    replicated S times joining on (source, salt): each pair still meets
+    exactly once, but the work spreads over S partitions per block.
+    AQE's skew-join split can do this at runtime for sort-merge joins;
+    explicit salting keeps the parallelism deterministic."""
     fps = simhash(spark, sf_dir)
     src = tables.load_table(spark, sf_dir, "documents").select("doc_id", "source")
     fps = fps.join(src, "doc_id")
-    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "source")
-    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "source")
+    a = fps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("fp_a"),
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(SALT_BUCKETS)).cast("int").alias("salt"),
+    )
+    b = fps.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "source"
+    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(SALT_BUCKETS)])))
     return (
-        a.join(b, "source")
+        a.join(b, ["source", "salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -376,16 +393,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Data
         .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
+    # round 0 folded into init: label = min(self, direct neighbors)
     labels = (
-        und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
-    ).localCheckpoint()
+        und.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("_m"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("_m")).alias("label"))
+        .localCheckpoint()
+    )
+    # labels only ever decrease, so sum(label) strictly decreases until
+    # the fixpoint — one cheap aggregate per round instead of a
+    # change-detection join
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         prop = (
             und.join(labels.withColumnRenamed("doc_id", "src"), "src")
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(prop, "doc_id", "left")
             .select(
                 "doc_id",
@@ -393,16 +418,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Data
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("label").alias("cluster"))
 
 def dedup_clusters_oracle() -> str:
