@@ -10,7 +10,7 @@ aggregation-free ones are embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -164,6 +164,92 @@ SELECT doc_id,
        CAST(len(string_split_regex(text, '\s+')) AS INT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS re_tokens,
        CAST(ceil(length(text) / 4.0) AS INT) AS approx_bpe_tokens
+FROM documents
+"""
+
+TOP_TERMS_K = 3
+
+def top_terms(spark: SparkSession, sf_dir: str, k: int = TOP_TERMS_K) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (score = tf * ln(1 + N/df)),
+    deterministic tie-break on the term itself — the keyword/topic
+    column a corpus pipeline derives for mixing and reporting.
+
+    Plan shape: one explode -> (doc, term) count (map-side combined),
+    document frequency derived FROM that aggregate (no second corpus
+    scan), equi-join on term, then a per-doc window for the top-k. All
+    four exchanges are linear in token count; nothing is quadratic and
+    no UDF appears — the whole pipeline is codegen'd Catalyst."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "score")
+    )
+
+def top_terms_oracle(k: int = TOP_TERMS_K) -> str:
+    return rf"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, score
+FROM ranked WHERE rank <= {k}
+"""
+
+# deterministic corpus split: md5-derived bucket of the doc key, so the
+# assignment is stable across runs, machines and engines (no RNG state)
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hashed
+    doc_id — the held-out-split operator of a training pipeline.
+    Hash-based splitting is the scale idiom: no sampling state, no
+    shuffle at all (a pure projection), and any engine that can md5
+    reproduces the exact membership."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    bucket = H.h32_expr(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+def dataset_splits_oracle() -> str:
+    h = H.h32_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id,
+       CAST({h} % 100 AS INT) AS bucket,
+       CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
 FROM documents
 """
 

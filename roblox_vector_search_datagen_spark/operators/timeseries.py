@@ -1,0 +1,130 @@
+"""Event-time relational operators the reference lacks but a
+training-data pipeline at scale needs: as-of (attribution) join,
+per-group exact quantiles, and sketch-based approximate aggregates.
+
+Scale design notes:
+
+* The as-of join is NOT a range join. Spark's generic range-join plan
+  (BroadcastNestedLoop or a cross-product filter) is quadratic per key;
+  the windowed formulation below shuffles both event streams ONCE on
+  the join key and resolves "latest at-or-before" with a running
+  `last(..., ignorenulls)` inside each sorted partition — linear work,
+  one exchange, no pair blowup. This is the standard distributed as-of
+  shape (per-key merge of two time-sorted streams).
+* Quantiles use Spark's exact `percentile` (sort-based within group)
+  so the DuckDB oracle (`quantile_cont`) matches bit-for-bit after
+  rounding; at 100 TB you would flip to `approx_percentile`
+  (t-digest, mergeable partial aggregates) — exposed here as the
+  sketch variant alongside HyperLogLog++ distinct counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import tables
+
+# ---------------------------------------------------------------------------
+# As-of join: purchase -> latest prior click (attribution)
+# ---------------------------------------------------------------------------
+
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every `purchase` event, the same user's most recent `click`
+    at-or-before the purchase time (left as-of join: purchases with no
+    prior click keep NULL attribution), plus the click->purchase
+    latency in seconds.
+
+    Both sides come from one filtered scan; the window runs over the
+    interleaved (click|purchase) stream per user ordered by event time,
+    carrying the last click seen — the reference has no temporal joins
+    at all (SURVEY.md §2.3), so this is pure scale-path surface.
+    Fixture timestamps are unique per user, so the at-or-before winner
+    is unambiguous and matches DuckDB's ASOF JOIN semantics.
+    """
+    e = tables.load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_event_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_event_id",
+        "click_ts",
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("click_ts")) / F.lit(1_000_000.0), 6
+        ).alias("latency_sec"),
+    )
+
+def asof_attribution_oracle() -> str:
+    return """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS latency_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+# ---------------------------------------------------------------------------
+# Per-group exact quantiles
+# ---------------------------------------------------------------------------
+
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 (linear interpolation), mean and count of
+    `value` per event_type — the distribution profile a pipeline
+    computes before setting quality-filter thresholds."""
+    e = tables.load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+def event_value_quantiles_oracle() -> str:
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(avg(value), 6) AS mean_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (approximate, mergeable — the 100 TB path)
+# ---------------------------------------------------------------------------
+
+def sketch_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-event_type profile: HyperLogLog++ distinct users
+    and t-digest value quantiles. Both sketches are mergeable partial
+    aggregates — constant memory per partition, one map-side combine +
+    one small shuffle regardless of input size, which is why they (not
+    the exact forms) are the 100 TB plan. No oracle: DuckDB's
+    approx algorithms differ; tests bound relative error vs. exact
+    instead (tests/test_properties.py)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(F.approx_percentile("value", F.lit(0.5), F.lit(10_000)), 6).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )

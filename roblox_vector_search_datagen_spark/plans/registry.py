@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import ann, dedup, maintenance, multimodal, search, textstats
+from ..operators import ann, dedup, maintenance, multimodal, search, textstats, timeseries
 from ..streaming import events as streaming_events
 
 @dataclass
@@ -171,6 +171,29 @@ def _registry() -> dict[str, Query]:
     r["token_counts"] = Query(textstats.token_counts, textstats.token_counts_oracle(), ("text",))
     r["doc_fingerprints"] = Query(
         textstats.doc_fingerprints, textstats.doc_fingerprints_oracle(), ("text",)
+    )
+    r["top_terms"] = Query(
+        lambda spark, sf: textstats.top_terms(spark, sf),
+        textstats.top_terms_oracle(),
+        ("text", "bench"),
+    )
+    r["dataset_splits"] = Query(
+        textstats.dataset_splits, textstats.dataset_splits_oracle(), ("text", "split")
+    )
+
+    # --- event-time relational ops (as-of join, quantiles, sketches) ---
+    r["asof_attribution"] = Query(
+        timeseries.asof_attribution, timeseries.asof_attribution_oracle(), ("events", "bench")
+    )
+    r["event_value_quantiles"] = Query(
+        timeseries.event_value_quantiles,
+        timeseries.event_value_quantiles_oracle(),
+        ("events", "agg"),
+    )
+    # sketch aggregates: approximate by design -> rows-only driver check;
+    # error bounds vs exact are asserted in tests/test_properties.py
+    r["sketch_event_profile"] = Query(
+        timeseries.sketch_event_profile, None, ("events", "sketch")
     )
 
     # --- multimodal columns ---

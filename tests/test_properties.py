@@ -147,3 +147,50 @@ def test_tristate_needs_description(spark):
 def test_latest_event_per_user_is_keep_last(spark, sf_dir):
     out = maintenance.latest_event_per_user(spark, sf_dir)
     assert out.groupBy("user_id").count().filter("count > 1").count() == 0
+
+# ---------------------------------------------------------------------------
+# sketch aggregates and as-of join invariants
+# ---------------------------------------------------------------------------
+
+def test_sketch_profile_error_bounds(spark, sf_dir):
+    """HLL++ distinct users within 5% of exact; t-digest median within
+    5% of the exact per-type p50 (the oracle-checked quantile op)."""
+    from roblox_vector_search_datagen_spark.operators import timeseries
+
+    approx = {r.event_type: r for r in timeseries.sketch_event_profile(spark, sf_dir).collect()}
+    exact_users = {
+        r.event_type: r.u
+        for r in tables.load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    exact_p50 = {
+        r.event_type: r.p50 for r in timeseries.event_value_quantiles(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact_users)
+    for et, row in approx.items():
+        assert abs(row.approx_users - exact_users[et]) <= max(1, 0.05 * exact_users[et]), et
+        assert abs(row.approx_p50 - exact_p50[et]) <= max(0.5, 0.05 * abs(exact_p50[et])), et
+
+def test_asof_attribution_invariants(spark, sf_dir):
+    """Every attributed click precedes its purchase, belongs to the same
+    user, and is that user's LATEST prior click."""
+    from roblox_vector_search_datagen_spark.operators import timeseries
+
+    out = timeseries.asof_attribution(spark, sf_dir)
+    events = tables.load_table(spark, sf_dir, "events")
+    # click_ts <= purchase_ts wherever attributed
+    assert out.filter(F.col("click_ts") > F.col("purchase_ts")).count() == 0
+    # purchase count preserved (left join semantics)
+    assert out.count() == events.filter("event_type = 'purchase'").count()
+    # no later click exists between click_ts and purchase_ts
+    clicks = events.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts")
+    )
+    violations = (
+        out.filter(F.col("click_ts").isNotNull())
+        .join(clicks, (F.col("user_id") == F.col("u")) & (F.col("cts") > F.col("click_ts")) & (F.col("cts") <= F.col("purchase_ts")))
+        .count()
+    )
+    assert violations == 0
