@@ -35,6 +35,12 @@ def get_spark(app_name: str = "rvsd-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # bucketed tables (plans/bucketing.py) live outside the repo;
+        # in-memory catalog, so the warehouse is session-scoped scratch
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/rvsd-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS); read as long + convert
         # in sources.tables.load_table (Spark has no ns timestamp type)

@@ -72,3 +72,17 @@ def test_worklists_avoid_python(spark, sf_dir):
     ):
         p = plan_of(fn(spark, sf_dir))
         assert "EvalPython" not in p, fn.__name__
+
+def test_cobucketed_join_is_exchange_free(spark, sf_dir):
+    """Co-bucketed storage must satisfy the join's distribution
+    requirement from the scan: a sort-merge join of the two bucketed
+    corpora may contain NO Exchange — the shuffle was paid at write
+    time (plans/bucketing.py). This is the 100 TB path for the
+    games<->embeddings joins every search/prune query repeats."""
+    from roblox_vector_search_datagen_spark.plans import bucketing
+
+    g, e = bucketing.cobucket_corpus(spark, sf_dir, buckets=8)
+    p = plan_of(g.hint("merge").join(e, "universeId"))
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p
+    assert "Bucketed: true" in p
