@@ -1,0 +1,282 @@
+"""Corpus-preparation operators: the transformations a pretraining
+pipeline runs between "raw crawl" and "training shards" — repetition
+filtering (Gopher-style), token-window chunking, stratified mixture
+sampling, train/test decontamination, and token-budget sequence
+packing.
+
+These extend the reference's corpus-maintenance surface (pruneGames.ts
+is its only quality filter — predicate prune at pruneGames.ts:152-186)
+to the scale jobs a 100 TB text corpus actually needs. All five are
+pure Catalyst pipelines (no Python in the hot path):
+
+- repetition_stats / stratified_sample are single-pass projections —
+  zero shuffles, embarrassingly parallel at any scale.
+- doc_chunks explodes each doc into overlapping windows — one narrow
+  generator stage, output partitions inherit input partitioning.
+- decontaminate joins the exploded train-side shingles against the
+  DISTINCT benchmark shingle set — the benchmark side of a real
+  decontamination run is tiny (eval sets), so it broadcasts and the
+  100 TB side never shuffles.
+- pack_sequences windows over (split, shard) — packing is per-shard
+  streaming-greedy, so parallelism equals shard count and no global
+  sort exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..sources import tables
+
+ROUND = 6
+
+def _words(col) -> F.Column:
+    return F.split(col, r"\s+")
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: distinct-word
+    fraction, top-word dominance, duplicate-bigram fraction, and the
+    resulting keep/drop verdict (Rae et al. 2021, "Scaling Language
+    Models", repetition filters C.2). One projection pass, no shuffle;
+    the O(distinct×n) top-word scan stays inside codegen'd higher-order
+    functions instead of a Python UDF."""
+    d = tables.load_table(spark, sf_dir, "documents")
+
+    def from_words(w):
+        n = F.size(w)
+        dw = F.array_distinct(w)
+        top = F.array_max(F.transform(dw, lambda t: F.size(F.filter(w, lambda x: x == t))))
+        bigrams = F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        )
+        dup_bigram = F.when(
+            n >= 2,
+            F.round(1.0 - F.size(F.array_distinct(bigrams)) / (n - 1).cast("double"), ROUND),
+        ).otherwise(F.lit(0.0))
+        frac_distinct = F.round(F.size(dw) / n.cast("double"), ROUND)
+        top_frac = F.round(top / n.cast("double"), ROUND)
+        return F.struct(
+            n.cast("int").alias("n_words"),
+            frac_distinct.alias("frac_distinct"),
+            top_frac.alias("top_word_frac"),
+            dup_bigram.alias("dup_bigram_frac"),
+            ((frac_distinct >= 0.3) & (top_frac <= 0.2) & (dup_bigram <= 0.3)).alias("keep"),
+        )
+
+    r = H.let_expr(_words(F.lower("text")), from_words)
+    return d.select("doc_id", r.alias("r")).select("doc_id", "r.*")
+
+def repetition_stats_oracle() -> str:
+    w = "string_split_regex(lower(text), '\\s+')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {w} AS w, len({w}) AS n FROM documents
+), m AS (
+  SELECT doc_id, n,
+    round(CAST(len(list_distinct(w)) AS DOUBLE) / n, {ROUND}) AS frac_distinct,
+    round(CAST(list_max(list_transform(list_distinct(w),
+        t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / n, {ROUND}) AS top_word_frac,
+    CASE WHEN n >= 2 THEN round(1.0 - CAST(len(list_distinct(
+        list_transform(range(1, n), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+        / (n - 1), {ROUND}) ELSE 0.0 END AS dup_bigram_frac
+  FROM t
+)
+SELECT doc_id, CAST(n AS INT) AS n_words, frac_distinct, top_word_frac, dup_bigram_frac,
+       (frac_distinct >= 0.3 AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.3) AS keep
+FROM m
+"""
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+def doc_chunks(
+    spark: SparkSession, sf_dir: str, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping token-window chunking (chunk=64, stride=48): the
+    long-document splitter feeding a fixed-context trainer or an
+    embedding index. Start offsets are a generated sequence exploded to
+    one row per window; the token array is carried through the explode
+    so each chunk is a slice, not a re-tokenize. Generators cannot nest
+    inside expressions, so the plan projects in two steps."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    with_words = d.select("doc_id", _words(F.col("text")).alias("w")).withColumn(
+        "n", F.size("w")
+    )
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((F.col("n") - chunk) / F.lit(float(stride))).cast("int")
+    )
+    exploded = with_words.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride)).alias(
+            "start"
+        ),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_token"),
+        F.least(F.lit(chunk), F.col("n") - F.col("start")).cast("int").alias("n_tokens"),
+        F.array_join(F.slice("w", F.col("start") + 1, chunk), " ").alias("chunk_text"),
+    )
+
+def doc_chunks_oracle(chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE) -> str:
+    w = "string_split_regex(text, '\\s+')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {w} AS w, len({w}) AS n FROM documents
+), c AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, 1 + greatest(0, CAST(ceil((n - {chunk}) / {stride}.0) AS BIGINT)))) * {stride} AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start / {stride} AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start_token,
+       CAST(least({chunk}, n - start) AS INT) AS n_tokens,
+       array_to_string(list_slice(w, start + 1, start + {chunk}), ' ') AS chunk_text
+FROM c
+"""
+
+# Per-language mixture rates in per-mille: the domain-mixing knob of a
+# corpus build (e.g. upsample en, downsample zh). Deterministic
+# hash-gate membership — no RNG state, reproducible on any engine.
+MIXTURE_PERMILLE: dict[str, int] = {"en": 1000, "es": 600, "fr": 450, "de": 250, "zh": 120}
+MIXTURE_DEFAULT_PERMILLE = 50
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified mixture sampling: keep a per-language deterministic
+    fraction of documents by hash gate (h32(doc_id) % 1000 < rate).
+    A pure filter-projection — no shuffle, no sampling state; the exact
+    membership set is reproducible across engines and runs, which is
+    what makes corpus mixtures auditable."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIXTURE_DEFAULT_PERMILLE)
+    for lg, r in MIXTURE_PERMILLE.items():
+        rate = F.when(F.col("lang") == lg, r).otherwise(rate)
+    gate = H.h32_expr(F.col("doc_id").cast("string")) % 1000
+    return (
+        d.withColumn("rate_permille", rate.cast("int"))
+        .filter(gate < F.col("rate_permille"))
+        .select("doc_id", "lang", "source", "rate_permille")
+    )
+
+def stratified_sample_oracle() -> str:
+    h = H.h32_sql("CAST(doc_id AS VARCHAR)")
+    rate = f"{MIXTURE_DEFAULT_PERMILLE}"
+    for lg, r in MIXTURE_PERMILLE.items():
+        rate = f"CASE WHEN lang = '{lg}' THEN {r} ELSE {rate} END"
+    return f"""
+SELECT doc_id, lang, source, CAST({rate} AS INT) AS rate_permille
+FROM documents
+WHERE {h} % 1000 < {rate}
+"""
+
+# Decontamination uses the same hash split as textstats.dataset_splits:
+# train = bucket < 80, benchmark/test = bucket >= 90.
+_TRAIN_BUCKET_LT = 80
+_TEST_BUCKET_GE = 90
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination report: train-split documents sharing
+    at least one word shingle with any benchmark (test-split) document,
+    with the count of shared shingles (the PaLM/GPT-3 n-gram-overlap
+    decontamination check). Benchmark suites are tiny next to a 100 TB
+    train corpus, so the distinct benchmark-shingle set is broadcast
+    and the train side never shuffles for the join; the only exchange
+    is the final per-doc count aggregation (map-side combined)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    bucket = H.h32_expr(F.col("doc_id").cast("string")) % 100
+    docs = d.select("doc_id", bucket.alias("bucket"), H.word_shingles_expr(F.col("text")).alias("sh"))
+    train = docs.filter(F.col("bucket") < _TRAIN_BUCKET_LT).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    bench = (
+        docs.filter(F.col("bucket") >= _TEST_BUCKET_GE)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_shingles"))
+    )
+
+def decontaminate_oracle() -> str:
+    h = H.h32_sql("CAST(doc_id AS VARCHAR)")
+    shingles = H.word_shingles_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {h} % 100 AS bucket, {shingles} AS sh FROM documents
+), train AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM docs WHERE bucket < {_TRAIN_BUCKET_LT}
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM docs WHERE bucket >= {_TEST_BUCKET_GE}
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_shared_shingles
+FROM train JOIN bench USING (shingle)
+GROUP BY doc_id
+"""
+
+PACK_BUDGET_TOKENS = 256
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents to training
+    sequences of ~`budget` tokens by streaming-greedy fill (a doc
+    starts a new sequence when the running total would pass the
+    budget boundary; sequences may overflow by at most one doc — the
+    standard concat-and-split trainer contract). Packing runs per
+    (split, shard): the window partitions on the 100-way hash shard,
+    so parallelism scales with shard count and no global sort exists
+    — shard count would be O(corpus/executor-memory) at 100 TB."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    bucket = H.h32_expr(F.col("doc_id").cast("string")) % 100
+    toks = d.select(
+        "doc_id",
+        bucket.cast("int").alias("shard"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        F.size(_words(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "split",
+        "shard",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(prev / budget).cast("int").alias("seq_id"),
+        (prev % budget).cast("int").alias("seq_offset"),
+    )
+
+def pack_sequences_oracle(budget: int = PACK_BUDGET_TOKENS) -> str:
+    h = H.h32_sql("CAST(doc_id AS VARCHAR)")
+    w = "string_split_regex(text, '\\s+')"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         {h} % 100 AS shard,
+         CASE WHEN {h} % 100 < 80 THEN 'train'
+              WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         len({w}) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, split, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT doc_id, split, CAST(shard AS INT) AS shard, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor(prev / {budget}) AS INT) AS seq_id,
+       CAST(prev % {budget} AS INT) AS seq_offset
+FROM c
+"""

@@ -14,7 +14,16 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import ann, dedup, maintenance, multimodal, search, textstats, timeseries
+from ..operators import (
+    ann,
+    dedup,
+    maintenance,
+    multimodal,
+    search,
+    textprep,
+    textstats,
+    timeseries,
+)
 from ..streaming import events as streaming_events
 
 @dataclass
@@ -179,6 +188,27 @@ def _registry() -> dict[str, Query]:
     )
     r["dataset_splits"] = Query(
         textstats.dataset_splits, textstats.dataset_splits_oracle(), ("text", "split")
+    )
+
+    # --- training-data pipeline: corpus preparation ---
+    r["repetition_stats"] = Query(
+        textprep.repetition_stats, textprep.repetition_stats_oracle(), ("text", "filter", "bench")
+    )
+    r["doc_chunks"] = Query(
+        lambda spark, sf: textprep.doc_chunks(spark, sf),
+        textprep.doc_chunks_oracle(),
+        ("text", "chunking"),
+    )
+    r["stratified_sample"] = Query(
+        textprep.stratified_sample, textprep.stratified_sample_oracle(), ("text", "sampling")
+    )
+    r["decontaminate"] = Query(
+        textprep.decontaminate, textprep.decontaminate_oracle(), ("text", "dedup", "bench")
+    )
+    r["pack_sequences"] = Query(
+        lambda spark, sf: textprep.pack_sequences(spark, sf),
+        textprep.pack_sequences_oracle(),
+        ("text", "packing"),
     )
 
     # --- event-time relational ops (as-of join, quantiles, sketches) ---

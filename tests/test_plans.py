@@ -73,6 +73,31 @@ def test_worklists_avoid_python(spark, sf_dir):
         p = plan_of(fn(spark, sf_dir))
         assert "EvalPython" not in p, fn.__name__
 
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    """The benchmark shingle set is eval-suite-sized; the 100 TB train
+    side must stream through a broadcast hash join, never shuffle for
+    the contamination probe."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    p = plan_of(textprep.decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+def test_corpus_prep_projections_are_shuffle_free(spark, sf_dir):
+    """repetition_stats, doc_chunks and stratified_sample are per-row
+    pipelines: any Exchange means a refactor introduced a pointless
+    shuffle into an embarrassingly-parallel pass. pack_sequences gets
+    exactly one (the per-shard window). All stay JVM-side."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    for fn in (textprep.repetition_stats, textprep.doc_chunks, textprep.stratified_sample):
+        p = plan_of(fn(spark, sf_dir))
+        assert "Exchange" not in p, fn.__name__
+        assert "EvalPython" not in p, fn.__name__
+    p = plan_of(textprep.pack_sequences(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "EvalPython" not in p
+
 def test_cobucketed_join_is_exchange_free(spark, sf_dir):
     """Co-bucketed storage must satisfy the join's distribution
     requirement from the scan: a sort-merge join of the two bucketed
