@@ -12,7 +12,7 @@ cluster: score 1/nlist of the bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -153,6 +153,223 @@ scored AS (
   FROM embeddings e CROSS JOIN cents c
 )
 SELECT vec_id, cent_id, cosine FROM scored WHERE rn = 1
+"""
+
+KNN_QUERIES = 5
+KNN_K = 10
+
+def knn_join(
+    spark: SparkSession, sf_dir: str, n_queries: int = KNN_QUERIES, k: int = KNN_K
+) -> DataFrame:
+    """Batch k-NN join: top-k cosine neighbors for EVERY query vector in
+    one pass — the retrieval-augmentation / hard-negative-mining shape
+    (N queries × corpus), vs. ann_topk's single online query.
+
+    Physical shape: the query block broadcasts (a query batch is MBs
+    against a 100 TB corpus), the corpus scans once, and the per-query
+    rank window shuffles only (query_id, vec_id, cosine) — the vector
+    payload is projected away before the exchange, so shuffle bytes are
+    ~20 B/row regardless of dimension."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= n_queries)
+        .crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine_expr(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+def knn_join_oracle(n_queries: int = KNN_QUERIES, k: int = KNN_K) -> str:
+    cos = V.cosine_sql("e.embedding", "q.q_emb")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 6) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round({cos}, 6) DESC NULLS LAST, e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= {n_queries}
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM scored WHERE rank <= {k}
+"""
+
+# ---------------------------------------------------------------------------
+# Product quantization (encode + ADC scan) — the compressed-index path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 64 // PQ_M  # dims per subspace
+PQ_NCODES = 16  # centroids per subspace codebook
+
+def _l2sq_expr(a, b) -> F.Column:
+    """Σ (aᵢ-bᵢ)² with sequential double accumulation (mirrors the
+    oracle's list_sum over an in-order transform)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+def _subvectors(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """(id, m, sub): each vector split into PQ_M contiguous 8-dim double
+    blocks. Explode of a literal sequence — output partitioning inherits
+    the scan, no shuffle."""
+    exploded = df.select(
+        F.col(id_col).alias(out_id),
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    )
+    return exploded.select(
+        out_id,
+        "m",
+        F.transform(
+            F.slice("embedding", F.col("m") * PQ_DSUB + 1, PQ_DSUB), lambda x: x.cast("double")
+        ).alias("sub"),
+    )
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """(m, cent_id, cent_sub): deterministic seed codebook — the
+    sub-vectors of the PQ_NCODES smallest vec_ids (same seeding contract
+    as ivf_assignments, keeps the oracle exact). K×M rows — broadcasts."""
+    return _subvectors(e.filter(F.col("vec_id") < PQ_NCODES), "vec_id", "cent_id").select(
+        "m", "cent_id", F.col("sub").alias("cent_sub")
+    )
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: nearest codebook entry per (vector, subspace) by L2,
+    emitted flat as (vec_id, m, code) — 8 one-byte codes replace 64
+    floats, a 32× index compression.
+
+    Physical shape: ONE corpus scan fans out to n×M sub-vector rows,
+    the K×M codebook broadcasts, and the argmin is a map-side-combined
+    min(struct(dist, cent_id)) aggregation — candidates collapse to one
+    row per (vec_id, m) BEFORE the only exchange, so shuffle volume is
+    n×M narrow rows independent of K."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    subs = _subvectors(e, "vec_id", "vec_id")
+    scored = subs.join(F.broadcast(_pq_codebook(e)), "m").select(
+        "vec_id",
+        "m",
+        F.struct(
+            F.round(_l2sq_expr(F.col("sub"), F.col("cent_sub")), 6).alias("dist"),
+            F.col("cent_id").alias("cent_id"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("vec_id", "m").agg(F.min("cand").alias("best"))
+    return best.select(
+        "vec_id",
+        F.col("m").cast("int").alias("m"),
+        F.col("best.cent_id").cast("int").alias("code"),
+        F.col("best.dist").alias("dist"),
+    )
+
+def _pq_sub_sql(expr: str, m: str) -> str:
+    return f"CAST({expr}[{m}*{PQ_DSUB}+1:({m}+1)*{PQ_DSUB}] AS DOUBLE[])"
+
+def _pq_l2sq_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, {PQ_DSUB + 1}), i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+
+def pq_codes_oracle() -> str:
+    sub = _pq_sub_sql("e.embedding", "g.m")
+    cent_sub = _pq_sub_sql("c.embedding", "g.m")
+    return f"""
+WITH subs AS (
+  SELECT e.vec_id, g.m, {sub} AS sub
+  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) g
+),
+cents AS (
+  SELECT c.vec_id AS cent_id, g.m, {cent_sub} AS cent_sub
+  FROM embeddings c CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) g
+  WHERE c.vec_id < {PQ_NCODES}
+),
+best AS (
+  SELECT s.vec_id, s.m,
+         min(struct_pack(dist := round({_pq_l2sq_sql("s.sub", "c.cent_sub")}, 6),
+                         cent_id := c.cent_id)) AS b
+  FROM subs s JOIN cents c USING (m)
+  GROUP BY s.vec_id, s.m
+)
+SELECT vec_id, CAST(m AS INT) AS m, CAST(b.cent_id AS INT) AS code, b.dist AS dist
+FROM best
+"""
+
+def pq_adc_topk(
+    spark: SparkSession, sf_dir: str, query_text: str = "vector similarity search", k: int = 20
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: the query builds a K×M lookup table
+    of sub-distances against the codebook, and each vector's approximate
+    distance is the sum of its M table lookups — the scan reads CODES
+    (8 ints/vector), never the raw vectors. At 100 TB this is the path
+    that turns a 25 TB float scan into an 800 GB int scan; candidates
+    from this pass get exact-reranked by ann_topk on the survivors."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    qv = V.embed_query(query_text)
+    q_subs = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in qv[m * PQ_DSUB : (m + 1) * PQ_DSUB]])
+            for m in range(PQ_M)
+        ]
+    )
+    dtable = F.broadcast(
+        _pq_codebook(e).select(
+            "m",
+            "cent_id",
+            F.round(
+                _l2sq_expr(F.element_at(q_subs, F.col("m") + 1), F.col("cent_sub")), 6
+            ).alias("qd"),
+        )
+    )
+    codes = pq_codes(spark, sf_dir).select("vec_id", "m", "code")
+    adc = (
+        codes.join(dtable, (codes["m"] == dtable["m"]) & (codes["code"] == dtable["cent_id"]))
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("approx_dist"))
+    )
+    return adc.orderBy(F.col("approx_dist").asc_nulls_last(), F.col("vec_id")).limit(k)
+
+def pq_adc_topk_oracle(query_text: str = "vector similarity search", k: int = 20) -> str:
+    qv = V.embed_query(query_text)
+    q_subs = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in qv[m * PQ_DSUB : (m + 1) * PQ_DSUB]) + "]"
+            for m in range(PQ_M)
+        )
+        + "]::DOUBLE[][]"
+    )
+    cent_sub = _pq_sub_sql("c.embedding", "g.m")
+    codes = pq_codes_oracle()
+    return f"""
+WITH codes AS ({codes}),
+cents AS (
+  SELECT g.m, c.vec_id AS cent_id, {cent_sub} AS cent_sub
+  FROM embeddings c CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) g
+  WHERE c.vec_id < {PQ_NCODES}
+),
+dtable AS (
+  SELECT m, cent_id,
+         round({_pq_l2sq_sql(f"({q_subs})[m+1]", "cent_sub")}, 6) AS qd
+  FROM cents
+),
+adc AS (
+  SELECT codes.vec_id, round(sum(d.qd), 6) AS approx_dist
+  FROM codes JOIN dtable d ON codes.m = d.m AND codes.code = d.cent_id
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, approx_dist FROM adc
+ORDER BY approx_dist ASC NULLS LAST, vec_id LIMIT {k}
 """
 
 def ivf_centroid_update(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:

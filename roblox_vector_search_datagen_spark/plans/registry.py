@@ -173,6 +173,15 @@ def _registry() -> dict[str, Query]:
     r["ann_ivf_topk"] = Query(
         lambda spark, sf: ann.ann_ivf_topk(spark, sf), ann.ann_ivf_topk_oracle(), ("vector",)
     )
+    r["knn_join"] = Query(
+        lambda spark, sf: ann.knn_join(spark, sf), ann.knn_join_oracle(), ("vector", "bench")
+    )
+    r["pq_codes"] = Query(
+        ann.pq_codes, ann.pq_codes_oracle(), ("vector", "index-build", "bench")
+    )
+    r["pq_adc_topk"] = Query(
+        lambda spark, sf: ann.pq_adc_topk(spark, sf), ann.pq_adc_topk_oracle(), ("vector",)
+    )
 
     # --- training-data pipeline: text analysis ---
     r["lang_id"] = Query(textstats.lang_id, textstats.lang_id_oracle(), ("text", "bench"))

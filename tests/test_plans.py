@@ -98,6 +98,18 @@ def test_corpus_prep_projections_are_shuffle_free(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "EvalPython" not in p
 
+def test_knn_and_pq_broadcast_small_sides(spark, sf_dir):
+    """The query block (knn_join) and the K×M codebook / distance table
+    (PQ) are tiny against the corpus — every join must broadcast; a
+    SortMergeJoin here means the corpus shuffled for a kilobyte-sized
+    build side."""
+    from roblox_vector_search_datagen_spark.operators import ann
+
+    for fn in (ann.knn_join, ann.pq_codes, ann.pq_adc_topk):
+        p = plan_of(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in p, fn.__name__
+        assert "EvalPython" not in p, fn.__name__
+
 def test_cobucketed_join_is_exchange_free(spark, sf_dir):
     """Co-bucketed storage must satisfy the join's distribution
     requirement from the scan: a sort-merge join of the two bucketed
