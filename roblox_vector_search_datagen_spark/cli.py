@@ -372,6 +372,9 @@ COMMANDS = (
     "generateGameplayDescriptions",
     "generateEmbeddings",
     "processGamesFromSearch",
+    # extended (beyond the reference's 13): engine introspection + layout
+    "explainQuery",
+    "optimizeStorage",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -423,6 +426,29 @@ def main(argv: list[str] | None = None) -> int:
         print(generate_gameplay_descriptions(corpus, tf, base_url=llm, model="local"))
     elif cmd == "generateEmbeddings":
         print(generate_embeddings(corpus, tf, base_url=emb, model="local"))
+    elif cmd == "explainQuery":
+        # physical-plan introspection for any registry query: the tool a
+        # cluster operator uses to confirm pushdown/broadcast before a
+        # 100 TB run (usage: explainQuery <name> [sf_dir])
+        from .plans.registry import QUERIES
+
+        name = args[0]
+        if name not in QUERIES:
+            print(f"unknown query {name!r}; known: {', '.join(sorted(QUERIES))}", file=sys.stderr)
+            return 2
+        sf_dir = args[1] if len(args) > 1 else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        QUERIES[name].builder(spark, sf_dir).explain("formatted")
+    elif cmd == "optimizeStorage":
+        # co-bucket the corpus tables on the join key so every later
+        # games<->embeddings equi-join is exchange-free (plans/bucketing)
+        from .plans import bucketing
+
+        sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+        buckets = int(args[args.index("--buckets") + 1]) if "--buckets" in args else 32
+        g, e = bucketing.cobucket_corpus(spark, sf_dir, buckets=buckets)
+        print(json.dumps({"games_bucketed": g.count(), "game_embeddings_bucketed": e.count(), "buckets": buckets}))
     elif cmd == "processGamesFromSearch":
         print(
             json.dumps(

@@ -261,6 +261,11 @@ def _registry() -> dict[str, Query]:
         streaming_events.sessionize_oracle(),
         ("streaming", "bench"),
     )
+    r["enriched_events"] = Query(
+        streaming_events.enriched_events,
+        streaming_events.enriched_events_oracle(),
+        ("streaming", "join"),
+    )
     return r
 
 QUERIES: dict[str, Query] = _registry()

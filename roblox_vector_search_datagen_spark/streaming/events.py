@@ -149,6 +149,49 @@ def stream_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_G
     )
 
 # ---------------------------------------------------------------------------
+# Stream-static dimension enrichment
+# ---------------------------------------------------------------------------
+
+def _dim_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User dimension: customer decorated with its nation name — the
+    small side of the enrichment join (dimension tables stay dimension-
+    sized while the fact stream grows without bound)."""
+    c = tables.load_table(spark, sf_dir, "customer")
+    n = tables.load_table(spark, sf_dir, "nation")
+    return c.join(
+        F.broadcast(n.select(F.col("n_nationkey").cast("int").alias("c_nationkey"), "n_name")),
+        "c_nationkey",
+    ).select(F.col("c_custkey").alias("user_id"), "c_mktsegment", F.col("n_name").alias("nation"))
+
+def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: every event decorated with its user's market segment
+    and nation — two broadcast hash joins, fact side never shuffles."""
+    e = tables.load_table(spark, sf_dir, "events")
+    return e.join(F.broadcast(_dim_users(spark, sf_dir)), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment", "nation"
+    )
+
+def enriched_events_oracle() -> str:
+    return """
+SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment, n.n_name AS nation
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: stream-static join — the canonical streaming
+    enrichment shape. The static dimension is planned as a broadcast
+    per microbatch (and re-resolved each batch, so a slowly-changing
+    dimension picks up updates without restarting the query); the
+    stream side needs no watermark because an inner stream-static join
+    keeps no stream state."""
+    raw = _events_stream(spark, sf_dir)
+    return raw.join(F.broadcast(_dim_users(spark, sf_dir)), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment", "nation"
+    )
+
+# ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 

@@ -266,6 +266,19 @@ def test_search_commands(corpus):
     out = cli.search_games(corpus, "alpha", limit=3)
     assert out.count() == 0  # 3-dim seed vectors vs 64-dim query -> P11 guard filters all
 
+def test_explain_query_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+    assert cli.main(["explainQuery", "count_games", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert cli.main(["explainQuery", "no_such_query"]) == 2
+
+def test_optimize_storage_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+    assert cli.main(["optimizeStorage", sf_dir, "--buckets", "4"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["buckets"] == 4 and res["games_bucketed"] > 0
+
 def test_process_games_from_search_composite(corpus):
     res = cli.process_games_from_search(
         corpus,

@@ -27,6 +27,19 @@ def test_stream_sessionize_matches_batch_sessions(spark, sf_dir):
     assert _collect_set(streamed, cols) == _collect_set(batch, cols)
     assert len(batch) > 0
 
+def test_stream_enriched_events_equals_batch(spark, sf_dir):
+    """Stream-static join twin: append-mode output over the static
+    directory equals the batch enrichment row-for-row."""
+    batch = S.enriched_events(spark, sf_dir).collect()
+    q = S.run_stream_to_memory(
+        S.stream_enriched_events(spark, sf_dir), "enriched", output_mode="append"
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM enriched").collect()
+    cols = ["event_id", "user_id", "event_type", "value", "c_mktsegment", "nation"]
+    assert _collect_set(streamed, cols) == _collect_set(batch, cols)
+    assert len(batch) > 0
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir):
     """applyInPandasWithState custom operator: the last update emitted
     per user equals the batch aggregate (float compared with tolerance —
