@@ -222,6 +222,77 @@ FROM train JOIN bench USING (shingle)
 GROUP BY doc_id
 """
 
+TOP_PER_GROUP_K = 5
+
+def top_quality_per_source(
+    spark: SparkSession, sf_dir: str, k: int = TOP_PER_GROUP_K
+) -> DataFrame:
+    """Per-group top-k selection: the k highest-quality documents of
+    each source (deterministic tie-break on doc_id) — the curation step
+    that picks exemplar documents per domain. Quality is the same
+    single-pass heuristic as textstats.text_quality, recomputed inline
+    so the operator is one scan + one rank window whose shuffle carries
+    only (source, doc_id, quality)."""
+    from . import textstats
+
+    q = textstats.text_quality(spark, sf_dir).select("doc_id", "quality")
+    d = tables.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        d.join(q, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", F.col("rank").cast("int").alias("rank"), "doc_id", "quality")
+    )
+
+def top_quality_per_source_oracle(k: int = TOP_PER_GROUP_K) -> str:
+    from . import textstats
+
+    quality = textstats.text_quality_oracle()
+    return f"""
+WITH q AS ({quality}),
+ranked AS (
+  SELECT d.source, q.doc_id, q.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality DESC, q.doc_id ASC) AS rank
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+)
+SELECT source, CAST(rank AS INT) AS rank, doc_id, quality FROM ranked WHERE rank <= {k}
+"""
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile aggregate over the documents table: row count,
+    null count, distinct count, min/max (stringified) for every column
+    — the data-quality report a pipeline snapshots per ingest batch.
+    One pass, one ungrouped aggregation; every per-column statistic is
+    map-side combined, so the exchange carries a single partial-agg row
+    per partition no matter the corpus size (distinct counts would be
+    approx_count_distinct sketches at 100 TB — exact here to stay
+    oracle-checkable)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in d.columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}_distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}_min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}_max"),
+        ]
+    return d.agg(*aggs)
+
+def corpus_profile_oracle() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    for c in cols:
+        parts += [
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_nulls",
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS {c}_distinct",
+            f"CAST(min({c}) AS VARCHAR) AS {c}_min",
+            f"CAST(max({c}) AS VARCHAR) AS {c}_max",
+        ]
+    sel = ",\n       ".join(parts)
+    return f"SELECT {sel}\nFROM documents"
+
 PACK_BUDGET_TOKENS = 256
 
 def pack_sequences(

@@ -219,6 +219,14 @@ def _registry() -> dict[str, Query]:
         textprep.pack_sequences_oracle(),
         ("text", "packing"),
     )
+    r["top_quality_per_source"] = Query(
+        lambda spark, sf: textprep.top_quality_per_source(spark, sf),
+        textprep.top_quality_per_source_oracle(),
+        ("text", "curation"),
+    )
+    r["corpus_profile"] = Query(
+        textprep.corpus_profile, textprep.corpus_profile_oracle(), ("text", "profiling")
+    )
 
     # --- event-time relational ops (as-of join, quantiles, sketches) ---
     r["asof_attribution"] = Query(
