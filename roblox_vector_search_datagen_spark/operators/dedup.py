@@ -136,6 +136,45 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
 
+def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard estimation for the LSH candidate pairs:
+    est = fraction of agreeing minhash components — the cheap verify
+    step between candidate generation and (expensive) exact Jaccard.
+    At 100 TB this closes the dedup funnel without re-reading text: the
+    K-int signatures join on the pair ids (both sides are the already-
+    aggregated signature table, ~1% of corpus bytes) and the estimate
+    is a codegen'd K-term sum per pair."""
+    sig = _minhash_signatures(spark, sf_dir)
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(H.MINHASH_K)])
+    b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(H.MINHASH_K)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(H.MINHASH_K)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(H.MINHASH_K)), 6).alias("jaccard_est"),
+        )
+    )
+
+def minhash_jaccard_estimates_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(H.MINHASH_K)
+    )
+    return f"""
+WITH sigs AS ({_minhash_signatures_sql()}),
+pairs AS ({lsh_candidate_pairs_oracle()})
+SELECT p.doc_a, p.doc_b,
+       round(({agree}) / {float(H.MINHASH_K)}, 6) AS jaccard_est
+FROM pairs p
+JOIN sigs a ON a.doc_id = p.doc_a
+JOIN sigs b ON b.doc_id = p.doc_b
+"""
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

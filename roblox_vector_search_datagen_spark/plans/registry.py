@@ -129,6 +129,11 @@ def _registry() -> dict[str, Query]:
     r["lsh_candidate_pairs"] = Query(
         dedup.lsh_candidate_pairs, dedup.lsh_candidate_pairs_oracle(), ("dedup", "bench")
     )
+    r["minhash_jaccard_estimates"] = Query(
+        dedup.minhash_jaccard_estimates,
+        dedup.minhash_jaccard_estimates_oracle(),
+        ("dedup",),
+    )
     r["simhash"] = Query(dedup.simhash, dedup.simhash_oracle(), ("dedup",))
     r["simhash_near_dups"] = Query(
         lambda spark, sf: dedup.simhash_near_dups(spark, sf),
