@@ -372,6 +372,39 @@ SELECT vec_id, approx_dist FROM adc
 ORDER BY approx_dist ASC NULLS LAST, vec_id LIMIT {k}
 """
 
+PQ_RERANK_FACTOR = 4
+
+def pq_rerank_topk(
+    spark: SparkSession, sf_dir: str, query_text: str = "vector similarity search", k: int = 20
+) -> DataFrame:
+    """Two-stage retrieval: PQ/ADC shortlists k×PQ_RERANK_FACTOR
+    candidates from the compressed codes, then ONLY those rows re-read
+    their raw vectors for an exact cosine re-rank — the standard
+    recall-repair pattern (IVFADC + refine). At 100 TB the raw-vector
+    scan collapses to a semi-join against an 80-row id list (a
+    broadcast probe / index lookup at cluster scale), so the expensive
+    float math touches 80 vectors instead of billions."""
+    qv = V.vector_lit(V.embed_query(query_text))
+    cands = pq_adc_topk(spark, sf_dir, query_text, k * PQ_RERANK_FACTOR).select("vec_id")
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    exact = e.join(F.broadcast(cands), "vec_id").select(
+        "vec_id", "label", F.round(V.cosine_expr(F.col("embedding"), qv), 6).alias("cosine")
+    )
+    return exact.orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id")).limit(k)
+
+def pq_rerank_topk_oracle(
+    query_text: str = "vector similarity search", k: int = 20
+) -> str:
+    qv = V.vector_sql_literal(V.embed_query(query_text))
+    cos = V.cosine_sql("e.embedding", f"{qv}")
+    cands = pq_adc_topk_oracle(query_text, k * PQ_RERANK_FACTOR)
+    return f"""
+WITH cands AS ({cands})
+SELECT e.vec_id, e.label, round({cos}, 6) AS cosine
+FROM embeddings e JOIN cands c ON c.vec_id = e.vec_id
+ORDER BY cosine DESC NULLS LAST, e.vec_id LIMIT {k}
+"""
+
 def ivf_centroid_update(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
     """IVF bulk build, update step (one Lloyd iteration): per-centroid
     element-wise mean of the assigned vectors, emitted flat as

@@ -187,6 +187,11 @@ def _registry() -> dict[str, Query]:
     r["pq_adc_topk"] = Query(
         lambda spark, sf: ann.pq_adc_topk(spark, sf), ann.pq_adc_topk_oracle(), ("vector",)
     )
+    r["pq_rerank_topk"] = Query(
+        lambda spark, sf: ann.pq_rerank_topk(spark, sf),
+        ann.pq_rerank_topk_oracle(),
+        ("vector",),
+    )
 
     # --- training-data pipeline: text analysis ---
     r["lang_id"] = Query(textstats.lang_id, textstats.lang_id_oracle(), ("text", "bench"))
