@@ -86,6 +86,41 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 # Per-group exact quantiles
 # ---------------------------------------------------------------------------
 
+def event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction + rollup: parse the events `props`
+    JSON column against an explicit schema (from_json — never schema
+    inference in the engine) and aggregate the extracted field per
+    event_type. The parse is a per-row projection fused into the scan
+    stage; the rollup is one map-side-combined aggregation, so the
+    shuffle carries |event_type| rows. At 100 TB the same pattern
+    handles wide telemetry payloads — parse once, project typed
+    columns, drop the raw string before anything shuffles."""
+    e = tables.load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("bigint").alias("null_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+def event_props_rollup_oracle() -> str:
+    return """
+WITH x AS (
+  SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k,
+       round(avg(k), 6) AS avg_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM x GROUP BY event_type
+"""
+
 def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p75 (linear interpolation), mean and count of
     `value` per event_type — the distribution profile a pipeline

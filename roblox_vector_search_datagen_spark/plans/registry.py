@@ -242,6 +242,9 @@ def _registry() -> dict[str, Query]:
     r["asof_attribution"] = Query(
         timeseries.asof_attribution, timeseries.asof_attribution_oracle(), ("events", "bench")
     )
+    r["event_props_rollup"] = Query(
+        timeseries.event_props_rollup, timeseries.event_props_rollup_oracle(), ("events", "json")
+    )
     r["event_value_quantiles"] = Query(
         timeseries.event_value_quantiles,
         timeseries.event_value_quantiles_oracle(),
