@@ -40,6 +40,22 @@ def test_stream_enriched_events_equals_batch(spark, sf_dir):
     assert _collect_set(streamed, cols) == _collect_set(batch, cols)
     assert len(batch) > 0
 
+def test_foreachbatch_parquet_sink_is_idempotent(spark, sf_dir, tmp_path):
+    """Exactly-once contract: draining the same bounded stream twice
+    (fresh checkpoint the second time, simulating a reprocess into the
+    same directory) yields the batch row count once, not twice —
+    batch-scoped overwrite makes replays self-replacing."""
+    from roblox_vector_search_datagen_spark.streaming import sinks
+
+    batch_n = S.enriched_events(spark, sf_dir).count()
+    out = str(tmp_path / "out")
+    for i in range(2):
+        q = sinks.stream_to_parquet_idempotent(
+            S.stream_enriched_events(spark, sf_dir), out, str(tmp_path / f"ckpt{i}")
+        )
+        q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == batch_n > 0
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir):
     """applyInPandasWithState custom operator: the last update emitted
     per user equals the batch aggregate (float compared with tolerance —
