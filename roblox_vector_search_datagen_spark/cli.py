@@ -375,6 +375,7 @@ COMMANDS = (
     # extended (beyond the reference's 13): engine introspection + layout
     "explainQuery",
     "optimizeStorage",
+    "buildVectorIndex",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -449,6 +450,29 @@ def main(argv: list[str] | None = None) -> int:
         buckets = int(args[args.index("--buckets") + 1]) if "--buckets" in args else 32
         g, e = bucketing.cobucket_corpus(spark, sf_dir, buckets=buckets)
         print(json.dumps({"games_bucketed": g.count(), "game_embeddings_bucketed": e.count(), "buckets": buckets}))
+    elif cmd == "buildVectorIndex":
+        # bulk index build: materialize the offline ANN artifacts (IVF
+        # assignments + one Lloyd-updated centroid set + PQ codes) as
+        # parquet — the batch job a 100 TB deployment schedules after
+        # each embedding refresh (usage: buildVectorIndex [sf_dir]
+        # [--out dir])
+        from .operators import ann
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        out = args[args.index("--out") + 1] if "--out" in args else os.path.join(
+            os.environ.get("RVSD_DATA_DIR", "data"), "vector_index"
+        )
+        counts = {}
+        for name, df in (
+            ("ivf_assignments", ann.ivf_assignments(spark, sf_dir)),
+            ("ivf_centroids", ann.ivf_centroid_update(spark, sf_dir)),
+            ("pq_codes", ann.pq_codes(spark, sf_dir)),
+        ):
+            df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+            counts[name] = spark.read.parquet(os.path.join(out, f"{name}.parquet")).count()
+        print(json.dumps({"out": out, **counts}))
     elif cmd == "processGamesFromSearch":
         print(
             json.dumps(

@@ -279,6 +279,17 @@ def test_optimize_storage_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["buckets"] == 4 and res["games_bucketed"] > 0
 
+def test_build_vector_index_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+    out = str(tmp_path / "idx")
+    assert cli.main(["buildVectorIndex", sf_dir, "--out", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert res["ivf_assignments"] == n_vec
+    assert res["pq_codes"] == n_vec * 8  # one row per (vector, subspace)
+    assert res["ivf_centroids"] > 0
+    assert spark.read.parquet(f"{out}/pq_codes.parquet").columns == ["vec_id", "m", "code", "dist"]
+
 def test_process_games_from_search_composite(corpus):
     res = cli.process_games_from_search(
         corpus,
