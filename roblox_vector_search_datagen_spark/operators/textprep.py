@@ -222,6 +222,41 @@ FROM train JOIN bench USING (shingle)
 GROUP BY doc_id
 """
 
+def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture accounting: documents and tokens per (source, lang) with
+    each cell's fraction of total tokens — the report a corpus build
+    publishes so the mixture actually trained on is auditable against
+    the target weights (stratified_sample's rates). One aggregation
+    whose output is |source|×|lang| rows; the grand total joins back as
+    a broadcast single row rather than an all-to-one window, so nothing
+    ever funnels through a single partition."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    toks = d.select("source", "lang", F.size(_words(F.col("text"))).alias("n_tokens"))
+    cells = toks.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    total = cells.agg(F.sum("n_tokens").alias("total_tokens"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("frac_tokens"),
+    )
+
+def mixture_report_oracle() -> str:
+    w = "string_split_regex(text, '\\s+')"
+    return f"""
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({w})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM cells), 6) AS frac_tokens
+FROM cells
+"""
+
 TOP_PER_GROUP_K = 5
 
 def top_quality_per_source(

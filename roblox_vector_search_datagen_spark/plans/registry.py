@@ -229,6 +229,9 @@ def _registry() -> dict[str, Query]:
         textprep.pack_sequences_oracle(),
         ("text", "packing"),
     )
+    r["mixture_report"] = Query(
+        textprep.mixture_report, textprep.mixture_report_oracle(), ("text", "profiling")
+    )
     r["top_quality_per_source"] = Query(
         lambda spark, sf: textprep.top_quality_per_source(spark, sf),
         textprep.top_quality_per_source_oracle(),
