@@ -121,6 +121,40 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
 FROM x GROUP BY event_type
 """
 
+def event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation: event counts and value sums at
+    (nation, event_type), per-nation subtotal, and grand-total levels in
+    ONE pass — the OLAP reporting shape (grouping-sets). grouping_id
+    disambiguates genuine NULL keys from subtotal rows. Spark computes
+    rollups by replicating map-side partial aggregates per grouping
+    set, so the exchange still carries only aggregated rows; the user
+    dimension joins broadcast before any aggregation."""
+    from ..streaming.events import _dim_users
+
+    e = tables.load_table(spark, sf_dir, "events")
+    enriched = e.join(F.broadcast(_dim_users(spark, sf_dir)), "user_id")
+    return (
+        enriched.rollup("nation", "event_type")
+        .agg(
+            F.grouping_id().cast("int").alias("level"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("nation", "event_type", "level", "n", "sum_value")
+    )
+
+def event_rollup_oracle() -> str:
+    return """
+SELECT n.n_name AS nation, e.event_type,
+       CAST(GROUPING(n.n_name) * 2 + GROUPING(e.event_type) AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(e.value) AS DOUBLE), 6) AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP(n.n_name, e.event_type)
+"""
+
 def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p75 (linear interpolation), mean and count of
     `value` per event_type — the distribution profile a pipeline

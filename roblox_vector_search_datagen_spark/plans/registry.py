@@ -245,6 +245,9 @@ def _registry() -> dict[str, Query]:
     r["asof_attribution"] = Query(
         timeseries.asof_attribution, timeseries.asof_attribution_oracle(), ("events", "bench")
     )
+    r["event_rollup"] = Query(
+        timeseries.event_rollup, timeseries.event_rollup_oracle(), ("events", "agg")
+    )
     r["event_props_rollup"] = Query(
         timeseries.event_props_rollup, timeseries.event_props_rollup_oracle(), ("events", "json")
     )
