@@ -121,6 +121,74 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
 FROM x GROUP BY event_type
 """
 
+INTERVAL_JOIN_MIN = 10
+
+def interval_click_counts(
+    spark: SparkSession, sf_dir: str, window_min: int = INTERVAL_JOIN_MIN
+) -> DataFrame:
+    """Bounded-interval join: for every purchase, the count of the same
+    user's clicks in the trailing `window_min` minutes (asof_attribution
+    keeps only the LAST click; this is the all-matches interval-join
+    class).
+
+    Scale shape: a naive (user_id, range) join degenerates to per-user
+    cross products. Because the interval is bounded, each purchase can
+    only match clicks in its own or the previous `window_min` time
+    bucket — so the purchase side explodes to exactly 2 bucket probes
+    and the join key becomes the fully-equi (user_id, bucket), hash-
+    partitionable like any other join; the exact range predicate then
+    filters the candidates. Join fan-out is bounded by bucket density,
+    never by user history length. Left semantics (zero-click purchases
+    kept) survive the explode because count() ignores the NULL probes."""
+    e = tables.load_table(spark, sf_dir, "events")
+    us = 60 * 1_000_000 * window_min
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        (F.unix_micros("ts") / us).cast("long").alias("bucket"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    probes = purchases.select(
+        "*",
+        F.explode(
+            F.array((F.col("p_us") / us).cast("long"), (F.col("p_us") / us).cast("long") - 1)
+        ).alias("bucket"),
+    )
+    p, c = probes.alias("p"), clicks.alias("c")
+    # the range predicate is part of the JOIN condition (not a post-
+    # filter) so a purchase whose bucket candidates all miss the window
+    # still emits its NULL row — left semantics survive
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.bucket") == F.col("c.bucket"))
+        & (F.col("c.click_us") <= F.col("p.p_us"))
+        & (F.col("c.click_us") > F.col("p.p_us") - us)
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy(F.col("p.purchase_id").alias("purchase_id"),
+                 F.col("p.user_id").alias("user_id"),
+                 F.col("p.purchase_ts").alias("purchase_ts"))
+        .agg(F.count("c.click_us").alias("n_clicks"))
+    )
+
+def interval_click_counts_oracle(window_min: int = INTERVAL_JOIN_MIN) -> str:
+    return f"""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       CAST(count(c.ts) AS BIGINT) AS n_clicks
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL {window_min} MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+"""
+
 def event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregation: event counts and value sums at
     (nation, event_type), per-nation subtotal, and grand-total levels in

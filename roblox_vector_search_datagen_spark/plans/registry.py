@@ -245,6 +245,11 @@ def _registry() -> dict[str, Query]:
     r["asof_attribution"] = Query(
         timeseries.asof_attribution, timeseries.asof_attribution_oracle(), ("events", "bench")
     )
+    r["interval_click_counts"] = Query(
+        lambda spark, sf: timeseries.interval_click_counts(spark, sf),
+        timeseries.interval_click_counts_oracle(),
+        ("events", "join"),
+    )
     r["event_rollup"] = Query(
         timeseries.event_rollup, timeseries.event_rollup_oracle(), ("events", "agg")
     )
