@@ -155,6 +155,39 @@ scored AS (
 SELECT vec_id, cent_id, cosine FROM scored WHERE rn = 1
 """
 
+GEN_DIM = 64
+
+def generate_vectors(spark: SparkSession, sf_dir: str, dim: int = GEN_DIM) -> DataFrame:
+    """DataFrame batch vector generation: the deterministic encoder
+    (functions/vector.py:embed_query — the S16 stub, reference
+    generateEmbeddings.ts:53-96) applied to the whole documents corpus
+    as a pure-Catalyst projection — md5-seeded uniform components, no
+    Python, no HTTP. At 100 TB this is the offline half of the
+    embedding pipeline: a scan-fused per-row expression with zero
+    shuffles whose output feeds the index builds directly (a real
+    model encoder slots in as the mapInPandas variant in sources/http.py
+    embed_texts; this operator pins the distributed plumbing + layout).
+    Emits (doc_id, embedding ARRAY<DOUBLE>[dim])."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    comp = lambda i: F.round(
+        F.conv(F.substring(F.md5(F.concat(F.col("text"), F.lit(":"), i)), 1, 8), 16, 10).cast(
+            "long"
+        )
+        / F.lit(4294967296.0)
+        - 0.5,
+        6,
+    )
+    emb = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: comp(i.cast("string")))
+    return d.select("doc_id", emb.alias("embedding"))
+
+def generate_vectors_oracle(dim: int = GEN_DIM) -> str:
+    h = "(('0x' || substring(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT)"
+    return f"""
+SELECT doc_id,
+       list_transform(range(0, {dim}), i -> round({h} / 4294967296.0 - 0.5, 6)) AS embedding
+FROM documents
+"""
+
 KNN_QUERIES = 5
 KNN_K = 10
 

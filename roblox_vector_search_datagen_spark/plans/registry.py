@@ -178,6 +178,11 @@ def _registry() -> dict[str, Query]:
     r["ann_ivf_topk"] = Query(
         lambda spark, sf: ann.ann_ivf_topk(spark, sf), ann.ann_ivf_topk_oracle(), ("vector",)
     )
+    r["generate_vectors"] = Query(
+        lambda spark, sf: ann.generate_vectors(spark, sf),
+        ann.generate_vectors_oracle(),
+        ("vector", "index-build"),
+    )
     r["knn_join"] = Query(
         lambda spark, sf: ann.knn_join(spark, sf), ann.knn_join_oracle(), ("vector", "bench")
     )

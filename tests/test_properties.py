@@ -58,6 +58,23 @@ def test_embed_query_deterministic_and_bounded():
     assert a != V.embed_query("world", 64)
     assert all(-0.5 <= x < 0.5 for x in a) and len(a) == 64
 
+def test_generate_vectors_matches_driver_encoder(spark, sf_dir):
+    """The distributed batch encoder (pure-Catalyst generate_vectors)
+    and the driver-side embed_query are the SAME function — online
+    query vectors and offline corpus vectors must come from one
+    encoder or every similarity score is meaningless."""
+    from roblox_vector_search_datagen_spark.operators.ann import generate_vectors
+    from roblox_vector_search_datagen_spark.sources.tables import load_table
+
+    row = (
+        generate_vectors(spark, sf_dir)
+        .join(load_table(spark, sf_dir, "documents"), "doc_id")
+        .orderBy("doc_id")
+        .select("embedding", "text")
+        .first()
+    )
+    assert row.embedding == V.embed_query(row.text, 64)
+
 # ---------------------------------------------------------------------------
 # merge semantics
 # ---------------------------------------------------------------------------
