@@ -180,12 +180,21 @@ def generate_vectors(spark: SparkSession, sf_dir: str, dim: int = GEN_DIM) -> Da
     emb = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: comp(i.cast("string")))
     return d.select("doc_id", emb.alias("embedding"))
 
+def generate_vectors_components(spark: SparkSession, sf_dir: str, dim: int = GEN_DIM) -> DataFrame:
+    """Driver-facing projection of generate_vectors: exploded
+    (doc_id, pos, component) rows. The array column itself is hostile to
+    the driver's canonicalizer (pandas sort_values over list cells), so
+    the correctness surface is the exploded form — same values, scalar
+    schema. Still pure-Catalyst: generate + project, zero shuffles."""
+    d = generate_vectors(spark, sf_dir, dim)
+    return d.select("doc_id", F.posexplode("embedding").alias("pos", "component"))
+
 def generate_vectors_oracle(dim: int = GEN_DIM) -> str:
     h = "(('0x' || substring(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT)"
     return f"""
-SELECT doc_id,
-       list_transform(range(0, {dim}), i -> round({h} / 4294967296.0 - 0.5, 6)) AS embedding
-FROM documents
+SELECT doc_id, CAST(i AS INT) AS pos,
+       round({h} / 4294967296.0 - 0.5, 6) AS component
+FROM documents CROSS JOIN range(0, {dim}) t(i)
 """
 
 KNN_QUERIES = 5

@@ -179,7 +179,7 @@ def _registry() -> dict[str, Query]:
         lambda spark, sf: ann.ann_ivf_topk(spark, sf), ann.ann_ivf_topk_oracle(), ("vector",)
     )
     r["generate_vectors"] = Query(
-        lambda spark, sf: ann.generate_vectors(spark, sf),
+        lambda spark, sf: ann.generate_vectors_components(spark, sf),
         ann.generate_vectors_oracle(),
         ("vector", "index-build"),
     )

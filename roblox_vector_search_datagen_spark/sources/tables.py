@@ -43,7 +43,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     events.ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it
     as long (legacy.parquet.nanosAsLong) and it is converted here with
     integer division (double division would lose low bits at 1e18 ns).
+
+    nanosAsLong is a *runtime* conf, set here rather than only at
+    session-build time (session.py) because callers — the driver
+    harness in particular — may hand in a SparkSession built without
+    it, and the vanilla parquet reader throws PARQUET_TYPE_ILLEGAL on
+    TIMESTAMP(NANOS) otherwise.
     """
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # locked-down conf: fall through and hope the session was built with it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
