@@ -23,6 +23,7 @@ Reference behaviors kept:
 from __future__ import annotations
 
 import json
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable
 
@@ -92,6 +93,10 @@ class ApiService:
         self.embed_base_url = embed_base_url or llm_base_url
         self.embed_model = embed_model
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        # corpus mutations rewrite parquet dirs with a stage-then-swap
+        # that has no internal locking — serialize the pipeline jobs so
+        # two concurrent POSTs can't interleave the swap and lose a table
+        self._mutation_lock = threading.Lock()
 
     # -- synchronous query endpoints ---------------------------------------
 
@@ -163,7 +168,8 @@ class ApiService:
         job_id = self.jobs.create_job(command)
 
         def run():
-            self.jobs.run_job(job_id, lambda: json.dumps(fn()))
+            with self._mutation_lock:
+                self.jobs.run_job(job_id, lambda: json.dumps(fn()))
 
         self._pool.submit(run)
         return {"jobId": job_id, "status": "pending"}

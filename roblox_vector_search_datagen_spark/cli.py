@@ -124,18 +124,26 @@ def download_descriptions(
     """downloadDescriptions.ts:12-79. Returned games take the fetched
     description ('' when the API sent blank/null — known-blank encoding)
     and playerCount; worklist ids the API did NOT return are marked ''
-    so they are never refetched (J3, downloadDescriptions.ts:64-76)."""
+    ONLY when their description was null to begin with (the reference
+    nulls only when needsDescription holds, downloadDescriptions.ts:
+    66-76) — a game in the worklist purely for a missing playerCount
+    keeps its real description (J3)."""
     g = corpus.games()
     wl = g.filter(F.col("description").isNull() | F.col("playerCount").isNull()).select("universeId")
     if wl.isEmpty():
         return 0
-    details = http.enrich_with_game_details(
-        wl, transport_factory, concurrency=concurrency, retry=retry
-    ).select(
-        "universeId",
-        F.coalesce(F.col("description"), F.lit("")).alias("n_desc"),
-        F.col("playing").alias("n_pc"),
-        F.lit(1).alias("_returned"),
+    # persist: the enrich lineage fires live HTTP calls; without it the
+    # count + write pair below would execute every fetch twice (and a
+    # nondeterministic endpoint could make the two runs disagree)
+    details = (
+        http.enrich_with_game_details(wl, transport_factory, concurrency=concurrency, retry=retry)
+        .select(
+            "universeId",
+            F.coalesce(F.col("description"), F.lit("")).alias("n_desc"),
+            F.col("playing").alias("n_pc"),
+            F.lit(1).alias("_returned"),
+        )
+        .persist()
     )
     wl_flag = wl.withColumn("_wl", F.lit(1))
     out = (
@@ -146,7 +154,7 @@ def download_descriptions(
             "rootPlaceId",
             "name",
             F.when(F.col("_returned").isNotNull(), F.col("n_desc"))
-            .when(F.col("_wl").isNotNull(), F.lit(""))
+            .when(F.col("_wl").isNotNull() & F.col("description").isNull(), F.lit(""))
             .otherwise(F.col("description"))
             .alias("description"),
             "gameplayDescription",
@@ -157,6 +165,7 @@ def download_descriptions(
     )
     n = out.filter(F.col("description").isNotNull()).count()
     corpus.write_games(out)
+    details.unpersist()
     return n
 
 def download_images(
@@ -176,11 +185,14 @@ def download_images(
     if wl.isEmpty():
         return 0
     fetched = http.download_images(wl, transport_factory, concurrency=concurrency, retry=retry)
+    # persist before the count + write pair: without it every image
+    # downloads twice (once per action over the mapInPandas lineage)
     fresh = fetched.join(
         corpus.images().select("universeId", "kind"), ["universeId", "kind"], "left_anti"
-    )
+    ).persist()
     n = fresh.count()
     corpus.write_images(fresh, mode="append")
+    fresh.unpersist()
     return n
 
 def generate_gameplay_descriptions(
@@ -208,9 +220,11 @@ def generate_gameplay_descriptions(
         "universeId", F.col("b64").alias("thumb_b64")
     )
     wl = wl.join(icon, "universeId", "left").join(thumb, "universeId", "left")
+    # persist: the LLM lineage is referenced by both the merge-write and
+    # the returned count — one generation pass, not two
     descs = http.generate_descriptions(
         wl, transport_factory, base_url=base_url, model=model, concurrency=concurrency, retry=retry
-    ).select("universeId", F.col("gameplayDescription").alias("n_gp"))
+    ).select("universeId", F.col("gameplayDescription").alias("n_gp")).persist()
     out = (
         g.join(descs, "universeId", "left")
         .select(
@@ -224,6 +238,7 @@ def generate_gameplay_descriptions(
     )
     n = descs.count()
     corpus.write_games(out)
+    descs.unpersist()
     return n
 
 def generate_embeddings(
@@ -246,11 +261,13 @@ def generate_embeddings(
     )
     if wl.isEmpty():
         return 0
+    # persist: one embedding-API pass feeds both the count and the sink
     vecs = http.embed_texts(
         wl, transport_factory, base_url=base_url, model=model, concurrency=concurrency, retry=retry
-    )
+    ).persist()
     n = vecs.count()
     corpus.write_embeddings(vecs, mode="append")
+    vecs.unpersist()
     return n
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,97 @@
+"""Thin HTTP transport over the ApiService handler registry — the
+Express-server analog (reference src/api.ts:7-64, port 3705). The
+engine's contract remains the handler surface in `api.py`; this module
+only does socket plumbing: route match (including `:param` segments),
+query-string decoding, JSON responses, and ApiError -> HTTP status.
+
+stdlib-only (ThreadingHTTPServer) so the mount exists everywhere the
+engine does; a production deployment can mount the same ENDPOINTS dict
+under any ASGI/WSGI framework instead.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .api import ApiError, ApiService
+
+DEFAULT_PORT = 3705  # reference src/api.ts:62
+
+def _match(template: str, path: str) -> dict[str, str] | None:
+    """Match '/similar-search/:universeId' against a concrete path,
+    returning captured params (the S18 route-pattern analog)."""
+    t_parts = template.strip("/").split("/")
+    p_parts = path.strip("/").split("/")
+    if len(t_parts) != len(p_parts):
+        return None
+    params: dict[str, str] = {}
+    for t, p in zip(t_parts, p_parts):
+        if t.startswith(":"):
+            params[t[1:]] = p
+        elif t != p:
+            return None
+    return params
+
+# route-param name -> handler kwarg name
+_PARAM_KWARGS = {"universeId": "universe_id", "id": "job_id"}
+# query params each handler accepts (everything else is ignored, like
+# Express's req.query destructuring)
+_QUERY_KWARGS = ("q", "limit", "offset")
+
+class _Handler(BaseHTTPRequestHandler):
+    service: ApiService  # set by serve()
+
+    def _dispatch(self, method: str) -> None:
+        url = urlparse(self.path)
+        if method == "GET" and url.path == "/openapi.json":
+            self._send(200, self.service.openapi_spec())
+            return
+        query = {k: v[0] for k, v in parse_qs(url.query).items()}
+        for (m, template), fn in self.service.endpoints.items():
+            if m != method:
+                continue
+            params = _match(template, url.path)
+            if params is None:
+                continue
+            kwargs: dict[str, object] = {
+                _PARAM_KWARGS.get(k, k): v for k, v in params.items()
+            }
+            kwargs.update({k: query[k] for k in _QUERY_KWARGS if k in query})
+            try:
+                self._send(200, fn(**kwargs))
+            except ApiError as e:
+                self._send(e.status, {"error": str(e)})
+            except (TypeError, ValueError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — 500 like src/api.ts:32-41
+                self._send(500, {"error": str(e)})
+            return
+        self._send(404, {"error": f"no route for {method} {url.path}"})
+
+    def _send(self, status: int, body: object) -> None:
+        data = json.dumps(body).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler API
+        self._dispatch("GET")
+
+    def do_POST(self) -> None:  # noqa: N802
+        self._dispatch("POST")
+
+    def log_message(self, *args) -> None:  # quiet by default
+        pass
+
+def serve(service: ApiService, port: int = DEFAULT_PORT, host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    """Bind and serve in a daemon thread; returns the server (call
+    .shutdown() to stop). Port 0 picks a free port (tests)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    server = ThreadingHTTPServer((host, port), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

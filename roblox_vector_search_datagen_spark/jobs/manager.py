@@ -55,9 +55,20 @@ class JobManager:
         self.spark = spark
         self.log_dir = log_dir
         self._clock = clock or (lambda: datetime.now(timezone.utc).replace(tzinfo=None))
-        self._seq = 0
+        # resume the sequence from the persisted log: a manager built
+        # over an existing log (process restart, second worker) must not
+        # append transitions with seq below rows already present, or
+        # current()'s keep-last would resolve to stale state
+        self._seq = self._load_seq()
 
     # -- log primitives ----------------------------------------------------
+
+    def _load_seq(self) -> int:
+        try:
+            mx = self._log().agg(F.max("seq")).collect()[0][0]
+            return int(mx) if mx is not None else 0
+        except Exception:  # PATH_NOT_FOUND: fresh log directory
+            return 0
 
     def _append(self, row: dict) -> None:
         self._seq += 1
@@ -70,8 +81,12 @@ class JobManager:
         return self.spark.read.schema(LOG_SCHEMA).parquet(self.log_dir)
 
     def current(self) -> DataFrame:
-        """Latest state per job (keep-last by seq — T2 window dedup)."""
-        w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+        """Latest state per job (keep-last by seq — T2 window dedup).
+        Ties on seq (two writers that resumed from the same log high-
+        water mark) break on the most recent transition timestamp, so a
+        completed/failed row beats a concurrent progress update."""
+        latest_ts = F.coalesce("completed_at", "started_at", "created_at")
+        w = Window.partitionBy("id").orderBy(F.col("seq").desc(), latest_ts.desc_nulls_last())
         return (
             self._log()
             .withColumn("_rn", F.row_number().over(w))
@@ -84,7 +99,7 @@ class JobManager:
         instead of O(transitions) when the log has grown."""
         snapshot = [r.asDict() for r in self.current().collect()]
         rows = [{**r, "seq": i + 1} for i, r in enumerate(snapshot)]
-        self._seq = len(rows)
+        self._seq = len(rows)  # compacted log renumbers from 1
         df = self.spark.createDataFrame(rows, LOG_SCHEMA)
         df.write.mode("overwrite").parquet(self.log_dir + "_compact")
         self.spark.read.schema(LOG_SCHEMA).parquet(self.log_dir + "_compact").write.mode(

@@ -180,21 +180,42 @@ def generate_vectors(spark: SparkSession, sf_dir: str, dim: int = GEN_DIM) -> Da
     emb = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: comp(i.cast("string")))
     return d.select("doc_id", emb.alias("embedding"))
 
-def generate_vectors_components(spark: SparkSession, sf_dir: str, dim: int = GEN_DIM) -> DataFrame:
-    """Driver-facing projection of generate_vectors: exploded
-    (doc_id, pos, component) rows. The array column itself is hostile to
-    the driver's canonicalizer (pandas sort_values over list cells), so
-    the correctness surface is the exploded form — same values, scalar
-    schema. Still pure-Catalyst: generate + project, zero shuffles."""
+def generate_vectors_summary(spark: SparkSession, sf_dir: str, dim: int = GEN_DIM) -> DataFrame:
+    """Driver-facing projection of generate_vectors: one row per doc
+    with (dim, norm2, pos_dot). The raw array column is hostile to the
+    driver's canonicalizer (pandas sort over list cells) and exploding
+    to (doc_id, pos, component) made the bench collect dim× more rows —
+    so the correctness surface is a per-doc checksum pair instead:
+    norm2 = Σ c_i², pos_dot = Σ i·c_i. Every component enters both sums
+    (a changed value or position shifts at least one), both engines
+    accumulate in identical element order over pre-rounded components,
+    and the output stays |documents| rows. Pure-Catalyst, zero
+    shuffles, same plan shape as the array producer."""
     d = generate_vectors(spark, sf_dir, dim)
-    return d.select("doc_id", F.posexplode("embedding").alias("pos", "component"))
+    emb = F.col("embedding")
+    norm2 = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    pos_dot = F.aggregate(
+        F.transform(emb, lambda x, i: x * i.cast("double")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        F.size(emb).alias("dim"),
+        F.round(norm2, 6).alias("norm2"),
+        F.round(pos_dot, 6).alias("pos_dot"),
+    )
 
 def generate_vectors_oracle(dim: int = GEN_DIM) -> str:
     h = "(('0x' || substring(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT)"
     return f"""
-SELECT doc_id, CAST(i AS INT) AS pos,
-       round({h} / 4294967296.0 - 0.5, 6) AS component
-FROM documents CROSS JOIN range(0, {dim}) t(i)
+WITH v AS (
+  SELECT doc_id,
+         list_transform(range(0, {dim}), i -> round({h} / 4294967296.0 - 0.5, 6)) AS emb
+  FROM documents
+)
+SELECT doc_id, CAST(len(emb) AS INT) AS dim,
+       round(list_dot_product(emb, emb), 6) AS norm2,
+       round(list_dot_product(emb, list_transform(range(0, {dim}), i -> CAST(i AS DOUBLE))), 6) AS pos_dot
+FROM v
 """
 
 KNN_QUERIES = 5

@@ -91,13 +91,18 @@ def _band_sig(prefix: str, band: int):
     cols = [f"{prefix}mh{band * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)]
     return cols
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs: docs sharing at least one LSH band.
     The bands are unpivoted to (doc_id, band, sig) and self-joined on
     the band signature — the shuffle key is the bucket id, so cluster
     layout co-locates each bucket and the pair space never materializes
-    beyond actual collisions."""
-    sig = _minhash_signatures(spark, sf_dir)
+    beyond actual collisions.
+
+    `sig` lets callers pass an already-computed (ideally persisted)
+    signature DataFrame so multi-stage pipelines (candidate gen +
+    signature verify) compute signatures once."""
+    if sig is None:
+        sig = _minhash_signatures(spark, sf_dir)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -143,9 +148,14 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this closes the dedup funnel without re-reading text: the
     K-int signatures join on the pair ids (both sides are the already-
     aggregated signature table, ~1% of corpus bytes) and the estimate
-    is a codegen'd K-term sum per pair."""
-    sig = _minhash_signatures(spark, sf_dir)
-    pairs = lsh_candidate_pairs(spark, sf_dir)
+    is a codegen'd K-term sum per pair.
+
+    The signature subtree is referenced three times (candidate-gen left
+    and right sides, plus the verify joins); it is persisted so the
+    shingle explode + K-min aggregation runs once, not three times —
+    signatures are ~1% of corpus bytes, safely cacheable at scale."""
+    sig = _minhash_signatures(spark, sf_dir).persist()
+    pairs = lsh_candidate_pairs(spark, sf_dir, sig=sig)
     a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(H.MINHASH_K)])
     b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(H.MINHASH_K)])
     agree = sum(
@@ -270,48 +280,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+NGRAM_DF_CAP = 500
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
     """Word-3-gram Jaccard similarity >= threshold via an inverted
-    index grouped into buckets: postings (doc_id, n_sh, shingle-hash)
-    are computed in ONE pass (per-doc shingle counts ride along with the
-    explode, so union sizes need no extra join), grouped by hash, and
-    candidate pairs are generated inside each bucket with higher-order
-    array functions. Compared to the classic posting self-join this
-    halves the shingling work (one document scan instead of two input
-    branches) and drops one posting-sized shuffle; measured ~30% faster
-    at sf0.1. Bucket keys are 8-byte hashes, not ~30-byte shingle
-    strings — key width dominates shuffle volume at scale (collisions
-    are symmetric with the oracle, which hashes identically). A skewed
-    super-frequent shingle would make one bucket quadratic; production
-    pipelines cap posting-list length (stopword shingles carry no
-    Jaccard signal) — not done here to keep oracle semantics exact."""
-    d = tables.load_table(spark, sf_dir, "documents")
-    arr = d.select("doc_id", H.word_shingles_expr(F.col("text")).alias("arr"))
-    sh = arr.select(
-        "doc_id", F.size("arr").alias("n_sh"), F.explode("arr").alias("shingle")
-    ).select("doc_id", "n_sh", H.h32_expr(F.col("shingle")).alias("sh_h"))
-    buckets = (
-        sh.groupBy("sh_h")
-        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
-        .filter(F.size("docs") >= 2)
+    index grouped into buckets: postings (doc_id, shingle-hash) are
+    computed in ONE pass, grouped by hash, and candidate pairs are
+    generated inside each bucket with higher-order array functions.
+    Compared to the classic posting self-join this halves the shingling
+    work (one document scan instead of two input branches) and drops
+    one posting-sized shuffle. Bucket keys are 8-byte hashes, not
+    ~30-byte shingle strings — key width dominates shuffle volume at
+    scale (collisions are symmetric with the oracle, which hashes
+    identically).
+
+    Posting lists are CAPPED at df_cap documents: a super-frequent
+    (stopword-like) shingle would otherwise make its bucket quadratic —
+    the one skew cliff an inverted-index join has at 100 TB. Dropped
+    shingles carry almost no Jaccard signal (they appear in "everyone",
+    so they discriminate nothing); the semantics become "Jaccard over
+    shingles with document frequency <= df_cap", applied symmetrically
+    to intersection AND union (per-doc shingle counts are recomputed
+    over retained postings only), and mirrored exactly in the oracle.
+    `ngram_dropped_shingles` reports how many buckets the cap dropped.
+    """
+    buckets_all = _ngram_buckets(spark, sf_dir)
+    buckets = buckets_all.filter(F.size("docs") <= df_cap).persist()
+    # union sizes over the SAME capped shingle universe as the
+    # intersection — one extra count agg, still bounded by df_cap
+    n_sh = (
+        buckets.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    pair_buckets = buckets.filter(F.size("docs") >= 2)
     n = F.size(F.col("docs"))
 
     def ordered_pair(x, y):
         return (
-            F.when(
-                x["doc_id"] < y["doc_id"],
-                F.struct(
-                    x["doc_id"].alias("doc_a"), x["n_sh"].alias("na"),
-                    y["doc_id"].alias("doc_b"), y["n_sh"].alias("nb"),
-                ),
-            ).when(
-                x["doc_id"] > y["doc_id"],
-                F.struct(
-                    y["doc_id"].alias("doc_a"), y["n_sh"].alias("na"),
-                    x["doc_id"].alias("doc_b"), x["n_sh"].alias("nb"),
-                ),
-            )
+            F.when(x < y, F.struct(x.alias("doc_a"), y.alias("doc_b")))
+            .when(x > y, F.struct(y.alias("doc_a"), x.alias("doc_b")))
             # equal doc_ids (same doc twice in a bucket via hash
             # collision) yield NULL and are filtered — the join
             # formulation's a.doc < b.doc drops them the same way
@@ -327,13 +337,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3
         )
     )
     inter = (
-        buckets.select(F.explode(pairs_arr).alias("p"))
-        .select("p.doc_a", "p.na", "p.doc_b", "p.nb")
+        pair_buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"), F.first("na").alias("na"), F.first("nb").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.withColumn(
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
             "jaccard",
             F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
         )
@@ -341,24 +355,67 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3
         .select("doc_a", "doc_b", "jaccard")
     )
 
-def ngram_jaccard_pairs_oracle(threshold: float = 0.3) -> str:
+def _ngram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: (shingle-hash, list of doc_ids containing it)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(H.word_shingles_expr(F.col("text"))).alias("shingle")
+    ).select("doc_id", H.h32_expr(F.col("shingle")).alias("sh_h"))
+    return sh.groupBy("sh_h").agg(F.collect_list("doc_id").alias("docs"))
+
+def ngram_dropped_shingles(
+    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    """Observability for the df_cap: how many distinct shingle buckets
+    the cap drops, and the widest posting list seen. At healthy caps
+    this is a tiny fraction of buckets; a large fraction means the cap
+    is eating real signal and should be raised."""
+    b = _ngram_buckets(spark, sf_dir).select(F.size("docs").alias("df"))
+    return b.agg(
+        F.sum(F.when(F.col("df") > df_cap, 1).otherwise(0)).alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("df").alias("max_df"),
+    )
+
+def ngram_dropped_shingles_oracle(df_cap: int = NGRAM_DF_CAP) -> str:
     shingles = H.word_shingles_sql("text")
     h = H.h32_sql("shingle")
     return f"""
 WITH sh AS (
-  SELECT doc_id, n_sh, {h} AS sh_h
-  FROM (SELECT doc_id, len({shingles}) AS n_sh, unnest({shingles}) AS shingle FROM documents)
+  SELECT doc_id, {h} AS sh_h
+  FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
 ),
+b AS (SELECT sh_h, count(*) AS df FROM sh GROUP BY 1)
+SELECT CAST(sum(CASE WHEN df > {df_cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(df) AS BIGINT) AS max_df
+FROM b
+"""
+
+def ngram_jaccard_pairs_oracle(threshold: float = 0.3, df_cap: int = NGRAM_DF_CAP) -> str:
+    shingles = H.word_shingles_sql("text")
+    h = H.h32_sql("shingle")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {h} AS sh_h
+  FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
+),
+dfreq AS (SELECT sh_h, count(*) AS df FROM sh GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.sh_h FROM sh s JOIN dfreq USING (sh_h) WHERE dfreq.df <= {df_cap}
+),
+n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
-         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
-  FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b,
-       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-FROM inter
-WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {threshold}
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter), 6) AS jaccard
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+JOIN n nb ON nb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter), 6) >= {threshold}
 """
 
 # ---------------------------------------------------------------------------
@@ -366,10 +423,16 @@ WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {threshold}
 # ---------------------------------------------------------------------------
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.35) -> DataFrame:
-    """Vector near-duplicates: cosine >= threshold, blocked by `label`
-    (at scale the block key is an LSH/IVF bucket; the join shape is
-    identical). Threshold 0.35 reflects the fixtures' random-gaussian
-    embeddings (max pairwise cosine ~0.48).
+    """Vector near-duplicates: cosine >= threshold, blocked by `label`.
+
+    This is the EXACT baseline twin: `label` has single-digit
+    cardinality, so each block is all-pairs — O(n^2/blocks) work that
+    does NOT survive 100 TB. The production path is
+    `embedding_lsh_near_dups`, which blocks on sign-LSH buckets whose
+    count grows with the data; this variant exists to validate it (same
+    output columns, exact recall) and for small/medium corpora where
+    exact pairs are affordable. Threshold 0.35 reflects the fixtures'
+    random-gaussian embeddings (max pairwise cosine ~0.48).
 
     Norms are precomputed per vector BEFORE the pair join, so each of
     the O(pairs) rows pays one dot product instead of three — at n

@@ -47,7 +47,15 @@ def vector_search_df(
     games_df: DataFrame, emb_df: DataFrame, query_vec: list[float], limit: int = 10
 ) -> DataFrame:
     """DataFrame-level core of semantic search — shared by the fixture
-    registry query and the corpus CLI/API surface."""
+    registry query and the corpus CLI/API surface.
+
+    Deliberate deviation: similarity is rounded to 6dp BEFORE top-k
+    ranking (the reference sorts unrounded and rounds after slicing,
+    vectorSearch.get.ts:189-198). Rounding first quantizes float noise
+    so Spark and the DuckDB oracle — whose summation orders differ in
+    the last bits — agree on near-tie ordering, with universeId as the
+    deterministic tie-break. At 6dp the rank inversion window is ~1e-6,
+    far below embedding noise."""
     limit = max(1, min(100, limit))  # clamp, vectorSearch.get.ts:84-90
     qv = V.vector_lit(query_vec)
     scored = (
@@ -284,6 +292,26 @@ def list_games_oracle(limit: int | None = 50) -> str:
     lim = f" LIMIT {limit}" if limit else ""
     return tables.with_domain_views(
         f"SELECT universeId, name, rootPlaceId FROM games ORDER BY name, universeId{lim}"
+    )
+
+def list_games_unicode(spark: SparkSession, sf_dir: str, limit: int = 50) -> DataFrame:
+    """ICU locale-aware listing — closes the localeCompare deviation
+    (games.get.ts:63-66). Spark's `collate(name, 'UNICODE')` (ICU root
+    collation, Spark >= 4.0) produces the same total order as DuckDB's
+    ICU `en_us` collation — verified on a mixed case/accent/ß/CJK
+    sample and by the driver oracle at sf0.01. universeId breaks exact
+    ties so the LIMIT cut is deterministic in both engines. The binary-
+    collation `list_games` remains the bench/default path (collated
+    sorts pay an ICU key-build per row)."""
+    return list_games_unicode_df(tables.games(spark, sf_dir), limit)
+
+def list_games_unicode_df(games_df: DataFrame, limit: int = 50) -> DataFrame:
+    g = games_df.select("universeId", "name", "rootPlaceId")
+    return g.orderBy(F.expr("collate(name, 'UNICODE')"), "universeId").limit(limit)
+
+def list_games_unicode_oracle(limit: int = 50) -> str:
+    return tables.with_domain_views(
+        f'SELECT universeId, name, rootPlaceId FROM games ORDER BY name COLLATE "en_us", universeId LIMIT {limit}'
     )
 
 def count_games_df(games_df: DataFrame) -> DataFrame:
