@@ -1,0 +1,121 @@
+"""Driver-faithful correctness simulation.
+
+Replays what the round harness does, with the properties that broke
+round 1 deliberately reproduced:
+
+* a VANILLA SparkSession (no repo confs — in particular no
+  spark.sql.legacy.parquet.nanosAsLong at build time);
+* pandas-based canonicalization: toPandas() -> sort columns by name ->
+  sort_values over ALL columns (this is what raised `unhashable type:
+  'list'` on raw array columns in round 1).
+
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+Prints one JSON line per query and a summary; exit 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+
+from roblox_vector_search_datagen_spark.sources.tables import TPCH_TABLES  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _round_floats(df: pd.DataFrame) -> pd.DataFrame:
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df
+
+
+def main() -> int:
+    from __spark_entry__ import oracle_sql, queries
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = queries()
+    oracles = oracle_sql()
+    only = set(sys.argv[2:])
+    failures = []
+    for name, builder in qs.items():
+        if only and name not in only:
+            continue
+        row = {"q": name}
+        try:
+            sdf = builder(spark, SF_DIR)
+            spdf = _canon(sdf.toPandas())
+            row["spark_rows"] = len(spdf)
+            if name in oracles:
+                odf = _canon(con.execute(oracles[name]).df())
+                row["oracle_rows"] = len(odf)
+                row["rows_match"] = len(spdf) == len(odf)
+                row["schema_match"] = [c.lower() for c in spdf.columns] == [
+                    c.lower() for c in odf.columns
+                ]
+                if row["rows_match"] and row["schema_match"]:
+                    a, b = _round_floats(spdf.copy()), _round_floats(odf.copy())
+                    b.columns = a.columns
+                    # tz-naive both sides
+                    for c in a.columns:
+                        for d in (a, b):
+                            if str(d[c].dtype).startswith("datetime64[ns,"):
+                                d[c] = d[c].dt.tz_localize(None)
+                            if str(d[c].dtype).startswith("datetime64"):
+                                d[c] = d[c].astype("datetime64[us]")
+                    try:
+                        pd.testing.assert_frame_equal(
+                            a, b, check_dtype=False, check_exact=False, rtol=1e-5, atol=1e-8
+                        )
+                        row["hash_match"] = True
+                    except AssertionError as e:
+                        row["hash_match"] = False
+                        row["err"] = str(e).split("\n")[0][:300]
+                ok = row.get("hash_match", False)
+            else:
+                ok = True  # rows-only check
+                row["rows_only"] = True
+        except Exception:
+            row["err"] = traceback.format_exc().splitlines()[-1][:300]
+            ok = False
+        if not ok:
+            failures.append(name)
+        print(json.dumps(row), flush=True)
+
+    print(
+        json.dumps({"total": len(qs if not only else only), "failures": failures}),
+        flush=True,
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
