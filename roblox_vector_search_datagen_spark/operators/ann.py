@@ -501,3 +501,122 @@ dims AS (
 SELECT cent_id, CAST(pos AS INT) AS pos, round(avg(v), 6) AS mean_v
 FROM dims GROUP BY cent_id, pos
 """
+
+# ---------------------------------------------------------------------------
+# Index-quality evaluation: recall@k of the IVF path vs exact
+# ---------------------------------------------------------------------------
+
+def ann_recall_at_k(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "vector similarity search",
+    k: int = 20,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of `ann_ivf_topk` against the exact brute-force top-k —
+    the metric that decides nprobe/nlist before an approximate index is
+    trusted in production. Both rankings are narrow (vec_id, cosine)
+    top-k plans (TakeOrderedAndProject — k rows per partition to the
+    driver, no global sort); the overlap join touches 2k rows. Emits a
+    single row (k, n_overlap, recall)."""
+    qv = V.vector_lit(V.embed_query(query_text))
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id", F.round(V.cosine_expr(F.col("embedding"), qv), 6).alias("cosine")
+    )
+    exact = scored.orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id")).limit(k).select("vec_id")
+    approx = ann_ivf_topk(spark, sf_dir, query_text, k, nprobe).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
+    )
+
+def ann_recall_at_k_oracle(
+    query_text: str = "vector similarity search", k: int = 20, nprobe: int = 2
+) -> str:
+    qv = V.vector_sql_literal(V.embed_query(query_text))
+    cos = V.cosine_sql("embedding", f"{qv}")
+    ivf = ann_ivf_topk_oracle(query_text, k, nprobe)
+    return f"""
+WITH exact AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY round({cos}, 6) DESC NULLS LAST, vec_id LIMIT {k}
+),
+approx AS (SELECT vec_id FROM ({ivf}) t)
+SELECT CAST({k} AS INT) AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / {float(k)}, 6) AS recall
+FROM exact JOIN approx USING (vec_id)
+"""
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) — the storage-compression half of ANN
+# ---------------------------------------------------------------------------
+
+def sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max scalar quantization of the embedding
+    column to 8-bit codes, verified by per-vector checksums: code_sum
+    and code_pos_dot pin every code (value and position), mae is the
+    mean absolute reconstruction error — the quality number that
+    decides int8-vs-float16 storage. Emits (vec_id, n_dims, code_sum,
+    code_pos_dot, mae).
+
+    Scale shape: one posexplode streams each vector's components past
+    the broadcast per-dimension stats (a dim-row aggregate — 64 rows
+    here, still tiny at 4096 dims), and one per-vector aggregation
+    rebuilds the checksums; shuffle cardinality is |vectors|, the
+    explode never hits an exchange. Arithmetic is double on both
+    engines (float32 components are widened before any subtraction) so
+    the rounded codes match the oracle bit-for-bit."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    stats = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    coded = (
+        ex.join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            "x",
+            "mn",
+            "mx",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.round((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0, 0),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("int")
+            .alias("code"),
+        )
+    )
+    recon = F.col("mn") + F.col("code").cast("double") / 255.0 * (F.col("mx") - F.col("mn"))
+    return coded.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+        F.sum("code").alias("code_sum"),
+        F.sum(F.col("code") * F.col("pos")).alias("code_pos_dot"),
+        F.round(F.avg(F.abs(F.col("x") - recon)), 6).alias("mae"),
+    )
+
+def sq_quantize_oracle() -> str:
+    return """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+coded AS (
+  SELECT ex.vec_id, ex.pos, ex.x, st.mn, st.mx,
+         CAST(CASE WHEN st.mx > st.mn
+                   THEN round((ex.x - st.mn) / (st.mx - st.mn) * 255.0, 0)
+                   ELSE 0.0 END AS INT) AS code
+  FROM ex JOIN st USING (pos)
+)
+SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * pos) AS BIGINT) AS code_pos_dot,
+       round(avg(abs(x - (mn + code / 255.0 * (mx - mn)))), 6) AS mae
+FROM coded GROUP BY vec_id
+"""

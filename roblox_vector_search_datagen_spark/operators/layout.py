@@ -1,0 +1,120 @@
+"""Data-layout and shuffle-planning diagnostics: the operators an
+engineer runs BEFORE picking partition keys at 100 TB.
+
+* `skew_profile` measures key concentration for the join/groupBy keys
+  the pipeline actually shuffles on — the number that decides whether a
+  key needs salting or AQE skew splitting. One aggregation per profiled
+  column, top-N per column via a tiny window over the already-aggregated
+  key counts (|distinct keys| rows, not |input|).
+* `events_zorder` computes a Morton (Z-order) interleave key over two
+  query dimensions — the multi-dimensional clustering layout: range-
+  partitioning/sorting files by zcode co-locates rows close in BOTH
+  dimensions, so either-dimension range predicates prune files. The
+  interleave is a pure bitwise Catalyst expression (16 shift/mask terms
+  OR-ed) — scan-fused, zero shuffles, and identical integer semantics
+  in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import tables
+
+SKEW_TOP_N = 10
+
+def skew_profile(spark: SparkSession, sf_dir: str, top_n: int = SKEW_TOP_N) -> DataFrame:
+    """Top-N heaviest keys and their share of rows for the pipeline's
+    hot shuffle keys (documents.source, events.user_id, events
+    event_type). Emits (key_col, rank, key, n, share)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    e = tables.load_table(spark, sf_dir, "events")
+    profiled = [
+        d.select(F.lit("documents.source").alias("key_col"), F.col("source").cast("string").alias("key")),
+        e.select(F.lit("events.user_id").alias("key_col"), F.col("user_id").cast("string").alias("key")),
+        e.select(F.lit("events.event_type").alias("key_col"), F.col("event_type").cast("string").alias("key")),
+    ]
+    keyed = profiled[0]
+    for p in profiled[1:]:
+        keyed = keyed.unionByName(p)
+    counts = keyed.groupBy("key_col", "key").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("key_col").agg(F.sum("n").alias("total"))
+    w = Window.partitionBy("key_col").orderBy(F.desc("n"), F.asc("key"))
+    return (
+        counts.join(totals, "key_col")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "key_col",
+            F.col("rank").cast("int").alias("rank"),
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+def skew_profile_oracle(top_n: int = SKEW_TOP_N) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT 'documents.source' AS key_col, CAST(source AS VARCHAR) AS key FROM documents
+  UNION ALL
+  SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'events.event_type', CAST(event_type AS VARCHAR) FROM events
+),
+counts AS (SELECT key_col, key, count(*) AS n FROM keyed GROUP BY 1, 2),
+totals AS (SELECT key_col, sum(n) AS total FROM counts GROUP BY 1),
+ranked AS (
+  SELECT c.key_col, c.key, c.n, t.total,
+         row_number() OVER (PARTITION BY c.key_col ORDER BY c.n DESC, c.key ASC) AS rank
+  FROM counts c JOIN totals t USING (key_col)
+)
+SELECT key_col, CAST(rank AS INT) AS rank, key, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / total, 6) AS share
+FROM ranked WHERE rank <= {top_n}
+"""
+
+ZORDER_BITS = 16
+
+def _morton_expr(a: F.Column, b: F.Column, bits: int = ZORDER_BITS) -> F.Column:
+    """Interleave the low `bits` of a (even positions) and b (odd
+    positions) into one long: the Z-order curve index."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+def events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (user_id, value-bucket) for the events
+    table. Writing files range-partitioned by zcode makes BOTH
+    per-user scans and value-range scans prune files — the layout a
+    single-dimension partitioning can't give. Emits
+    (event_id, dim_a, dim_b, zcode)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    a = (F.col("user_id") % 65536).cast("long")
+    b = F.abs(F.floor(F.col("value"))).cast("long") % 65536
+    return e.select("event_id", a.alias("dim_a"), b.alias("dim_b")).select(
+        "*", _morton_expr(F.col("dim_a"), F.col("dim_b")).alias("zcode")
+    )
+
+def events_zorder_oracle(bits: int = ZORDER_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((dim_a >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((dim_b >> {i}) & 1) << {2 * i + 1})")
+    interleave = " | ".join(terms)
+    return f"""
+WITH dims AS (
+  SELECT event_id,
+         CAST(user_id % 65536 AS BIGINT) AS dim_a,
+         CAST(abs(floor(value)) AS BIGINT) % 65536 AS dim_b
+  FROM events
+)
+SELECT event_id, dim_a, dim_b, CAST({interleave} AS BIGINT) AS zcode
+FROM dims
+"""

@@ -92,7 +92,7 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-def media_features(spark: SparkSession, sf_dir: str, batch_hint: int = 1024) -> DataFrame:
+def media_feature_arrays(spark: SparkSession, sf_dir: str, batch_hint: int = 1024) -> DataFrame:
     """Feature extraction over binary media: one Arrow batch in, one
     out, numpy/pure-python inside — the decode stage of a multimodal
     training pipeline. Partition-parallel; no shuffle at all."""
@@ -119,6 +119,40 @@ def media_features(spark: SparkSession, sf_dir: str, batch_hint: int = 1024) -> 
             )
 
     return m.mapInPandas(run, FEATURES_SCHEMA)
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing feature table: the mapInPandas decode stage above,
+    posexploded to one scalar row per feature component — raw
+    ARRAY<DOUBLE> output is hostile to the driver's row canonicalizer
+    (pandas sort_values can't order list cells), and the exploded shape
+    is also what a feature store ingests. The explode is a narrow
+    projection on top of the Arrow stage: still zero shuffles."""
+    arrays = media_feature_arrays(spark, sf_dir)
+    return arrays.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "feature"),
+    ).select("doc_id", "media_type", "n_bytes", F.col("pos").cast("int").alias("pos"), "feature")
+
+def media_features_oracle() -> str:
+    """The stub decode is deterministic (md5 of the utf-8 blob), so the
+    whole mapInPandas stage is oracle-checkable: DuckDB re-derives each
+    feature byte from the hex digest. Python round() is banker's but
+    dig/255 can never tie at 6 decimals (255*10^6/2 is not an integer
+    multiple), so round-half modes agree."""
+    return """
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         md5(text) AS h,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT doc_id, media_type, CAST(n_bytes AS INT) AS n_bytes, CAST(i AS INT) AS pos,
+       round(CAST(('0x' || substr(h, CAST(i AS INT) * 2 + 1, 2))::INT AS DOUBLE) / 255.0, 6) AS feature
+FROM m, (SELECT unnest(range(4)) AS i)
+"""
 
 def frame_sample_plan(spark: SparkSession, sf_dir: str, every_ms: int = 5000) -> DataFrame:
     """Video frame-sampling plan: explode each video into the frame

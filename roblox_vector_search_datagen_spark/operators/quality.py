@@ -1,0 +1,242 @@
+"""Corpus-quality operators for the LLM-training-data pipeline: PII
+scrubbing, corpus-LM scoring (self-perplexity), and a composed
+Gopher-style quality filter.
+
+The reference has no data-quality surface at all (its corpus is a few
+thousand curated games — SURVEY.md §2.7 stops at scoring functions);
+these operators are pure 100 TB pipeline capability. All three are
+single-scan Catalyst pipelines:
+
+* `pii_scrub` is a per-row projection (regexp_count/regexp_replace) —
+  fused into the scan, embarrassingly parallel, zero shuffles.
+* `unigram_logprob` is the two-pass self-LM shape: one word-count
+  aggregation builds the unigram table, one join streams tokens past
+  it. The token->vocab join explodes nothing (each token matches
+  exactly one vocab row) and is hash-partitioned on the word; stopword
+  skew is exactly the skew AQE's skew-join splitting handles, and at
+  100 TB the vocab (Zipf: ~10^7 rows) alternatively broadcasts with an
+  OOV floor.
+* `quality_filter` is per-row higher-order array math over the token
+  list — scan-fused, no shuffle; the rule thresholds come from the
+  distribution profiles (`text_quality`, `event_value_quantiles`)
+  computed by the ops alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..sources import tables
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Java-regex and RE2 (DuckDB) compatible by construction: no lookarounds,
+# no backrefs, \b and character classes only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+def _pii_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture text is synthetic word soup with no PII, so the
+    operator's input is the corpus deterministically decorated with
+    derived PII tokens (emails / phone numbers / IPv4 hosts by
+    doc_id % 4) — the same construction the DuckDB oracle performs, so
+    the scrub is exercised on rows that actually contain matches."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    m4 = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    suffix = (
+        F.when(m4 == 0, F.concat(F.lit(" contact user"), did, F.lit("@mail.example.com")))
+        .when(
+            m4 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                ((F.col("doc_id") * 3) % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return d.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+
+_PII_DECORATED_SQL = """
+SELECT doc_id,
+       text || CASE
+         WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                  || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+         WHEN doc_id % 4 = 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                  || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+         ELSE ''
+       END AS text
+FROM documents
+"""
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails, IPv4 addresses and phone numbers in one
+    per-row projection. Replacement order (email, ip, phone) is part of
+    the operator contract and mirrored in the oracle. Emits
+    (doc_id, n_emails, n_ips, n_phones, clean_text)."""
+    d = _pii_decorated(spark, sf_dir)
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("int").alias("n_ips"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+def pii_scrub_oracle() -> str:
+    return f"""
+WITH d AS ({_PII_DECORATED_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM d
+"""
+
+# ---------------------------------------------------------------------------
+# Corpus-LM scoring (self-perplexity)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability of every document under the
+    corpus's own unigram LM — the model-free stand-in for the
+    perplexity-bucket quality signal (CCNet-style): word-soup outliers
+    score low, typical documents score high. Emits
+    (doc_id, n_tokens, avg_logprob)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias("word"),
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias("avg_logprob"),
+        )
+    )
+
+def unigram_logprob_oracle() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+v AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM v)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(v.cnt / (SELECT total FROM tot))), 6) AS avg_logprob
+FROM t JOIN v USING (word)
+GROUP BY t.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Composed quality filter (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+QF_MIN_WORDS = 50
+QF_MAX_WORDS = 100_000
+QF_MIN_MEAN_WLEN = 3.0
+QF_MAX_MEAN_WLEN = 10.0
+QF_MIN_ALPHA_RATIO = 0.8
+QF_MIN_STOP_HITS = 2
+QF_STOPWORDS = ("the", "and", "of", "to", "a", "in")
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composed document filter: word-count bounds, mean
+    word length, alphabetic-word ratio, and stopword presence, each as
+    an explicit rule flag plus the conjunction. The flags (not just the
+    verdict) are emitted because a pipeline tunes thresholds from the
+    per-rule rejection rates. Emits (doc_id, n_words, mean_word_len,
+    alpha_ratio, stop_hits, r_nwords, r_wlen, r_alpha, r_stop, keep)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in QF_STOPWORDS])
+
+    def from_words(w):
+        n = F.size(w)
+        nd = n.cast("double")
+        mean_wlen = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / nd
+        alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / nd
+        stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+        r_nwords = (n >= QF_MIN_WORDS) & (n <= QF_MAX_WORDS)
+        r_wlen = (mean_wlen >= QF_MIN_MEAN_WLEN) & (mean_wlen <= QF_MAX_MEAN_WLEN)
+        r_alpha = alpha >= QF_MIN_ALPHA_RATIO
+        r_stop = stop_hits >= QF_MIN_STOP_HITS
+        return F.struct(
+            n.alias("n_words"),
+            F.round(mean_wlen, 6).alias("mean_word_len"),
+            F.round(alpha, 6).alias("alpha_ratio"),
+            stop_hits.alias("stop_hits"),
+            r_nwords.alias("r_nwords"),
+            r_wlen.alias("r_wlen"),
+            r_alpha.alias("r_alpha"),
+            r_stop.alias("r_stop"),
+            (r_nwords & r_wlen & r_alpha & r_stop).alias("keep"),
+        )
+
+    s = H.let_expr(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""), from_words
+    )
+    return d.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+
+def quality_filter_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in QF_STOPWORDS)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS INT) AS n_words,
+         CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mean_word_len,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(words) AS alpha_ratio,
+         CAST(len(list_filter(words, x -> list_contains([{stop_list}], x))) AS INT) AS stop_hits
+  FROM w
+)
+SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+       round(alpha_ratio, 6) AS alpha_ratio, stop_hits,
+       (n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS}) AS r_nwords,
+       (mean_word_len >= {QF_MIN_MEAN_WLEN} AND mean_word_len <= {QF_MAX_MEAN_WLEN}) AS r_wlen,
+       (alpha_ratio >= {QF_MIN_ALPHA_RATIO}) AS r_alpha,
+       (stop_hits >= {QF_MIN_STOP_HITS}) AS r_stop,
+       (n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS}
+        AND mean_word_len >= {QF_MIN_MEAN_WLEN} AND mean_word_len <= {QF_MAX_MEAN_WLEN}
+        AND alpha_ratio >= {QF_MIN_ALPHA_RATIO} AND stop_hits >= {QF_MIN_STOP_HITS}) AS keep
+FROM m
+"""

@@ -386,3 +386,95 @@ SELECT doc_id, split, CAST(shard AS INT) AS shard, CAST(n_tokens AS INT) AS n_to
        CAST(prev % {budget} AS INT) AS seq_offset
 FROM c
 """
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus selection (the composed pipeline)
+# ---------------------------------------------------------------------------
+
+CONTAM_MIN_SHINGLES = 12
+
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed selection pipeline a corpus build actually ships:
+    language-ID -> quality rules -> exact-dup canonicalization ->
+    benchmark decontamination -> split assignment, with every stage's
+    verdict kept as an auditable flag column (the selection funnel is a
+    report, not a black box). Emits one row per document:
+    (doc_id, predicted_lang, split, pass_lang, pass_quality,
+    is_canonical, contaminated, selected).
+
+    Scale shape: the stages are the already-individually-verified
+    operators (`lang_id`, `quality_filter`, `dedup_exact`'s digest
+    grouping, `decontaminate`, `dataset_splits`) composed by equi-joins
+    on doc_id — every join key is the same, so all joins hash-partition
+    on one key; the per-row stages cost no shuffle at all and the
+    decontamination side keeps its broadcast. Flags, not filters,
+    between stages: a single pass yields both the selected corpus
+    (filter on `selected`) and the per-stage rejection accounting."""
+    from .quality import quality_filter
+    from .textstats import dataset_splits, lang_id
+
+    li = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    qf = quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("pass_quality"))
+    d = tables.load_table(spark, sf_dir, "documents")
+    canon = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5(F.trim(F.lower("text")))))
+        ).alias("is_canonical"),
+    )
+    dec = decontaminate(spark, sf_dir)
+    sp = dataset_splits(spark, sf_dir).select("doc_id", "split")
+    contaminated = (F.col("split") == "train") & (
+        F.coalesce(F.col("n_shared_shingles"), F.lit(0)) >= CONTAM_MIN_SHINGLES
+    )
+    pass_lang = F.col("predicted_lang") != "und"
+    return (
+        li.join(qf, "doc_id")
+        .join(canon, "doc_id")
+        .join(dec, "doc_id", "left")
+        .join(sp, "doc_id")
+        .select(
+            "doc_id",
+            "predicted_lang",
+            "split",
+            pass_lang.alias("pass_lang"),
+            "pass_quality",
+            "is_canonical",
+            contaminated.alias("contaminated"),
+            (
+                pass_lang
+                & F.col("pass_quality")
+                & F.col("is_canonical")
+                & ~contaminated
+            ).alias("selected"),
+        )
+    )
+
+def training_corpus_oracle() -> str:
+    from .quality import quality_filter_oracle
+    from .textstats import dataset_splits_oracle, lang_id_oracle
+
+    return f"""
+WITH li AS (SELECT doc_id, predicted_lang FROM ({lang_id_oracle()}) t),
+qf AS (SELECT doc_id, keep AS pass_quality FROM ({quality_filter_oracle()}) t),
+canon AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS is_canonical
+  FROM documents
+),
+dec AS (SELECT * FROM ({decontaminate_oracle()}) t),
+sp AS (SELECT doc_id, split FROM ({dataset_splits_oracle()}) t)
+SELECT li.doc_id, li.predicted_lang, sp.split,
+       li.predicted_lang <> 'und' AS pass_lang,
+       qf.pass_quality,
+       canon.is_canonical,
+       (sp.split = 'train' AND coalesce(dec.n_shared_shingles, 0) >= {CONTAM_MIN_SHINGLES}) AS contaminated,
+       (li.predicted_lang <> 'und' AND qf.pass_quality AND canon.is_canonical
+        AND NOT (sp.split = 'train' AND coalesce(dec.n_shared_shingles, 0) >= {CONTAM_MIN_SHINGLES})) AS selected
+FROM li
+JOIN qf USING (doc_id)
+JOIN canon USING (doc_id)
+LEFT JOIN dec USING (doc_id)
+JOIN sp USING (doc_id)
+"""

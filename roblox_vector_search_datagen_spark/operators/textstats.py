@@ -276,3 +276,92 @@ SELECT doc_id,
        list_min(list_transform({shingles}, s -> {h})) AS min_shingle_hash
 FROM documents
 """
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (corpus-statistics text relevance)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("fast", "data", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 top-k retrieval over the documents corpus — the
+    statistics-grounded text-relevance operator (the reference ranks
+    text matches by positional heuristics only, search.get.ts:64-101;
+    BM25 is what that becomes once corpus statistics exist).
+
+    Plan shape mirrors `top_terms`: ONE tokenize pass feeds both the
+    per-doc length table and the query-term tf table (the query filter
+    prunes the tf aggregation to |Q| terms per doc before any shuffle);
+    document frequency and the (n_docs, avgdl) scalars derive from
+    those aggregates, not a re-scan. Ranking is on the unrounded score
+    (rounding only in the final projection) with doc_id tie-break, and
+    the top-k is TakeOrderedAndProject — no global sort. Emits
+    (doc_id, n_terms, bm25)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        tokens.filter(F.array_contains(qterms, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.sum(idf * norm).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_terms", F.round("score", 6).alias("bm25"))
+    )
+
+def bm25_search_oracle(terms: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOPK) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN ({term_list}) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, CAST(count(*) AS INT) AS n_terms,
+         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * ({BM25_K1} + 1.0)
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms, round(score, 6) AS bm25
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_us
 from ..sources import tables
 
 # ---------------------------------------------------------------------------
@@ -68,7 +69,7 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         "click_ts",
         F.round(
-            (F.unix_micros("ts") - F.unix_micros("click_ts")) / F.lit(1_000_000.0), 6
+            (epoch_us("ts") - epoch_us("click_ts")) / F.lit(1_000_000.0), 6
         ).alias("latency_sec"),
     )
 
@@ -144,14 +145,14 @@ def interval_click_counts(
     us = 60 * 1_000_000 * window_min
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id",
-        F.unix_micros("ts").alias("click_us"),
-        (F.unix_micros("ts") / us).cast("long").alias("bucket"),
+        epoch_us("ts").alias("click_us"),
+        (epoch_us("ts") / us).cast("long").alias("bucket"),
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("purchase_ts"),
-        F.unix_micros("ts").alias("p_us"),
+        epoch_us("ts").alias("p_us"),
     )
     probes = purchases.select(
         "*",
@@ -245,6 +246,103 @@ SELECT event_type,
        round(avg(value), 6) AS mean_value,
        count(*) AS n
 FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Funnel + cohort retention (classic event analytics over the same table)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: a user
+    reaches stage N when they have an event of stage N's type at-or-
+    after their stage N-1 entry time. Emits (stage, event_type, users).
+
+    Scale shape: each stage is one filtered scan aggregated to one row
+    per user (map-side combined), then an equi-join on user_id against
+    the previous stage's (user_id, entry_ts) — all three joins hash-
+    partition on the same key, so AQE coalesces them onto one exchange
+    lineage; nothing is ever ordered globally and no per-user history
+    is materialized (contrast the window formulation, which would sort
+    every user's full event list)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    stage_dfs = []
+    prev = None
+    for i, et in enumerate(FUNNEL_STAGES, start=1):
+        cur = e.filter(F.col("event_type") == et).select("user_id", "ts")
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("ts") >= F.col("entry_ts"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("entry_ts"))
+        stage_dfs.append(
+            cur.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(et).alias("event_type"),
+                F.col("users"),
+            )
+        )
+        prev = cur
+    out = stage_dfs[0]
+    for s in stage_dfs[1:]:
+        out = out.unionByName(s)
+    return out
+
+def funnel_counts_oracle() -> str:
+    return """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS entry_ts FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS entry_ts
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.entry_ts GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS entry_ts
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.entry_ts GROUP BY 1
+)
+SELECT CAST(1 AS INT) AS stage, 'signup' AS event_type, CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+"""
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, and
+    for each (cohort_day, day_offset) the count of distinct cohort
+    members active that many days later. Emits (cohort_day STRING
+    yyyy-MM-dd, day_offset INT, users).
+
+    Two aggregations on user_id (first-seen, then activity) and one
+    equi-join between them — the join is on the aggregation key, so
+    both sides are already hash-partitioned on user_id and the
+    retention rollup's (cohort, offset) key space is tiny. cohort_day
+    is emitted as a formatted string: DATE columns round-trip
+    differently through Arrow/pandas on the two engines and the driver
+    compares rendered values."""
+    e = tables.load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = e.select("user_id", "ts").join(first, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            F.date_format(F.col("first_ts"), "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.to_date("first_ts")).cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+
+def user_retention_oracle() -> str:
+    return """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+SELECT strftime(f.first_ts, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) AS INT) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+FROM events e JOIN f ON f.user_id = e.user_id
+GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------

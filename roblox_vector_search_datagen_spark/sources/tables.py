@@ -40,15 +40,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Column pruning + predicate pushdown reach the scan
     because downstream operators select/filter declaratively.
 
-    events.ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it
-    as long (legacy.parquet.nanosAsLong) and it is converted here with
-    integer division (double division would lose low bits at 1e18 ns).
+    events.ts is normalized to TIMESTAMP_NTZ whatever the fixture's
+    physical encoding happens to be in a given round:
 
-    nanosAsLong is a *runtime* conf, set here rather than only at
-    session-build time (session.py) because callers — the driver
-    harness in particular — may hand in a SparkSession built without
-    it, and the vanilla parquet reader throws PARQUET_TYPE_ILLEGAL on
-    TIMESTAMP(NANOS) otherwise.
+    * timestamp[us] (current fixtures) reads as NTZ natively — no-op;
+    * TIMESTAMP(NANOS) (earlier fixtures) needs
+      spark.sql.legacy.parquet.nanosAsLong (a *runtime* conf, set here
+      rather than only at session-build time because the driver harness
+      hands in a SparkSession built without it) and then an integer-
+      division nanos->micros conversion (double division would lose low
+      bits at 1e18 ns);
+    * a TIMESTAMP (LTZ) reading is re-rendered as NTZ.
+
+    Downstream epoch arithmetic goes through functions.timeutil.epoch_us
+    so the NTZ wall-clock is always interpreted as UTC — matching the
+    DuckDB oracles' epoch_us over the same naive timestamps. The two
+    legacy branches use session-timezone casts; they only ever run under
+    the repo session (session.py pins UTC).
     """
     if name == "events":
         try:
@@ -56,8 +64,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass  # locked-down conf: fall through and hope the session was built with it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 # ---------------------------------------------------------------------------

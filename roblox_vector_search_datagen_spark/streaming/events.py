@@ -17,14 +17,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_us
 from ..sources import tables
 
 SESSION_GAP_MIN = 30
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the fixture directory (the file source
-    needs a directory; the glob narrows it to the events table). The
-    nanos->micros ts conversion mirrors sources.tables.load_table."""
+    needs a directory; the glob narrows it to the events table).
+
+    Unlike the batch loader (which normalizes ts to TIMESTAMP_NTZ),
+    the stream carries ts as TIMESTAMP (LTZ): Spark's event-time
+    watermark is only defined on LTZ. The NTZ->LTZ cast reads the
+    session timezone; streaming runs only under the repo session
+    (session.py pins UTC), so the wall-clock is preserved and the
+    `_ntz` helper below restores the batch twins' NTZ rendering on
+    output timestamps for comparison."""
     batch = tables.load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -32,10 +40,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    assert stream.schema == batch.schema
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    assert [f.name for f in stream.schema] == [f.name for f in batch.schema]
     return stream
+
+def _ntz(col) -> F.Column:
+    """Render a streaming LTZ timestamp back as TIMESTAMP_NTZ so the
+    streaming twins' output schema matches the batch twins (UTC session
+    makes the cast wall-clock-preserving)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ntz")
 
 # ---------------------------------------------------------------------------
 # Tumbling-window aggregation
@@ -74,7 +92,7 @@ def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .select(_ntz("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
@@ -101,7 +119,7 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond arithmetic, and >= so a gap of exactly gap_min starts a
     # new session — matching session_window's exclusive [start, last+gap)
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     new_sess = F.when(gap.isNull() | (gap >= gap_min * 60 * 1_000_000), 1).otherwise(0)
     sess = e.withColumn("sess_seq", F.sum(new_sess).over(w))
     return sess.groupBy("user_id", "sess_seq").agg(
@@ -142,7 +160,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_G
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
+            _ntz("w.start").alias("session_start"),
             "n_events",
             "sum_value",
         )
@@ -232,4 +250,52 @@ def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType="n BIGINT, total DOUBLE",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (watermarked)
+# ---------------------------------------------------------------------------
+
+def stream_interval_click_purchases(
+    spark: SparkSession, sf_dir: str, window_min: int = 10
+) -> DataFrame:
+    """Streaming twin of operators.timeseries.interval_click_counts's
+    join core: purchases joined to the same user's clicks in the
+    trailing `window_min` minutes, as a watermarked STREAM-STREAM inner
+    join — the only streaming join class not covered by the
+    stream-static enrichment above. Both sides carry a watermark and
+    the join condition bounds click_ts to a closed interval behind
+    purchase_ts, so Spark can size the state store and evict rows
+    older than the slack — unbounded state otherwise.
+
+    Emits one row per (purchase, matching click); the batch comparison
+    aggregates both sides to per-purchase counts (inner semantics:
+    zero-click purchases are absent — the batch twin keeps them via its
+    left join, so the test filters those)."""
+    raw = _events_stream(spark, sf_dir)
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr(f"INTERVAL {window_min} MINUTES"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_id", "click_ts"
     )

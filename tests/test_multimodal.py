@@ -10,7 +10,7 @@ import duckdb
 from roblox_vector_search_datagen_spark.operators import multimodal as M
 
 def test_media_features_matches_independent_computation(spark, sf_dir):
-    out = {r.doc_id: r for r in M.media_features(spark, sf_dir).collect()}
+    out = {r.doc_id: r for r in M.media_feature_arrays(spark, sf_dir).collect()}
     docs = duckdb.sql(f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
     assert len(out) == len(docs)
     for doc_id, text in docs[:50]:

@@ -123,3 +123,31 @@ def test_cobucketed_join_is_exchange_free(spark, sf_dir):
     assert "SortMergeJoin" in p
     assert "Exchange" not in p
     assert "Bucketed: true" in p
+
+def test_quality_ops_are_pure_catalyst_and_shuffle_free(spark, sf_dir):
+    """pii_scrub and quality_filter are per-row projections: no Python
+    eval nodes and no exchange anywhere in the plan."""
+    from roblox_vector_search_datagen_spark.operators import quality
+
+    for df in (quality.pii_scrub(spark, sf_dir), quality.quality_filter(spark, sf_dir)):
+        p = plan_of(df)
+        assert "EvalPython" not in p and "MapInPandas" not in p
+        assert "Exchange" not in p
+
+def test_sq_quantize_broadcasts_dimension_stats(spark, sf_dir):
+    """The per-dimension min/max table (dim rows) must broadcast to the
+    exploded components — a sort-merge there would shuffle |vectors|*dim
+    rows twice."""
+    from roblox_vector_search_datagen_spark.operators import ann
+
+    p = plan_of(ann.sq_quantize(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+def test_unigram_logprob_broadcasts_total_only(spark, sf_dir):
+    """The scalar total broadcasts (nested-loop on 1 row is fine); the
+    token->vocab join may be a hash shuffle but never a cartesian."""
+    from roblox_vector_search_datagen_spark.operators import quality
+
+    p = plan_of(quality.unigram_logprob(spark, sf_dir))
+    assert "CartesianProduct" not in p

@@ -1,0 +1,58 @@
+"""Behavioral tests for the corpus-quality, retrieval and layout
+operators (oracle parity is covered by test_oracle.py; these pin the
+semantics the oracles can't see — redaction contracts, ranking
+monotonicity, the Morton bit layout)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from roblox_vector_search_datagen_spark.operators import layout, quality, textstats
+
+def test_pii_scrub_redacts_every_injected_token(spark, sf_dir):
+    out = quality.pii_scrub(spark, sf_dir)
+    # every decorated class is counted and its clean text carries the tag
+    emails = out.filter(F.col("doc_id") % 4 == 0)
+    assert emails.filter((F.col("n_emails") >= 1) & F.col("clean_text").contains("<EMAIL>")).count() == emails.count()
+    ips = out.filter(F.col("doc_id") % 4 == 2)
+    assert ips.filter((F.col("n_ips") >= 1) & F.col("clean_text").contains("<IP>")).count() == ips.count()
+    phones = out.filter(F.col("doc_id") % 4 == 1)
+    assert phones.filter((F.col("n_phones") >= 1) & F.col("clean_text").contains("<PHONE>")).count() == phones.count()
+    # nothing PII-shaped survives scrubbing
+    assert out.filter(F.col("clean_text").rlike(quality.EMAIL_RE)).count() == 0
+    assert out.filter(F.col("clean_text").rlike(quality.PHONE_RE)).count() == 0
+
+def test_unigram_logprob_rare_words_score_lower(spark, sf_dir):
+    """A document's mean logprob is <= 0 always, and n_tokens matches
+    the tokenizer used by token-counting ops."""
+    out = quality.unigram_logprob(spark, sf_dir)
+    assert out.filter(F.col("avg_logprob") > 0).count() == 0
+    assert out.filter(F.col("n_tokens") <= 0).count() == 0
+
+def test_quality_filter_keep_is_conjunction(spark, sf_dir):
+    out = quality.quality_filter(spark, sf_dir)
+    bad = out.filter(
+        F.col("keep")
+        != (F.col("r_nwords") & F.col("r_wlen") & F.col("r_alpha") & F.col("r_stop"))
+    )
+    assert bad.count() == 0
+
+def test_bm25_scores_descend_and_match_terms(spark, sf_dir):
+    rows = textstats.bm25_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= textstats.BM25_TOPK
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms <= len(textstats.BM25_QUERY) for r in rows)
+
+def test_morton_interleave_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (65535, 65535)], "a long, b long"
+    ).select(layout._morton_expr(F.col("a"), F.col("b")).alias("z"))
+    assert [r.z for r in df.collect()] == [1, 2, 15, 4294967295]
+
+def test_skew_profile_shares_sum_to_at_most_one(spark, sf_dir):
+    out = layout.skew_profile(spark, sf_dir)
+    sums = out.groupBy("key_col").agg(F.sum("share").alias("s")).collect()
+    assert len(sums) == 3
+    for r in sums:
+        assert r.s <= 1.000001

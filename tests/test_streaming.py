@@ -77,3 +77,29 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
         s = latest[uid]
         assert s.n_events == b.n_events, uid
         assert abs(s.sum_value - b.sum_value) < 1e-6, uid
+
+def test_stream_stream_interval_join_matches_batch_counts(spark, sf_dir):
+    """Watermarked stream-stream join == the batch interval join's
+    per-purchase counts (restricted to purchases with >=1 click, the
+    inner-join subset)."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import timeseries
+
+    batch = {
+        (r.purchase_id, r.n_clicks)
+        for r in timeseries.interval_click_counts(spark, sf_dir).collect()
+        if r.n_clicks > 0
+    }
+    q = S.run_stream_to_memory(
+        S.stream_interval_click_purchases(spark, sf_dir), "ss_join", output_mode="append"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.purchase_id, r.n)
+        for r in spark.sql(
+            "SELECT purchase_id, count(*) AS n FROM ss_join GROUP BY purchase_id"
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
