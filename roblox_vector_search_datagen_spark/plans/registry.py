@@ -27,6 +27,7 @@ from ..operators import (
     timeseries,
 )
 from ..streaming import events as streaming_events
+from ..streaming import ingest as streaming_ingest
 
 @dataclass
 class Query:
@@ -152,6 +153,13 @@ def _registry() -> dict[str, Query]:
         ("ann",),
     )
     r["sq_quantize"] = Query(ann.sq_quantize, ann.sq_quantize_oracle(), ("ann", "bench"))
+
+    # --- streaming ingestion dedup (batch twin; stream twin in streaming/ingest.py) ---
+    r["ingest_dedup"] = Query(
+        streaming_ingest.ingest_dedup,
+        streaming_ingest.ingest_dedup_oracle(),
+        ("dedup", "streaming"),
+    )
 
     # --- end-to-end corpus selection pipeline ---
     r["training_corpus"] = Query(
@@ -370,6 +378,7 @@ def _registry() -> dict[str, Query]:
 # to the front so a capped (or time-boxed) harness reaches them this
 # round; every query is self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
+    "ingest_dedup",
     "training_corpus",
     "bm25_search",
     "skew_profile",

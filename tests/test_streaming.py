@@ -103,3 +103,18 @@ def test_stream_stream_interval_join_matches_batch_counts(spark, sf_dir):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+def test_stream_ingest_dedup_matches_batch(spark, sf_dir):
+    """Stream-static anti-join dedup-at-ingest == batch twin."""
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {(r.doc_id, r.digest) for r in ingest.ingest_dedup(spark, sf_dir).collect()}
+    q = S.run_stream_to_memory(
+        ingest.stream_ingest_dedup(spark, sf_dir), "ingest_dedup", output_mode="append"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.doc_id, r.digest) for r in spark.sql("SELECT * FROM ingest_dedup").collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
