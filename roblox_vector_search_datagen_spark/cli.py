@@ -393,6 +393,7 @@ COMMANDS = (
     "explainQuery",
     "optimizeStorage",
     "buildVectorIndex",
+    "selectCorpus",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -490,6 +491,33 @@ def main(argv: list[str] | None = None) -> int:
             df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
             counts[name] = spark.read.parquet(os.path.join(out, f"{name}.parquet")).count()
         print(json.dumps({"out": out, **counts}))
+    elif cmd == "selectCorpus":
+        # run the composed training-corpus selection pipeline, write the
+        # per-document audit table, and print the per-stage funnel — the
+        # batch job that publishes a training corpus cut (usage:
+        # selectCorpus [sf_dir] [--out dir])
+        from pyspark.sql import functions as F
+
+        from .operators import textprep
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        out = args[args.index("--out") + 1] if "--out" in args else os.path.join(
+            os.environ.get("RVSD_DATA_DIR", "data"), "training_corpus"
+        )
+        tc = textprep.training_corpus(spark, sf_dir)
+        tc.write.mode("overwrite").parquet(out)
+        tc = spark.read.parquet(out)  # count stages off the written artifact
+        funnel = tc.agg(
+            F.count(F.lit(1)).alias("documents"),
+            F.sum(F.col("pass_lang").cast("int")).alias("pass_lang"),
+            F.sum(F.col("pass_quality").cast("int")).alias("pass_quality"),
+            F.sum(F.col("is_canonical").cast("int")).alias("is_canonical"),
+            F.sum(F.col("contaminated").cast("int")).alias("contaminated"),
+            F.sum(F.col("selected").cast("int")).alias("selected"),
+        ).collect()[0]
+        print(json.dumps({"out": out, **{k: int(v) for k, v in funnel.asDict().items()}}))
     elif cmd == "processGamesFromSearch":
         print(
             json.dumps(

@@ -297,25 +297,34 @@ def bm25_search(
     text matches by positional heuristics only, search.get.ts:64-101;
     BM25 is what that becomes once corpus statistics exist).
 
-    Plan shape mirrors `top_terms`: ONE tokenize pass feeds both the
-    per-doc length table and the query-term tf table (the query filter
-    prunes the tf aggregation to |Q| terms per doc before any shuffle);
-    document frequency and the (n_docs, avgdl) scalars derive from
-    those aggregates, not a re-scan. Ranking is on the unrounded score
-    (rounding only in the final projection) with doc_id tie-break, and
-    the top-k is TakeOrderedAndProject — no global sort. Emits
+    Plan shape (the distributed BM25 shape, asserted in
+    tests/test_plans.py): document length is a PER-ROW projection
+    (size of the token array — no explode, no shuffle), carried through
+    the posting explode so the one real shuffle aggregates only the
+    query-pruned postings (|docs matching Q| × |Q| rows, not the full
+    inverted index); the (n_docs, avgdl) corpus scalars are a
+    shuffle-free scalar aggregate of a second narrow scan, and document
+    frequencies (|Q| rows) + scalars broadcast into the scoring join.
+    Two corpus scans total, nothing corpus-sized ever exchanges.
+    Ranking is on the unrounded score (rounding only in the final
+    projection) with doc_id tie-break, and the top-k is
+    TakeOrderedAndProject — no global sort. Emits
     (doc_id, n_terms, bm25)."""
     d = tables.load_table(spark, sf_dir, "documents")
-    tokens = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
-    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    dl_expr = F.size(F.split(F.lower("text"), r"\s+"))
     qterms = F.array(*[F.lit(t) for t in terms])
+    tokens = d.select(
+        "doc_id",
+        dl_expr.alias("dl"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+    )
     tf = (
         tokens.filter(F.array_contains(qterms, F.col("term")))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(dl_expr).alias("avgdl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -326,8 +335,7 @@ def bm25_search(
         + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        tf.join(dfreq, "term")
-        .join(dl, "doc_id")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(

@@ -307,3 +307,15 @@ def test_process_games_from_search_composite(corpus):
     assert games[200]["gameplayDescription"].startswith("**Gameplay Summary**")
     emb_ids = {r["universeId"] for r in corpus.embeddings().collect()}
     assert 200 in emb_ids
+
+def test_select_corpus_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+    out = str(tmp_path / "tc")
+    assert cli.main(["selectCorpus", sf_dir, "--out", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert res["documents"] == n_docs
+    assert 0 < res["selected"] <= n_docs
+    assert res["selected"] <= res["pass_quality"]
+    tc = spark.read.parquet(out)
+    assert tc.filter("selected AND NOT pass_quality").count() == 0

@@ -151,3 +151,13 @@ def test_unigram_logprob_broadcasts_total_only(spark, sf_dir):
 
     p = plan_of(quality.unigram_logprob(spark, sf_dir))
     assert "CartesianProduct" not in p
+
+def test_bm25_broadcasts_stats_and_ranks_without_global_sort(spark, sf_dir):
+    """BM25: document frequencies + corpus scalars broadcast, top-k is
+    TakeOrderedAndProject, and no corpus-sized sort-merge join exists."""
+    from roblox_vector_search_datagen_spark.operators import textstats
+
+    p = plan_of(textstats.bm25_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
