@@ -177,14 +177,9 @@ QF_MIN_ALPHA_RATIO = 0.8
 QF_MIN_STOP_HITS = 2
 QF_STOPWORDS = ("the", "and", "of", "to", "a", "in")
 
-def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style composed document filter: word-count bounds, mean
-    word length, alphabetic-word ratio, and stopword presence, each as
-    an explicit rule flag plus the conjunction. The flags (not just the
-    verdict) are emitted because a pipeline tunes thresholds from the
-    per-rule rejection rates. Emits (doc_id, n_words, mean_word_len,
-    alpha_ratio, stop_hits, r_nwords, r_wlen, r_alpha, r_stop, keep)."""
-    d = tables.load_table(spark, sf_dir, "documents")
+def quality_struct_expr():
+    """The full rule-flag struct over the `text` column — exposed as a
+    bare expression so fused pipelines fold it into one corpus scan."""
     stop = F.array(*[F.lit(s) for s in QF_STOPWORDS])
 
     def from_words(w):
@@ -209,10 +204,19 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r_nwords & r_wlen & r_alpha & r_stop).alias("keep"),
         )
 
-    s = H.let_expr(
+    return H.let_expr(
         F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""), from_words
     )
-    return d.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composed document filter: word-count bounds, mean
+    word length, alphabetic-word ratio, and stopword presence, each as
+    an explicit rule flag plus the conjunction. The flags (not just the
+    verdict) are emitted because a pipeline tunes thresholds from the
+    per-rule rejection rates. Emits (doc_id, n_words, mean_word_len,
+    alpha_ratio, stop_hits, r_nwords, r_wlen, r_alpha, r_stop, keep)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_struct_expr().alias("s")).select("doc_id", "s.*")
 
 def quality_filter_oracle() -> str:
     stop_list = ", ".join(f"'{s}'" for s in QF_STOPWORDS)

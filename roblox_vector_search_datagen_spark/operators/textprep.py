@@ -402,53 +402,57 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, predicted_lang, split, pass_lang, pass_quality,
     is_canonical, contaminated, selected).
 
-    Scale shape: the stages are the already-individually-verified
-    operators (`lang_id`, `quality_filter`, `dedup_exact`'s digest
-    grouping, `decontaminate`, `dataset_splits`) composed by equi-joins
-    on doc_id — every join key is the same, so all joins hash-partition
-    on one key; the per-row stages cost no shuffle at all and the
-    decontamination side keeps its broadcast. Flags, not filters,
+    Scale shape: the per-row stages (language-ID, quality rules, the
+    dedup digest, the split hash) are the SAME expressions the
+    individually-verified operators use (`lang_struct_expr`,
+    `quality_struct_expr`, `split_struct_expr`), fused here into ONE
+    corpus scan — a 100 TB corpus is read once, not once per stage.
+    Only two global operations remain: the canonicalization window on
+    the content digest (dedup needs the corpus-wide view — one shuffle)
+    and the decontamination left join on doc_id (its benchmark side
+    stays broadcast inside `decontaminate`). Flags, not filters,
     between stages: a single pass yields both the selected corpus
     (filter on `selected`) and the per-stage rejection accounting."""
-    from .quality import quality_filter
-    from .textstats import dataset_splits, lang_id
+    from .quality import quality_struct_expr
+    from .textstats import lang_struct_expr, split_struct_expr
 
-    li = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
-    qf = quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("pass_quality"))
     d = tables.load_table(spark, sf_dir, "documents")
-    canon = d.select(
-        "doc_id",
-        (
-            F.col("doc_id")
-            == F.min("doc_id").over(Window.partitionBy(F.md5(F.trim(F.lower("text")))))
-        ).alias("is_canonical"),
+    base = (
+        d.select(
+            "doc_id",
+            "text",
+            lang_struct_expr().alias("li"),
+            quality_struct_expr().alias("q"),
+            split_struct_expr().alias("sp"),
+        )
+        .select(
+            "doc_id",
+            F.col("li.predicted_lang").alias("predicted_lang"),
+            F.col("q.keep").alias("pass_quality"),
+            F.md5(F.trim(F.lower("text"))).alias("digest"),
+            F.col("sp.split").alias("split"),
+        )
+        .withColumn(
+            "is_canonical",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("digest")),
+        )
     )
     dec = decontaminate(spark, sf_dir)
-    sp = dataset_splits(spark, sf_dir).select("doc_id", "split")
     contaminated = (F.col("split") == "train") & (
         F.coalesce(F.col("n_shared_shingles"), F.lit(0)) >= CONTAM_MIN_SHINGLES
     )
     pass_lang = F.col("predicted_lang") != "und"
-    return (
-        li.join(qf, "doc_id")
-        .join(canon, "doc_id")
-        .join(dec, "doc_id", "left")
-        .join(sp, "doc_id")
-        .select(
-            "doc_id",
-            "predicted_lang",
-            "split",
-            pass_lang.alias("pass_lang"),
-            "pass_quality",
-            "is_canonical",
-            contaminated.alias("contaminated"),
-            (
-                pass_lang
-                & F.col("pass_quality")
-                & F.col("is_canonical")
-                & ~contaminated
-            ).alias("selected"),
-        )
+    return base.join(dec, "doc_id", "left").select(
+        "doc_id",
+        "predicted_lang",
+        "split",
+        pass_lang.alias("pass_lang"),
+        "pass_quality",
+        "is_canonical",
+        contaminated.alias("contaminated"),
+        (
+            pass_lang & F.col("pass_quality") & F.col("is_canonical") & ~contaminated
+        ).alias("selected"),
     )
 
 def training_corpus_oracle() -> str:

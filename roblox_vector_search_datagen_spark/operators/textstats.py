@@ -33,14 +33,12 @@ def _profile_score_expr(words, lang: str):
     markers = F.array(*[F.lit(m) for m in LANG_PROFILES[lang]])
     return F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID: score each profile against the token
-    stream, argmax with alphabetical tie-break, 'und' when no marker
-    hits. Emits (doc_id, lang, predicted_lang, score).
-
-    The token array and per-profile score vector are let-bound so the
-    text is split once and each profile scanned once per row."""
-    d = tables.load_table(spark, sf_dir, "documents")
+def lang_struct_expr():
+    """struct(predicted_lang, score) over the `text` column — exposed
+    as a bare expression so fused pipelines (training_corpus) fold it
+    into their single corpus scan. The token array and per-profile
+    score vector are let-bound so the text is split once and each
+    profile scanned once per row."""
 
     def from_scores(sc):
         best = F.array_max(sc)
@@ -52,13 +50,19 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             best.cast("int").alias("score"),
         )
 
-    result = H.let_expr(
+    return H.let_expr(
         F.split(F.lower("text"), r"\s+"),
         lambda w: H.let_expr(
             F.array(*[_profile_score_expr(w, lg) for lg in _LANG_ORDER]), from_scores
         ),
     )
-    return d.select("doc_id", "lang", result.alias("r")).select(
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID: score each profile against the token
+    stream, argmax with alphabetical tie-break, 'und' when no marker
+    hits. Emits (doc_id, lang, predicted_lang, score)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_struct_expr().alias("r")).select(
         "doc_id", "lang", F.col("r.predicted_lang").alias("predicted_lang"), F.col("r.score").alias("score")
     )
 
@@ -232,9 +236,15 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at all (a pure projection), and any engine that can md5
     reproduces the exact membership."""
     d = tables.load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", split_struct_expr().alias("s")).select(
+        "doc_id", F.col("s.bucket").alias("bucket"), F.col("s.split").alias("split")
+    )
+
+def split_struct_expr():
+    """struct(bucket, split) over `doc_id` — exposed as a bare
+    expression for fused pipelines."""
     bucket = H.h32_expr(F.col("doc_id").cast("string")) % 100
-    return d.select(
-        "doc_id",
+    return F.struct(
         bucket.cast("int").alias("bucket"),
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
         .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
