@@ -244,3 +244,48 @@ SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
         AND alpha_ratio >= {QF_MIN_ALPHA_RATIO} AND stop_hits >= {QF_MIN_STOP_HITS}) AS keep
 FROM m
 """
+
+# ---------------------------------------------------------------------------
+# Perplexity-style decile buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: decile-bucket every document by
+    its corpus-LM score and label head/middle/tail — the mixture knob a
+    pretraining build turns (keep head, downsample tail). ntile runs
+    over the single already-aggregated (doc_id, avg_logprob) table, so
+    the global ordering the deciles need touches |docs| narrow rows,
+    never the token stream; at 100 TB you would swap ntile for
+    approx-quantile cutpoints (mergeable, no global sort) — the exact
+    form here is the oracle-checkable twin. Emits
+    (doc_id, avg_logprob, decile, tier)."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    decile = F.ntile(10).over(w)
+    return scored.select(
+        "doc_id",
+        "avg_logprob",
+        decile.cast("int").alias("decile"),
+    ).withColumn(
+        "tier",
+        F.when(F.col("decile") <= 3, "head")
+        .when(F.col("decile") <= 7, "middle")
+        .otherwise("tail"),
+    )
+
+def quality_buckets_oracle() -> str:
+    return f"""
+WITH scored AS (SELECT doc_id, avg_logprob FROM ({unigram_logprob_oracle()}) t),
+d AS (
+  SELECT doc_id, avg_logprob,
+         CAST(ntile(10) OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS INT) AS decile
+  FROM scored
+)
+SELECT doc_id, avg_logprob, decile,
+       CASE WHEN decile <= 3 THEN 'head'
+            WHEN decile <= 7 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM d
+"""

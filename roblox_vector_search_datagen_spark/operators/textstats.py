@@ -383,3 +383,84 @@ scored AS (
 SELECT doc_id, n_terms, round(score, 6) AS bm25
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+# ---------------------------------------------------------------------------
+# PMI collocations (bigram association mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 20
+PMI_TOPK = 50
+
+def pmi_collocations(
+    spark: SparkSession, sf_dir: str, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    — the phrase-mining operator (tokenizer vocab extension, entity
+    discovery). PMI = ln(P(ab) / (P(a)·P(b))) with all probabilities
+    from corpus counts.
+
+    Plan shape: ONE tokenize pass builds the adjacent-pair stream with
+    a per-row higher-order zip (arrays_zip of the token array and
+    itself shifted — no self-join!); pair and unigram counts are two
+    aggregations; unigram totals broadcast into the pair table (two
+    small joins on single words). The min_count floor prunes the pair
+    table before the joins, and top-k is TakeOrderedAndProject. Emits
+    (w1, w2, n_pair, pmi)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    pairs_expr = F.expr(
+        "transform(slice(tokens, 1, greatest(size(tokens) - 1, 0)), (t, i) -> struct(t as w1, tokens[i + 1] as w2))"
+    )
+    pairs = (
+        d.select(toks.alias("tokens"))
+        .select(F.explode(pairs_expr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    tokens = d.select(F.explode(toks).alias("w"))
+    uni = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    totals = pair_counts.agg(F.sum("n_pair").alias("total_pairs")).crossJoin(
+        uni.agg(F.sum("n_w").alias("total_words"))
+    )
+    pmi = F.log(
+        (F.col("n_pair") / F.col("total_pairs"))
+        / ((F.col("n_a") / F.col("total_words")) * (F.col("n_b") / F.col("total_words")))
+    )
+    scored = (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+        .limit(k)
+        .select("w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))
+    )
+
+def pmi_collocations_oracle(min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK) -> str:
+    return rf"""
+WITH docs AS (SELECT string_split_regex(lower(text), '\s+') AS tokens FROM documents),
+pairs AS (
+  SELECT t.w1, t.w2 FROM docs,
+  LATERAL unnest(list_transform(tokens[1:len(tokens)-1],
+                 (x, i) -> struct_pack(w1 := x, w2 := tokens[i + 1]))) AS u(t)
+),
+pair_counts AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+tokens AS (SELECT unnest(tokens) AS w FROM docs),
+uni AS (SELECT w, count(*) AS n_w FROM tokens GROUP BY 1),
+totals AS (
+  SELECT (SELECT sum(n_pair) FROM pair_counts) AS total_pairs,
+         (SELECT sum(n_w) FROM uni) AS total_words
+)
+SELECT p.w1, p.w2, p.n_pair,
+       round(ln((p.n_pair / total_pairs)
+                / ((a.n_w / total_words) * (b.n_w / total_words))), 6) AS pmi
+FROM pair_counts p
+JOIN uni a ON a.w = p.w1
+JOIN uni b ON b.w = p.w2
+CROSS JOIN totals
+WHERE p.n_pair >= {min_count}
+ORDER BY pmi DESC, p.w1, p.w2 LIMIT {k}
+"""

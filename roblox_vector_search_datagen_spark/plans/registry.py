@@ -137,6 +137,14 @@ def _registry() -> dict[str, Query]:
     r["quality_filter"] = Query(
         quality.quality_filter, quality.quality_filter_oracle(), ("quality",)
     )
+    r["quality_buckets"] = Query(
+        quality.quality_buckets, quality.quality_buckets_oracle(), ("quality",)
+    )
+    r["pmi_collocations"] = Query(
+        lambda spark, sf: textstats.pmi_collocations(spark, sf),
+        textstats.pmi_collocations_oracle(),
+        ("text", "bench"),
+    )
 
     # --- event analytics: funnel + retention ---
     r["funnel_counts"] = Query(
@@ -378,6 +386,8 @@ def _registry() -> dict[str, Query]:
 # to the front so a capped (or time-boxed) harness reaches them this
 # round; every query is self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
+    "quality_buckets",
+    "pmi_collocations",
     "ingest_dedup",
     "training_corpus",
     "bm25_search",
