@@ -393,6 +393,7 @@ COMMANDS = (
     "explainQuery",
     "optimizeStorage",
     "buildVectorIndex",
+    "queryVectorIndex",
     "selectCorpus",
 )
 
@@ -491,6 +492,23 @@ def main(argv: list[str] | None = None) -> int:
             df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
             counts[name] = spark.read.parquet(os.path.join(out, f"{name}.parquet")).count()
         print(json.dumps({"out": out, **counts}))
+    elif cmd == "queryVectorIndex":
+        # online half of buildVectorIndex: serve a top-k query from the
+        # persisted IVF artifacts without recomputing assignments
+        # (usage: queryVectorIndex <query> [sf_dir] [--index dir]
+        # [--k n] [--nprobe n])
+        from .operators import ann
+
+        qtext = args[0]
+        sf_dir = args[1] if len(args) > 1 and not args[1].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        idx = args[args.index("--index") + 1] if "--index" in args else os.path.join(
+            os.environ.get("RVSD_DATA_DIR", "data"), "vector_index"
+        )
+        topk = int(args[args.index("--k") + 1]) if "--k" in args else 20
+        nprobe = int(args[args.index("--nprobe") + 1]) if "--nprobe" in args else 2
+        show(ann.ann_query_index(spark, idx, sf_dir, qtext, topk, nprobe), ranked=True)
     elif cmd == "selectCorpus":
         # run the composed training-corpus selection pipeline, write the
         # per-document audit table, and print the per-stage funnel — the

@@ -620,3 +620,63 @@ SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
        round(avg(abs(x - (mn + code / 255.0 * (mx - mn)))), 6) AS mae
 FROM coded GROUP BY vec_id
 """
+
+# ---------------------------------------------------------------------------
+# Query over the persisted index (the online half of buildVectorIndex)
+# ---------------------------------------------------------------------------
+
+def ann_query_index(
+    spark: SparkSession,
+    index_dir: str,
+    sf_dir: str,
+    query_text: str = "vector similarity search",
+    k: int = 20,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve a top-k query from the PERSISTED IVF artifacts that
+    `cli.py buildVectorIndex` materializes — the online half of the
+    index lifecycle (build offline, query online without recomputing
+    assignments). Reads `ivf_assignments.parquet` (vec_id -> cent_id)
+    and `ivf_centroids.parquet` (cent_id, pos, mean_v), scores the
+    Lloyd-updated centroids against the query via a (cent_id)
+    aggregation over the exploded centroid table (K×dim rows — tiny),
+    probes the top `nprobe` cells, and brute-forces only the member
+    vectors. With nprobe >= nlist this is EXACTLY brute force
+    (asserted in tests), which is the correctness anchor for the
+    pruned path.
+
+    Scale shape: the assignment table join prunes the vector scan by
+    cell id (partition pruning when assignments are written partitioned
+    by cent_id); the probed-cell list and centroid scores broadcast."""
+    qv = V.embed_query(query_text)
+    assignments = spark.read.parquet(f"{index_dir}/ivf_assignments.parquet").select(
+        "vec_id", "cent_id"
+    )
+    centroids = spark.read.parquet(f"{index_dir}/ivf_centroids.parquet")
+    q_at = F.element_at(V.vector_lit(qv), F.col("pos").cast("int") + 1)
+    cent_scores = (
+        centroids.groupBy("cent_id")
+        .agg(
+            F.sum(F.col("mean_v") * q_at).alias("dot"),
+            F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))).alias("nrm"),
+        )
+        .select(
+            "cent_id",
+            F.when(F.col("nrm") == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("dot") / (F.col("nrm") * F.lit(float(sum(x * x for x in qv) ** 0.5))))
+            .alias("cent_cos"),
+        )
+    )
+    probed = (
+        cent_scores.orderBy(F.col("cent_cos").desc_nulls_last(), F.col("cent_id"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    members = assignments.join(F.broadcast(probed), "cent_id").select("vec_id")
+    scored = e.join(members, "vec_id").select(
+        "vec_id",
+        "label",
+        F.round(V.cosine_expr(F.col("embedding"), V.vector_lit(qv)), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id")).limit(k)

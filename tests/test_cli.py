@@ -319,3 +319,16 @@ def test_select_corpus_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     assert res["selected"] <= res["pass_quality"]
     tc = spark.read.parquet(out)
     assert tc.filter("selected AND NOT pass_quality").count() == 0
+
+def test_query_vector_index_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+    idx = str(tmp_path / "idx")
+    assert cli.main(["buildVectorIndex", sf_dir, "--out", idx]) == 0
+    capsys.readouterr()
+    assert cli.main([
+        "queryVectorIndex", "vector similarity search", sf_dir,
+        "--index", idx, "--k", "5", "--nprobe", "16",
+    ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 5
+    assert rows[0]["rank"] == 1 and "cosine" in rows[0]

@@ -56,3 +56,20 @@ def test_skew_profile_shares_sum_to_at_most_one(spark, sf_dir):
     assert len(sums) == 3
     for r in sums:
         assert r.s <= 1.000001
+
+def test_ann_query_index_full_probe_equals_brute_force(spark, sf_dir, tmp_path):
+    """Querying the persisted IVF index with nprobe == nlist must
+    reproduce the exact brute-force top-k — the correctness anchor of
+    the pruned online path."""
+    from roblox_vector_search_datagen_spark.operators import ann
+
+    idx = str(tmp_path / "idx")
+    ann.ivf_assignments(spark, sf_dir).write.parquet(f"{idx}/ivf_assignments.parquet")
+    ann.ivf_centroid_update(spark, sf_dir).write.parquet(f"{idx}/ivf_centroids.parquet")
+    exact = [r.vec_id for r in ann.ann_topk(spark, sf_dir, k=20).select("vec_id").collect()]
+    full = ann.ann_query_index(spark, idx, sf_dir, k=20, nprobe=ann.IVF_K)
+    got = [r.vec_id for r in full.select("vec_id").collect()]
+    assert sorted(got) == sorted(exact)
+    pruned = ann.ann_query_index(spark, idx, sf_dir, k=20, nprobe=4)
+    overlap = len(set(r.vec_id for r in pruned.collect()) & set(exact))
+    assert overlap >= 1  # pruned path returns a sane approximate subset
