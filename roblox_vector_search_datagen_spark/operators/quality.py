@@ -289,3 +289,31 @@ SELECT doc_id, avg_logprob, decile,
             ELSE 'tail' END AS tier
 FROM d
 """
+
+def quality_buckets_approx(spark: SparkSession, sf_dir: str, err: float = 0.001) -> DataFrame:
+    """The 100 TB twin of `quality_buckets`: decile CUTPOINTS from
+    approx_percentile (mergeable t-digest partials — constant memory
+    per partition, one tiny shuffle) instead of a global ntile sort.
+    Bucket assignment is then a per-row comparison against the
+    broadcast cutpoints — no global ordering anywhere. Tested against
+    the exact twin for assignment agreement (boundary docs may land one
+    decile off; that is the approximation contract)."""
+    from pyspark.sql import Window  # noqa: F401  (parity with exact twin's imports)
+
+    scored = unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    cuts = scored.agg(
+        F.approx_percentile(
+            "avg_logprob", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]), F.lit(int(1 / err))
+        ).alias("cuts")
+    )
+    joined = scored.crossJoin(F.broadcast(cuts))
+    # decile = 1 + number of cutpoints strictly below the score, counted
+    # from the top (descending deciles match ntile's ORDER BY DESC)
+    above = F.size(F.filter(F.col("cuts"), lambda c: F.col("avg_logprob") < c))
+    decile = (above + 1).cast("int")
+    return joined.select(
+        "doc_id",
+        "avg_logprob",
+        decile.alias("decile"),
+        F.when(decile <= 3, "head").when(decile <= 7, "middle").otherwise("tail").alias("tier"),
+    )

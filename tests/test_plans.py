@@ -161,3 +161,25 @@ def test_bm25_broadcasts_stats_and_ranks_without_global_sort(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+def test_partitioned_events_prune_by_date(spark, sf_dir, tmp_path):
+    """The date predicate over the hive-partitioned layout must appear
+    as a PartitionFilter (file skip), and the per-day counts must match
+    the unpartitioned filter."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import layout
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    out = str(tmp_path / "events_by_day")
+    total = layout.partition_events_by_day(spark, sf_dir, out)
+    e = tables.load_table(spark, sf_dir, "events")
+    assert total == e.count()
+    day = e.select(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("d")).collect()[0].d
+    df = layout.events_for_day(spark, out, day)
+    p = plan_of(df)
+    pf = " ".join(_re.findall(r"PartitionFilters: (.*)", p))
+    assert "event_date" in pf
+    assert df.count() == e.filter(F.to_date("ts") == day).count() > 0

@@ -73,3 +73,37 @@ def test_ann_query_index_full_probe_equals_brute_force(spark, sf_dir, tmp_path):
     pruned = ann.ann_query_index(spark, idx, sf_dir, k=20, nprobe=4)
     overlap = len(set(r.vec_id for r in pruned.collect()) & set(exact))
     assert overlap >= 1  # pruned path returns a sane approximate subset
+
+def test_sq_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Scalar quantization's reconstruction error is bounded by half a
+    quantization step in every dimension, so each vector's MAE must be
+    <= max_dim (mx - mn) / 255 / 2 (+ float slack)."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import ann
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "x"))
+    step = (
+        ex.groupBy("pos")
+        .agg(((F.max("x") - F.min("x")) / 255.0).alias("step"))
+        .agg(F.max("step").alias("max_step"))
+        .collect()[0]
+        .max_step
+    )
+    worst = ann.sq_quantize(spark, sf_dir).agg(F.max("mae").alias("m")).collect()[0].m
+    assert worst <= step / 2 + 1e-9
+
+def test_quality_buckets_approx_agrees_with_exact(spark, sf_dir):
+    """The approx (t-digest cutpoint) decile assignment must agree with
+    the exact ntile twin within one decile everywhere and exactly for
+    most documents."""
+    from roblox_vector_search_datagen_spark.operators import quality
+
+    exact = {r.doc_id: r.decile for r in quality.quality_buckets(spark, sf_dir).collect()}
+    approx = {r.doc_id: r.decile for r in quality.quality_buckets_approx(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    diffs = [abs(exact[d] - approx[d]) for d in exact]
+    assert max(diffs) <= 1
+    assert sum(1 for x in diffs if x == 0) / len(diffs) >= 0.8
