@@ -144,3 +144,14 @@ def events_for_day(spark: SparkSession, out_dir: str, day: str) -> DataFrame:
     """Read one day from the partitioned layout — the predicate lands
     in PartitionFilters (directory skip), not a row filter."""
     return spark.read.parquet(out_dir).filter(F.col("event_date") == day)
+
+def _morton_inverse_expr(z: F.Column, bits: int = ZORDER_BITS) -> F.Column:
+    """struct(a, b): de-interleave a Z-order code — the inverse of
+    `_morton_expr`, used to recover the original dimensions from a
+    layout key (and to property-test the interleave)."""
+    a = F.lit(0).cast("long")
+    b = F.lit(0).cast("long")
+    for i in range(bits):
+        a = a.bitwiseOR(F.shiftleft(F.shiftright(z, 2 * i).bitwiseAND(F.lit(1)), i))
+        b = b.bitwiseOR(F.shiftleft(F.shiftright(z, 2 * i + 1).bitwiseAND(F.lit(1)), i))
+    return F.struct(a.alias("a"), b.alias("b"))

@@ -363,3 +363,52 @@ def sketch_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.approx_percentile("value", F.lit(0.5), F.lit(10_000)), 6).alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+def asof_next_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every `click`, the same user's FIRST
+    `purchase` at-or-after the click (time-to-conversion). The mirror
+    of `asof_attribution` — same single-shuffle windowed shape, with
+    the carried value computed over the reversed frame
+    (currentRow..unboundedFollowing, `first` ignoring nulls) instead of
+    a backward `last`. Clicks that never convert keep NULLs. Emits
+    (click_id, user_id, click_ts, purchase_id, purchase_ts,
+    conversion_sec)."""
+    e = tables.load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.first(F.when(is_purchase, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("purchase_id"),
+        F.first(F.when(is_purchase, F.col("ts")), ignorenulls=True).over(w).alias("purchase_ts"),
+    )
+    return carried.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "purchase_id",
+        "purchase_ts",
+        F.round(
+            (epoch_us("purchase_ts") - epoch_us("ts")) / F.lit(1_000_000.0), 6
+        ).alias("conversion_sec"),
+    )
+
+def asof_next_action_oracle() -> str:
+    return """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS conversion_sec
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+"""

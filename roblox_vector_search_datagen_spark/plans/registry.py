@@ -153,6 +153,9 @@ def _registry() -> dict[str, Query]:
     r["user_retention"] = Query(
         timeseries.user_retention, timeseries.user_retention_oracle(), ("events",)
     )
+    r["asof_next_action"] = Query(
+        timeseries.asof_next_action, timeseries.asof_next_action_oracle(), ("events",)
+    )
 
     # --- ANN index evaluation + compression ---
     r["ann_recall_at_k"] = Query(
@@ -386,6 +389,7 @@ def _registry() -> dict[str, Query]:
 # to the front so a capped (or time-boxed) harness reaches them this
 # round; every query is self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
+    "asof_next_action",
     "quality_buckets",
     "pmi_collocations",
     "ingest_dedup",

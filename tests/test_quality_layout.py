@@ -107,3 +107,18 @@ def test_quality_buckets_approx_agrees_with_exact(spark, sf_dir):
     diffs = [abs(exact[d] - approx[d]) for d in exact]
     assert max(diffs) <= 1
     assert sum(1 for x in diffs if x == 0) / len(diffs) >= 0.8
+
+def test_morton_roundtrip_property(spark):
+    """Interleave then de-interleave recovers every (a, b) pair — run
+    over a deterministic pseudo-random sample of the 16-bit domain."""
+    df = (
+        spark.range(0, 2000)
+        .select(
+            ((F.col("id") * 2654435761) % 65536).alias("a"),
+            ((F.col("id") * 40503 + 12345) % 65536).alias("b"),
+        )
+        .select("a", "b", layout._morton_expr(F.col("a"), F.col("b")).alias("z"))
+        .select("a", "b", layout._morton_inverse_expr(F.col("z")).alias("inv"))
+    )
+    bad = df.filter((F.col("inv.a") != F.col("a")) | (F.col("inv.b") != F.col("b"))).count()
+    assert bad == 0
