@@ -412,3 +412,103 @@ SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
        round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS conversion_sec
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
 """
+
+ANOMALY_Z = 2.0
+
+def event_anomalies(spark: SparkSession, sf_dir: str, z_thresh: float = ANOMALY_Z) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against that type's own distribution, flagged when |z| exceeds the
+    threshold — the monitoring query an ingestion pipeline alerts on.
+
+    The z-score window runs over the ALREADY-AGGREGATED (type, hour)
+    table (|types| × |hours| rows — thousands, not billions), so the
+    only corpus-sized work is the first map-side-combined count; the
+    population stats per type are a tiny second aggregation broadcast
+    back. Emits (event_type, hour_start, n, z, is_anomaly)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = F.when(
+        F.col("sigma") > 0, (F.col("n") - F.col("mu")) / F.col("sigma")
+    ).otherwise(F.lit(0.0))
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour_start",
+            "n",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > z_thresh).alias("is_anomaly"),
+        )
+    )
+
+def event_anomalies_oracle(z_thresh: float = ANOMALY_Z) -> str:
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour_start, CAST(h.n AS BIGINT) AS n,
+       round(CASE WHEN s.sigma > 0 THEN (h.n - s.mu) / s.sigma ELSE 0.0 END, 6) AS z,
+       (abs(CASE WHEN s.sigma > 0 THEN (h.n - s.mu) / s.sigma ELSE 0.0 END) > {z_thresh}) AS is_anomaly
+FROM hourly h JOIN stats s USING (event_type)
+"""
+
+HIST_BINS = 10
+HIST_LO = 0.0
+HIST_HI = 100.0
+
+def event_value_histogram(
+    spark: SparkSession, sf_dir: str, bins: int = HIST_BINS, lo: float = HIST_LO, hi: float = HIST_HI
+) -> DataFrame:
+    """Fixed-bin value histogram per event_type (width_bucket
+    semantics: bin 0 = underflow, bins+1 = overflow) — the
+    distribution profile that feeds dashboards without shipping raw
+    values. One map-side-combined aggregation; the shuffle carries
+    |types| × (bins+2) rows regardless of input size. Emits
+    (event_type, bin, lo_edge, n)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    width = (hi - lo) / bins
+    bin_expr = (
+        F.when(F.col("value") < lo, 0)
+        .when(F.col("value") >= hi, bins + 1)
+        .otherwise(F.floor((F.col("value") - lo) / width) + 1)
+        .cast("int")
+    )
+    return (
+        e.select("event_type", bin_expr.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            F.round(F.lit(lo) + (F.col("bin") - 1) * width, 6).alias("lo_edge"),
+            "n",
+        )
+    )
+
+def event_value_histogram_oracle(
+    bins: int = HIST_BINS, lo: float = HIST_LO, hi: float = HIST_HI
+) -> str:
+    width = (hi - lo) / bins
+    return f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(CASE WHEN value < {lo} THEN 0
+                   WHEN value >= {hi} THEN {bins + 1}
+                   ELSE floor((value - {lo}) / {width}) + 1 END AS INT) AS bin
+  FROM events
+)
+SELECT event_type, bin,
+       round({lo} + (bin - 1) * {width}, 6) AS lo_edge,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY 1, 2
+"""

@@ -156,6 +156,16 @@ def _registry() -> dict[str, Query]:
     r["asof_next_action"] = Query(
         timeseries.asof_next_action, timeseries.asof_next_action_oracle(), ("events",)
     )
+    r["event_anomalies"] = Query(
+        lambda spark, sf: timeseries.event_anomalies(spark, sf),
+        timeseries.event_anomalies_oracle(),
+        ("events",),
+    )
+    r["event_value_histogram"] = Query(
+        lambda spark, sf: timeseries.event_value_histogram(spark, sf),
+        timeseries.event_value_histogram_oracle(),
+        ("events",),
+    )
 
     # --- ANN index evaluation + compression ---
     r["ann_recall_at_k"] = Query(
@@ -389,6 +399,8 @@ def _registry() -> dict[str, Query]:
 # to the front so a capped (or time-boxed) harness reaches them this
 # round; every query is self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
+    "event_anomalies",
+    "event_value_histogram",
     "asof_next_action",
     "quality_buckets",
     "pmi_collocations",
