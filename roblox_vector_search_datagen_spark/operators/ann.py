@@ -680,3 +680,24 @@ def ann_query_index(
         F.round(V.cosine_expr(F.col("embedding"), V.vector_lit(qv)), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id")).limit(k)
+
+def ivf_cluster_quality(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
+    """Per-cell IVF health report: member count and mean member-to-
+    centroid cosine — the number that says which cells need a re-seed
+    or split before recall degrades. Reuses `ivf_assignments` (each
+    member's cosine to its centroid is already computed there), so
+    this is one tiny aggregation over the assignment table. Emits
+    (cent_id, n_members, mean_cosine)."""
+    assign = ivf_assignments(spark, sf_dir, k)
+    return assign.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("cosine"), 6).alias("mean_cosine"),
+    )
+
+def ivf_cluster_quality_oracle(k: int = IVF_K) -> str:
+    return f"""
+WITH assign AS ({ivf_assignments_oracle(k)})
+SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(cosine), 6) AS mean_cosine
+FROM assign GROUP BY cent_id
+"""

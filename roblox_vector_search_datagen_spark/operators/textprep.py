@@ -482,3 +482,40 @@ JOIN canon USING (doc_id)
 LEFT JOIN dec USING (doc_id)
 JOIN sp USING (doc_id)
 """
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_GROUP = 25
+
+def per_group_sample(spark: SparkSession, sf_dir: str, k: int = SAMPLE_PER_GROUP) -> DataFrame:
+    """Exactly-k-per-source sample, deterministic across runs and
+    engines: rank documents inside each source by a salted content
+    hash (not RNG — reproducibility is the point of a pinned eval
+    subset) and keep the first k. `stratified_sample` draws
+    proportionally; this draws a FIXED quota per group — the balanced
+    shape for per-source evals and human review queues. One shuffle on
+    the group key; the rank window runs inside each group partition.
+    Emits (doc_id, source, sample_rank)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    hkey = H.h32_expr(F.concat(F.lit("pgs:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(F.asc("hkey"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", hkey.alias("hkey"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+def per_group_sample_oracle(k: int = SAMPLE_PER_GROUP) -> str:
+    h = H.h32_sql("'pgs:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {h} ASC, doc_id ASC) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= {k}
+"""

@@ -201,6 +201,16 @@ def _registry() -> dict[str, Query]:
     r["events_zorder"] = Query(
         layout.events_zorder, layout.events_zorder_oracle(), ("layout",)
     )
+    r["per_group_sample"] = Query(
+        lambda spark, sf: textprep.per_group_sample(spark, sf),
+        textprep.per_group_sample_oracle(),
+        ("sampling",),
+    )
+    r["ivf_cluster_quality"] = Query(
+        lambda spark, sf: ann.ivf_cluster_quality(spark, sf),
+        ann.ivf_cluster_quality_oracle(),
+        ("ann",),
+    )
 
     # --- training-data pipeline: dedup ---
     r["dedup_exact"] = Query(dedup.dedup_exact, dedup.dedup_exact_oracle(), ("dedup", "bench"))
@@ -399,6 +409,8 @@ def _registry() -> dict[str, Query]:
 # to the front so a capped (or time-boxed) harness reaches them this
 # round; every query is self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
+    "per_group_sample",
+    "ivf_cluster_quality",
     "event_anomalies",
     "event_value_histogram",
     "asof_next_action",
