@@ -512,3 +512,34 @@ SELECT event_type, bin,
        CAST(count(*) AS BIGINT) AS n
 FROM binned GROUP BY 1, 2
 """
+
+def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user sketches: one Apache DataSketches HLL
+    per (day, event_type), its per-cell estimate, and — via
+    hll_union_agg over the STORED sketches, not the raw events — the
+    all-types daily estimate. This is the 100 TB cardinality pattern:
+    sketches are built once per partition of the fact table (map-side,
+    constant memory), persisted bytes are unioned for any coarser
+    rollup without re-scanning events, and accuracy is a fixed
+    lgConfigK budget. Non-SQL-expressible (DuckDB's approx algorithms
+    differ) -> rows-only driver check; the estimate-vs-exact error is
+    bounded in tests/test_quality_layout.py. Emits
+    (day STRING, event_type, est_users, day_total_est)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    day_totals = cells.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("day_total_est")
+    )
+    return (
+        cells.select(
+            "day", "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+        )
+        .join(day_totals, "day")
+        .select("day", "event_type", "est_users", "day_total_est")
+    )

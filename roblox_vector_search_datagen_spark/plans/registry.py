@@ -166,6 +166,11 @@ def _registry() -> dict[str, Query]:
         timeseries.event_value_histogram_oracle(),
         ("events",),
     )
+    # DataSketches HLL: estimates differ from DuckDB's approx algos by
+    # design -> rows-only driver check; error bounded in tests
+    r["hll_daily_users"] = Query(
+        timeseries.hll_daily_users, None, ("events", "sketch")
+    )
 
     # --- ANN index evaluation + compression ---
     r["ann_recall_at_k"] = Query(
@@ -409,6 +414,7 @@ def _registry() -> dict[str, Query]:
 # to the front so a capped (or time-boxed) harness reaches them this
 # round; every query is self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
+    "hll_daily_users",
     "per_group_sample",
     "ivf_cluster_quality",
     "event_anomalies",

@@ -122,3 +122,32 @@ def test_morton_roundtrip_property(spark):
     )
     bad = df.filter((F.col("inv.a") != F.col("a")) | (F.col("inv.b") != F.col("b"))).count()
     assert bad == 0
+
+def test_hll_daily_users_estimates_within_bound(spark, sf_dir):
+    """Sketch estimates (per cell and merged) must sit within a few
+    percent of exact distinct counts — the HLL accuracy contract."""
+    from roblox_vector_search_datagen_spark.operators import timeseries
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    est = timeseries.hll_daily_users(spark, sf_dir).collect()
+    e = tables.load_table(spark, sf_dir, "events")
+    exact_cell = {
+        (r.day, r.event_type): r.n
+        for r in e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_day = {
+        r.day: r.n
+        for r in e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert len(est) == len(exact_cell) > 0
+    for r in est:
+        assert abs(r.est_users - exact_cell[(r.day, r.event_type)]) <= max(
+            3, 0.05 * exact_cell[(r.day, r.event_type)]
+        )
+        assert abs(r.day_total_est - exact_day[r.day]) <= max(3, 0.05 * exact_day[r.day])
