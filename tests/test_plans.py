@@ -183,3 +183,42 @@ def test_partitioned_events_prune_by_date(spark, sf_dir, tmp_path):
     pf = " ".join(_re.findall(r"PartitionFilters: (.*)", p))
     assert "event_date" in pf
     assert df.count() == e.filter(F.to_date("ts") == day).count() > 0
+
+def test_no_registry_plan_has_cartesian_or_row_udf(spark, sf_dir):
+    """Blanket invariant over EVERY registry query's physical plan: no
+    CartesianProduct (quadratic join fallback) and no BatchEvalPython
+    (row-at-a-time Python in a relational path). Arrow mapInPandas
+    stages are allowed — that is the sanctioned UDF form."""
+    from roblox_vector_search_datagen_spark.plans.registry import QUERIES
+
+    flagged = []
+    for name, q in QUERIES.items():
+        p = plan_of(q.builder(spark, sf_dir))
+        marks = [m for m in ("CartesianProduct", "BatchEvalPython") if m in p]
+        if marks:
+            flagged.append((name, marks))
+    assert flagged == []
+
+def test_every_oracle_parses_in_duckdb(sf_dir):
+    """Every declared oracle must at least PLAN in DuckDB over the
+    fixture views — catches SQL syntax drift without paying execution
+    for the whole registry twice."""
+    import duckdb
+
+    from roblox_vector_search_datagen_spark.plans.registry import QUERIES
+    from roblox_vector_search_datagen_spark.sources.tables import TPCH_TABLES
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {q.oracle}")
+        except Exception as ex:
+            bad.append((name, str(ex).splitlines()[0][:120]))
+    assert bad == []
