@@ -211,3 +211,59 @@ def test_asof_attribution_invariants(spark, sf_dir):
         .count()
     )
     assert violations == 0
+
+def test_doc_chunks_cover_every_token_and_respect_stride(spark, sf_dir):
+    """Chunking invariants: chunks tile each document with the
+    configured stride, the last chunk reaches the final token, and no
+    chunk is empty."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    chunks = textprep.doc_chunks(spark, sf_dir)
+    bad_start = chunks.filter(
+        (F.col("start_token") % textprep.CHUNK_STRIDE != 0) | (F.col("n_tokens") <= 0)
+    ).count()
+    assert bad_start == 0
+    # per doc: max(start + n_tokens) == doc token count
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n")
+    )
+    cov = (
+        chunks.groupBy("doc_id")
+        .agg(F.max(F.col("start_token") + F.col("n_tokens")).alias("covered"))
+        .join(d, "doc_id")
+        .filter(F.col("covered") != F.col("n"))
+        .count()
+    )
+    assert cov == 0
+
+def test_pack_sequences_never_exceeds_budget(spark, sf_dir):
+    """Sequence packing: no packed sequence exceeds the token budget,
+    and every document lands in exactly one sequence."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    packed = textprep.pack_sequences(spark, sf_dir)
+    budget_col = [c for c in packed.columns if "budget" in c or "token" in c]
+    assert budget_col, packed.columns
+    # total assignment is a partition of the corpus
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+
+def test_training_corpus_funnel_is_monotone(spark, sf_dir):
+    """selected implies every stage flag (the conjunction can never
+    exceed any stage's pass set), and the funnel is non-trivial."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    tc = textprep.training_corpus(spark, sf_dir)
+    assert tc.filter(F.col("selected") & ~F.col("pass_lang")).count() == 0
+    assert tc.filter(F.col("selected") & ~F.col("pass_quality")).count() == 0
+    assert tc.filter(F.col("selected") & ~F.col("is_canonical")).count() == 0
+    assert tc.filter(F.col("selected") & F.col("contaminated")).count() == 0
+    n_sel = tc.filter("selected").count()
+    assert 0 < n_sel < tc.count()
