@@ -84,3 +84,18 @@ def word_shingles_sql(text: str, n: int = SHINGLE_WORDS) -> str:
         f"list_distinct(list_transform(range(1, len({w}) - {n - 2}), i -> {parts})) "
         f"ELSE [] END)"
     )
+
+def digest_expr(col: Column) -> Column:
+    """Canonical content digest: md5 of the trimmed, lowercased text.
+    The ONE normalization every content-identity operator shares —
+    exact dedup (operators/dedup.dedup_exact), pipeline
+    canonicalization (operators/textprep.training_corpus) and
+    dedup-at-ingest (streaming/ingest) must agree on it or batch dedup
+    and ingest dedup silently diverge."""
+    return F.md5(F.trim(F.lower(col)))
+
+DIGEST_SQL = "md5(trim(lower({col})))"
+
+def digest_sql(col: str) -> str:
+    """DuckDB twin of digest_expr."""
+    return DIGEST_SQL.format(col=col)

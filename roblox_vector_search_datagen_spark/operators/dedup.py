@@ -36,15 +36,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id) + group size. Groups of size 1 are unique docs."""
     d = tables.load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.md5(F.trim(F.lower("text"))).alias("digest"))
+        d.select("doc_id", H.digest_expr(F.col("text")).alias("digest"))
         .groupBy("digest")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") > 1)
     )
 
 def dedup_exact_oracle() -> str:
-    return """
-SELECT md5(trim(lower(text))) AS digest,
+    return f"""
+SELECT {H.digest_sql("text")} AS digest,
        min(doc_id) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS group_size
 FROM documents GROUP BY 1 HAVING count(*) > 1

@@ -185,8 +185,15 @@ def quality_struct_expr():
     def from_words(w):
         n = F.size(w)
         nd = n.cast("double")
-        mean_wlen = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / nd
-        alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / nd
+        # guard the n == 0 case explicitly: Spark's 0.0/0.0 is NaN while
+        # SQL division by zero is NULL — NULL on both sides keeps the
+        # flags' three-valued logic identical to the oracle for empty /
+        # whitespace-only documents
+        mean_wlen = F.when(
+            n > 0,
+            F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / nd,
+        )
+        alpha = F.when(n > 0, F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / nd)
         stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
         r_nwords = (n >= QF_MIN_WORDS) & (n <= QF_MAX_WORDS)
         r_wlen = (mean_wlen >= QF_MIN_MEAN_WLEN) & (mean_wlen <= QF_MAX_MEAN_WLEN)

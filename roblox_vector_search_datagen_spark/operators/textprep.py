@@ -429,7 +429,7 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("li.predicted_lang").alias("predicted_lang"),
             F.col("q.keep").alias("pass_quality"),
-            F.md5(F.trim(F.lower("text"))).alias("digest"),
+            H.digest_expr(F.col("text")).alias("digest"),
             F.col("sp.split").alias("split"),
         )
         .withColumn(
@@ -464,7 +464,7 @@ WITH li AS (SELECT doc_id, predicted_lang FROM ({lang_id_oracle()}) t),
 qf AS (SELECT doc_id, keep AS pass_quality FROM ({quality_filter_oracle()}) t),
 canon AS (
   SELECT doc_id,
-         doc_id = min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS is_canonical
+         doc_id = min(doc_id) OVER (PARTITION BY {H.digest_sql('text')}) AS is_canonical
   FROM documents
 ),
 dec AS (SELECT * FROM ({decontaminate_oracle()}) t),

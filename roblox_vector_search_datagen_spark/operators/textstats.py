@@ -453,14 +453,20 @@ uni AS (SELECT w, count(*) AS n_w FROM tokens GROUP BY 1),
 totals AS (
   SELECT (SELECT sum(n_pair) FROM pair_counts) AS total_pairs,
          (SELECT sum(n_w) FROM uni) AS total_words
+),
+scored AS (
+  SELECT p.w1, p.w2, p.n_pair,
+         ln((p.n_pair / total_pairs)
+            / ((a.n_w / total_words) * (b.n_w / total_words))) AS score
+  FROM pair_counts p
+  JOIN uni a ON a.w = p.w1
+  JOIN uni b ON b.w = p.w2
+  CROSS JOIN totals
+  WHERE p.n_pair >= {min_count}
 )
-SELECT p.w1, p.w2, p.n_pair,
-       round(ln((p.n_pair / total_pairs)
-                / ((a.n_w / total_words) * (b.n_w / total_words))), 6) AS pmi
-FROM pair_counts p
-JOIN uni a ON a.w = p.w1
-JOIN uni b ON b.w = p.w2
-CROSS JOIN totals
-WHERE p.n_pair >= {min_count}
-ORDER BY pmi DESC, p.w1, p.w2 LIMIT {k}
+-- rank on the UNROUNDED score (mirrors the Spark plan); round only in
+-- the projection — ORDER BY a rounded alias could flip the k-th row
+SELECT w1, w2, n_pair, round(score, 6) AS pmi
+FROM scored
+ORDER BY score DESC, w1, w2 LIMIT {k}
 """

@@ -40,15 +40,20 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleaved (click|purchase) stream per user ordered by event time,
     carrying the last click seen — the reference has no temporal joins
     at all (SURVEY.md §2.3), so this is pure scale-path surface.
-    Fixture timestamps are unique per user, so the at-or-before winner
-    is unambiguous and matches DuckDB's ASOF JOIN semantics.
+
+    Equal-timestamp semantics are pinned, not fixture-dependent: the
+    window orders by (ts, event_type, event_id), which sorts a same-ts
+    click BEFORE the purchase ('click' < 'purchase'), so at-or-before
+    includes it; among same-ts clicks the LAST by event_id wins. The
+    oracle encodes exactly that with an ORDER BY ... LIMIT 1 lateral
+    (DuckDB's ASOF leaves the equal-key pick unspecified).
     """
     e = tables.load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_type", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_click = F.col("event_type") == "click"
@@ -78,9 +83,13 @@ def asof_attribution_oracle() -> str:
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
 SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-       c.event_id AS click_event_id, c.ts AS click_ts,
-       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS latency_sec
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+       m.event_id AS click_event_id, m.ts AS click_ts,
+       round((epoch_us(p.ts) - epoch_us(m.ts)) / 1000000.0, 6) AS latency_sec
+FROM p LEFT JOIN LATERAL (
+  SELECT c.event_id, c.ts FROM c
+  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) m ON true
 """
 
 # ---------------------------------------------------------------------------
@@ -370,15 +379,20 @@ def asof_next_action(spark: SparkSession, sf_dir: str) -> DataFrame:
     of `asof_attribution` — same single-shuffle windowed shape, with
     the carried value computed over the reversed frame
     (currentRow..unboundedFollowing, `first` ignoring nulls) instead of
-    a backward `last`. Clicks that never convert keep NULLs. Emits
-    (click_id, user_id, click_ts, purchase_id, purchase_ts,
+    a backward `last`. Clicks that never convert keep NULLs.
+
+    Equal-timestamp semantics are pinned: ordering by (ts, event_type,
+    event_id) sorts a same-ts purchase AFTER the click, so at-or-after
+    includes it, and among same-ts purchases the FIRST by event_id
+    wins — mirrored in the oracle's ORDER BY ... LIMIT 1 lateral.
+    Emits (click_id, user_id, click_ts, purchase_id, purchase_ts,
     conversion_sec)."""
     e = tables.load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_type", "event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     is_purchase = F.col("event_type") == "purchase"
@@ -408,9 +422,13 @@ def asof_next_action_oracle() -> str:
 WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
 SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
-       p.event_id AS purchase_id, p.ts AS purchase_ts,
-       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS conversion_sec
-FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+       m.event_id AS purchase_id, m.ts AS purchase_ts,
+       round((epoch_us(m.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS conversion_sec
+FROM c LEFT JOIN LATERAL (
+  SELECT p.event_id, p.ts FROM p
+  WHERE p.user_id = c.user_id AND p.ts >= c.ts
+  ORDER BY p.ts ASC, p.event_id ASC LIMIT 1
+) m ON true
 """
 
 ANOMALY_Z = 2.0

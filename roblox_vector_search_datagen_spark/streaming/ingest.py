@@ -18,10 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..sources import tables
 
 def _digest() -> F.Column:
-    return F.md5(F.trim(F.lower("text")))
+    return H.digest_expr(F.col("text"))
 
 def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin: arriving (odd doc_id) documents whose normalized
@@ -35,12 +36,13 @@ def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arriving.join(F.broadcast(known), "digest", "left_anti").select("doc_id", "digest")
 
 def ingest_dedup_oracle() -> str:
-    return """
-SELECT doc_id, md5(trim(lower(text))) AS digest
+    d = H.digest_sql("text")
+    return f"""
+SELECT doc_id, {d} AS digest
 FROM documents
 WHERE doc_id % 2 = 1
-  AND md5(trim(lower(text))) NOT IN (
-    SELECT md5(trim(lower(text))) FROM documents WHERE doc_id % 2 = 0
+  AND {d} NOT IN (
+    SELECT {d} FROM documents WHERE doc_id % 2 = 0
   )
 """
 

@@ -238,17 +238,29 @@ def test_doc_chunks_cover_every_token_and_respect_stride(spark, sf_dir):
     )
     assert cov == 0
 
-def test_pack_sequences_never_exceeds_budget(spark, sf_dir):
-    """Sequence packing: no packed sequence exceeds the token budget,
-    and every document lands in exactly one sequence."""
+def test_pack_sequences_respects_budget_arithmetic(spark, sf_dir):
+    """Sequence packing invariants: every offset sits inside the
+    budget, each (split, shard, seq_id) starts below the budget
+    boundary (overflow bounded by one doc — the concat-and-split
+    contract), and the assignment partitions the corpus exactly."""
     from pyspark.sql import functions as F
 
     from roblox_vector_search_datagen_spark.operators import textprep
 
+    budget = textprep.PACK_BUDGET_TOKENS
     packed = textprep.pack_sequences(spark, sf_dir)
-    budget_col = [c for c in packed.columns if "budget" in c or "token" in c]
-    assert budget_col, packed.columns
-    # total assignment is a partition of the corpus
+    assert packed.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= budget)
+    ).count() == 0
+    # within a sequence, offsets are the running sum of the docs before:
+    # seq start + its docs' tokens may pass the boundary at most once
+    over = (
+        packed.groupBy("split", "shard", "seq_id")
+        .agg(F.sum("n_tokens").alias("seq_tokens"), F.max("n_tokens").alias("max_doc"))
+        .filter(F.col("seq_tokens") >= F.lit(budget) + F.col("max_doc"))
+        .count()
+    )
+    assert over == 0
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert packed.count() == n_docs
     assert packed.select("doc_id").distinct().count() == n_docs

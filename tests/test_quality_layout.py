@@ -151,3 +151,23 @@ def test_hll_daily_users_estimates_within_bound(spark, sf_dir):
             3, 0.05 * exact_cell[(r.day, r.event_type)]
         )
         assert abs(r.day_total_est - exact_day[r.day]) <= max(3, 0.05 * exact_day[r.day])
+
+def test_epoch_us_is_session_timezone_independent(spark):
+    """epoch_us must interpret the NTZ wall-clock as UTC under ANY
+    session timezone — including DST-gap wall times that do not exist
+    in the session zone (the round-1 failure class: the driver's own
+    session does not pin spark.sql.session.timeZone)."""
+    from roblox_vector_search_datagen_spark.functions.timeutil import epoch_us
+
+    df = spark.createDataFrame(
+        [("2026-01-15 12:00:00.123456",), ("2026-03-08 02:30:00.000001",)], "s string"
+    ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    expected = [1768478400123456, 1772937000000001]
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = [r.us for r in df.select(epoch_us("ts").alias("us")).collect()]
+            assert got == expected, (tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
