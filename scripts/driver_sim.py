@@ -52,6 +52,12 @@ def main() -> int:
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.driver.memory", "8g")
+        # deliberately NON-UTC: the real driver inherits the host zone,
+        # so any engine expression that implicitly reads the session
+        # timezone (NTZ->LTZ casts, unix_* on cast timestamps) must
+        # fail HERE rather than on a non-UTC driver host. DuckDB side
+        # is timezone-naive, so a mismatch surfaces as a value diff.
+        .config("spark.sql.session.timeZone", "America/New_York")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
