@@ -26,13 +26,14 @@ def main() -> None:
     # plans, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # min of two runs per query: run 1 pays codegen/JIT compilation, so
-    # the min reflects the plan's steady-state cost, which is what a
+    # min of three runs per query: run 1 pays codegen/JIT compilation
+    # and the shared host's load swings totals by ±40% between runs, so
+    # the min over three reflects the plan's steady-state cost — what a
     # cluster executing the query repeatedly actually sees
     times: dict[str, float] = {}
     for name, q in QUERIES.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
