@@ -622,3 +622,57 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket, {cos} AS cosine
 FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """
+
+# ---------------------------------------------------------------------------
+# Exact-Jaccard verification (the final stage of the dedup funnel)
+# ---------------------------------------------------------------------------
+
+def exact_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle Jaccard for the LSH candidate pairs — the last
+    stage of the candidates -> signature-estimate -> exact-verify
+    funnel. Exact set intersection is the expensive step, so it runs
+    ONLY on pairs that survived candidate generation (never all-pairs):
+    the shingle sets of just the candidate doc_ids join back by id,
+    and |A∩B| / |A∪B| is per-pair higher-order array math. At 100 TB
+    the candidate set is a vanishing fraction of the corpus, which is
+    the entire point of the funnel. Emits
+    (doc_a, doc_b, jaccard, is_dup)."""
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    d = tables.load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(H.word_shingles_expr(F.col("text"))).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+            (jac >= 0.8).alias("is_dup"),
+        )
+    )
+
+def exact_jaccard_verify_oracle() -> str:
+    sh = H.word_shingles_sql("text")
+    return f"""
+WITH pairs AS ({lsh_candidate_pairs_oracle()}),
+sh AS (SELECT doc_id, list_distinct({sh}) AS sh FROM documents),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
+         END AS jac
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard, (jac >= 0.8) AS is_dup
+FROM j
+"""

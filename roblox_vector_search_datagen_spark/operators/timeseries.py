@@ -561,3 +561,34 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(day_totals, "day")
         .select("day", "event_type", "est_users", "day_total_est")
     )
+
+def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-normalized retention curve: for each day offset, the
+    fraction of each cohort still active — the headline number the
+    retention triangle (`user_retention`) feeds. A rollup of the
+    already-tiny triangle (cohorts × offsets rows), normalized by each
+    cohort's day-0 size. Emits (cohort_day, day_offset, users,
+    cohort_size, retention)."""
+    tri = user_retention(spark, sf_dir)
+    day0 = tri.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("users").alias("cohort_size")
+    )
+    return (
+        tri.join(day0, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "users",
+            "cohort_size",
+            F.round(F.col("users") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+def retention_curve_oracle() -> str:
+    return f"""
+WITH tri AS ({user_retention_oracle()}),
+day0 AS (SELECT cohort_day, users AS cohort_size FROM tri WHERE day_offset = 0)
+SELECT t.cohort_day, t.day_offset, t.users, d.cohort_size,
+       round(CAST(t.users AS DOUBLE) / d.cohort_size, 6) AS retention
+FROM tri t JOIN day0 d USING (cohort_day)
+"""

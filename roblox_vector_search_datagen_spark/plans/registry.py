@@ -156,6 +156,9 @@ def _registry() -> dict[str, Query]:
     r["asof_next_action"] = Query(
         timeseries.asof_next_action, timeseries.asof_next_action_oracle(), ("events",)
     )
+    r["retention_curve"] = Query(
+        timeseries.retention_curve, timeseries.retention_curve_oracle(), ("events",)
+    )
     r["event_anomalies"] = Query(
         lambda spark, sf: timeseries.event_anomalies(spark, sf),
         timeseries.event_anomalies_oracle(),
@@ -224,6 +227,9 @@ def _registry() -> dict[str, Query]:
     )
     r["lsh_candidate_pairs"] = Query(
         dedup.lsh_candidate_pairs, dedup.lsh_candidate_pairs_oracle(), ("dedup", "bench")
+    )
+    r["exact_jaccard_verify"] = Query(
+        dedup.exact_jaccard_verify, dedup.exact_jaccard_verify_oracle(), ("dedup",)
     )
     r["minhash_jaccard_estimates"] = Query(
         dedup.minhash_jaccard_estimates,
@@ -414,6 +420,8 @@ def _registry() -> dict[str, Query]:
 # to the front so a capped (or time-boxed) harness reaches them this
 # round; every query is self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
+    "exact_jaccard_verify",
+    "retention_curve",
     "hll_daily_users",
     "per_group_sample",
     "ivf_cluster_quality",
