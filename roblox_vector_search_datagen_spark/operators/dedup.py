@@ -627,7 +627,11 @@ WHERE {cos} >= {threshold}
 # Exact-Jaccard verification (the final stage of the dedup funnel)
 # ---------------------------------------------------------------------------
 
-def exact_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+EXACT_JACCARD_DUP_THRESHOLD = 0.8
+
+def exact_jaccard_verify(
+    spark: SparkSession, sf_dir: str, threshold: float = EXACT_JACCARD_DUP_THRESHOLD
+) -> DataFrame:
     """Exact shingle Jaccard for the LSH candidate pairs — the last
     stage of the candidates -> signature-estimate -> exact-verify
     funnel. Exact set intersection is the expensive step, so it runs
@@ -639,9 +643,8 @@ def exact_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_a, doc_b, jaccard, is_dup)."""
     pairs = lsh_candidate_pairs(spark, sf_dir)
     d = tables.load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.array_distinct(H.word_shingles_expr(F.col("text"))).alias("sh")
-    )
+    # word_shingles_expr already dedupes — no outer array_distinct
+    sh = d.select("doc_id", H.word_shingles_expr(F.col("text")).alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -654,15 +657,15 @@ def exact_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.round(jac, 6).alias("jaccard"),
-            (jac >= 0.8).alias("is_dup"),
+            (jac >= threshold).alias("is_dup"),
         )
     )
 
-def exact_jaccard_verify_oracle() -> str:
+def exact_jaccard_verify_oracle(threshold: float = EXACT_JACCARD_DUP_THRESHOLD) -> str:
     sh = H.word_shingles_sql("text")
     return f"""
 WITH pairs AS ({lsh_candidate_pairs_oracle()}),
-sh AS (SELECT doc_id, list_distinct({sh}) AS sh FROM documents),
+sh AS (SELECT doc_id, {sh} AS sh FROM documents),
 j AS (
   SELECT p.doc_a, p.doc_b,
          CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
@@ -673,6 +676,6 @@ j AS (
   JOIN sh a ON a.doc_id = p.doc_a
   JOIN sh b ON b.doc_id = p.doc_b
 )
-SELECT doc_a, doc_b, round(jac, 6) AS jaccard, (jac >= 0.8) AS is_dup
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard, (jac >= {threshold}) AS is_dup
 FROM j
 """
