@@ -37,10 +37,14 @@ def main() -> None:
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+        times[name] = round(best, 3)
 
-    total = round(sum(times.values()), 4)
+    total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # compact separators + 3-decimal times: the driver captures a
+    # bounded tail of stdout, and the round-2 default-formatted line
+    # outgrew it (BENCH_r02 parsed:null — the tail began mid-list), so
+    # keep the whole summary line ~2 KB
     print(
         json.dumps(
             {
@@ -49,7 +53,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf else None,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

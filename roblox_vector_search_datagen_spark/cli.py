@@ -499,6 +499,17 @@ def main(argv: list[str] | None = None) -> int:
         # [--k n] [--nprobe n])
         from .operators import ann
 
+        usage = (
+            "usage: queryVectorIndex <query> [sf_dir] [--index dir]"
+            " [--k n] [--nprobe n]"
+        )
+        if not args or args[0].startswith("--"):
+            print(usage, file=sys.stderr)
+            return 2
+        for flag in ("--index", "--k", "--nprobe"):
+            if flag in args and args.index(flag) + 1 >= len(args):
+                print(f"{flag} requires a value\n{usage}", file=sys.stderr)
+                return 2
         qtext = args[0]
         sf_dir = args[1] if len(args) > 1 and not args[1].startswith("--") else os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions.num import qmean6, qsum6
 from ..sources import tables
 
 def ann_topk(
@@ -398,7 +399,9 @@ def pq_adc_topk(
     adc = (
         codes.join(dtable, (codes["m"] == dtable["m"]) & (codes["code"] == dtable["cent_id"]))
         .groupBy("vec_id")
-        .agg(F.round(F.sum("qd"), 6).alias("approx_dist"))
+        # qd is already 6-dp, so qd*1e6 is integral: the quantized sum
+        # is EXACT and independent of partition order (see functions.num)
+        .agg(qsum6("qd").alias("approx_dist"))
     )
     return adc.orderBy(F.col("approx_dist").asc_nulls_last(), F.col("vec_id")).limit(k)
 
@@ -427,7 +430,7 @@ dtable AS (
   FROM cents
 ),
 adc AS (
-  SELECT codes.vec_id, round(sum(d.qd), 6) AS approx_dist
+  SELECT codes.vec_id, round(sum(CAST(round((d.qd) * 1e6) AS BIGINT)) / 1e6, 6) AS approx_dist
   FROM codes JOIN dtable d ON codes.m = d.m AND codes.code = d.cent_id
   GROUP BY codes.vec_id
 )
@@ -485,7 +488,7 @@ def ivf_centroid_update(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> Dat
     )
     return (
         dims.groupBy("cent_id", "pos")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+        .agg(qmean6(F.col("v").cast("double")).alias("mean_v"))
     )
 
 def ivf_centroid_update_oracle(k: int = IVF_K) -> str:
@@ -498,7 +501,8 @@ dims AS (
   JOIN embeddings e ON e.vec_id = a.vec_id
   CROSS JOIN generate_series(1, 64) AS g(i)
 )
-SELECT cent_id, CAST(pos AS INT) AS pos, round(avg(v), 6) AS mean_v
+SELECT cent_id, CAST(pos AS INT) AS pos,
+       round(sum(CAST(round((v) * 1e6) AS BIGINT)) / (1e6 * count(v)), 6) AS mean_v
 FROM dims GROUP BY cent_id, pos
 """
 
@@ -595,7 +599,7 @@ def sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_dims"),
         F.sum("code").alias("code_sum"),
         F.sum(F.col("code") * F.col("pos")).alias("code_pos_dot"),
-        F.round(F.avg(F.abs(F.col("x") - recon)), 6).alias("mae"),
+        qmean6(F.abs(F.col("x") - recon)).alias("mae"),
     )
 
 def sq_quantize_oracle() -> str:
@@ -617,7 +621,8 @@ coded AS (
 SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
        CAST(sum(code) AS BIGINT) AS code_sum,
        CAST(sum(code * pos) AS BIGINT) AS code_pos_dot,
-       round(avg(abs(x - (mn + code / 255.0 * (mx - mn)))), 6) AS mae
+       round(sum(CAST(round((abs(x - (mn + code / 255.0 * (mx - mn)))) * 1e6) AS BIGINT))
+             / (1e6 * count(abs(x - (mn + code / 255.0 * (mx - mn))))), 6) AS mae
 FROM coded GROUP BY vec_id
 """
 
@@ -687,17 +692,27 @@ def ivf_cluster_quality(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> Dat
     or split before recall degrades. Reuses `ivf_assignments` (each
     member's cosine to its centroid is already computed there), so
     this is one tiny aggregation over the assignment table. Emits
-    (cent_id, n_members, mean_cosine)."""
+    (cent_id, n_members, mean_cosine).
+
+    The mean is computed over exact integers: `cosine` is already
+    rounded to 6 dp upstream, so `round(cosine*1e6)` is integral and a
+    BIGINT sum is independent of partition/summation order — a plain
+    avg(double) here differs in the last ulp between engines and flips
+    the 6th decimal (observed: r2 driver hash mismatch)."""
     assign = ivf_assignments(spark, sf_dir, k)
     return assign.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.avg("cosine"), 6).alias("mean_cosine"),
+        F.round(
+            F.sum(F.round(F.col("cosine") * 1e6, 0).cast("bigint"))
+            / (F.lit(1e6) * F.count(F.lit(1))),
+            6,
+        ).alias("mean_cosine"),
     )
 
 def ivf_cluster_quality_oracle(k: int = IVF_K) -> str:
     return f"""
 WITH assign AS ({ivf_assignments_oracle(k)})
 SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
-       round(avg(cosine), 6) AS mean_cosine
+       round(sum(CAST(round(cosine * 1e6) AS BIGINT)) / (1e6 * count(*)), 6) AS mean_cosine
 FROM assign GROUP BY cent_id
 """

@@ -40,7 +40,9 @@ def skew_profile(spark: SparkSession, sf_dir: str, top_n: int = SKEW_TOP_N) -> D
         keyed = keyed.unionByName(p)
     counts = keyed.groupBy("key_col", "key").agg(F.count(F.lit(1)).alias("n"))
     totals = counts.groupBy("key_col").agg(F.sum("n").alias("total"))
-    w = Window.partitionBy("key_col").orderBy(F.desc("n"), F.asc("key"))
+    # asc_nulls_last: Spark ascending defaults NULLS FIRST, DuckDB
+    # NULLS LAST — pin the tie-break so a NULL key ranks identically
+    w = Window.partitionBy("key_col").orderBy(F.desc("n"), F.asc_nulls_last("key"))
     return (
         counts.join(totals, "key_col")
         .withColumn("rank", F.row_number().over(w))

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.num import qmean6
 from ..sources import tables
 
 # ---------------------------------------------------------------------------
@@ -146,7 +147,9 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias("avg_logprob"),
+            # quantized mean: order-independent across partitions and
+            # immune to per-row libm ulp wobble (see functions.num)
+            qmean6(F.log(F.col("cnt") / F.col("total"))).alias("avg_logprob"),
         )
     )
 
@@ -160,7 +163,8 @@ WITH t AS (
 v AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
 tot AS (SELECT sum(cnt) AS total FROM v)
 SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(ln(v.cnt / (SELECT total FROM tot))), 6) AS avg_logprob
+       round(sum(CAST(round((ln(v.cnt / (SELECT total FROM tot))) * 1e6) AS BIGINT))
+             / (1e6 * count(ln(v.cnt / (SELECT total FROM tot)))), 6) AS avg_logprob
 FROM t JOIN v USING (word)
 GROUP BY t.doc_id
 """

@@ -350,13 +350,17 @@ def bm25_search(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_terms"),
-            F.sum(idf * norm).alias("score"),
+            # integer micro-unit accumulation: the per-term summand is
+            # libm-derived (ln), so quantize BEFORE summing — the score,
+            # the top-k cut, and the tie-break are then all
+            # order-independent and engine-exact (see functions.num)
+            F.sum(F.round((idf * norm) * 1e6, 0).cast("bigint")).alias("score_u"),
         )
     )
     return (
-        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        scored.orderBy(F.col("score_u").desc(), F.col("doc_id"))
         .limit(k)
-        .select("doc_id", "n_terms", F.round("score", 6).alias("bm25"))
+        .select("doc_id", "n_terms", F.round(F.col("score_u") / 1e6, 6).alias("bm25"))
     )
 
 def bm25_search_oracle(terms: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOPK) -> str:
@@ -374,14 +378,14 @@ tf AS (
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scored AS (
   SELECT tf.doc_id, CAST(count(*) AS INT) AS n_terms,
-         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         sum(CAST(round((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
              * tf * ({BM25_K1} + 1.0)
-             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))) AS score
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))) * 1e6) AS BIGINT)) AS score_u
   FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, n_terms, round(score, 6) AS bm25
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+SELECT doc_id, n_terms, round(score_u / 1e6, 6) AS bm25
+FROM scored ORDER BY score_u DESC, doc_id LIMIT {k}
 """
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.num import qmean6, qsum6
 from ..functions.timeutil import epoch_us
 from ..sources import tables
 
@@ -216,7 +217,7 @@ def event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("level"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            qsum6("value").alias("sum_value"),
         )
         .select("nation", "event_type", "level", "n", "sum_value")
     )
@@ -226,7 +227,7 @@ def event_rollup_oracle() -> str:
 SELECT n.n_name AS nation, e.event_type,
        CAST(GROUPING(n.n_name) * 2 + GROUPING(e.event_type) AS INT) AS level,
        CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(e.value) AS DOUBLE), 6) AS sum_value
+       round(sum(CAST(round((e.value) * 1e6) AS BIGINT)) / 1e6, 6) AS sum_value
 FROM events e
 JOIN customer c ON c.c_custkey = e.user_id
 JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -242,7 +243,7 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
+        qmean6("value").alias("mean_value"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -252,7 +253,7 @@ SELECT event_type,
        round(quantile_cont(value, 0.25), 6) AS p25,
        round(quantile_cont(value, 0.50), 6) AS p50,
        round(quantile_cont(value, 0.75), 6) AS p75,
-       round(avg(value), 6) AS mean_value,
+       round(sum(CAST(round((value) * 1e6) AS BIGINT)) / (1e6 * count(value)), 6) AS mean_value,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -448,8 +449,37 @@ def event_anomalies(spark: SparkSession, sf_dir: str, z_thresh: float = ANOMALY_
         e.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    stats = hourly.groupBy("event_type").agg(
-        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    # mu/sigma from exact integer moments (sum n, sum n^2 are BIGINT —
+    # order-independent), then one IEEE-deterministic formula mirrored
+    # verbatim in the oracle. stddev_samp's streaming accumulation is
+    # engine- and partition-order-dependent at the last ulp, which
+    # flips round(z, 6) near 6th-decimal midpoints.
+    stats = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n").alias("s1"),
+            F.sum(F.col("n") * F.col("n")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            (F.col("s1").cast("double") / F.col("c").cast("double")).alias("mu"),
+            F.when(
+                F.col("c") > 1,
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.col("s2").cast("double")
+                            - F.col("s1").cast("double")
+                            * F.col("s1").cast("double")
+                            / F.col("c").cast("double")
+                        )
+                        / (F.col("c").cast("double") - 1.0),
+                        F.lit(0.0),
+                    )
+                ),
+            ).alias("sigma"),
+        )
     )
     z = F.when(
         F.col("sigma") > 0, (F.col("n") - F.col("mu")) / F.col("sigma")
@@ -471,8 +501,20 @@ WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
   FROM events GROUP BY 1, 2
 ),
+moments AS (
+  SELECT event_type, count(*) AS c,
+         sum(n) AS s1, sum(n * n) AS s2
+  FROM hourly GROUP BY 1
+),
 stats AS (
-  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma FROM hourly GROUP BY 1
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE) AS mu,
+         CASE WHEN c > 1 THEN sqrt(greatest(
+                (CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+                / (CAST(c AS DOUBLE) - 1.0), 0.0))
+         END AS sigma
+  FROM moments
 )
 SELECT h.event_type, h.hour_start, CAST(h.n AS BIGINT) AS n,
        round(CASE WHEN s.sigma > 0 THEN (h.n - s.mu) / s.sigma ELSE 0.0 END, 6) AS z,

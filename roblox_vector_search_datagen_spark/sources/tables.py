@@ -54,9 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Downstream epoch arithmetic goes through functions.timeutil.epoch_us
     so the NTZ wall-clock is always interpreted as UTC — matching the
-    DuckDB oracles' epoch_us over the same naive timestamps. The two
-    legacy branches use session-timezone casts; they only ever run under
-    the repo session (session.py pins UTC).
+    DuckDB oracles' epoch_us over the same naive timestamps. Both
+    legacy branches build the NTZ by adding epoch micros to an NTZ
+    epoch literal — pure NTZ arithmetic that never consults
+    spark.sql.session.timeZone, so a non-UTC driver session cannot
+    shift the wall-clock (an NTZ<->LTZ cast would).
     """
     if name == "events":
         try:
@@ -67,11 +69,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
+            # nanos-as-long fixture: integer-divide to micros (double
+            # division would lose low bits at 1e18 ns)
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
             )
         elif ts_type == "timestamp":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # LTZ fixture: unix_micros reads the instant directly
+            # (tz-independent), then re-render as UTC wall-clock
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.num import qsum6
 from ..functions.timeutil import epoch_us
 from ..sources import tables
 
@@ -66,7 +67,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.window("ts", "1 hour")
     return (
         e.groupBy(w.alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), qsum6("value").alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -78,7 +79,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def windowed_event_counts_oracle() -> str:
     return """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       CAST(count(*) AS BIGINT) AS n, round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+       CAST(count(*) AS BIGINT) AS n, round(sum(CAST(round((value) * 1e6) AS BIGINT)) / 1e6, 6) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -91,7 +92,7 @@ def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         raw.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), qsum6("value").alias("sum_value"))
         .select(_ntz("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 
@@ -126,7 +127,7 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN)
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        qsum6("value").alias("sum_value"),
     )
 
 def sessionize_oracle(gap_min: int = SESSION_GAP_MIN) -> str:
@@ -144,7 +145,7 @@ s AS (
   FROM g
 )
 SELECT user_id, sess_seq, min(ts) AS session_start, max(ts) AS session_end,
-       CAST(count(*) AS BIGINT) AS n_events, round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(CAST(round((value) * 1e6) AS BIGINT)) / 1e6, 6) AS sum_value
 FROM s GROUP BY user_id, sess_seq
 """
 
@@ -157,7 +158,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_G
     return (
         raw.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), qsum6("value").alias("sum_value"))
         .select(
             "user_id",
             _ntz("w.start").alias("session_start"),
@@ -217,7 +218,7 @@ def running_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful stream below: final per-user totals."""
     e = tables.load_table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value")
+        F.count(F.lit(1)).alias("n_events"), qsum6("value").alias("sum_value")
     )
 
 def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,19 +236,22 @@ def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_u = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            # accumulate integer micro-units so the running total is
+            # order-independent and exactly equals the batch twin's
+            # qsum6 regardless of microbatch slicing
+            total_u += int((pdf["value"] * 1e6).round().astype("int64").sum())
+        state.update((n, total_u))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 6)]}
+            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total_u / 1e6, 6)]}
         )
 
     return raw.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
-        stateStructType="n BIGINT, total DOUBLE",
+        stateStructType="n BIGINT, total_u BIGINT",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
