@@ -169,10 +169,13 @@ def _registry() -> dict[str, Query]:
         timeseries.event_value_histogram_oracle(),
         ("events",),
     )
-    # DataSketches HLL: estimates differ from DuckDB's approx algos by
-    # design -> rows-only driver check; error bounded in tests
+    # DataSketches HLL estimates can't be reproduced by DuckDB, so the
+    # query emits exact counts + accuracy-contract booleans the oracle
+    # checks as TRUE — hash-matched, with the sketch path load-bearing
     r["hll_daily_users"] = Query(
-        timeseries.hll_daily_users, None, ("events", "sketch")
+        timeseries.hll_daily_users,
+        timeseries.hll_daily_users_oracle(),
+        ("events", "sketch"),
     )
 
     # --- ANN index evaluation + compression ---
@@ -373,10 +376,12 @@ def _registry() -> dict[str, Query]:
         timeseries.event_value_quantiles_oracle(),
         ("events", "agg"),
     )
-    # sketch aggregates: approximate by design -> rows-only driver check;
-    # error bounds vs exact are asserted in tests/test_properties.py
+    # sketch estimates emitted as accuracy-contract booleans (oracle
+    # expects TRUE) + exact twins — same pattern as hll_daily_users
     r["sketch_event_profile"] = Query(
-        timeseries.sketch_event_profile, None, ("events", "sketch")
+        timeseries.sketch_event_profile,
+        timeseries.sketch_event_profile_oracle(),
+        ("events", "sketch"),
     )
 
     # --- multimodal columns ---

