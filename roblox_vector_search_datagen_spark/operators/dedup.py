@@ -239,11 +239,14 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str, max_hamming: int = 6) ->
 
     `source` has single-digit cardinality, so a plain equi-join would
     land every block on one reducer — the textbook skewed-key join. The
-    left side is SALTED (salt = doc_id % S) and the right side
-    replicated S times joining on (source, salt): each pair still meets
-    exactly once, but the work spreads over S partitions per block.
-    AQE's skew-join split can do this at runtime for sort-merge joins;
-    explicit salting keeps the parallelism deterministic."""
+    left side is SALTED (salt = xxhash64(doc_id) % S — a HASH, not a
+    plain modulo: real id spaces are striped/sharded, and doc_id % S
+    leaves salt buckets empty whenever ids correlate with the block
+    key, which tests/test_skew_stress.py reproduces) and the right
+    side replicated S times joining on (source, salt): each pair still
+    meets exactly once, but the work spreads over S partitions per
+    block. AQE's skew-join split can do this at runtime for sort-merge
+    joins; explicit salting keeps the parallelism deterministic."""
     fps = simhash(spark, sf_dir)
     src = tables.load_table(spark, sf_dir, "documents").select("doc_id", "source")
     fps = fps.join(src, "doc_id")
@@ -251,7 +254,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str, max_hamming: int = 6) ->
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("fp_a"),
         "source",
-        F.pmod(F.col("doc_id"), F.lit(SALT_BUCKETS)).cast("int").alias("salt"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SALT_BUCKETS)).cast("int").alias("salt"),
     )
     b = fps.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "source"
@@ -629,19 +632,20 @@ WHERE {cos} >= {threshold}
 
 EXACT_JACCARD_DUP_THRESHOLD = 0.8
 
-def exact_jaccard_verify(
-    spark: SparkSession, sf_dir: str, threshold: float = EXACT_JACCARD_DUP_THRESHOLD
+def _exact_jaccard_stage(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact shingle Jaccard for the LSH candidate pairs — the last
-    stage of the candidates -> signature-estimate -> exact-verify
-    funnel. Exact set intersection is the expensive step, so it runs
-    ONLY on pairs that survived candidate generation (never all-pairs):
-    the shingle sets of just the candidate doc_ids join back by id,
-    and |A∩B| / |A∪B| is per-pair higher-order array math. At 100 TB
-    the candidate set is a vanishing fraction of the corpus, which is
-    the entire point of the funnel. Emits
-    (doc_a, doc_b, jaccard, is_dup)."""
-    pairs = lsh_candidate_pairs(spark, sf_dir)
+    """Shared final stage of the dedup funnel: exact shingle Jaccard
+    over an arbitrary (doc_a, doc_b [, carried...]) candidate
+    DataFrame, whatever blocking scheme produced it (MinHash-LSH
+    bands, embedding sign-LSH buckets, ...). Exact set intersection is
+    the expensive step, so it runs ONLY on pairs that survived
+    candidate generation (never all-pairs): the shingle sets of just
+    the candidate doc_ids join back by id, and |A∩B| / |A∪B| is
+    per-pair higher-order array math. At 100 TB the candidate set is a
+    vanishing fraction of the corpus, which is the entire point of the
+    funnel. Carried columns from `pairs` are preserved; appends
+    (jaccard, is_dup)."""
     d = tables.load_table(spark, sf_dir, "documents")
     # word_shingles_expr already dedupes — no outer array_distinct
     sh = d.select("doc_id", H.word_shingles_expr(F.col("text")).alias("sh"))
@@ -653,13 +657,65 @@ def exact_jaccard_verify(
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jac, 6).alias("jaccard"),
-            (jac >= threshold).alias("is_dup"),
-        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("is_dup", jac >= threshold)
+        .drop("sh_a", "sh_b")
     )
+
+def exact_jaccard_verify(
+    spark: SparkSession, sf_dir: str, threshold: float = EXACT_JACCARD_DUP_THRESHOLD
+) -> DataFrame:
+    """MinHash-LSH candidates -> exact-verify: the default dedup
+    funnel (candidates -> signature-estimate -> exact-verify). Emits
+    (doc_a, doc_b, jaccard, is_dup)."""
+    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _exact_jaccard_stage(spark, sf_dir, pairs, threshold)
+
+def embedding_lsh_verified(
+    spark: SparkSession,
+    sf_dir: str,
+    cos_threshold: float = 0.35,
+    threshold: float = EXACT_JACCARD_DUP_THRESHOLD,
+) -> DataFrame:
+    """The SAME exact-verify stage fed by the embedding sign-LSH
+    blocking scheme instead of MinHash bands — one funnel, two
+    interchangeable candidate sources. Embeddings align 1:1 with
+    documents (vec_id == doc_id in the fixtures), so each
+    cosine-candidate pair is re-checked against the exact TEXT
+    Jaccard: pairs that are embedding-near but textually unrelated
+    come back is_dup=false, which is precisely the cross-signal audit
+    a production dedup run does before deleting anything. Emits
+    (doc_a, doc_b, cosine, jaccard, is_dup)."""
+    cands = embedding_lsh_near_dups(spark, sf_dir, cos_threshold).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        "cosine",
+    )
+    return _exact_jaccard_stage(spark, sf_dir, cands, threshold).select(
+        "doc_a", "doc_b", "cosine", "jaccard", "is_dup"
+    )
+
+def embedding_lsh_verified_oracle(
+    cos_threshold: float = 0.35,
+    threshold: float = EXACT_JACCARD_DUP_THRESHOLD,
+) -> str:
+    sh = H.word_shingles_sql("text")
+    return f"""
+WITH cands AS ({embedding_lsh_near_dups_oracle(cos_threshold)}),
+sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+j AS (
+  SELECT c.vec_a AS doc_a, c.vec_b AS doc_b, c.cosine,
+         CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
+         END AS jac
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.vec_a
+  JOIN sh b ON b.doc_id = c.vec_b
+)
+SELECT doc_a, doc_b, cosine, round(jac, 6) AS jaccard, (jac >= {threshold}) AS is_dup
+FROM j
+"""
 
 def exact_jaccard_verify_oracle(threshold: float = EXACT_JACCARD_DUP_THRESHOLD) -> str:
     sh = H.word_shingles_sql("text")

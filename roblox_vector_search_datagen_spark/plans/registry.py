@@ -234,6 +234,13 @@ def _registry() -> dict[str, Query]:
     r["exact_jaccard_verify"] = Query(
         dedup.exact_jaccard_verify, dedup.exact_jaccard_verify_oracle(), ("dedup",)
     )
+    # same exact-verify stage fed by the embedding sign-LSH blocking
+    # scheme — one funnel, two interchangeable candidate sources
+    r["embedding_lsh_verified"] = Query(
+        lambda spark, sf: dedup.embedding_lsh_verified(spark, sf),
+        dedup.embedding_lsh_verified_oracle(),
+        ("dedup",),
+    )
     r["minhash_jaccard_estimates"] = Query(
         dedup.minhash_jaccard_estimates,
         dedup.minhash_jaccard_estimates_oracle(),

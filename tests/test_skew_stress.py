@@ -1,0 +1,114 @@
+"""Skew-defense stress tests over a deliberately hot-keyed fixture:
+one `source` holding 50% of the corpus (the blocked simhash join's
+nightmare input) and sequential doc_ids. Asserts the salted join (a)
+still produces each qualifying pair exactly once, (b) actually joins
+on the salted composite key so no single reducer key carries the whole
+hot block, and (c) spreads the hot block's rows evenly over the salt
+buckets — the per-task row bound that keeps the plan alive at 100 TB."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from roblox_vector_search_datagen_spark.operators import dedup
+from tests.test_plans import plan_of
+
+N_DOCS = 200
+HOT = "hot"  # 50% of docs land here; 4 cold sources share the rest
+
+
+def _text(i: int) -> str:
+    # unique word soup per doc (simhashes far apart), except three
+    # injected exact duplicates inside the hot block
+    if i in (10, 18, 26):
+        return "dup dup words common to the three injected duplicates"
+    return " ".join(f"w{i}x{j}" for j in range(12))
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("skewfixture")
+    rows = [
+        (
+            i,
+            _text(i),
+            "en",
+            HOT if i % 2 == 0 else f"cold{i % 4}",
+            len(_text(i)),
+        )
+        for i in range(N_DOCS)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_salted_join_pairs_meet_exactly_once(spark, skew_dir):
+    rows = dedup.simhash_near_dups(spark, skew_dir, max_hamming=0).collect()
+    pairs = [(r.doc_a, r.doc_b) for r in rows]
+    # replication of the b-side over the salt range must not duplicate
+    # any pair: the a-side's salt is a function of doc_a, so each pair
+    # matches exactly one replica
+    assert len(pairs) == len(set(pairs))
+    # the three injected duplicates (all in the hot block) are found
+    assert {(10, 18), (10, 26), (18, 26)} <= set(pairs)
+
+
+def test_join_key_is_salted_in_plan(spark, skew_dir):
+    """The physical join must key on (source, salt) — if the salt ever
+    drops out of the equi-join condition the whole hot block lands on
+    one reducer key again."""
+    p = plan_of(dedup.simhash_near_dups(spark, skew_dir))
+    join_lines = [ln for ln in p.splitlines() if "Join" in ln or "keys" in ln]
+    joined = " ".join(join_lines)
+    assert re.search(r"salt", joined), p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_salt_bounds_per_key_rows_on_hot_block(spark, skew_dir):
+    """With 50% of docs on one source, the largest (source, salt) key
+    on the probe side must hold ~|hot|/SALT_BUCKETS rows, not |hot| —
+    the deterministic version of what AQE skew-split would do."""
+    d = spark.read.parquet(f"{skew_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(dedup.SALT_BUCKETS)).cast("int").alias("salt"),
+    )
+    per_key = d.groupBy("source", "salt").count().collect()
+    hot_total = sum(r["count"] for r in per_key if r.source == HOT)
+    hot_max = max(r["count"] for r in per_key if r.source == HOT)
+    assert hot_total == N_DOCS // 2
+    # fair share with 2x slack — catches a degenerate salt (constant,
+    # or derived from the block key) without flaking on remainders
+    assert hot_max <= 2 * (hot_total // dedup.SALT_BUCKETS + 1), per_key
+    # and the hot block actually spans every salt bucket
+    assert len({r.salt for r in per_key if r.source == HOT}) == dedup.SALT_BUCKETS
+
+
+def test_capped_postings_bound_bucket_width_at_scale(spark, skew_dir):
+    """Every doc shares no shingle (unique word soup), except the three
+    duplicates; with a df_cap far below the corpus size the inverted-
+    index buckets stay narrow and only the true duplicates pair up."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            spark, skew_dir, threshold=0.5, df_cap=10
+        ).collect()
+    }
+    assert set(pairs) == {(10, 18), (10, 26), (18, 26)}
+    for j in pairs.values():
+        assert j == pytest.approx(1.0, abs=1e-6)
+    # the retained posting lists respect the cap (the per-bucket pair
+    # work is <= C(df_cap, 2) no matter how hot the input)
+    widths = (
+        dedup._ngram_buckets(spark, skew_dir)
+        .filter(F.size("docs") <= 10)
+        .select(F.max(F.size("docs")).alias("w"))
+        .collect()[0]
+        .w
+    )
+    assert widths <= 10
