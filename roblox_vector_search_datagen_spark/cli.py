@@ -395,6 +395,8 @@ COMMANDS = (
     "buildVectorIndex",
     "queryVectorIndex",
     "selectCorpus",
+    "exportJobsDb",
+    "importJobsDb",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -446,6 +448,29 @@ def main(argv: list[str] | None = None) -> int:
         print(generate_gameplay_descriptions(corpus, tf, base_url=llm, model="local"))
     elif cmd == "generateEmbeddings":
         print(generate_embeddings(corpus, tf, base_url=emb, model="local"))
+    elif cmd == "exportJobsDb":
+        # bridge the Spark job log to a reference-format data/jobs.db
+        # (byte-level DDL parity — the reference can open the file
+        # directly; usage: exportJobsDb [--log dir] [--db path])
+        from .jobs.manager import JobManager
+        from .sources import sqlite_jobs
+
+        data_dir = os.environ.get("RVSD_DATA_DIR", "data")
+        log = args[args.index("--log") + 1] if "--log" in args else os.path.join(data_dir, "joblog")
+        db = args[args.index("--db") + 1] if "--db" in args else os.path.join(data_dir, "jobs.db")
+        n = sqlite_jobs.write_jobs_db(JobManager(spark, log).current(), db)
+        print(json.dumps({"db": db, "jobs": n}))
+    elif cmd == "importJobsDb":
+        # seed the Spark job log from a reference data/jobs.db snapshot
+        # (usage: importJobsDb [--db path] [--log dir])
+        from .jobs.manager import JobManager
+        from .sources import sqlite_jobs
+
+        data_dir = os.environ.get("RVSD_DATA_DIR", "data")
+        db = args[args.index("--db") + 1] if "--db" in args else os.path.join(data_dir, "jobs.db")
+        log = args[args.index("--log") + 1] if "--log" in args else os.path.join(data_dir, "joblog")
+        n = JobManager(spark, log).seed_from(sqlite_jobs.read_jobs_db(spark, db))
+        print(json.dumps({"log": log, "jobs": n}))
     elif cmd == "explainQuery":
         # physical-plan introspection for any registry query: the tool a
         # cluster operator uses to confirm pushdown/broadcast before a

@@ -106,6 +106,23 @@ class JobManager:
             "overwrite"
         ).parquet(self.log_dir)
 
+    def seed_from(self, jobs_df: DataFrame) -> int:
+        """Append a current-state snapshot (e.g. a reference jobs.db
+        read through sources.sqlite_jobs) into the log — each imported
+        row becomes one transition, sequenced after any existing rows
+        so current() resolves imported state only where the log has no
+        newer transition for that id. Returns rows imported."""
+        snapshot = [r.asDict() for r in jobs_df.collect()]
+        rows = []
+        for r in snapshot:
+            self._seq += 1
+            rows.append({**r, "seq": self._seq})
+        if rows:
+            self.spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(self.log_dir)
+        return len(rows)
+
     # -- reference API surface (jobManager.ts:70-243) ----------------------
 
     def create_job(self, command: str) -> str:

@@ -276,22 +276,47 @@ ORDER BY score DESC NULLS LAST, universeId LIMIT {limit}
 # Listing / stats / counts
 # ---------------------------------------------------------------------------
 
+# per-session capability probe for ICU collation expressions
+# (Spark >= 4.0); spark.sql analyzes eagerly, so an unsupported build
+# raises here without running a job
+_ICU_OK: dict[int, bool] = {}
+
+def _icu_collation_available(spark: SparkSession) -> bool:
+    key = id(spark)
+    if key not in _ICU_OK:
+        try:
+            spark.sql("SELECT collate('a', 'UNICODE')")
+            _ICU_OK[key] = True
+        except Exception:
+            _ICU_OK[key] = False
+    return _ICU_OK[key]
+
 def list_games_df(games_df: DataFrame, limit: int | None = 50) -> DataFrame:
     g = games_df.select("universeId", "name", "rootPlaceId")
-    out = g.orderBy("name", "universeId")
+    spark = games_df.sparkSession
+    name_key = (
+        F.expr("collate(name, 'UNICODE')")
+        if _icu_collation_available(spark)
+        else F.col("name")
+    )
+    out = g.orderBy(name_key, "universeId")
     return out.limit(limit) if limit else out
 
 def list_games(spark: SparkSession, sf_dir: str, limit: int | None = 50) -> DataFrame:
-    """GET /games (games.get.ts:63-66): name-sorted listing. The
-    reference uses ICU localeCompare; binary collation is the documented
-    deviation (SURVEY.md §7.4.4), with universeId as the deterministic
-    tie-break for duplicate names."""
+    """GET /games (games.get.ts:63-66): name-sorted listing with the
+    reference's ICU localeCompare order (Spark `collate(name,
+    'UNICODE')` == DuckDB ICU "en_us" — the parity `list_games_unicode`
+    pinned in round 2), falling back to binary collation on a Spark
+    build without collation support. The ICU sort pays a per-row
+    collation-key build, which is why the fallback (and pre-round-3
+    default) is binary; universeId breaks ties so the LIMIT cut is
+    deterministic either way."""
     return list_games_df(tables.games(spark, sf_dir), limit)
 
 def list_games_oracle(limit: int | None = 50) -> str:
     lim = f" LIMIT {limit}" if limit else ""
     return tables.with_domain_views(
-        f"SELECT universeId, name, rootPlaceId FROM games ORDER BY name, universeId{lim}"
+        f'SELECT universeId, name, rootPlaceId FROM games ORDER BY name COLLATE "en_us", universeId{lim}'
     )
 
 def list_games_unicode(spark: SparkSession, sf_dir: str, limit: int = 50) -> DataFrame:

@@ -332,3 +332,39 @@ def test_query_vector_index_command(spark, sf_dir, tmp_path, monkeypatch, capsys
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 5
     assert rows[0]["rank"] == 1 and "cosine" in rows[0]
+
+def test_jobs_db_export_import_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    """exportJobsDb writes a reference-DDL jobs.db from the Spark log;
+    importJobsDb seeds a fresh log from it; states survive the trip."""
+    from roblox_vector_search_datagen_spark.jobs.manager import JobManager
+
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+    log = str(tmp_path / "data" / "joblog")
+    jm = JobManager(spark, log)
+    j1 = jm.create_job("gatherGames")
+    jm.start_job(j1)
+    j2 = jm.create_job("pruneGames")
+
+    assert cli.main(["exportJobsDb"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["jobs"] == 2
+
+    log2 = str(tmp_path / "data" / "joblog2")
+    assert cli.main(["importJobsDb", "--log", log2]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["jobs"] == 2
+    back = {r["id"]: r.asDict() for r in JobManager(spark, log2).current().collect()}
+    orig = {r["id"]: r.asDict() for r in jm.current().collect()}
+    # reference DATETIME is second-precision (datetime('now')), so the
+    # bridge truncates sub-second parts by design
+    for rec in orig.values():
+        for c in ("created_at", "started_at", "completed_at"):
+            if rec[c] is not None:
+                rec[c] = rec[c].replace(microsecond=0)
+    assert back == orig
+
+def test_query_vector_index_usage_errors(spark, capsys):
+    assert cli.main(["queryVectorIndex"]) == 2
+    assert "usage" in capsys.readouterr().err
+    assert cli.main(["queryVectorIndex", "q", "--k"]) == 2
+    assert "--k requires a value" in capsys.readouterr().err

@@ -19,8 +19,20 @@ def games_df(spark):
     rows = [(i + 1, 1000 + i, n, None, None, None) for i, n in enumerate(NAMES)]
     return spark.createDataFrame(rows, GAME_SCHEMA)
 
-def test_binary_order_pinned(games_df):
+def test_default_listing_uses_icu_order(games_df):
+    # round 3: the default listing adopts the reference's localeCompare
+    # (ICU) order whenever the Spark build supports collation
     got = [r.name for r in search.list_games_df(games_df).collect()]
+    assert got == ["123 go", "Ängstrom", "apple pie", "Apple Pie", "éclair", "ss-test", "ß-test", "zebra", "日本語"]
+
+def test_binary_fallback_order_pinned(games_df, spark):
+    # capability-check fallback: a Spark build without collation
+    # support must still produce the documented bytewise order
+    search._ICU_OK[id(spark)] = False
+    try:
+        got = [r.name for r in search.list_games_df(games_df).collect()]
+    finally:
+        search._ICU_OK.pop(id(spark), None)
     # bytewise UTF-8: digits < uppercase < lowercase < Latin-1 < CJK
     assert got == ["123 go", "Apple Pie", "apple pie", "ss-test", "zebra", "Ängstrom", "ß-test", "éclair", "日本語"]
 

@@ -73,3 +73,61 @@ def test_listing_counts_and_cleanup(jm):
     removed = jm.delete_old_jobs(cutoff=datetime(2040, 1, 1))
     assert removed == 2
     assert jm.current().count() == 3
+
+# ---------------------------------------------------------------------------
+# SQLite interchange (byte-level parity with the reference's data/jobs.db)
+# ---------------------------------------------------------------------------
+
+def test_sqlite_roundtrip_preserves_current_state(jm, spark, tmp_path):
+    import sqlite3
+
+    from roblox_vector_search_datagen_spark.sources import sqlite_jobs
+
+    j1 = jm.create_job("gatherGames")
+    jm.start_job(j1)
+    jm.update_progress(j1, 3, 10, "gathering")
+    j2 = jm.create_job("generateEmbeddings")
+    jm.start_job(j2)
+    jm.complete_job(j2, result="done")
+    j3 = jm.create_job("downloadImages")
+
+    db = str(tmp_path / "jobs.db")
+    n = sqlite_jobs.write_jobs_db(jm.current(), db)
+    assert n == 3
+
+    # the written file matches the reference DDL: column names/order and
+    # the status CHECK constraint both enforced
+    con = sqlite3.connect(db)
+    cols = [r[1] for r in con.execute("PRAGMA table_info(jobs)")]
+    assert cols == [f.name for f in sqlite_jobs.JOB_SCHEMA.fields]
+    with pytest.raises(sqlite3.IntegrityError):
+        con.execute(
+            "INSERT INTO jobs (id, command, status, created_at)"
+            " VALUES ('x', 'c', 'bogus', '2026-01-01 00:00:00')"
+        )
+    idx = {r[0] for r in con.execute("SELECT name FROM sqlite_master WHERE type='index'")}
+    assert {"idx_jobs_status", "idx_jobs_created_at", "idx_jobs_command"} <= idx
+    con.close()
+
+    back = {r["id"]: r.asDict() for r in sqlite_jobs.read_jobs_db(spark, db).collect()}
+    orig = {r["id"]: r.asDict() for r in jm.current().collect()}
+    assert set(back) == set(orig) == {j1, j2, j3}
+    for jid in orig:
+        assert back[jid] == orig[jid], jid
+
+def test_sqlite_read_rejects_unknown_status(spark, tmp_path):
+    import sqlite3
+
+    from roblox_vector_search_datagen_spark.sources import sqlite_jobs
+
+    db = str(tmp_path / "bad.db")
+    con = sqlite3.connect(db)
+    con.execute(sqlite_jobs.JOBS_DDL.replace("CHECK (status IN ('pending', 'running', 'completed', 'failed'))", ""))
+    con.execute(
+        "INSERT INTO jobs (id, command, status, created_at)"
+        " VALUES ('j', 'c', 'exploded', '2026-01-01 00:00:00')"
+    )
+    con.commit()
+    con.close()
+    with pytest.raises(ValueError, match="unknown status"):
+        sqlite_jobs.read_jobs_db(spark, db)
