@@ -519,3 +519,73 @@ WITH ranked AS (
 SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
 FROM ranked WHERE sample_rank <= {k}
 """
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated spans (boilerplate / substring-dedup proxy)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 5
+SPAN_MIN_DOCS = 2
+SPAN_TOPK = 100
+
+def repeated_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    k: int = SPAN_TOPK,
+) -> DataFrame:
+    """Cross-document repeated word-n-gram spans — the scalable proxy
+    for substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": exact substring dedup
+    needs a suffix array; n-gram document frequency finds the same
+    boilerplate at a fraction of the cost). A span appearing in many
+    documents is template/boilerplate text a corpus build strips
+    before training.
+
+    One explode (n_tokens rows per doc) into one map-side-combined
+    aggregation keyed by the span; the shuffle carries ~n-word strings
+    and the output is top-k bounded. At 100 TB you would pre-hash the
+    span to an 8-byte key for the exchange and resolve representative
+    text from a min() agg — same plan shape, narrower key; the string
+    key keeps the fixture-scale oracle byte-identical. Emits
+    (span, n_docs, n_occurrences), most-shared first."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words(F.col("text")).alias("w")).withColumn("n", F.size("w"))
+    spans = w.filter(F.col("n") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - n + 1),
+                lambda i: F.array_join(F.slice(F.col("w"), i, n), " "),
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("span"))
+        .limit(k)
+    )
+
+def repeated_spans_oracle(
+    n: int = SPAN_N, min_docs: int = SPAN_MIN_DOCS, k: int = SPAN_TOPK
+) -> str:
+    w = r"string_split_regex(text, '\s+')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {w} AS w, len({w}) AS nw FROM documents
+),
+s AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + {n} - 1), ' ') AS span
+  FROM (SELECT doc_id, w, unnest(range(1, nw - {n} + 2)) AS i FROM t WHERE nw >= {n})
+)
+SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= {min_docs}
+ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT {k}
+"""

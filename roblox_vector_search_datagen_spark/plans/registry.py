@@ -351,6 +351,13 @@ def _registry() -> dict[str, Query]:
         textprep.pack_sequences_oracle(),
         ("text", "packing"),
     )
+    # cross-document repeated n-gram spans: the scalable boilerplate /
+    # substring-dedup proxy (suffix-array dedup's cheap sibling)
+    r["repeated_spans"] = Query(
+        lambda spark, sf: textprep.repeated_spans(spark, sf),
+        textprep.repeated_spans_oracle(),
+        ("text", "dedup"),
+    )
     r["mixture_report"] = Query(
         textprep.mixture_report, textprep.mixture_report_oracle(), ("text", "profiling")
     )
@@ -448,6 +455,7 @@ _ADJUDICATE_FIRST = (
     "sketch_event_profile",
     # -- (3) new in round 3, no driver row yet --
     "embedding_lsh_verified",
+    "repeated_spans",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

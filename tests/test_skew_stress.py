@@ -112,3 +112,32 @@ def test_capped_postings_bound_bucket_width_at_scale(spark, skew_dir):
         .w
     )
     assert widths <= 10
+
+
+def test_repeated_spans_finds_injected_boilerplate(spark, tmp_path):
+    """Docs sharing a boilerplate prefix must surface it as the top
+    span; unique-text docs must contribute nothing."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    boiler = "subscribe to our newsletter for more updates"
+    rows = []
+    for i in range(6):
+        body = " ".join(f"b{i}w{j}" for j in range(6))
+        rows.append((i, f"{boiler} {body}", "en", "s", 0))
+    for i in range(6, 12):
+        rows.append((i, " ".join(f"u{i}w{j}" for j in range(12)), "en", "s", 0))
+    d = tmp_path / "spanfix"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    got = textprep.repeated_spans(spark, str(d), n=5, min_docs=2, k=10).collect()
+    assert got, "boilerplate span not detected"
+    top = got[0]
+    # the 7-word boilerplate yields three 5-gram spans, each in all 6
+    # docs; ordering ties break on span text ascending
+    assert top.n_docs == 6 and top.n_occurrences == 6
+    spans = {r.span for r in got}
+    assert "subscribe to our newsletter for" in spans
+    assert all(r.n_docs >= 2 for r in got)
