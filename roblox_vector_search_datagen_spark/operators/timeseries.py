@@ -375,13 +375,25 @@ def sketch_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken sketch path flips the driver row red: the sketches stay
     load-bearing while every emitted column is hash-matchable."""
     e = tables.load_table(spark, sf_dir, "events")
+    # keep count_distinct OUT of the main aggregate: mixing a distinct
+    # aggregate with the percentile/sketch aggregates makes Catalyst
+    # rewrite the whole agg through an Expand (every input row
+    # duplicated per distinct group) — measured 8x slower. A separate
+    # distinct-pairs aggregation is two narrow hash aggs, then a
+    # 5-row join back.
     agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct("user_id").alias("n_users"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
         F.approx_percentile("value", F.lit(0.5), F.lit(10_000)).alias("ap50"),
     )
+    nu = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    agg = agg.join(nu, "event_type")
     return agg.select(
         "event_type",
         "n",
@@ -625,23 +637,30 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_users, day_total_users, est_in_bounds, day_est_in_bounds)."""
     e = tables.load_table(spark, sf_dir, "events")
     day = F.date_format("ts", "yyyy-MM-dd").alias("day")
-    cells = e.groupBy(day, "event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("n_users"),
-    )
+    # sketches in one clean hash agg (no distinct mixing — that would
+    # Expand-rewrite the full events scan); exact twins from ONE
+    # distinct-triples pass reused for both grains
+    cells = e.groupBy(day, "event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
     day_totals = cells.groupBy("day").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("day_est")
     )
-    day_exact = e.groupBy(day).agg(
-        F.count_distinct("user_id").alias("day_total_users")
+    du = e.select(day, "event_type", "user_id").distinct()
+    cell_exact = du.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    day_exact = (
+        du.select("day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("day_total_users"))
     )
     return (
         cells.select(
             "day",
             "event_type",
-            "n_users",
             F.hll_sketch_estimate("sk").alias("est"),
         )
+        .join(cell_exact, ["day", "event_type"])
         .join(day_totals, "day")
         .join(day_exact, "day")
         .select(
