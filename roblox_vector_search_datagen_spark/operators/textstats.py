@@ -435,12 +435,14 @@ def pmi_collocations(
         .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")), "w2")
         .crossJoin(F.broadcast(totals))
-        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        # quantize the libm-derived score BEFORE the top-k cut so the
+        # cut and tie-break are engine-exact (same pattern as bm25)
+        .select("w1", "w2", "n_pair", F.round(pmi * 1e6, 0).cast("bigint").alias("pmi_u"))
     )
     return (
-        scored.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+        scored.orderBy(F.col("pmi_u").desc(), F.col("w1"), F.col("w2"))
         .limit(k)
-        .select("w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))
+        .select("w1", "w2", "n_pair", F.round(F.col("pmi_u") / 1e6, 6).alias("pmi"))
     )
 
 def pmi_collocations_oracle(min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK) -> str:
@@ -460,17 +462,18 @@ totals AS (
 ),
 scored AS (
   SELECT p.w1, p.w2, p.n_pair,
-         ln((p.n_pair / total_pairs)
-            / ((a.n_w / total_words) * (b.n_w / total_words))) AS score
+         CAST(round(ln((p.n_pair / total_pairs)
+            / ((a.n_w / total_words) * (b.n_w / total_words))) * 1e6) AS BIGINT) AS pmi_u
   FROM pair_counts p
   JOIN uni a ON a.w = p.w1
   JOIN uni b ON b.w = p.w2
   CROSS JOIN totals
   WHERE p.n_pair >= {min_count}
 )
--- rank on the UNROUNDED score (mirrors the Spark plan); round only in
--- the projection — ORDER BY a rounded alias could flip the k-th row
-SELECT w1, w2, n_pair, round(score, 6) AS pmi
+-- rank on the micro-unit-quantized score (mirrors the Spark plan): the
+-- top-k cut and tie-break are then engine-exact despite per-row libm
+-- ulp wobble in ln()
+SELECT w1, w2, n_pair, round(pmi_u / 1e6, 6) AS pmi
 FROM scored
-ORDER BY score DESC, w1, w2 LIMIT {k}
+ORDER BY pmi_u DESC, w1, w2 LIMIT {k}
 """
