@@ -222,3 +222,14 @@ def test_every_oracle_parses_in_duckdb(sf_dir):
         except Exception as ex:
             bad.append((name, str(ex).splitlines()[0][:120]))
     assert bad == []
+
+def test_sketch_queries_have_no_expand(spark, sf_dir):
+    """Mixing count_distinct into the sketch/percentile aggregates made
+    Catalyst rewrite the whole agg through an Expand (every events row
+    duplicated per distinct group — measured 4-8x slower at sf0.1). The
+    exact twins must stay in separate narrow aggregations."""
+    from roblox_vector_search_datagen_spark.operators import timeseries
+
+    for fn in (timeseries.sketch_event_profile, timeseries.hll_daily_users):
+        p = plan_of(fn(spark, sf_dir))
+        assert "Expand" not in p, fn.__name__
