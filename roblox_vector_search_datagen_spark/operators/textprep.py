@@ -561,11 +561,16 @@ def repeated_spans(
             )
         ).alias("span"),
     )
+    # cascade instead of count_distinct-mixed-with-count (which would
+    # Expand-rewrite the span stream ×2): the (span, doc) pre-agg
+    # map-side-combines in-doc repeats before anything shuffles, then
+    # the span rollup is over the already-narrow table
+    per_doc = spans.groupBy("span", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        spans.groupBy("span")
+        per_doc.groupBy("span")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("cnt").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("span"))

@@ -228,8 +228,12 @@ def test_sketch_queries_have_no_expand(spark, sf_dir):
     Catalyst rewrite the whole agg through an Expand (every events row
     duplicated per distinct group — measured 4-8x slower at sf0.1). The
     exact twins must stay in separate narrow aggregations."""
-    from roblox_vector_search_datagen_spark.operators import timeseries
+    from roblox_vector_search_datagen_spark.operators import textprep, timeseries
 
-    for fn in (timeseries.sketch_event_profile, timeseries.hll_daily_users):
+    for fn in (
+        timeseries.sketch_event_profile,
+        timeseries.hll_daily_users,
+        textprep.repeated_spans,
+    ):
         p = plan_of(fn(spark, sf_dir))
         assert "Expand" not in p, fn.__name__
