@@ -735,3 +735,84 @@ j AS (
 SELECT doc_a, doc_b, round(jac, 6) AS jaccard, (jac >= {threshold}) AS is_dup
 FROM j
 """
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: within-cluster embedding-cosine pruning)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): prune semantic near-duplicates
+    WITHIN each coarse cluster of the embedding space instead of over
+    the whole corpus. The IVF assignment (operators/ann.py) plays the
+    k-means step: every vector belongs to exactly one centroid cell, so
+    the quadratic pair comparison runs per-cell — at 100 TB the cell
+    population is corpus/n_clusters and the all-pairs blow-up is bounded
+    by the cluster granularity, the same contract the paper exploits on
+    LAION/C4. Within a cell, a vector is DROPPED when some tau-close
+    cell-mate sits farther from the centroid (SemDeDup keeps the
+    LOW-centroid-cosine member of each near-dup pair — the most
+    "extreme" exemplar), ties broken on vec_id.
+
+    Physical shape: the assignment reuses the broadcast-centroid scan,
+    the pair join shuffles on cent_id only (payload = vector + two
+    rounded scalars), and the dominator count is a hash agg on the
+    already-blocked pairs. Emits one row per dropped vector:
+    (vec_id, cent_id, cent_cos, n_dominators)."""
+    from . import ann
+
+    assign = ann.ivf_assignments(spark, sf_dir).select(
+        "vec_id", "cent_id", F.col("cosine").alias("cent_cos")
+    )
+    e = tables.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    m = assign.join(e, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("vec_a"),
+        "cent_id",
+        F.col("cent_cos").alias("ccos_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("vec_b"),
+        "cent_id",
+        F.col("cent_cos").alias("ccos_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = F.round(V.cosine_expr(F.col("emb_a"), F.col("emb_b")), 6)
+    dominated = (
+        a.join(b, "cent_id")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= tau)
+        # a is dropped when b is the farther-from-centroid twin
+        .filter(
+            (F.col("ccos_a") > F.col("ccos_b"))
+            | ((F.col("ccos_a") == F.col("ccos_b")) & (F.col("vec_a") > F.col("vec_b")))
+        )
+    )
+    return dominated.groupBy(
+        F.col("vec_a").alias("vec_id"), "cent_id", F.col("ccos_a").alias("cent_cos")
+    ).agg(F.count(F.lit(1)).alias("n_dominators"))
+
+def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    from . import ann
+
+    cos = V.cosine_sql("a.emb", "b.emb")
+    return f"""
+WITH assign AS ({ann.ivf_assignments_oracle()}),
+m AS (
+  SELECT s.vec_id, s.cent_id, s.cosine AS cent_cos,
+         CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM assign s JOIN embeddings e USING (vec_id)
+)
+SELECT a.vec_id, a.cent_id, a.cent_cos, count(*) AS n_dominators
+FROM m a JOIN m b
+  ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+WHERE round({cos}, 6) >= {tau}
+  AND (a.cent_cos > b.cent_cos
+       OR (a.cent_cos = b.cent_cos AND a.vec_id > b.vec_id))
+GROUP BY 1, 2, 3
+"""

@@ -328,3 +328,81 @@ def quality_buckets_approx(spark: SparkSession, sf_dir: str, err: float = 0.001)
         decile.alias("decile"),
         F.when(decile <= 3, "head").when(decile <= 7, "middle").otherwise("tail").alias("tier"),
     )
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+def dsir_weights(
+    spark: SparkSession, sf_dir: str, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    per-document log importance weight
+    log w(x) = Σ_tokens [log p_target(b) - log p_raw(b)] over hashed
+    unigram features (bucket b = h32(word) mod `buckets`), with
+    add-one smoothing on both bucket distributions. Target here is the
+    English slice of the corpus (lang = 'en'), raw is everything —
+    resampling by these weights tilts a random crawl toward the target
+    distribution, the standard pretraining-mixture selection move.
+
+    Scale shape: ONE tokenize pass builds both bucket histograms (raw
+    and target are conditional counts in the same groupBy — one shuffle
+    on a `buckets`-ary key, map-side combined); the fixed-size histogram
+    (buckets rows, corpus-size-independent) broadcasts with its totals
+    into a second token scan, and the per-doc sum shuffles only
+    (doc_id, quantized summand). Per-token log-ratios accumulate as
+    micro-unit BIGINTs (functions.num) so the doc weight is
+    order-independent and engine-exact. Emits
+    (doc_id, n_tokens, log_weight)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias("word"),
+    ).withColumn("b", F.pmod(H.h32_expr(F.col("word")), F.lit(buckets)))
+    hist = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_cnt"),
+    )
+    totals = hist.agg(
+        F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
+    )
+    ratio = F.log(
+        (F.col("tgt_cnt") + 1).cast("double") / (F.col("tgt_total") + buckets)
+    ) - F.log((F.col("raw_cnt") + 1).cast("double") / (F.col("raw_total") + buckets))
+    return (
+        toks.join(F.broadcast(hist), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.round(ratio * 1e6, 0).cast("bigint")) / 1e6, 6
+            ).alias("log_weight"),
+        )
+    )
+
+def dsir_weights_oracle(buckets: int = DSIR_BUCKETS) -> str:
+    h = H.h32_sql("word")
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+tb AS (SELECT doc_id, lang, ({h}) % {buckets} AS b FROM t),
+hist AS (
+  SELECT b, count(*) AS raw_cnt,
+         count(CASE WHEN lang = 'en' THEN 1 END) AS tgt_cnt
+  FROM tb GROUP BY 1
+),
+tot AS (SELECT sum(raw_cnt) AS raw_total, sum(tgt_cnt) AS tgt_total FROM hist)
+SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(CAST(round((ln(CAST(h.tgt_cnt + 1 AS DOUBLE) / (tot.tgt_total + {buckets}))
+                 - ln(CAST(h.raw_cnt + 1 AS DOUBLE) / (tot.raw_total + {buckets}))) * 1e6) AS BIGINT))
+             / 1e6, 6) AS log_weight
+FROM tb JOIN hist h USING (b) CROSS JOIN tot
+GROUP BY tb.doc_id
+"""

@@ -594,3 +594,58 @@ SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
 FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= {min_docs}
 ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT {k}
 """
+
+# ---------------------------------------------------------------------------
+# Mixture planning (token-budget allocation across sources)
+# ---------------------------------------------------------------------------
+
+MIXTURE_BUDGET_TOKENS = 50_000
+
+def mixture_plan(
+    spark: SparkSession, sf_dir: str, budget: int = MIXTURE_BUDGET_TOKENS
+) -> DataFrame:
+    """The inverse of mixture_report: given a total token budget and a
+    uniform target share per source, compute each source's sampling
+    rate and the tokens it will actually contribute (capped at what it
+    has — undersized sources can't be upsampled past 1.0, the standard
+    epoch-capping constraint in pretraining mixture design). A corpus
+    build runs this BEFORE the sample to turn mixture weights into
+    concrete per-source Bernoulli rates.
+
+    One aggregation to |sources| rows, a broadcast 1-row total, and
+    all-integer arithmetic up to the single final division — the
+    output is a driver-sized plan table regardless of corpus size.
+    Emits (source, n_docs, n_tokens, target_tokens, sample_rate,
+    expected_tokens)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    per_src = d.select(
+        "source", F.size(_words(F.col("text"))).alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    nsrc = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
+    target = (F.lit(budget) / F.col("n_sources")).cast("bigint")
+    return per_src.crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        target.alias("target_tokens"),
+        F.round(F.least(F.lit(1.0), target / F.col("n_tokens")), 6).alias("sample_rate"),
+        F.least(F.col("n_tokens"), target).alias("expected_tokens"),
+    )
+
+def mixture_plan_oracle(budget: int = MIXTURE_BUDGET_TOKENS) -> str:
+    w = "string_split_regex(text, '\\s+')"
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({w})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+n AS (SELECT count(*) AS n_sources FROM per_src)
+SELECT source, n_docs, n_tokens,
+       CAST({budget} / n_sources AS BIGINT) AS target_tokens,
+       round(least(1.0, CAST({budget} / n_sources AS BIGINT) / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate,
+       least(n_tokens, CAST({budget} / n_sources AS BIGINT)) AS expected_tokens
+FROM per_src CROSS JOIN n
+"""

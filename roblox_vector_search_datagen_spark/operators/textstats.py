@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions import vector as V
 from ..sources import tables
 
 # Deterministic per-language marker-word profiles. The fixtures' text is
@@ -476,4 +477,148 @@ scored AS (
 SELECT w1, w2, n_pair, round(pmi_u / 1e6, 6) AS pmi
 FROM scored
 ORDER BY pmi_u DESC, w1, w2 LIMIT {k}
+"""
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and vector ranks
+# ---------------------------------------------------------------------------
+
+RRF_C = 60
+HYBRID_POOL = 50
+HYBRID_TOPK = 20
+
+def hybrid_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k: int = HYBRID_TOPK,
+    pool: int = HYBRID_POOL,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    (Cormack et al. 2009): the BM25 top-`pool` and the embedding-cosine
+    top-`pool` (over the deterministic doc encoder, operators/ann.py
+    generate_vectors) merge on doc_id with
+    rrf = 1/(C + text_rank) + 1/(C + vec_rank), missing ranks
+    contributing 0. This is the RAG retrieval shape the reference's
+    two separate endpoints (text search, vector search —
+    src/endpoints/search.get.ts / vectorSearch.get.ts) compose into.
+
+    Scale notes: each leg is already a top-`pool` reduction
+    (TakeOrderedAndProject / per-partition heaps), so the fusion join
+    touches 2·pool rows — driver-trivial at any corpus size; the corpus
+    never exchanges. The RRF score is a fixed two-term expression over
+    small-integer ranks, so it is bit-identical across engines with no
+    quantization needed. Emits (doc_id, text_rank, vec_rank, rrf)."""
+    from . import ann
+
+    wt = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    text_ranked = (
+        bm25_search(spark, sf_dir, terms, pool)
+        .select("doc_id", F.row_number().over(wt).cast("int").alias("text_rank"))
+    )
+    qv = V.vector_lit(V.embed_query(" ".join(terms)))
+    vecs = ann.generate_vectors(spark, sf_dir).select(
+        "doc_id", F.round(V.cosine_expr(F.col("embedding"), qv), 6).alias("cosine")
+    )
+    wv = Window.orderBy(F.col("cosine").desc_nulls_last(), F.col("doc_id"))
+    vec_ranked = (
+        vecs.orderBy(F.col("cosine").desc_nulls_last(), F.col("doc_id"))
+        .limit(pool)
+        .select("doc_id", F.row_number().over(wv).cast("int").alias("vec_rank"))
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("text_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    fused = text_ranked.join(vec_ranked, "doc_id", "full_outer").select(
+        "doc_id", "text_rank", "vec_rank", rrf.alias("rrf")
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(k)
+
+def hybrid_search_oracle(
+    terms: tuple[str, ...] = BM25_QUERY, k: int = HYBRID_TOPK, pool: int = HYBRID_POOL
+) -> str:
+    from . import ann
+
+    qv = V.vector_sql_literal(V.embed_query(" ".join(terms)))
+    cos = V.cosine_sql("emb", qv)
+    h = "(('0x' || substring(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT)"
+    return f"""
+WITH bm AS ({bm25_search_oracle(terms, pool)}),
+text_ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS text_rank
+  FROM bm
+),
+v AS (
+  SELECT doc_id,
+         list_transform(range(0, {ann.GEN_DIM}),
+                        i -> round({h} / 4294967296.0 - 0.5, 6)) AS emb
+  FROM documents
+),
+scored AS (SELECT doc_id, round({cos}, 6) AS cosine FROM v),
+vec_ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC NULLS LAST, doc_id) AS INT) AS vec_rank
+  FROM (SELECT * FROM scored ORDER BY cosine DESC NULLS LAST, doc_id LIMIT {pool})
+)
+SELECT COALESCE(t.doc_id, u.doc_id) AS doc_id, t.text_rank, u.vec_rank,
+       round(COALESCE(1.0 / ({RRF_C} + t.text_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_C} + u.vec_rank), 0.0), 6) AS rrf
+FROM text_ranked t FULL OUTER JOIN vec_ranked u ON t.doc_id = u.doc_id
+ORDER BY rrf DESC, doc_id LIMIT {k}
+"""
+
+# ---------------------------------------------------------------------------
+# BPE merge statistics (tokenizer induction, first merge step)
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 50
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = BPE_TOPK) -> DataFrame:
+    """Corpus-weighted adjacent character-pair frequencies — the
+    argmax-search statistic of one BPE merge step (Sennrich et al.
+    2016), the tokenizer-induction primitive a training-data pipeline
+    runs before committing to a vocab.
+
+    Scale shape: the char-level explode runs over the DISTINCT-WORD
+    vocabulary (bounded by Heaps' law — sublinear in corpus bytes), not
+    the token stream: tokenize once, count words (one shuffle on a
+    narrow string key with map-side combine), then explode each distinct
+    word into its len-1 adjacent pairs weighted by the word count. The
+    quadratic-ish char work is O(vocab · word_len) regardless of corpus
+    size, which is why production BPE trainers do exactly this
+    word-histogram reduction first. All-integer math; top-k is
+    TakeOrderedAndProject. Emits (pair, n_words, total)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+    vocab = tokens.filter(F.length("w") >= 2).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pairs_expr = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    pairs = vocab.select("cnt", F.explode(pairs_expr).alias("pair"))
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_words"), F.sum("cnt").alias("total")
+    )
+    return counts.orderBy(F.col("total").desc(), F.col("pair")).limit(k)
+
+def bpe_pair_counts_oracle(k: int = BPE_TOPK) -> str:
+    return rf"""
+WITH tokens AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, count(*) AS cnt FROM tokens WHERE len(w) >= 2 GROUP BY 1
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair, cnt
+  FROM vocab, unnest(range(1, len(w))) AS u(i)
+)
+SELECT pair, count(*) AS n_words, sum(cnt) AS total
+FROM pairs GROUP BY 1
+ORDER BY total DESC, pair LIMIT {k}
 """

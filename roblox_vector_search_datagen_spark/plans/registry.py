@@ -204,6 +204,32 @@ def _registry() -> dict[str, Query]:
         textstats.bm25_search_oracle(),
         ("search", "text", "bench"),
     )
+    # RRF fusion of the BM25 and vector-cosine top-k legs — the hybrid
+    # retrieval shape the reference's two search endpoints compose into
+    r["hybrid_search"] = Query(
+        lambda spark, sf: textstats.hybrid_search(spark, sf),
+        textstats.hybrid_search_oracle(),
+        ("search", "text", "vector"),
+    )
+    # corpus-weighted BPE first-merge statistics over the distinct-word
+    # vocabulary (tokenizer induction)
+    r["bpe_pair_counts"] = Query(
+        lambda spark, sf: textstats.bpe_pair_counts(spark, sf),
+        textstats.bpe_pair_counts_oracle(),
+        ("text", "tokenizer"),
+    )
+    # DSIR hashed-unigram importance weights (target = English slice)
+    r["dsir_weights"] = Query(
+        lambda spark, sf: quality.dsir_weights(spark, sf),
+        quality.dsir_weights_oracle(),
+        ("quality", "sampling"),
+    )
+    # token-budget → per-source Bernoulli sampling rates
+    r["mixture_plan"] = Query(
+        lambda spark, sf: textprep.mixture_plan(spark, sf),
+        textprep.mixture_plan_oracle(),
+        ("sampling", "profiling"),
+    )
     r["skew_profile"] = Query(
         lambda spark, sf: layout.skew_profile(spark, sf),
         layout.skew_profile_oracle(),
@@ -276,6 +302,13 @@ def _registry() -> dict[str, Query]:
         lambda spark, sf: dedup.embedding_near_dups(spark, sf),
         dedup.embedding_near_dups_oracle(),
         ("dedup", "vector", "bench"),
+    )
+    # SemDeDup: within-IVF-cluster cosine pruning — the semantic dedup
+    # pass that runs after the lexical funnel
+    r["semantic_dedup"] = Query(
+        lambda spark, sf: dedup.semantic_dedup(spark, sf),
+        dedup.semantic_dedup_oracle(),
+        ("dedup", "vector"),
     )
 
     # --- training-data pipeline: similarity search ---
@@ -456,6 +489,11 @@ _ADJUDICATE_FIRST = (
     # -- (3) new in round 3, no driver row yet --
     "embedding_lsh_verified",
     "repeated_spans",
+    "semantic_dedup",
+    "hybrid_search",
+    "bpe_pair_counts",
+    "dsir_weights",
+    "mixture_plan",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",
