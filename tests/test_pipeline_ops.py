@@ -1,0 +1,105 @@
+"""Invariant tests for the round-3 pipeline operators (semantic dedup,
+hybrid retrieval, BPE statistics, DSIR weights, mixture planning) —
+properties the DuckDB oracle parity can't express, checked at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from roblox_vector_search_datagen_spark.operators import ann, dedup, quality, textprep, textstats
+from roblox_vector_search_datagen_spark.sources import tables
+
+
+def test_semantic_dedup_drops_only_pair_members(spark, sf_dir):
+    """Every dropped vector must have >= 1 dominator, belong to its IVF
+    cell, and never be the cell's farthest-from-centroid survivor: per
+    cell, the minimum (cent_cos, vec_id) member is by construction
+    undominated, so at least one vector per non-empty cell survives."""
+    dropped = dedup.semantic_dedup(spark, sf_dir)
+    rows = dropped.collect()
+    assert all(r.n_dominators >= 1 for r in rows)
+
+    assign = ann.ivf_assignments(spark, sf_dir).select(
+        "vec_id", "cent_id", F.col("cosine").alias("cent_cos")
+    )
+    joined = dropped.alias("d").join(
+        assign.alias("a"), on="vec_id", how="left"
+    )
+    mismatched = joined.filter(
+        (F.col("a.cent_id") != F.col("d.cent_id"))
+        | (F.col("a.cent_cos") != F.col("d.cent_cos"))
+    )
+    assert mismatched.count() == 0
+
+    # no cell loses all members
+    cells = assign.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    dropped_per_cell = dropped.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_drop"))
+    wiped = (
+        cells.join(dropped_per_cell, "cent_id")
+        .filter(F.col("n_drop") >= F.col("n"))
+        .count()
+    )
+    assert wiped == 0
+
+
+def test_hybrid_search_rrf_bounds_and_rank_consistency(spark, sf_dir):
+    """RRF score is bounded by the two best possible ranks, and any doc
+    holding both ranks scores strictly above one holding a single
+    worse-or-equal rank."""
+    rows = textstats.hybrid_search(spark, sf_dir).collect()
+    assert rows, "hybrid_search returned no rows"
+    cmax = round(2.0 / (textstats.RRF_C + 1), 6)
+    for r in rows:
+        assert 0 < r.rrf <= cmax
+        assert r.text_rank is not None or r.vec_rank is not None
+        both = (r.text_rank is not None) + (r.vec_rank is not None)
+        single_max = round(1.0 / (textstats.RRF_C + 1), 6)
+        if both == 1:
+            assert r.rrf <= single_max
+
+
+def test_bpe_pair_counts_totals_bounded_by_token_mass(spark, sf_dir):
+    """Each pair's corpus-weighted total is bounded by the corpus's
+    total (len-1) pair slots, and n_words <= vocabulary size."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+    vocab_size = tokens.filter(F.length("w") >= 2).select("w").distinct().count()
+    pair_slots = (
+        tokens.filter(F.length("w") >= 2)
+        .agg(F.sum(F.length("w") - 1))
+        .collect()[0][0]
+    )
+    rows = textstats.bpe_pair_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.pair) == 2
+        assert 1 <= r.n_words <= vocab_size
+        assert 1 <= r.total <= pair_slots
+
+
+def test_dsir_weights_favor_target_slice(spark, sf_dir):
+    """DSIR's defining property: the mean log-weight of target-slice
+    (English) documents exceeds the mean over the complement — the
+    weights tilt sampling toward the target distribution."""
+    d = tables.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = quality.dsir_weights(spark, sf_dir).join(d, "doc_id")
+    means = (
+        w.groupBy(F.col("lang") == "en")
+        .agg(F.avg(F.col("log_weight") / F.col("n_tokens")).alias("m"))
+        .collect()
+    )
+    by_target = {r[0]: r.m for r in means}
+    assert by_target[True] > by_target[False]
+
+
+def test_mixture_plan_respects_budget_and_caps(spark, sf_dir):
+    rows = textprep.mixture_plan(spark, sf_dir).collect()
+    assert rows
+    budget = textprep.MIXTURE_BUDGET_TOKENS
+    assert sum(r.expected_tokens for r in rows) <= budget
+    for r in rows:
+        assert 0 < r.sample_rate <= 1.0
+        assert r.expected_tokens == min(r.n_tokens, r.target_tokens)
+        # rate * available reproduces the expectation (within rounding)
+        assert abs(r.sample_rate * r.n_tokens - r.expected_tokens) <= 0.5 + 1e-6 * r.n_tokens
