@@ -760,7 +760,11 @@ def semantic_dedup(
     Physical shape: the assignment reuses the broadcast-centroid scan,
     the pair join shuffles on cent_id only (payload = vector + two
     rounded scalars), and the dominator count is a hash agg on the
-    already-blocked pairs. Emits one row per dropped vector:
+    already-blocked pairs. The (assignment ⋈ embedding) subtree feeds
+    BOTH sides of the pair self-join, so it is persisted — the centroid
+    scoring scan runs once, not twice (the minhash_jaccard_estimates
+    pattern; at scale the assignment table is a materialized index
+    artifact anyway). Emits one row per dropped vector:
     (vec_id, cent_id, cent_cos, n_dominators)."""
     from . import ann
 
@@ -768,7 +772,7 @@ def semantic_dedup(
         "vec_id", "cent_id", F.col("cosine").alias("cent_cos")
     )
     e = tables.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    m = assign.join(e, "vec_id")
+    m = assign.join(e, "vec_id").persist()
     a = m.select(
         F.col("vec_id").alias("vec_a"),
         "cent_id",

@@ -362,10 +362,13 @@ def dsir_weights(
         "lang",
         F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias("word"),
     ).withColumn("b", F.pmod(H.h32_expr(F.col("word")), F.lit(buckets)))
+    # the histogram feeds both the totals aggregate and the scoring
+    # join; persisting the `buckets`-row table stops Spark re-deriving
+    # it from a third corpus scan
     hist = toks.groupBy("b").agg(
         F.count(F.lit(1)).alias("raw_cnt"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_cnt"),
-    )
+    ).persist()
     totals = hist.agg(
         F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
     )
