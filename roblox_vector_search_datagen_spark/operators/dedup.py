@@ -772,30 +772,46 @@ def semantic_dedup(
         "vec_id", "cent_id", F.col("cosine").alias("cent_cos")
     )
     e = tables.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    m = assign.join(e, "vec_id").persist()
+    # norms are computed ONCE per vector here, not once per pair — the
+    # pair stage is the quadratic part, so its per-row work is a single
+    # dot product (the embedding_lsh_near_dups shape)
+    m = (
+        assign.join(e, "vec_id")
+        .withColumn("nrm", V.norm_expr(F.col("embedding")))
+        .persist()
+    )
     a = m.select(
         F.col("vec_id").alias("vec_a"),
         "cent_id",
         F.col("cent_cos").alias("ccos_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = m.select(
         F.col("vec_id").alias("vec_b"),
         "cent_id",
         F.col("cent_cos").alias("ccos_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
-    cos = F.round(V.cosine_expr(F.col("emb_a"), F.col("emb_b")), 6)
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    cos = F.round(
+        F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+            V.dot_expr(F.col("emb_a"), F.col("emb_b")) / denom
+        ),
+        6,
+    )
     dominated = (
         a.join(b, "cent_id")
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= tau)
-        # a is dropped when b is the farther-from-centroid twin
+        # the dominance predicate is cheap and halves the pair space, so
+        # it runs BEFORE the per-pair dot product: a is dropped when b
+        # is the farther-from-centroid twin
         .filter(
             (F.col("ccos_a") > F.col("ccos_b"))
             | ((F.col("ccos_a") == F.col("ccos_b")) & (F.col("vec_a") > F.col("vec_b")))
         )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= tau)
     )
     return dominated.groupBy(
         F.col("vec_a").alias("vec_id"), "cent_id", F.col("ccos_a").alias("cent_cos")
@@ -804,12 +820,19 @@ def semantic_dedup(
 def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
     from . import ann
 
-    cos = V.cosine_sql("a.emb", "b.emb")
+    # precomputed-norm cosine — same doubles as cosine_sql, since
+    # sqrt(dot(a,a))·sqrt(dot(b,b)) is evaluated identically
+    cos = (
+        "CASE WHEN a.nrm * b.nrm = 0 THEN NULL "
+        "ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END"
+    )
     return f"""
 WITH assign AS ({ann.ivf_assignments_oracle()}),
 m AS (
   SELECT s.vec_id, s.cent_id, s.cosine AS cent_cos,
-         CAST(e.embedding AS DOUBLE[]) AS emb
+         CAST(e.embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[]))) AS nrm
   FROM assign s JOIN embeddings e USING (vec_id)
 )
 SELECT a.vec_id, a.cent_id, a.cent_cos, count(*) AS n_dominators
@@ -819,4 +842,71 @@ WHERE round({cos}, 6) >= {tau}
   AND (a.cent_cos > b.cent_cos
        OR (a.cent_cos = b.cent_cos AND a.vec_id > b.vec_id))
 GROUP BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage audit (train/test contamination via the dedup funnel)
+# ---------------------------------------------------------------------------
+
+def split_leakage(
+    spark: SparkSession, sf_dir: str, threshold: float = EXACT_JACCARD_DUP_THRESHOLD
+) -> DataFrame:
+    """Train/test contamination audit: near-duplicate document pairs
+    that STRADDLE a dataset-split boundary. decontaminate (textprep)
+    removes overlap against an external benchmark; this operator finds
+    leakage the split itself created — eval examples whose near-twin
+    sits in train, the failure mode hash-splitting by doc_id cannot
+    prevent when the corpus contains near-dups.
+
+    Composition, not new machinery: MinHash-LSH candidates -> restrict
+    to pairs whose two sides hash into different splits (two id-keyed
+    joins against the shuffle-free split projection) -> the shared
+    exact-Jaccard verify stage. The split filter runs BEFORE the
+    expensive exact verify, so only boundary-crossing candidates pay
+    for shingle intersection. Emits
+    (doc_a, doc_b, split_a, split_b, jaccard, is_dup)."""
+    from .textstats import dataset_splits
+
+    splits = dataset_splits(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    crossing = (
+        lsh_candidate_pairs(spark, sf_dir)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
+    return _exact_jaccard_stage(spark, sf_dir, crossing, threshold).select(
+        "doc_a", "doc_b", "split_a", "split_b", "jaccard", "is_dup"
+    )
+
+def split_leakage_oracle(threshold: float = EXACT_JACCARD_DUP_THRESHOLD) -> str:
+    from .textstats import dataset_splits_oracle
+
+    sh = H.word_shingles_sql("text")
+    return f"""
+WITH pairs AS ({lsh_candidate_pairs_oracle()}),
+splits AS ({dataset_splits_oracle()}),
+crossing AS (
+  SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+  FROM pairs p
+  JOIN splits a ON a.doc_id = p.doc_a
+  JOIN splits b ON b.doc_id = p.doc_b
+  WHERE a.split <> b.split
+),
+sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+j AS (
+  SELECT c.doc_a, c.doc_b, c.split_a, c.split_b,
+         CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
+         END AS jac
+  FROM crossing c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, split_a, split_b, round(jac, 6) AS jaccard,
+       (jac >= {threshold}) AS is_dup
+FROM j
 """

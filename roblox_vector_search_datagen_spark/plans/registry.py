@@ -310,6 +310,13 @@ def _registry() -> dict[str, Query]:
         dedup.semantic_dedup_oracle(),
         ("dedup", "vector"),
     )
+    # near-dup pairs straddling a train/val/test boundary — the
+    # split-induced contamination audit (decontaminate's sibling)
+    r["split_leakage"] = Query(
+        lambda spark, sf: dedup.split_leakage(spark, sf),
+        dedup.split_leakage_oracle(),
+        ("dedup", "split"),
+    )
 
     # --- training-data pipeline: similarity search ---
     r["ann_topk"] = Query(
@@ -494,6 +501,7 @@ _ADJUDICATE_FIRST = (
     "bpe_pair_counts",
     "dsir_weights",
     "mixture_plan",
+    "split_leakage",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",
