@@ -205,3 +205,62 @@ SELECT media_type,
        round(avg(duration_ms), 6) AS avg_duration_ms
 FROM m GROUP BY media_type
 """
+
+# ---------------------------------------------------------------------------
+# Exact media dedup (binary-content digest groups)
+# ---------------------------------------------------------------------------
+
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-level dedup accounting over the binary media column — the
+    multimodal twin of dedup_exact (operators/dedup.py). Image/audio
+    corpora are where exact dedup pays most at 100 TB (the same
+    thumbnail or jingle recurs millions of times), and a bytes digest
+    needs no decode, so the whole operator is two cascaded hash
+    aggregations: digest computed scan-side per row, one shuffle on
+    (media_type, digest) with map-side combine, then a per-media_type
+    rollup of the digest groups. Reporting the rollup (not just the
+    duplicate groups) keeps the result non-degenerate on fixture scales
+    where no blob repeats — n_unique == n_items is itself the finding.
+    Emits (media_type, n_items, n_unique, n_dup_copies, bytes_total,
+    bytes_reclaimed)."""
+    m = media(spark, sf_dir)
+    groups = (
+        m.select(
+            "media_type",
+            F.md5("content").alias("digest"),
+            F.length("content").alias("n_bytes"),
+        )
+        .groupBy("media_type", "digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("blob_bytes"),
+            F.sum("n_bytes").alias("group_bytes"),
+        )
+    )
+    return groups.groupBy("media_type").agg(
+        F.sum("n_copies").alias("n_items"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dup_copies"),
+        F.sum("group_bytes").alias("bytes_total"),
+        F.sum((F.col("n_copies") - 1) * F.col("blob_bytes")).alias("bytes_reclaimed"),
+    )
+
+def media_dedup_oracle() -> str:
+    # media content is encode(text) — md5 over those bytes is md5(text)
+    mt = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+    return f"""
+WITH groups AS (
+  SELECT {mt} AS media_type, md5(text) AS digest,
+         count(*) AS n_copies,
+         min(octet_length(encode(text))) AS blob_bytes,
+         sum(octet_length(encode(text))) AS group_bytes
+  FROM documents GROUP BY 1, 2
+)
+SELECT media_type,
+       CAST(sum(n_copies) AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dup_copies,
+       CAST(sum(group_bytes) AS BIGINT) AS bytes_total,
+       CAST(sum((n_copies - 1) * blob_bytes) AS BIGINT) AS bytes_reclaimed
+FROM groups GROUP BY 1
+"""

@@ -454,6 +454,11 @@ def _registry() -> dict[str, Query]:
         multimodal.media_features_oracle(),
         ("multimodal", "udf"),
     )
+    # bytes-level exact dedup over the binary media column — the
+    # multimodal twin of dedup_exact, no decode needed
+    r["media_dedup"] = Query(
+        multimodal.media_dedup, multimodal.media_dedup_oracle(), ("multimodal", "dedup")
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(
@@ -502,6 +507,7 @@ _ADJUDICATE_FIRST = (
     "dsir_weights",
     "mixture_plan",
     "split_leakage",
+    "media_dedup",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",
