@@ -496,8 +496,8 @@ def hybrid_search(
 ) -> DataFrame:
     """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
     (Cormack et al. 2009): the BM25 top-`pool` and the embedding-cosine
-    top-`pool` (over the deterministic doc encoder, operators/ann.py
-    generate_vectors) merge on doc_id with
+    top-`pool` (over the stored embeddings table, which aligns 1:1 with
+    documents — the same space ann_topk queries) merge on doc_id with
     rrf = 1/(C + text_rank) + 1/(C + vec_rank), missing ranks
     contributing 0. This is the RAG retrieval shape the reference's
     two separate endpoints (text search, vector search —
@@ -506,19 +506,20 @@ def hybrid_search(
     Scale notes: each leg is already a top-`pool` reduction
     (TakeOrderedAndProject / per-partition heaps), so the fusion join
     touches 2·pool rows — driver-trivial at any corpus size; the corpus
-    never exchanges. The RRF score is a fixed two-term expression over
-    small-integer ranks, so it is bit-identical across engines with no
-    quantization needed. Emits (doc_id, text_rank, vec_rank, rrf)."""
-    from . import ann
-
+    never exchanges, and the vector leg reads the persisted embedding
+    column rather than re-encoding documents. The RRF score is a fixed
+    two-term expression over small-integer ranks, so it is bit-identical
+    across engines with no quantization needed. Emits
+    (doc_id, text_rank, vec_rank, rrf)."""
     wt = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     text_ranked = (
         bm25_search(spark, sf_dir, terms, pool)
         .select("doc_id", F.row_number().over(wt).cast("int").alias("text_rank"))
     )
     qv = V.vector_lit(V.embed_query(" ".join(terms)))
-    vecs = ann.generate_vectors(spark, sf_dir).select(
-        "doc_id", F.round(V.cosine_expr(F.col("embedding"), qv), 6).alias("cosine")
+    vecs = tables.load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(V.cosine_expr(F.col("embedding"), qv), 6).alias("cosine"),
     )
     wv = Window.orderBy(F.col("cosine").desc_nulls_last(), F.col("doc_id"))
     vec_ranked = (
@@ -539,11 +540,8 @@ def hybrid_search(
 def hybrid_search_oracle(
     terms: tuple[str, ...] = BM25_QUERY, k: int = HYBRID_TOPK, pool: int = HYBRID_POOL
 ) -> str:
-    from . import ann
-
     qv = V.vector_sql_literal(V.embed_query(" ".join(terms)))
-    cos = V.cosine_sql("emb", qv)
-    h = "(('0x' || substring(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT)"
+    cos = V.cosine_sql("embedding", qv)
     return f"""
 WITH bm AS ({bm25_search_oracle(terms, pool)}),
 text_ranked AS (
@@ -551,13 +549,7 @@ text_ranked AS (
          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS text_rank
   FROM bm
 ),
-v AS (
-  SELECT doc_id,
-         list_transform(range(0, {ann.GEN_DIM}),
-                        i -> round({h} / 4294967296.0 - 0.5, 6)) AS emb
-  FROM documents
-),
-scored AS (SELECT doc_id, round({cos}, 6) AS cosine FROM v),
+scored AS (SELECT vec_id AS doc_id, round({cos}, 6) AS cosine FROM embeddings),
 vec_ranked AS (
   SELECT doc_id,
          CAST(row_number() OVER (ORDER BY cosine DESC NULLS LAST, doc_id) AS INT) AS vec_rank
