@@ -103,3 +103,48 @@ def test_mixture_plan_respects_budget_and_caps(spark, sf_dir):
         assert r.expected_tokens == min(r.n_tokens, r.target_tokens)
         # rate * available reproduces the expectation (within rounding)
         assert abs(r.sample_rate * r.n_tokens - r.expected_tokens) <= 0.5 + 1e-6 * r.n_tokens
+
+
+def test_split_leakage_pairs_cross_boundaries(spark, sf_dir):
+    """Every reported pair straddles a split boundary, is an LSH
+    candidate, and its jaccard agrees with the funnel's exact-verify
+    stage for the same pair."""
+    from roblox_vector_search_datagen_spark.operators.textstats import dataset_splits
+
+    leak = dedup.split_leakage(spark, sf_dir)
+    rows = leak.collect()
+    splits = {r.doc_id: r.split for r in dataset_splits(spark, sf_dir).collect()}
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(spark, sf_dir).collect()
+    }
+    verify = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.exact_jaccard_verify(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.split_a != r.split_b
+        assert r.split_a == splits[r.doc_a] and r.split_b == splits[r.doc_b]
+        assert (r.doc_a, r.doc_b) in cands
+        assert verify[(r.doc_a, r.doc_b)] == r.jaccard
+
+
+def test_media_dedup_rollup_consistency(spark, sf_dir):
+    """Rollup identities: items = unique + dup copies per media_type,
+    totals match the media table, and reclaimed bytes vanish iff there
+    are no duplicate blobs."""
+    from roblox_vector_search_datagen_spark.operators import multimodal
+
+    rows = multimodal.media_dedup(spark, sf_dir).collect()
+    assert {r.media_type for r in rows} == set(multimodal.MEDIA_TYPES)
+    m = multimodal.media(spark, sf_dir)
+    per_type = {
+        r.media_type: (r.n, r.b)
+        for r in m.groupBy("media_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("content")).alias("b"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_items == r.n_unique + r.n_dup_copies
+        assert (r.n_items, r.bytes_total) == per_type[r.media_type]
+        assert (r.bytes_reclaimed == 0) == (r.n_dup_copies == 0)
