@@ -716,3 +716,88 @@ SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
        round(sum(CAST(round(cosine * 1e6) AS BIGINT)) / (1e6 * count(*)), 6) AS mean_cosine
 FROM assign GROUP BY cent_id
 """
+
+# ---------------------------------------------------------------------------
+# IVF training (unrolled Lloyd iteration with convergence report)
+# ---------------------------------------------------------------------------
+
+def ivf_train(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
+    """One full unrolled Lloyd iteration of the IVF coarse quantizer,
+    oracle-checkable end to end: seed centroids (k smallest vec_ids) →
+    assignment → element-wise centroid update → RE-assignment against
+    the updated centroids, reported per centroid with its L1 shift from
+    the seed — the convergence signal a training loop monitors. This is
+    the iteration body of the k-means build (dedup_clusters shows the
+    loop-until-converged driver pattern; here the body itself is pinned
+    against DuckDB, which a while-loop's data-dependent iteration count
+    would prevent).
+
+    Scale shape: the flat (cent_id, pos, mean) update table is K×dim
+    rows regardless of corpus size; it re-assembles into arrays with
+    one tiny aggregation, broadcasts into the second assignment scan,
+    and the quantized means (functions.num) make every downstream
+    cosine bit-identical across engines. The update table feeds both
+    the re-assembly and the shift join, so it is persisted. Emits
+    (cent_id, n_members, mean_cos, shift)."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    upd = ivf_centroid_update(spark, sf_dir, k).persist()
+    c1 = (
+        upd.groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("ps"))
+        .select("cent_id", F.transform("ps", lambda s: s["mean_v"]).alias("cent"))
+    )
+    seed = (
+        e.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cent_id"), F.posexplode("embedding").alias("pos", "v0"))
+    )
+    shift = (
+        upd.join(seed, ["cent_id", "pos"])
+        .groupBy("cent_id")
+        .agg(qsum6(F.abs(F.col("mean_v") - F.col("v0").cast("double"))).alias("shift"))
+    )
+    scored = e.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "cent_id",
+        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("cent_id"))
+    a2 = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    report = a2.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"), qmean6("cosine").alias("mean_cos")
+    )
+    return report.join(shift, "cent_id").select(
+        "cent_id", "n_members", "mean_cos", "shift"
+    )
+
+def ivf_train_oracle(k: int = IVF_K) -> str:
+    from ..functions.num import qmean6_sql, qsum6_sql
+
+    cos = V.cosine_sql("e.embedding", "c.cent")
+    return f"""
+WITH upd AS ({ivf_centroid_update_oracle(k)}),
+c1 AS (SELECT cent_id, list(mean_v ORDER BY pos) AS cent FROM upd GROUP BY 1),
+seed AS (
+  SELECT vec_id AS cent_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v0
+  FROM embeddings CROSS JOIN generate_series(1, {GEN_DIM}) AS g(i)
+  WHERE vec_id < {k}
+),
+shift AS (
+  SELECT u.cent_id, {qsum6_sql("abs(u.mean_v - s.v0)")} AS shift
+  FROM upd u JOIN seed s ON s.cent_id = u.cent_id AND s.pos = u.pos
+  GROUP BY u.cent_id
+),
+scored AS (
+  SELECT e.vec_id, c.cent_id, round({cos}, 6) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 6) DESC NULLS LAST, c.cent_id) AS rn
+  FROM embeddings e CROSS JOIN c1 c
+),
+a2 AS (SELECT vec_id, cent_id, cosine FROM scored WHERE rn = 1),
+report AS (
+  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+         {qmean6_sql("cosine")} AS mean_cos
+  FROM a2 GROUP BY cent_id
+)
+SELECT r.cent_id, r.n_members, r.mean_cos, s.shift
+FROM report r JOIN shift s USING (cent_id)
+"""

@@ -340,6 +340,13 @@ def _registry() -> dict[str, Query]:
         ann.generate_vectors_oracle(),
         ("vector", "index-build"),
     )
+    # one unrolled Lloyd iteration (update -> re-assign) with per-centroid
+    # shift — the oracle-pinned k-means iteration body
+    r["ivf_train"] = Query(
+        lambda spark, sf: ann.ivf_train(spark, sf),
+        ann.ivf_train_oracle(),
+        ("vector", "index-build", "iterative"),
+    )
     r["knn_join"] = Query(
         lambda spark, sf: ann.knn_join(spark, sf), ann.knn_join_oracle(), ("vector", "bench")
     )
@@ -466,6 +473,12 @@ def _registry() -> dict[str, Query]:
         streaming_events.windowed_event_counts_oracle(),
         ("streaming", "bench"),
     )
+    # overlapping 15m/5m windows — the sliding shape tumbling can't express
+    r["sliding_event_counts"] = Query(
+        streaming_events.sliding_event_counts,
+        streaming_events.sliding_event_counts_oracle(),
+        ("streaming",),
+    )
     r["sessionize"] = Query(
         lambda spark, sf: streaming_events.sessionize(spark, sf),
         streaming_events.sessionize_oracle(),
@@ -508,6 +521,8 @@ _ADJUDICATE_FIRST = (
     "mixture_plan",
     "split_leakage",
     "media_dedup",
+    "ivf_train",
+    "sliding_event_counts",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

@@ -108,6 +108,53 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "co
     )
 
 # ---------------------------------------------------------------------------
+# Sliding-window aggregation
+# ---------------------------------------------------------------------------
+
+SLIDE_WINDOW = "15 minutes"
+SLIDE_STEP = "5 minutes"
+
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: 15-minute windows sliding every 5 minutes per
+    event_type — the overlapping-window shape (rate monitoring, rolling
+    trend detection) that tumbling windows can't express. Spark's
+    window() fans each event into window/slide = 3 rows scan-side, then
+    it's the same single (window, type) shuffle as the tumbling twin —
+    the fan-out factor is a plan constant, not data-dependent."""
+    e = tables.load_table(spark, sf_dir, "events")
+    w = F.window("ts", SLIDE_WINDOW, SLIDE_STEP)
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), qsum6("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+def sliding_event_counts_oracle() -> str:
+    # each event belongs to exactly 3 slide-aligned windows:
+    # floor_5m(ts) - i*5min for i in 0..2 (epoch-aligned, matching
+    # Spark's window() bucketing)
+    return """
+SELECT time_bucket(INTERVAL '5 minutes', ts) - (g.i * INTERVAL '5 minutes') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CAST(round((value) * 1e6) AS BIGINT)) / 1e6, 6) AS sum_value
+FROM events CROSS JOIN generate_series(0, 2) AS g(i)
+GROUP BY 1, 2
+"""
+
+def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: same sliding windows over the file stream with a
+    1-hour watermark; complete-mode output on a static directory equals
+    the batch twin."""
+    raw = _events_stream(spark, sf_dir)
+    return (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", SLIDE_WINDOW, SLIDE_STEP).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), qsum6("value").alias("sum_value"))
+        .select(_ntz("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+# ---------------------------------------------------------------------------
 # Sessionization (gap-based)
 # ---------------------------------------------------------------------------
 

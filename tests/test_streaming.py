@@ -118,3 +118,16 @@ def test_stream_ingest_dedup_matches_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+def test_stream_sliding_counts_equals_batch(spark, sf_dir):
+    batch = S.sliding_event_counts(spark, sf_dir).collect()
+    q = S.run_stream_to_memory(S.stream_sliding_event_counts(spark, sf_dir), "slide_counts")
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM slide_counts").collect()
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _collect_set(streamed, cols) == _collect_set(batch, cols)
+    # every event lands in exactly window/slide = 3 windows
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    n_events = tables.load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in batch) == 3 * n_events
