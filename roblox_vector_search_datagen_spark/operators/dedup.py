@@ -100,9 +100,13 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig: DataFrame | None 
 
     `sig` lets callers pass an already-computed (ideally persisted)
     signature DataFrame so multi-stage pipelines (candidate gen +
-    signature verify) compute signatures once."""
+    signature verify) compute signatures once. When none is passed the
+    signature table is persisted here: the band self-join references it
+    on BOTH sides and Catalyst does not share a subtree across a
+    self-join, so without the cache the shingle explode + K-min
+    aggregation — the expensive corpus pass — would run twice."""
     if sig is None:
-        sig = _minhash_signatures(spark, sf_dir)
+        sig = _minhash_signatures(spark, sf_dir).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
