@@ -237,3 +237,38 @@ def test_sketch_queries_have_no_expand(spark, sf_dir):
     ):
         p = plan_of(fn(spark, sf_dir))
         assert "Expand" not in p, fn.__name__
+
+def test_round3_ops_plan_contracts(spark, sf_dir):
+    """Pinned physical properties of the round-3 operators: broadcast
+    where a side is bounded, no cartesian/global-sort surprises."""
+    from roblox_vector_search_datagen_spark.operators import ann, dedup, quality, textstats
+
+    # hybrid: both legs are top-k reductions; the fusion must not
+    # introduce a range exchange over anything corpus-sized
+    p = plan_of(textstats.hybrid_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p
+
+    # DSIR: the bucket histogram + totals broadcast into the token scan
+    p = plan_of(quality.dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+    # semantic dedup: the pair join is keyed on cent_id (an equi-join,
+    # not a cartesian), centroids broadcast into the assignment scan
+    p = plan_of(dedup.semantic_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+    # ivf_train: the updated K x dim centroid table broadcasts into the
+    # re-assignment scan
+    p = plan_of(ann.ivf_train(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+    # bpe: vocabulary-bounded — the char explode must sit above the
+    # word-count aggregation, so exactly two aggregation exchanges and
+    # no sort of the raw token stream
+    p = plan_of(textstats.bpe_pair_counts(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
