@@ -395,6 +395,7 @@ COMMANDS = (
     "buildVectorIndex",
     "queryVectorIndex",
     "selectCorpus",
+    "auditCorpus",
     "exportJobsDb",
     "importJobsDb",
 )
@@ -572,6 +573,44 @@ def main(argv: list[str] | None = None) -> int:
             F.sum(F.col("selected").cast("int")).alias("selected"),
         ).collect()[0]
         print(json.dumps({"out": out, **{k: int(v) for k, v in funnel.asDict().items()}}))
+    elif cmd == "auditCorpus":
+        # one-shot corpus health report: split-boundary near-dup
+        # leakage, binary media dedup accounting, and the per-source
+        # mixture plan — the audit a pipeline runs before (and after)
+        # publishing a corpus cut (usage: auditCorpus [sf_dir])
+        from .operators import dedup as dedup_ops
+        from .operators import multimodal as mm
+        from .operators import textprep as tp
+
+        sf_dir = args[0] if args else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        leak = dedup_ops.split_leakage(spark, sf_dir)
+        n_leak = leak.count()
+        n_leak_dups = leak.filter("is_dup").count()
+        media = {
+            r["media_type"]: {
+                "n_items": int(r["n_items"]),
+                "n_dup_copies": int(r["n_dup_copies"]),
+                "bytes_reclaimed": int(r["bytes_reclaimed"]),
+            }
+            for r in mm.media_dedup(spark, sf_dir).collect()
+        }
+        plan = {
+            r["source"]: round(float(r["sample_rate"]), 6)
+            for r in tp.mixture_plan(spark, sf_dir).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "cross_split_candidates": int(n_leak),
+                    "cross_split_dups": int(n_leak_dups),
+                    "media_dedup": media,
+                    "mixture_sample_rates": plan,
+                },
+                sort_keys=True,
+            )
+        )
     elif cmd == "processGamesFromSearch":
         print(
             json.dumps(

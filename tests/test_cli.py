@@ -368,3 +368,15 @@ def test_query_vector_index_usage_errors(spark, capsys):
     assert "usage" in capsys.readouterr().err
     assert cli.main(["queryVectorIndex", "q", "--k"]) == 2
     assert "--k requires a value" in capsys.readouterr().err
+
+def test_audit_corpus_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+    assert cli.main(["auditCorpus", sf_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["cross_split_dups"] <= res["cross_split_candidates"]
+    assert set(res["media_dedup"]) == {"image", "audio", "video"}
+    for m in res["media_dedup"].values():
+        assert m["n_dup_copies"] <= m["n_items"]
+        assert (m["bytes_reclaimed"] == 0) == (m["n_dup_copies"] == 0)
+    assert res["mixture_sample_rates"]
+    assert all(0 < r <= 1.0 for r in res["mixture_sample_rates"].values())
