@@ -614,3 +614,116 @@ SELECT pair, count(*) AS n_words, sum(cnt) AS total
 FROM pairs GROUP BY 1
 ORDER BY total DESC, pair LIMIT {k}
 """
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (count-min sketch with exact-twin verification)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 256
+HH_TOPK = 20
+
+def heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = HH_TOPK,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min-sketch frequency estimation for the corpus's top-k
+    terms, verified against the exact counts in the same result — the
+    FREQUENCY sketch pattern complementing the HLL cardinality rollups
+    (hll_daily_users): at 100 TB the d×w counter matrix (a few KB) is
+    what every node keeps and merges by element-wise addition, while
+    the exact count exists only because fixture scale allows the twin.
+    The emitted contract booleans pin the CMS guarantees: the estimate
+    never undercounts (min of d counters, each a superset sum), and
+    overshoot is bounded by 2N/w on the fixture stream.
+
+    Plan shape: ONE tokenize pass fans each token into `depth` (row,
+    bucket) pairs — a plan-constant explode, like the LSH band unpivot —
+    and a single (row, bucket) aggregation builds all counters with
+    map-side combine; the d×w counter table and the scalar total
+    broadcast into the top-k candidates. All-integer arithmetic, so the
+    sketch is bit-identical in the oracle. Emits
+    (term, n_exact, n_est, never_undercounts, within_bound)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias("term")
+    ).withColumn("h", H.h32_expr(F.col("term")))
+    rows = toks.select(
+        "term",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (H.minhash_value_expr(F.col("h"), i) % width).alias("bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("rb"),
+    )
+    counters = (
+        rows.groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    top = (
+        toks.groupBy("term", "h")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("term"))
+        .limit(k)
+    )
+    est = top
+    for i in range(depth):
+        ci = counters.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.withColumn(f"b{i}", H.minhash_value_expr(F.col("h"), i) % width).join(
+            F.broadcast(ci), f"b{i}"
+        )
+    n_est = F.least(*[F.col(f"c{i}") for i in range(depth)])
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "n_exact",
+            n_est.alias("n_est"),
+            (n_est >= F.col("n_exact")).alias("never_undercounts"),
+            (n_est - F.col("n_exact") <= 2 * F.col("n_total") / width).alias("within_bound"),
+        )
+    )
+
+def heavy_hitters_oracle(
+    k: int = HH_TOPK, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    h = H.h32_sql("term")
+    rb = " UNION ALL ".join(
+        f"SELECT term, {i} AS row, ({H.minhash_value_sql('h', i)}) % {width} AS bucket FROM t"
+        for i in range(depth)
+    )
+    est = ", ".join(
+        f"(SELECT c FROM counters c2 WHERE c2.row = {i} AND c2.bucket = ({H.minhash_value_sql('top.h', i)}) % {width})"
+        for i in range(depth)
+    )
+    return rf"""
+WITH raw AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+t AS (SELECT term, {h} AS h FROM raw),
+rb AS ({rb}),
+counters AS (SELECT row, bucket, count(*) AS c FROM rb GROUP BY 1, 2),
+tot AS (SELECT count(*) AS n_total FROM t),
+top AS (
+  SELECT term, h, count(*) AS n_exact FROM t GROUP BY 1, 2
+  ORDER BY n_exact DESC, term LIMIT {k}
+),
+est AS (
+  SELECT term, n_exact, least({est}) AS n_est FROM top
+)
+SELECT term, n_exact, n_est,
+       (n_est >= n_exact) AS never_undercounts,
+       (n_est - n_exact <= 2 * (SELECT n_total FROM tot) / {width}) AS within_bound
+FROM est
+"""

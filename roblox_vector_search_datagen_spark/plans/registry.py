@@ -218,6 +218,13 @@ def _registry() -> dict[str, Query]:
         textstats.bpe_pair_counts_oracle(),
         ("text", "tokenizer"),
     )
+    # count-min-sketch term frequencies with exact twins + CMS-guarantee
+    # contract booleans — the frequency sketch beside the HLL rollups
+    r["heavy_hitters"] = Query(
+        lambda spark, sf: textstats.heavy_hitters(spark, sf),
+        textstats.heavy_hitters_oracle(),
+        ("text", "sketch"),
+    )
     # DSIR hashed-unigram importance weights (target = English slice)
     r["dsir_weights"] = Query(
         lambda spark, sf: quality.dsir_weights(spark, sf),
@@ -523,6 +530,7 @@ _ADJUDICATE_FIRST = (
     "media_dedup",
     "ivf_train",
     "sliding_event_counts",
+    "heavy_hitters",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",
