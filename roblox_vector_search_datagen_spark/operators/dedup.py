@@ -914,3 +914,74 @@ SELECT doc_a, doc_b, split_a, split_b, round(jac, 6) AS jaccard,
        (jac >= {threshold}) AS is_dup
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH blocking quality: recall/precision of the candidate stage
+# ---------------------------------------------------------------------------
+
+LSH_RECALL_TRUTH_THRESHOLD = 0.3
+
+
+def lsh_recall_report(
+    spark: SparkSession, sf_dir: str, threshold: float = LSH_RECALL_TRUTH_THRESHOLD
+) -> DataFrame:
+    """Blocking-quality evaluation for the MinHash-LSH candidate stage:
+    recall and precision of `lsh_candidate_pairs` against the exact
+    n-gram-Jaccard ground truth (`ngram_jaccard_pairs` at `threshold`)
+    — the dedup-funnel analog of `ann_recall_at_k`. Before committing a
+    (bands, rows) configuration for a 100 TB dedup run you measure, on
+    a sampled slab exactly like this fixture, what fraction of true
+    near-dup pairs the banding actually surfaces (recall — missed pairs
+    are dupes that SURVIVE dedup) and how many candidates are noise the
+    exact-verify stage must pay for (precision — the verify stage's
+    bill). Ground truth at full scale is unknowable; on the sample both
+    sides are exact.
+
+    Plan: both pair sets key on (doc_a, doc_b) — a full outer join on
+    the narrow id pair, then a single global count aggregation over
+    marker columns (map-side combined; the all-to-one exchange carries
+    one row per partition). Ratios divide two identical BIGINTs in both
+    engines, so no quantization is needed. Emits one row:
+    (n_truth, n_candidates, n_hits, recall, precision)."""
+    truth = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("c"))
+    both = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.count("t").cast("bigint").alias("n_truth"),
+        F.count("c").cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
+    )
+
+
+def lsh_recall_report_oracle(threshold: float = LSH_RECALL_TRUTH_THRESHOLD) -> str:
+    return f"""
+WITH truth AS ({ngram_jaccard_pairs_oracle(threshold=threshold)}),
+cand AS ({lsh_candidate_pairs_oracle()}),
+j AS (
+  SELECT t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL AS hit,
+         t.doc_a IS NOT NULL AS is_t, c.doc_a IS NOT NULL AS is_c
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM j
+)
+SELECT n_truth, n_candidates, n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall,
+       round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision
+FROM agg
+"""

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..sources import tables
 
 SKEW_TOP_N = 10
@@ -157,3 +158,64 @@ def _morton_inverse_expr(z: F.Column, bits: int = ZORDER_BITS) -> F.Column:
         a = a.bitwiseOR(F.shiftleft(F.shiftright(z, 2 * i).bitwiseAND(F.lit(1)), i))
         b = b.bitwiseOR(F.shiftleft(F.shiftright(z, 2 * i + 1).bitwiseAND(F.lit(1)), i))
     return F.struct(a.alias("a"), b.alias("b"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic seeded shuffle into training shards
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 7
+SHUFFLE_SHARDS = 8
+
+
+def seeded_shuffle(
+    spark: SparkSession, sf_dir: str, seed: int = SHUFFLE_SEED, shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Deterministic global shuffle of the corpus into training shards —
+    the data-loading layout step before writing shards a trainer
+    consumes. Reproducibility rules out rand(): the permutation is a
+    pure function of (seed, doc_id) via the portable hash, so any two
+    runs (and any engine) agree on the exact order, resumable mid-epoch
+    from (shard, pos).
+
+    Scale shape: a single global row_number() would funnel 100 TB
+    through one partition — instead the hash key assigns each doc to
+    one of `shards` shards (uniform by construction, no skew) and the
+    position window partitions BY SHARD, so the sort parallelism equals
+    the shard count and each window holds corpus/shards rows (choose
+    shards ~ executor count at scale; a real writer then does
+    repartition(shard) + sortWithinPartitions(pos) and streams each
+    file out). `epoch_order` interleaves shards round-robin into one
+    global permutation without any global sort: order = pos * shards +
+    shard. Emits (doc_id, shuffle_key, shard, pos, epoch_order)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    key = H.h32_expr(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    ).withColumn(
+        "epoch_order", (F.col("pos") * shards + F.col("shard")).cast("bigint")
+    )
+
+
+def seeded_shuffle_oracle(seed: int = SHUFFLE_SEED, shards: int = SHUFFLE_SHARDS) -> str:
+    h = H.h32_sql(f"('{seed}' || ':' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {h} AS shuffle_key,
+         CAST({h} % {shards} AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shuffle_key, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) - 1
+            AS BIGINT) AS pos,
+       CAST((row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) - 1)
+            * {shards} + shard AS BIGINT) AS epoch_order
+FROM keyed
+"""

@@ -649,3 +649,148 @@ SELECT source, n_docs, n_tokens,
        least(n_tokens, CAST({budget} / n_sources AS BIGINT)) AS expected_tokens
 FROM per_src CROSS JOIN n
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (broadcast-bitset membership at 100 TB)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 17  # bits in the filter
+BLOOM_K = 4  # hash functions (minhash family indices 0..K-1)
+
+
+def bloom_decontaminate(
+    spark: SparkSession, sf_dir: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Decontamination via a Bloom filter over the benchmark shingles —
+    the membership structure a 100 TB run actually ships to executors.
+    `decontaminate` broadcasts the raw distinct benchmark-shingle set;
+    that stops scaling when the eval suite grows (a multi-benchmark
+    union is easily 10^8 shingles — tens of GB as strings, a few MB as
+    an m-bit filter). The Bloom contract is one-sided: NO false
+    negatives (every truly contaminated shingle is flagged), bounded
+    false positives (clean documents occasionally flagged for manual
+    re-check or exact re-verification) — exactly the safe direction for
+    decontamination, where a miss poisons the eval and a false alarm
+    costs one recheck.
+
+    The filter here is expressed relationally so the oracle can rebuild
+    it bit-for-bit: positions j(shingle) = minhash_j(h32(shingle)) % m
+    for j < k; the benchmark side's distinct position set IS the filter
+    (its cardinality <= m bounds the broadcast at ~1 MB of longs for
+    the fixture's m=2^17). Train-side probes explode each distinct doc
+    shingle into its k positions, hit-test against the broadcast
+    position set, and a shingle is bloom-positive iff all k probes hit.
+    The exact twin joins the same shingle hashes against the broadcast
+    benchmark hash set, so the result carries both verdicts plus the
+    per-doc no-false-negative contract. All probes join broadcast sides
+    on 8-byte keys; the only exchanges are the two map-side-combined
+    aggregations keyed (doc_id, h) then (doc_id). Emits one row per
+    train document: (doc_id, n_shingles, n_bloom_hits, n_exact_hits,
+    contaminated, bloom_flagged, no_false_negatives)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    bucket = H.h32_expr(F.col("doc_id").cast("string")) % 100
+    docs = d.select(
+        "doc_id", bucket.alias("bucket"), H.word_shingles_expr(F.col("text")).alias("sh")
+    )
+    bench_h = (
+        docs.filter(F.col("bucket") >= _TEST_BUCKET_GE)
+        .select(F.explode("sh").alias("shingle"))
+        .select(H.h32_expr(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    bits = (
+        bench_h.select(
+            F.explode(
+                F.array(*[H.minhash_value_expr(F.col("h"), j) % m for j in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("bit", F.lit(1))
+    )
+    train = (
+        docs.filter(F.col("bucket") < _TRAIN_BUCKET_LT)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", H.h32_expr(F.col("shingle")).alias("h"))
+    )
+    probes = train.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(*[(H.minhash_value_expr(F.col("h"), j) % m).alias("pos") for j in range(k)])
+        ).alias("pos"),
+    )
+    per_shingle = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg((F.sum(F.coalesce(F.col("bit"), F.lit(0))) == k).alias("bloom_hit"))
+    )
+    flagged = per_shingle.join(
+        F.broadcast(bench_h.withColumn("ex", F.lit(1))), "h", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("ex"), F.lit(0))).cast("bigint").alias("n_exact_hits"),
+            F.min(
+                (F.col("bloom_hit") | F.col("ex").isNull()).cast("int")
+            ).alias("nfn"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_exact_hits") > 0).alias("contaminated"),
+            (F.col("n_bloom_hits") > 0).alias("bloom_flagged"),
+            (F.col("nfn") == 1).alias("no_false_negatives"),
+        )
+    )
+
+
+def bloom_decontaminate_oracle(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    h = H.h32_sql("CAST(doc_id AS VARCHAR)")
+    shingles = H.word_shingles_sql("text")
+    sh_h = H.h32_sql("shingle")
+    pos_list = ", ".join(f"({H.minhash_value_sql('h', j)}) % {m}" for j in range(k))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {h} % 100 AS bucket, {shingles} AS sh FROM documents
+),
+bench_h AS (
+  SELECT DISTINCT {sh_h} AS h
+  FROM (SELECT unnest(sh) AS shingle FROM docs WHERE bucket >= {_TEST_BUCKET_GE})
+),
+bits AS (
+  SELECT DISTINCT unnest([{pos_list}]) AS pos FROM bench_h
+),
+train AS (
+  SELECT doc_id, {sh_h} AS h
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs WHERE bucket < {_TRAIN_BUCKET_LT})
+),
+probes AS (
+  SELECT doc_id, h, unnest([{pos_list}]) AS pos FROM train
+),
+per_shingle AS (
+  SELECT p.doc_id, p.h,
+         (sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = {k}) AS bloom_hit
+  FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY p.doc_id, p.h
+),
+flagged AS (
+  SELECT s.doc_id, s.bloom_hit, e.h IS NOT NULL AS exact_hit
+  FROM per_shingle s LEFT JOIN bench_h e ON e.h = s.h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+       (sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) > 0) AS contaminated,
+       (sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0) AS bloom_flagged,
+       (min(CASE WHEN bloom_hit OR NOT exact_hit THEN 1 ELSE 0 END) = 1)
+         AS no_false_negatives
+FROM flagged
+GROUP BY doc_id
+"""

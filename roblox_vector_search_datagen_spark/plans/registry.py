@@ -245,6 +245,13 @@ def _registry() -> dict[str, Query]:
     r["events_zorder"] = Query(
         layout.events_zorder, layout.events_zorder_oracle(), ("layout",)
     )
+    # deterministic seeded shuffle into training shards (reproducible
+    # data-loading order without a global sort)
+    r["seeded_shuffle"] = Query(
+        lambda spark, sf: layout.seeded_shuffle(spark, sf),
+        layout.seeded_shuffle_oracle(),
+        ("layout",),
+    )
     r["per_group_sample"] = Query(
         lambda spark, sf: textprep.per_group_sample(spark, sf),
         textprep.per_group_sample_oracle(),
@@ -322,6 +329,20 @@ def _registry() -> dict[str, Query]:
     r["split_leakage"] = Query(
         lambda spark, sf: dedup.split_leakage(spark, sf),
         dedup.split_leakage_oracle(),
+        ("dedup", "split"),
+    )
+    # blocking-quality eval: LSH candidate recall/precision vs exact
+    # n-gram Jaccard ground truth (the dedup analog of ann_recall_at_k)
+    r["lsh_recall_report"] = Query(
+        lambda spark, sf: dedup.lsh_recall_report(spark, sf),
+        dedup.lsh_recall_report_oracle(),
+        ("dedup",),
+    )
+    # Bloom-bitset membership decontamination — the broadcast structure
+    # that replaces the raw benchmark-shingle set at 100 TB
+    r["bloom_decontaminate"] = Query(
+        lambda spark, sf: textprep.bloom_decontaminate(spark, sf),
+        textprep.bloom_decontaminate_oracle(),
         ("dedup", "split"),
     )
 
@@ -531,6 +552,9 @@ _ADJUDICATE_FIRST = (
     "ivf_train",
     "sliding_event_counts",
     "heavy_hitters",
+    "lsh_recall_report",
+    "bloom_decontaminate",
+    "seeded_shuffle",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

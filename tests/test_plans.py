@@ -272,3 +272,29 @@ def test_round3_ops_plan_contracts(spark, sf_dir):
     p = plan_of(textstats.bpe_pair_counts(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "rangepartitioning" not in p.lower()
+
+def test_session3_ops_plan_contracts(spark, sf_dir):
+    """Pinned physical properties of the third-session operators."""
+    from roblox_vector_search_datagen_spark.operators import dedup, layout, textprep
+
+    # bloom_decontaminate: both the bit-position set and the exact
+    # benchmark-hash set are bounded -> every probe join broadcasts and
+    # the 100 TB train side never shuffles for membership
+    p = plan_of(textprep.bloom_decontaminate(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+    # seeded_shuffle: the position window partitions BY SHARD — no
+    # single-partition global window over the corpus
+    p = plan_of(layout.seeded_shuffle(spark, sf_dir))
+    assert "partitionBy=[shard" in p or "hashpartitioning(shard" in p
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+
+    # lsh_recall_report: pair sets meet on the narrow (doc_a, doc_b)
+    # equi-key; the final count agg is one row per partition, never a
+    # corpus-sized global sort
+    p = plan_of(dedup.lsh_recall_report(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p.lower()
