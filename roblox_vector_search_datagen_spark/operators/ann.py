@@ -801,3 +801,56 @@ report AS (
 SELECT r.cent_id, r.n_members, r.mean_cos, s.shift
 FROM report r JOIN shift s USING (cent_id)
 """
+
+
+def pq_recall_at_k(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "vector similarity search",
+    k: int = 20,
+) -> DataFrame:
+    """Recall@k of the full compressed retrieval path (`pq_rerank_topk`:
+    ADC shortlist over int codes -> exact cosine re-rank of the
+    k×PQ_RERANK_FACTOR survivors) against the exact brute-force top-k —
+    the companion of `ann_recall_at_k` for the storage-compressed index.
+    Together they are the two numbers an index rollout decides on:
+    IVF recall prices the probe count, PQ recall prices the code budget
+    (M×nbits) and the rerank factor. Both inputs are k-row
+    TakeOrderedAndProject plans; the overlap join touches 2k rows.
+    Emits one row (k, rerank_factor, n_overlap, recall)."""
+    qv = V.vector_lit(V.embed_query(query_text))
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id", F.round(V.cosine_expr(F.col("embedding"), qv), 6).alias("cosine")
+    )
+    exact = (
+        scored.orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    approx = pq_rerank_topk(spark, sf_dir, query_text, k).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(k).cast("int").alias("k"),
+        F.lit(PQ_RERANK_FACTOR).cast("int").alias("rerank_factor"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
+    )
+
+
+def pq_recall_at_k_oracle(
+    query_text: str = "vector similarity search", k: int = 20
+) -> str:
+    qv = V.vector_sql_literal(V.embed_query(query_text))
+    cos = V.cosine_sql("embedding", f"{qv}")
+    rerank = pq_rerank_topk_oracle(query_text, k)
+    return f"""
+WITH exact AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY round({cos}, 6) DESC NULLS LAST, vec_id LIMIT {k}
+),
+approx AS (SELECT vec_id FROM ({rerank}) t)
+SELECT CAST({k} AS INT) AS k, CAST({PQ_RERANK_FACTOR} AS INT) AS rerank_factor,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / {float(k)}, 6) AS recall
+FROM exact JOIN approx USING (vec_id)
+"""

@@ -184,6 +184,13 @@ def _registry() -> dict[str, Query]:
         ann.ann_recall_at_k_oracle(),
         ("ann",),
     )
+    # end-to-end recall of the compressed two-stage path (ADC shortlist
+    # + exact rerank) — the code-budget companion of ann_recall_at_k
+    r["pq_recall_at_k"] = Query(
+        lambda spark, sf: ann.pq_recall_at_k(spark, sf),
+        ann.pq_recall_at_k_oracle(),
+        ("ann",),
+    )
     r["sq_quantize"] = Query(ann.sq_quantize, ann.sq_quantize_oracle(), ("ann", "bench"))
 
     # --- streaming ingestion dedup (batch twin; stream twin in streaming/ingest.py) ---
@@ -555,6 +562,7 @@ _ADJUDICATE_FIRST = (
     "lsh_recall_report",
     "bloom_decontaminate",
     "seeded_shuffle",
+    "pq_recall_at_k",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",
