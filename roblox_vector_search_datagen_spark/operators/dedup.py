@@ -985,3 +985,114 @@ SELECT n_truth, n_candidates, n_hits,
        round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision
 FROM agg
 """
+
+
+BAND_SWEEP_CONFIGS = (2, 4, 8)  # band counts to sweep; each divides MINHASH_K
+
+
+def minhash_band_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    configs: tuple[int, ...] = BAND_SWEEP_CONFIGS,
+    threshold: float = LSH_RECALL_TRUTH_THRESHOLD,
+) -> DataFrame:
+    """The (bands, rows) tuning sweep behind `lsh_recall_report`: one
+    row per banding configuration with its candidate count, recall and
+    precision against the exact ground truth — the table you read
+    before committing an LSH config to a 100 TB dedup run (more bands
+    with fewer rows = higher recall, more candidate volume for the
+    verify stage; the sweep prices that trade on a sampled slab).
+
+    All configurations share ONE signature table (persisted — the
+    corpus pass runs once) and ONE unpivot: each config's bands are
+    extra rows in the same (cfg, band, sig) frame, so the whole sweep
+    is a single self-join keyed (cfg, band, sig) — per-config runs
+    would rescan the corpus len(configs) times. Candidate pairs
+    dedup per config, meet the broadcast truth pair set, and a final
+    |configs|-row aggregation emits the sweep. Emits (bands,
+    rows_per_band, n_truth, n_candidates, n_hits, recall, precision)."""
+    sig = _minhash_signatures(spark, sf_dir).persist()
+    structs = []
+    for b in configs:
+        r = H.MINHASH_K // b
+        for band in range(b):
+            cols = [F.col(f"mh{band * r + j}").cast("string") for j in range(r)]
+            structs.append(
+                F.struct(
+                    F.lit(b).alias("cfg"),
+                    F.lit(band).alias("band"),
+                    F.concat_ws(",", *cols).alias("sig"),
+                )
+            )
+    unpiv = sig.select("doc_id", F.explode(F.array(*structs)).alias("s")).select(
+        "doc_id", F.col("s.cfg").alias("cfg"), F.col("s.band").alias("band"), F.col("s.sig").alias("sig")
+    )
+    left = unpiv.select("cfg", "band", "sig", F.col("doc_id").alias("doc_a"))
+    right = unpiv.select("cfg", "band", "sig", F.col("doc_id").alias("doc_b"))
+    cand = (
+        left.join(right, ["cfg", "band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("cfg", "doc_a", "doc_b")
+        .distinct()
+    )
+    truth = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return (
+        cand.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.count("t").cast("bigint").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            F.col("cfg").cast("int").alias("bands"),
+            (F.lit(H.MINHASH_K) / F.col("cfg")).cast("int").alias("rows_per_band"),
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
+        )
+    )
+
+
+def minhash_band_sweep_oracle(
+    configs: tuple[int, ...] = BAND_SWEEP_CONFIGS,
+    threshold: float = LSH_RECALL_TRUTH_THRESHOLD,
+) -> str:
+    selects = []
+    for b in configs:
+        r = H.MINHASH_K // b
+        for band in range(b):
+            sig = " || ',' || ".join(
+                f"CAST(mh{band * r + j} AS VARCHAR)" for j in range(r)
+            )
+            selects.append(f"SELECT doc_id, {b} AS cfg, {band} AS band, {sig} AS sig FROM sigs")
+    unpiv = " UNION ALL ".join(selects)
+    return f"""
+WITH sigs AS ({_minhash_signatures_sql()}),
+u AS ({unpiv}),
+cand AS (
+  SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM u a JOIN u b ON a.cfg = b.cfg AND a.band = b.band AND a.sig = b.sig
+                   AND a.doc_id < b.doc_id
+),
+truth AS ({ngram_jaccard_pairs_oracle(threshold=threshold)}),
+agg AS (
+  SELECT c.cfg,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM cand c LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY c.cfg
+)
+SELECT CAST(cfg AS INT) AS bands,
+       CAST({H.MINHASH_K} / cfg AS INT) AS rows_per_band,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       n_candidates, n_hits,
+       round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM truth), 6) AS recall,
+       round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision
+FROM agg
+"""

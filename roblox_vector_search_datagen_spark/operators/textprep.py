@@ -684,10 +684,12 @@ def bloom_decontaminate(
     The exact twin joins the same shingle hashes against the broadcast
     benchmark hash set, so the result carries both verdicts plus the
     per-doc no-false-negative contract. All probes join broadcast sides
-    on 8-byte keys; the only exchanges are the two map-side-combined
-    aggregations keyed (doc_id, h) then (doc_id). Emits one row per
-    train document: (doc_id, n_shingles, n_bloom_hits, n_exact_hits,
-    contaminated, bloom_flagged, no_false_negatives)."""
+    on 8-byte keys; the only exchanges are the (doc_id, h) probe dedup
+    and the final map-side-combined per-doc aggregation — the k
+    membership probes are k broadcast joins (a plan constant), so the
+    pipelined row stream between those exchanges never widens. Emits
+    one row per train document: (doc_id, n_shingles, n_bloom_hits,
+    n_exact_hits, contaminated, bloom_flagged, no_false_negatives)."""
     d = tables.load_table(spark, sf_dir, "documents")
     bucket = H.h32_expr(F.col("doc_id").cast("string")) % 100
     docs = d.select(
@@ -708,23 +710,33 @@ def bloom_decontaminate(
         .distinct()
         .withColumn("bit", F.lit(1))
     )
+    # distinct on (doc_id, h): shingles are already distinct per doc,
+    # but two shingles may collide in h32 — membership is per HASH, so
+    # dedup the probe unit (mirrored in the oracle's train CTE)
     train = (
         docs.filter(F.col("bucket") < _TRAIN_BUCKET_LT)
         .select("doc_id", F.explode("sh").alias("shingle"))
         .select("doc_id", H.h32_expr(F.col("shingle")).alias("h"))
+        .distinct()
     )
-    probes = train.select(
-        "doc_id",
-        "h",
-        F.explode(
-            F.array(*[(H.minhash_value_expr(F.col("h"), j) % m).alias("pos") for j in range(k)])
-        ).alias("pos"),
-    )
-    per_shingle = (
-        probes.join(F.broadcast(bits), "pos", "left")
-        .groupBy("doc_id", "h")
-        .agg((F.sum(F.coalesce(F.col("bit"), F.lit(0))) == k).alias("bloom_hit"))
-    )
+    # one broadcast probe-join PER HASH FUNCTION (a plan constant)
+    # instead of exploding k probe rows + re-grouping by (doc_id, h):
+    # the k joins all probe the same broadcast table and the row stream
+    # stays pipelined — zero exchanges until the final per-doc agg
+    # (measured: the explode+groupBy variant re-shuffled k x |shingles|
+    # rows and was the most expensive query of the bench round)
+    per_shingle = train
+    for j in range(k):
+        bj = F.broadcast(
+            bits.select(F.col("pos").alias(f"p{j}"), F.col("bit").alias(f"bit{j}"))
+        )
+        per_shingle = per_shingle.join(
+            bj, (H.minhash_value_expr(F.col("h"), j) % m) == F.col(f"p{j}"), "left"
+        )
+    bloom_hit = F.lit(True)
+    for j in range(k):
+        bloom_hit = bloom_hit & F.col(f"bit{j}").isNotNull()
+    per_shingle = per_shingle.select("doc_id", "h", bloom_hit.alias("bloom_hit"))
     flagged = per_shingle.join(
         F.broadcast(bench_h.withColumn("ex", F.lit(1))), "h", "left"
     )
@@ -767,7 +779,7 @@ bits AS (
   SELECT DISTINCT unnest([{pos_list}]) AS pos FROM bench_h
 ),
 train AS (
-  SELECT doc_id, {sh_h} AS h
+  SELECT DISTINCT doc_id, {sh_h} AS h
   FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs WHERE bucket < {_TRAIN_BUCKET_LT})
 ),
 probes AS (

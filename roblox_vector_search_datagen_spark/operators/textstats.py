@@ -727,3 +727,89 @@ SELECT term, n_exact, n_est,
        (n_est - n_exact <= 2 * (SELECT n_total FROM tot) / {width}) AS within_bound
 FROM est
 """
+
+
+VOCAB_SIZE = 24
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str, v: int = VOCAB_SIZE) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: rate of out-of-vocabulary
+    tokens per source against the top-`v` corpus vocabulary — the
+    check run before freezing a tokenizer, because a source whose OOV
+    rate is high will fragment into byte-fallback tokens and eat the
+    token budget (and it tells you WHICH slice of the mixture the
+    vocabulary under-serves).
+
+    Plan: one tokenize pass -> (term) count aggregate (map-side
+    combined, |vocab| rows out) -> top-v via TakeOrderedAndProject
+    (never a global sort of tokens) -> the v-row vocabulary broadcasts
+    back into the token stream for the membership mark -> one
+    per-source aggregation. Token traffic crosses exactly one exchange.
+    Emits (source, n_tokens, n_oov, oov_rate, n_docs,
+    n_docs_fully_covered)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "source", "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    vocab = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(v)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    marked = tokens.join(F.broadcast(vocab), "term", "left")
+    per_doc = marked.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_oov").cast("bigint").alias("n_oov"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_oov") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_fully_covered"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+            "n_docs",
+            "n_docs_fully_covered",
+        )
+    )
+
+
+def vocab_coverage_oracle(v: int = VOCAB_SIZE) -> str:
+    return rf"""
+WITH tokens AS (
+  SELECT source, doc_id,
+         unnest(string_split_regex(lower(text), '\s+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM tokens GROUP BY term
+  ORDER BY count(*) DESC, term ASC LIMIT {v}
+),
+marked AS (
+  SELECT t.source, t.doc_id, v.term IS NOT NULL AS in_vocab
+  FROM tokens t LEFT JOIN vocab v ON v.term = t.term
+),
+per_doc AS (
+  SELECT source, doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS n_oov
+  FROM marked GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_oov) AS BIGINT) AS n_oov,
+       round(CAST(sum(n_oov) AS DOUBLE) / sum(n_tokens), 6) AS oov_rate,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_oov = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_fully_covered
+FROM per_doc GROUP BY source
+"""

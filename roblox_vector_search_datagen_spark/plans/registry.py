@@ -199,6 +199,13 @@ def _registry() -> dict[str, Query]:
         streaming_ingest.ingest_dedup_oracle(),
         ("dedup", "streaming"),
     )
+    # NEAR-dup rejection at ingest: LSH band collision against the
+    # known corpus, stateless per-row signatures (stream twin tested)
+    r["ingest_near_dedup"] = Query(
+        streaming_ingest.ingest_near_dedup,
+        streaming_ingest.ingest_near_dedup_oracle(),
+        ("dedup", "streaming"),
+    )
 
     # --- end-to-end corpus selection pipeline ---
     r["training_corpus"] = Query(
@@ -345,6 +352,13 @@ def _registry() -> dict[str, Query]:
         dedup.lsh_recall_report_oracle(),
         ("dedup",),
     )
+    # the (bands, rows) tuning sweep: one row per banding config, all
+    # sharing a single persisted signature pass
+    r["minhash_band_sweep"] = Query(
+        lambda spark, sf: dedup.minhash_band_sweep(spark, sf),
+        dedup.minhash_band_sweep_oracle(),
+        ("dedup",),
+    )
     # Bloom-bitset membership decontamination — the broadcast structure
     # that replaces the raw benchmark-shingle set at 100 TB
     r["bloom_decontaminate"] = Query(
@@ -408,6 +422,13 @@ def _registry() -> dict[str, Query]:
         lambda spark, sf: textstats.top_terms(spark, sf),
         textstats.top_terms_oracle(),
         ("text", "bench"),
+    )
+    # tokenizer-vocabulary OOV audit per source (top-v corpus vocab
+    # broadcast back into the token stream)
+    r["vocab_coverage"] = Query(
+        lambda spark, sf: textstats.vocab_coverage(spark, sf),
+        textstats.vocab_coverage_oracle(),
+        ("text",),
     )
     r["dataset_splits"] = Query(
         textstats.dataset_splits, textstats.dataset_splits_oracle(), ("text", "split")
@@ -563,6 +584,9 @@ _ADJUDICATE_FIRST = (
     "bloom_decontaminate",
     "seeded_shuffle",
     "pq_recall_at_k",
+    "minhash_band_sweep",
+    "vocab_coverage",
+    "ingest_near_dedup",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

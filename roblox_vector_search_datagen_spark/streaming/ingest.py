@@ -63,3 +63,128 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load_table(spark, sf_dir, "documents")
     known = d.filter(F.col("doc_id") % 2 == 0).select(_digest().alias("digest")).distinct()
     return arriving.join(F.broadcast(known), "digest", "left_anti").select("doc_id", "digest")
+
+
+def _rowwise_band_sigs() -> F.Column:
+    """All LSH band signatures of `text` as an array<string>, computed
+    per-row with array expressions — minhash WITHOUT the explode +
+    groupBy aggregation (array_min over a transform of the shingle
+    array). Stateless, so it runs unchanged on an unbounded stream;
+    batch-side it also skips the signature shuffle entirely. Empty
+    shingle arrays (docs shorter than the shingle width) coalesce each
+    component to -1 so the signature is well-defined in both engines."""
+
+    def build(sh: F.Column) -> F.Column:
+        comps = [
+            F.coalesce(
+                F.array_min(
+                    F.transform(sh, lambda x: H.minhash_value_expr(H.h32_expr(x), i))
+                ),
+                F.lit(-1),
+            )
+            for i in range(H.MINHASH_K)
+        ]
+        bands = []
+        for b in range(H.LSH_BANDS):
+            cols = comps[b * H.ROWS_PER_BAND : (b + 1) * H.ROWS_PER_BAND]
+            bands.append(
+                F.concat_ws(
+                    ",", F.lit(str(b)), *[c.cast("string") for c in cols]
+                )
+            )
+        return F.array(*bands)
+
+    return H.let_expr(H.word_shingles_expr(F.col("text")), build)
+
+
+def _band_sigs_sql() -> str:
+    h = H.h32_sql("x")
+    comps = [
+        f"coalesce(list_min(list_transform(sh, x -> {H.minhash_value_sql(h, i)})), -1)"
+        for i in range(H.MINHASH_K)
+    ]
+    bands = []
+    for b in range(H.LSH_BANDS):
+        cols = comps[b * H.ROWS_PER_BAND : (b + 1) * H.ROWS_PER_BAND]
+        sig = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        bands.append(f"('{b}' || ',' || {sig})")
+    return "[" + ", ".join(bands) + "]"
+
+
+def ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of NEAR-dup rejection at ingest: an arriving (odd
+    doc_id) document is dropped when ANY of its LSH band signatures
+    collides with the known (even doc_id) corpus — the streaming front
+    door of the MinHash funnel, where `ingest_dedup` only stops exact
+    content. Survivors are docs with zero band collisions; at 100 TB
+    the known band-signature set is the persisted index the ingest job
+    maintains (LSH_BANDS short strings per corpus doc), and the probe
+    is a semi-join on that narrow key — the arriving side never
+    shuffles. Emits (doc_id,) survivors."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", F.explode(_rowwise_band_sigs()).alias("band_sig"))
+    known = sigs.filter(F.col("doc_id") % 2 == 0).select("band_sig").distinct()
+    arriving = sigs.filter(F.col("doc_id") % 2 == 1)
+    collided = arriving.join(F.broadcast(known), "band_sig").select("doc_id").distinct()
+    return (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(collided, "doc_id", "left_anti")
+    )
+
+
+def ingest_near_dedup_oracle() -> str:
+    bands = _band_sigs_sql()
+    sh = H.word_shingles_sql("text")
+    return f"""
+WITH withsh AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+),
+sigs AS (
+  SELECT doc_id, unnest({bands}) AS band_sig FROM withsh
+),
+known AS (SELECT DISTINCT band_sig FROM sigs WHERE doc_id % 2 = 0),
+collided AS (
+  SELECT DISTINCT s.doc_id FROM sigs s JOIN known k USING (band_sig)
+  WHERE s.doc_id % 2 = 1
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM collided)
+"""
+
+
+def stream_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: the arriving stream computes its band signatures
+    per-row, then probes the static known-corpus signature set once PER
+    BAND (LSH_BANDS stream-static left joins against the same broadcast
+    set) and keeps docs where every probe missed. No aggregation and no
+    watermark — an exploded anti-join would need a per-doc count to
+    decide "ALL bands clean", which is stateful; the per-band join
+    fan-out is a plan constant, so this stays append-mode-safe on an
+    unbounded stream."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    d = tables.load_table(spark, sf_dir, "documents")
+    known = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(_rowwise_band_sigs()).alias("band_sig"))
+        .distinct()
+    )
+    out = stream.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", _rowwise_band_sigs().alias("bands")
+    )
+    for b in range(H.LSH_BANDS):
+        kb = F.broadcast(
+            known.select(F.col("band_sig").alias(f"ks{b}")).withColumn(
+                f"hit{b}", F.lit(1)
+            )
+        )
+        out = out.join(kb, F.element_at(F.col("bands"), b + 1) == F.col(f"ks{b}"), "left")
+    clean = out
+    for b in range(H.LSH_BANDS):
+        clean = clean.filter(F.col(f"hit{b}").isNull())
+    return clean.select("doc_id")

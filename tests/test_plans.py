@@ -298,3 +298,23 @@ def test_session3_ops_plan_contracts(spark, sf_dir):
     p = plan_of(dedup.lsh_recall_report(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "rangepartitioning" not in p.lower()
+
+def test_band_sweep_and_vocab_plan_contracts(spark, sf_dir):
+    from roblox_vector_search_datagen_spark.operators import dedup, textstats
+
+    # band sweep: every config shares one unpivoted frame — a single
+    # equi-self-join keyed (cfg, band, sig), no cartesian, and the
+    # truth pair set broadcasts into the candidate stream
+    p = plan_of(dedup.minhash_band_sweep(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+    # vocab coverage: the top-v cut is TakeOrderedAndProject (never a
+    # global sort of the token stream) and the v-row vocabulary
+    # broadcasts back into the tokens
+    p = plan_of(textstats.vocab_coverage(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "rangepartitioning" not in p.lower()
+    assert "EvalPython" not in p

@@ -131,3 +131,25 @@ def test_stream_sliding_counts_equals_batch(spark, sf_dir):
 
     n_events = tables.load_table(spark, sf_dir, "events").count()
     assert sum(r.n for r in batch) == 3 * n_events
+
+def test_stream_ingest_near_dedup_matches_batch(spark, sf_dir):
+    """Per-band stream-static probes == exploded batch anti-join; the
+    stream twin is stateless (append mode, no watermark)."""
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {r.doc_id for r in ingest.ingest_near_dedup(spark, sf_dir).collect()}
+    q = S.run_stream_to_memory(
+        ingest.stream_ingest_near_dedup(spark, sf_dir),
+        "ingest_near_dedup",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id for r in spark.sql("SELECT * FROM ingest_near_dedup").collect()
+    }
+    assert streamed == batch
+    assert 0 < len(batch)
+    # near-dedup is strictly stronger than exact dedup at ingest: every
+    # survivor of the band filter also survives the digest filter
+    exact = {r.doc_id for r in ingest.ingest_dedup(spark, sf_dir).collect()}
+    assert batch <= exact
