@@ -1096,3 +1096,68 @@ SELECT CAST(cfg AS INT) AS bands,
        round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision
 FROM agg
 """
+
+
+def source_overlap(
+    spark: SparkSession, sf_dir: str, threshold: float = EXACT_JACCARD_DUP_THRESHOLD
+) -> DataFrame:
+    """Cross-source near-duplication matrix: for every pair of corpus
+    sources, how many LSH candidate pairs straddle them and how many
+    survive the exact-Jaccard verify — the curation diagnostic that
+    finds mirror/scrape relationships between sources (two crawls of
+    the same site, a dataset re-published under a new name). Mixture
+    weights double-count whatever this matrix lights up.
+
+    Composition over the shared funnel: MinHash-LSH candidates -> two
+    id-keyed joins against the (doc_id, source) projection -> the
+    shared exact-Jaccard verify -> one aggregation keyed by the
+    canonicalized source pair (least/greatest, so (a,b) and (b,a)
+    land in the same cell — doc_id order does not order sources).
+    Output is |sources|^2-bounded regardless of corpus size. Emits
+    (source_lo, source_hi, n_candidate_pairs, n_dup_pairs)."""
+    src = tables.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    cands = lsh_candidate_pairs(spark, sf_dir).join(sa, "doc_a").join(sb, "doc_b")
+    verified = _exact_jaccard_stage(spark, sf_dir, cands, threshold)
+    return (
+        verified.groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dup_pairs"),
+        )
+    )
+
+
+def source_overlap_oracle(threshold: float = EXACT_JACCARD_DUP_THRESHOLD) -> str:
+    sh = H.word_shingles_sql("text")
+    return f"""
+WITH pairs AS ({lsh_candidate_pairs_oracle()}),
+srcd AS (SELECT doc_id, source FROM documents),
+cands AS (
+  SELECT p.doc_a, p.doc_b, a.source AS src_a, b.source AS src_b
+  FROM pairs p
+  JOIN srcd a ON a.doc_id = p.doc_a
+  JOIN srcd b ON b.doc_id = p.doc_b
+),
+sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+j AS (
+  SELECT c.src_a, c.src_b,
+         CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
+         END AS jac
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT least(src_a, src_b) AS source_lo,
+       greatest(src_a, src_b) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN jac >= {threshold} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_pairs
+FROM j GROUP BY 1, 2
+"""

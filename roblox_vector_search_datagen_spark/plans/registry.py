@@ -352,6 +352,13 @@ def _registry() -> dict[str, Query]:
         dedup.lsh_recall_report_oracle(),
         ("dedup",),
     )
+    # cross-source near-duplication matrix over the shared funnel
+    # (mirror/scrape detection between sources)
+    r["source_overlap"] = Query(
+        lambda spark, sf: dedup.source_overlap(spark, sf),
+        dedup.source_overlap_oracle(),
+        ("dedup",),
+    )
     # the (bands, rows) tuning sweep: one row per banding config, all
     # sharing a single persisted signature pass
     r["minhash_band_sweep"] = Query(
@@ -587,6 +594,7 @@ _ADJUDICATE_FIRST = (
     "minhash_band_sweep",
     "vocab_coverage",
     "ingest_near_dedup",
+    "source_overlap",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

@@ -148,3 +148,63 @@ def test_media_dedup_rollup_consistency(spark, sf_dir):
         assert r.n_items == r.n_unique + r.n_dup_copies
         assert (r.n_items, r.bytes_total) == per_type[r.media_type]
         assert (r.bytes_reclaimed == 0) == (r.n_dup_copies == 0)
+
+
+def test_bloom_decontaminate_contract(spark, sf_dir):
+    """The Bloom guarantee: zero false negatives on every document
+    (each exact hit is bloom-flagged), and bloom hits dominate exact
+    hits; counts bounded by the doc's shingle count."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    rows = textprep.bloom_decontaminate(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.no_false_negatives
+        assert r.n_bloom_hits >= r.n_exact_hits
+        assert 0 <= r.n_exact_hits <= r.n_shingles
+        assert r.contaminated == (r.n_exact_hits > 0)
+        assert r.bloom_flagged == (r.n_bloom_hits > 0)
+
+
+def test_band_sweep_monotone(spark, sf_dir):
+    """More bands with fewer rows per band can only ADD candidates:
+    candidate volume and hit count are monotone in the band count, so
+    recall is too — the S-curve direction the sweep exists to price."""
+    from roblox_vector_search_datagen_spark.operators import dedup
+
+    rows = {r.bands: r for r in dedup.minhash_band_sweep(spark, sf_dir).collect()}
+    assert set(rows) == set(dedup.BAND_SWEEP_CONFIGS)
+    for r in rows.values():
+        assert r.bands * r.rows_per_band == 16
+        assert 0 <= r.n_hits <= min(r.n_truth, r.n_candidates)
+    ordered = [rows[b] for b in sorted(rows)]
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert lo.n_candidates <= hi.n_candidates
+        assert lo.n_hits <= hi.n_hits
+    # the registry's production config (4 bands) appears in the sweep
+    # with the same candidate count lsh_candidate_pairs produces
+    n_cand_prod = dedup.lsh_candidate_pairs(spark, sf_dir).count()
+    assert rows[4].n_candidates == n_cand_prod
+
+
+def test_seeded_shuffle_is_deterministic_total_order(spark, sf_dir):
+    """Positions are dense per shard, epoch_order is unique (a total
+    order), and the permutation is a pure function of the seed: same
+    seed twice == identical, different seed == different order."""
+    from roblox_vector_search_datagen_spark.operators import layout
+
+    a = layout.seeded_shuffle(spark, sf_dir).collect()
+    b = layout.seeded_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    orders = [r.epoch_order for r in a]
+    assert len(set(orders)) == len(orders)
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    other = {
+        r.doc_id: r.epoch_order
+        for r in layout.seeded_shuffle(spark, sf_dir, seed=99).collect()
+    }
+    assert {r.doc_id: r.epoch_order for r in a} != other
