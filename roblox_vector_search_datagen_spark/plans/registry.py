@@ -206,6 +206,13 @@ def _registry() -> dict[str, Query]:
         streaming_ingest.ingest_near_dedup_oracle(),
         ("dedup", "streaming"),
     )
+    # per-document admission ledger: exact_dup / near_dup / low_quality
+    # / accepted, all verdicts from broadcast probes + a per-row struct
+    r["ingest_decision_report"] = Query(
+        streaming_ingest.ingest_decision_report,
+        streaming_ingest.ingest_decision_report_oracle(),
+        ("dedup", "streaming", "quality"),
+    )
 
     # --- end-to-end corpus selection pipeline ---
     r["training_corpus"] = Query(
@@ -595,6 +602,7 @@ _ADJUDICATE_FIRST = (
     "vocab_coverage",
     "ingest_near_dedup",
     "source_overlap",
+    "ingest_decision_report",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

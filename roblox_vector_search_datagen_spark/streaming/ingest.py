@@ -188,3 +188,104 @@ def stream_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(H.LSH_BANDS):
         clean = clean.filter(F.col(f"hit{b}").isNull())
     return clean.select("doc_id")
+
+
+def ingest_decision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest decision ledger: one row per arriving document with
+    its admission verdict — `exact_dup` (content digest already in the
+    corpus), `near_dup` (an LSH band collides), `low_quality` (fails
+    the Gopher-style rule conjunction) or `accepted` — the audit trail
+    a corpus build publishes so every rejected document is explainable
+    and rejection-rate drift is monitorable per batch.
+
+    Entirely stateless against two broadcast structures (the corpus
+    digest set and band-signature set) plus a per-row quality struct:
+    the digest probe and the LSH_BANDS band probes are broadcast left
+    joins (plan constants), the verdict a CASE over their markers with
+    dedup taking precedence over quality (a duplicate's quality is
+    irrelevant — it is already stored). The identical plan runs on an
+    unbounded stream (foreachBatch writes the ledger). Emits (doc_id,
+    is_exact_dup, is_near_dup, quality_keep, verdict)."""
+    from ..operators.quality import quality_struct_expr
+
+    d = tables.load_table(spark, sf_dir, "documents")
+    known_digests = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(_digest().alias("kd"))
+        .distinct()
+        .withColumn("dhit", F.lit(1))
+    )
+    known_bands = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(_rowwise_band_sigs()).alias("band_sig"))
+        .distinct()
+    )
+    out = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        _digest().alias("digest"),
+        _rowwise_band_sigs().alias("bands"),
+        quality_struct_expr().getField("keep").alias("quality_keep"),
+    )
+    out = out.join(F.broadcast(known_digests), out["digest"] == F.col("kd"), "left")
+    for b in range(H.LSH_BANDS):
+        kb = F.broadcast(
+            known_bands.select(F.col("band_sig").alias(f"ks{b}")).withColumn(
+                f"hit{b}", F.lit(1)
+            )
+        )
+        out = out.join(kb, F.element_at(F.col("bands"), b + 1) == F.col(f"ks{b}"), "left")
+    near = F.lit(False)
+    for b in range(H.LSH_BANDS):
+        near = near | F.col(f"hit{b}").isNotNull()
+    return out.select(
+        "doc_id",
+        F.col("dhit").isNotNull().alias("is_exact_dup"),
+        (near & F.col("dhit").isNull()).alias("is_near_dup"),
+        "quality_keep",
+        F.when(F.col("dhit").isNotNull(), "exact_dup")
+        .when(near, "near_dup")
+        .when(~F.col("quality_keep"), "low_quality")
+        .otherwise("accepted")
+        .alias("verdict"),
+    )
+
+
+def ingest_decision_report_oracle() -> str:
+    from ..operators.quality import quality_filter_oracle
+
+    dg = H.digest_sql("text")
+    bands = _band_sigs_sql()
+    sh = H.word_shingles_sql("text")
+    return f"""
+WITH withsh AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+),
+sigs AS (
+  SELECT doc_id, unnest({bands}) AS band_sig FROM withsh
+),
+known_bands AS (SELECT DISTINCT band_sig FROM sigs WHERE doc_id % 2 = 0),
+known_digests AS (
+  SELECT DISTINCT {dg} AS kd FROM documents WHERE doc_id % 2 = 0
+),
+q AS ({quality_filter_oracle()}),
+arriving AS (
+  SELECT d.doc_id, {dg} AS digest, q.keep AS quality_keep
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE d.doc_id % 2 = 1
+),
+marked AS (
+  SELECT a.doc_id, a.quality_keep,
+         EXISTS (SELECT 1 FROM known_digests k WHERE k.kd = a.digest) AS is_exact_dup,
+         EXISTS (SELECT 1 FROM sigs s JOIN known_bands kb USING (band_sig)
+                 WHERE s.doc_id = a.doc_id) AS band_hit
+  FROM arriving a
+)
+SELECT doc_id, is_exact_dup,
+       (band_hit AND NOT is_exact_dup) AS is_near_dup,
+       quality_keep,
+       CASE WHEN is_exact_dup THEN 'exact_dup'
+            WHEN band_hit THEN 'near_dup'
+            WHEN NOT quality_keep THEN 'low_quality'
+            ELSE 'accepted' END AS verdict
+FROM marked
+"""

@@ -208,3 +208,25 @@ def test_seeded_shuffle_is_deterministic_total_order(spark, sf_dir):
         for r in layout.seeded_shuffle(spark, sf_dir, seed=99).collect()
     }
     assert {r.doc_id: r.epoch_order for r in a} != other
+
+
+def test_ingest_decision_report_consistency(spark, sf_dir):
+    """The ledger agrees with the standalone ingest ops: non-dup
+    verdicts are exactly the near-dedup survivors, and exact_dup rows
+    are exactly the arriving docs the digest filter rejected."""
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    rows = ingest.ingest_decision_report(spark, sf_dir).collect()
+    assert {r.verdict for r in rows} <= {
+        "exact_dup", "near_dup", "low_quality", "accepted"
+    }
+    not_dup = {r.doc_id for r in rows if r.verdict in ("low_quality", "accepted")}
+    survivors = {r.doc_id for r in ingest.ingest_near_dedup(spark, sf_dir).collect()}
+    assert not_dup == survivors
+    exact_survivors = {r.doc_id for r in ingest.ingest_dedup(spark, sf_dir).collect()}
+    exact_dups = {r.doc_id for r in rows if r.is_exact_dup}
+    assert exact_dups == {r.doc_id for r in rows} - exact_survivors
+    for r in rows:
+        assert not (r.is_exact_dup and r.is_near_dup)
+        if r.verdict == "accepted":
+            assert r.quality_keep and not r.is_exact_dup and not r.is_near_dup

@@ -318,3 +318,14 @@ def test_band_sweep_and_vocab_plan_contracts(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "rangepartitioning" not in p.lower()
     assert "EvalPython" not in p
+
+def test_ingest_ledger_plan_contract(spark, sf_dir):
+    """The decision ledger is probe-only: every membership check is a
+    broadcast join (digest + one per band), nothing shuffles the
+    arriving side and no Python appears."""
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    p = plan_of(ingest.ingest_decision_report(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
