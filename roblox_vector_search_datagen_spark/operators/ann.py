@@ -557,6 +557,67 @@ FROM exact JOIN approx USING (vec_id)
 # Scalar quantization (int8) — the storage-compression half of ANN
 # ---------------------------------------------------------------------------
 
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding column —
+    the calibration table scalar quantization reads (the min/max become
+    `sq_quantize`'s code range) and the drift monitor an embedding
+    pipeline alerts on (a dimension whose mean/std shifts between model
+    versions invalidates every stored code). Emits
+    (pos, n, mn, mx, mean, std).
+
+    Scale shape: one posexplode then ONE map-side-combined aggregation
+    keyed by dimension index — |dims| output rows regardless of corpus
+    size, the canonical mergeable-statistics shape. mean and std come
+    from integer micro-unit moments (functions.num convention): with
+    components quantized to q = round(x * 1e6), sum(q) and sum(q^2) are
+    exact BIGINT sums (|x| <= 1 keeps sum(q^2) < 2^63 until ~9e6 rows
+    per dimension; beyond that the same moments move to DECIMAL(38)),
+    so both engines compute identical doubles before the final
+    round(., 6)."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        "pos", F.col("xf").cast("double").alias("x")
+    )
+    q = F.round(F.col("x") * 1e6, 0).cast("bigint")
+    agg = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("x"), 6).alias("mn"),
+        F.round(F.max("x"), 6).alias("mx"),
+        F.sum(q).alias("_s1"),
+        F.sum(q * q).alias("_s2"),
+    )
+    mean = F.col("_s1") / (F.lit(1e6) * F.col("n"))
+    var = (F.col("_s2") / F.col("n") - (F.col("_s1") / F.col("n")) * (F.col("_s1") / F.col("n"))) / F.lit(1e12)
+    return agg.select(
+        "pos",
+        "n",
+        "mn",
+        "mx",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+    )
+
+def embedding_dim_profile_oracle() -> str:
+    return """
+WITH ex AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+agg AS (
+  SELECT pos, count(*) AS n,
+         round(min(x), 6) AS mn,
+         round(max(x), 6) AS mx,
+         sum(CAST(round(x * 1e6) AS BIGINT)) AS s1,
+         sum(CAST(round(x * 1e6) AS BIGINT) * CAST(round(x * 1e6) AS BIGINT)) AS s2
+  FROM ex GROUP BY pos
+)
+SELECT pos, n, mn, mx,
+       round(s1 / (1e6 * n), 6) AS mean,
+       round(sqrt(greatest((s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) / 1e12, 0.0)), 6) AS std
+FROM agg
+"""
+
 def sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension min/max scalar quantization of the embedding
     column to 8-bit codes, verified by per-vector checksums: code_sum

@@ -20,7 +20,7 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -549,6 +549,74 @@ reach(doc_id, r) AS (
   SELECT reach.doc_id, e.dst FROM reach JOIN und e ON e.src = reach.r
 )
 SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
+"""
+
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup funnel's final stage: the per-document keep/drop
+    verdict. Every document gets a cluster label (its connected
+    component from `dedup_clusters`, or itself when it appears in no
+    near-dup pair) and each cluster elects one canonical document —
+    longest text first (keep the most complete copy), doc_id ascending
+    as the tie-break. Emits (doc_id, cluster, canonical_id, keep); the
+    training corpus is `keep = true`, and the drop rows carry the
+    pointer to the copy that replaced them (the audit trail dedup at
+    scale needs — Lee et al. 2021 §3 keeps one member per cluster the
+    same way).
+
+    Scale shape: one left join of the corpus against the (small —
+    near-dup docs only) cluster table, then a per-cluster window whose
+    partitions are cluster-sized (bounded by the dup-group size, not
+    the corpus). Singleton docs keep cluster = doc_id without entering
+    any shuffle wider than the join's hash exchange.
+    """
+    d = tables.load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = dedup_clusters(spark, sf_dir)
+    labeled = d.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+    )
+    w = (
+        Window.partitionBy("cluster")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster",
+        F.first("doc_id").over(w).alias("canonical_id"),
+    ).withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+
+def dedup_representatives_oracle() -> str:
+    pairs = lsh_candidate_pairs_oracle()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM und),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN und e ON e.src = reach.r
+),
+clusters AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster,
+       first_value(doc_id) OVER (
+         PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS canonical_id,
+       doc_id = first_value(doc_id) OVER (
+         PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS keep
+FROM labeled
 """
 
 # ---------------------------------------------------------------------------

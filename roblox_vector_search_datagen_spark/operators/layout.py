@@ -168,6 +168,19 @@ SHUFFLE_SEED = 7
 SHUFFLE_SHARDS = 8
 
 
+def shard_assignments(
+    spark: SparkSession, sf_dir: str, seed: int = SHUFFLE_SEED, shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """(doc_id, shuffle_key, shard): the pure-hash shard assignment
+    shared by `seeded_shuffle` (which adds within-shard positions) and
+    `shard_manifest` (which only aggregates per shard and so skips the
+    position window entirely)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    key = H.h32_expr(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string")))
+    return d.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(shards)).cast("int")
+    )
+
 def seeded_shuffle(
     spark: SparkSession, sf_dir: str, seed: int = SHUFFLE_SEED, shards: int = SHUFFLE_SHARDS
 ) -> DataFrame:
@@ -188,11 +201,7 @@ def seeded_shuffle(
     file out). `epoch_order` interleaves shards round-robin into one
     global permutation without any global sort: order = pos * shards +
     shard. Emits (doc_id, shuffle_key, shard, pos, epoch_order)."""
-    d = tables.load_table(spark, sf_dir, "documents")
-    key = H.h32_expr(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string")))
-    keyed = d.select("doc_id", key.alias("shuffle_key")).withColumn(
-        "shard", F.pmod(F.col("shuffle_key"), F.lit(shards)).cast("int")
-    )
+    keyed = shard_assignments(spark, sf_dir, seed, shards)
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return keyed.select(
         "doc_id",
@@ -203,6 +212,68 @@ def seeded_shuffle(
         "epoch_order", (F.col("pos") * shards + F.col("shard")).cast("bigint")
     )
 
+
+def shard_manifest(
+    spark: SparkSession, sf_dir: str, seed: int = SHUFFLE_SEED, shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """The delivery manifest for the seeded-shuffle shards: per shard,
+    document count, total characters, whitespace-token total (the
+    token_counts convention), distinct-source count, and the shard's
+    share of the corpus — the table a training job reads to size its
+    data-loader splits and to verify a shard set is complete and
+    balanced before burning GPU hours on it.
+
+    Scale shape: shard assignment is a pure per-row hash (no position
+    window — the manifest never needs within-shard order), so the whole
+    operator is one corpus scan, a map-side-combined groupBy on the
+    `shards`-ary key, and one broadcast of the 1-row corpus total for
+    the share. distinct-source per shard is the only non-mergeable agg;
+    its key space is (shards x sources), both small by construction.
+    """
+    d = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), r"\s+")).alias("ws_tokens"),
+    )
+    assigned = shard_assignments(spark, sf_dir, seed, shards).join(d, "doc_id")
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    total = per_shard.agg(F.sum("n_docs").alias("total_docs"))
+    return per_shard.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "n_chars",
+        "ws_tokens",
+        "n_sources",
+        F.round(F.col("n_docs") / F.col("total_docs"), 6).alias("share"),
+    )
+
+def shard_manifest_oracle(seed: int = SHUFFLE_SEED, shards: int = SHUFFLE_SHARDS) -> str:
+    h = H.h32_sql(f"('{seed}' || ':' || CAST(doc_id AS VARCHAR))")
+    return rf"""
+WITH assigned AS (
+  SELECT CAST({h} % {shards} AS INT) AS shard,
+         n_chars,
+         len(string_split_regex(text, '\s+')) AS ws_tokens,
+         source
+  FROM documents
+),
+per_shard AS (
+  SELECT shard, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM assigned GROUP BY shard
+)
+SELECT shard, n_docs, n_chars, ws_tokens, n_sources,
+       round(CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM per_shard), 6) AS share
+FROM per_shard
+"""
 
 def seeded_shuffle_oracle(seed: int = SHUFFLE_SEED, shards: int = SHUFFLE_SHARDS) -> str:
     h = H.h32_sql(f"('{seed}' || ':' || CAST(doc_id AS VARCHAR))")

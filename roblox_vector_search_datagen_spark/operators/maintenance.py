@@ -115,34 +115,44 @@ def merge_games_rolimons(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
 
-def _merge_oracle(update_cols: str) -> str:
-    return tables.with_domain_views(f"""
-, new_first AS (
+# The merge oracle is kept as (CTE fragment, SELECT fragment) pieces so
+# downstream oracles (snapshot_diff) can embed a whole merge run as one
+# nested-WITH CTE instead of duplicating the SQL.
+_MERGE_CTES = """new_first AS (
     SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY universeId ORDER BY ord ASC) AS rn
         FROM new_games
     ) WHERE rn = 1
-)
-, new_last AS (
+),
+new_last AS (
     SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY universeId ORDER BY ord DESC) AS rn
         FROM new_games
     ) WHERE rn = 1
-)
-SELECT g.universeId,
+)"""
+
+def _merge_select(update_cols: str) -> str:
+    return f"""SELECT g.universeId,
        {update_cols}
 FROM games g LEFT JOIN new_first n ON g.universeId = n.universeId
 UNION ALL
 SELECT n.universeId, n.rootPlaceId, n.name, n.description,
        CAST(NULL AS VARCHAR) AS gameplayDescription, n.playerCount
-FROM new_last n WHERE n.universeId NOT IN (SELECT universeId FROM games)
+FROM new_last n WHERE n.universeId NOT IN (SELECT universeId FROM games)"""
+
+def _merge_oracle(update_cols: str) -> str:
+    return tables.with_domain_views(f"""
+, {_MERGE_CTES}
+{_merge_select(update_cols)}
 """)
 
-def merge_games_gather_oracle() -> str:
-    return _merge_oracle("""
+_GATHER_UPDATE_COLS = """
        CASE WHEN n.universeId IS NOT NULL THEN n.rootPlaceId ELSE g.rootPlaceId END AS rootPlaceId,
        CASE WHEN n.universeId IS NOT NULL THEN n.name ELSE g.name END AS name,
-       g.description, g.gameplayDescription, g.playerCount""")
+       g.description, g.gameplayDescription, g.playerCount"""
+
+def merge_games_gather_oracle() -> str:
+    return _merge_oracle(_GATHER_UPDATE_COLS)
 
 def merge_games_search_oracle() -> str:
     return _merge_oracle("""
@@ -200,7 +210,11 @@ def _prune_reason(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.games(spark, sf_dir), tables.game_embeddings(spark, sf_dir)
     )
 
-_PRUNE_REASON_SQL = """
+def _prune_reason_sql(src: str) -> str:
+    """The five-reason short-circuit CASE over any games-shaped relation
+    `src` — parameterized so snapshot_diff can prune a merged snapshot
+    with the identical cascade."""
+    return f"""
 SELECT g.*,
   CASE
     WHEN e.universeId IS NULL THEN 'missing embedding'
@@ -209,9 +223,11 @@ SELECT g.*,
     WHEN g.description IS NULL OR trim(g.description) = '' THEN 'empty description'
     WHEN g.gameplayDescription IS NULL OR trim(g.gameplayDescription) = '' THEN 'empty gameplayDescription'
   END AS prune_reason
-FROM games g
+FROM {src} g
 LEFT JOIN (SELECT DISTINCT universeId FROM game_embeddings) e ON g.universeId = e.universeId
 """
+
+_PRUNE_REASON_SQL = _prune_reason_sql("games")
 
 def prune_games(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retained games with all five local prune flags enabled."""
@@ -255,6 +271,93 @@ def orphan_embeddings_oracle() -> str:
         "SELECT e.universeId FROM game_embeddings e "
         "WHERE e.universeId IN (SELECT universeId FROM reasons WHERE prune_reason IS NULL)"
     )
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC audit of one full maintenance cycle)
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style audit of one full maintenance cycle — the games table
+    BEFORE vs AFTER gather-merge (gatherGames.ts:55-91) followed by
+    prune (pruneGames.ts:142-198). The reference only ever overwrites
+    games.json in place; this is the change ledger an operator reads to
+    see what a maintenance run actually did before trusting the new
+    snapshot.
+
+    One row per universeId present in either snapshot, minus the
+    unchanged majority:
+
+    * ``added``   — inserted by the merge and retained by prune
+    * ``removed`` — existed before, pruned away after
+    * ``changed`` — retained with at least one column different
+
+    plus per-column ``*_changed`` flags (SQL ``IS DISTINCT FROM``
+    semantics — a NULL->value transition counts). Merge-inserted rows
+    that prune immediately drops never existed in either visible
+    snapshot and produce no row.
+
+    Scale shape: old and new snapshots both hash-partition on
+    universeId for the single full-outer join; the merge + prune
+    subtree reuses that same key end-to-end, so the whole audit is the
+    merge's exchanges plus exactly one more join — no global sort, no
+    driver loop. The `unchanged` majority is filtered before any
+    collection, so output size tracks the churn rate, not the corpus.
+    """
+    old = tables.games(spark, sf_dir)
+    merged = merge_games_gather(spark, sf_dir)
+    new = (
+        prune_reason_df(merged, tables.game_embeddings(spark, sf_dir))
+        .filter(F.col("prune_reason").isNull())
+        .drop("prune_reason")
+    )
+    o = old.select([F.col(c).alias(f"o_{c}") for c in GAME_COLS])
+    n = new.select([F.col(c).alias(f"n_{c}") for c in GAME_COLS])
+    j = o.join(n, o["o_universeId"] == n["n_universeId"], "full_outer")
+    diff_cols = GAME_COLS[1:]
+    changed = {c: ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}")) for c in diff_cols}
+    any_changed = F.lit(False)
+    for c in diff_cols:
+        any_changed = any_changed | changed[c]
+    status = (
+        F.when(F.col("o_universeId").isNull(), F.lit("added"))
+        .when(F.col("n_universeId").isNull(), F.lit("removed"))
+        .when(any_changed, F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce("o_universeId", "n_universeId").alias("universeId"),
+            status.alias("status"),
+            *[changed[c].alias(f"{c}_changed") for c in diff_cols],
+        )
+        .filter(F.col("status").isNotNull())
+    )
+
+def snapshot_diff_oracle() -> str:
+    flags = ",\n       ".join(
+        f"o.{c} IS DISTINCT FROM n.{c} AS {c}_changed" for c in GAME_COLS[1:]
+    )
+    any_changed = " OR ".join(f"o.{c} IS DISTINCT FROM n.{c}" for c in GAME_COLS[1:])
+    return tables.with_domain_views(f"""
+, merged AS (
+  WITH {_MERGE_CTES}
+  {_merge_select(_GATHER_UPDATE_COLS)}
+),
+merged_reasons AS ({_prune_reason_sql("merged")}),
+new_snap AS (
+  SELECT universeId, rootPlaceId, name, description, gameplayDescription, playerCount
+  FROM merged_reasons WHERE prune_reason IS NULL
+),
+diff AS (
+  SELECT COALESCE(o.universeId, n.universeId) AS universeId,
+       CASE WHEN o.universeId IS NULL THEN 'added'
+            WHEN n.universeId IS NULL THEN 'removed'
+            WHEN {any_changed} THEN 'changed'
+       END AS status,
+       {flags}
+  FROM games o FULL OUTER JOIN new_snap n ON o.universeId = n.universeId
+)
+SELECT * FROM diff WHERE status IS NOT NULL
+""")
 
 # ---------------------------------------------------------------------------
 # Incremental worklists (P4/P5/P6/P8)

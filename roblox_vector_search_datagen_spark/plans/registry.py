@@ -85,6 +85,10 @@ def _registry() -> dict[str, Query]:
     r["merge_games_rolimons"] = Query(
         maintenance.merge_games_rolimons, maintenance.merge_games_rolimons_oracle(), ("merge",)
     )
+    # CDC audit of one full gather-merge + prune maintenance cycle
+    r["snapshot_diff"] = Query(
+        maintenance.snapshot_diff, maintenance.snapshot_diff_oracle(), ("merge", "prune")
+    )
     r["prune_games"] = Query(
         maintenance.prune_games, maintenance.prune_games_oracle(), ("prune", "bench")
     )
@@ -192,6 +196,10 @@ def _registry() -> dict[str, Query]:
         ("ann",),
     )
     r["sq_quantize"] = Query(ann.sq_quantize, ann.sq_quantize_oracle(), ("ann", "bench"))
+    # per-dimension calibration/drift profile the quantizer reads
+    r["embedding_dim_profile"] = Query(
+        ann.embedding_dim_profile, ann.embedding_dim_profile_oracle(), ("ann", "profiling")
+    )
 
     # --- streaming ingestion dedup (batch twin; stream twin in streaming/ingest.py) ---
     r["ingest_dedup"] = Query(
@@ -273,6 +281,12 @@ def _registry() -> dict[str, Query]:
         layout.seeded_shuffle_oracle(),
         ("layout",),
     )
+    # per-shard delivery manifest (doc/char/token totals + balance)
+    r["shard_manifest"] = Query(
+        lambda spark, sf: layout.shard_manifest(spark, sf),
+        layout.shard_manifest_oracle(),
+        ("layout",),
+    )
     r["per_group_sample"] = Query(
         lambda spark, sf: textprep.per_group_sample(spark, sf),
         textprep.per_group_sample_oracle(),
@@ -316,6 +330,12 @@ def _registry() -> dict[str, Query]:
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
+        ("dedup", "iterative"),
+    )
+    # funnel's final stage: per-doc keep/drop verdict + canonical pointer
+    r["dedup_representatives"] = Query(
+        lambda spark, sf: dedup.dedup_representatives(spark, sf),
+        dedup.dedup_representatives_oracle(),
         ("dedup", "iterative"),
     )
     r["embedding_lsh_near_dups"] = Query(
@@ -603,6 +623,10 @@ _ADJUDICATE_FIRST = (
     "ingest_near_dedup",
     "source_overlap",
     "ingest_decision_report",
+    "snapshot_diff",
+    "dedup_representatives",
+    "shard_manifest",
+    "embedding_dim_profile",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

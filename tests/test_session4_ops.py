@@ -1,0 +1,123 @@
+"""Invariant tests for the round-3 fourth-session operators
+(snapshot_diff, dedup_representatives, shard_manifest,
+embedding_dim_profile) — properties the DuckDB oracle parity can't
+express, checked at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from roblox_vector_search_datagen_spark.operators import ann, dedup, layout, maintenance
+from roblox_vector_search_datagen_spark.sources import tables
+
+
+def test_snapshot_diff_statuses_partition_the_churn(spark, sf_dir):
+    """added ids are absent from the old snapshot, removed ids are
+    present in old but fail the post-merge prune, and changed rows
+    carry at least one raised column flag."""
+    diff = maintenance.snapshot_diff(spark, sf_dir)
+    rows = diff.collect()
+    assert rows, "snapshot_diff returned no rows"
+    assert {r.status for r in rows} <= {"added", "removed", "changed"}
+
+    old_ids = {r.universeId for r in tables.games(spark, sf_dir).select("universeId").collect()}
+    flag_cols = [c for c in diff.columns if c.endswith("_changed")]
+    for r in rows:
+        if r.status == "added":
+            assert r.universeId not in old_ids
+        elif r.status == "removed":
+            assert r.universeId in old_ids
+        else:
+            assert any(getattr(r, c) for c in flag_cols), r
+
+    # no id appears twice
+    ids = [r.universeId for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_snapshot_diff_changed_rows_match_merge_semantics(spark, sf_dir):
+    """A changed row's raised flags must be consistent with the gather
+    merge: only name/rootPlaceId can change for retained ids (plus
+    playerCount/description flags never fire — gather preserves them)."""
+    diff = maintenance.snapshot_diff(spark, sf_dir).filter(F.col("status") == "changed")
+    bad = diff.filter(
+        F.col("description_changed")
+        | F.col("gameplayDescription_changed")
+        | F.col("playerCount_changed")
+    ).count()
+    assert bad == 0
+
+
+def test_dedup_representatives_one_keeper_per_cluster(spark, sf_dir):
+    reps = dedup.dedup_representatives(spark, sf_dir)
+    rows = reps.collect()
+    n_docs = tables.load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # every document gets a verdict
+
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cluster, members in by_cluster.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1, f"cluster {cluster} has {len(keepers)} keepers"
+        canon = {m.canonical_id for m in members}
+        assert canon == {keepers[0].doc_id}
+        assert keepers[0].doc_id in {m.doc_id for m in members}
+
+
+def test_dedup_representatives_keeps_longest_member(spark, sf_dir):
+    """The elected canonical is the longest-text member (doc_id
+    tie-break), per the keep-most-complete-copy policy."""
+    reps = dedup.dedup_representatives(spark, sf_dir)
+    docs = tables.load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = reps.join(docs, "doc_id").collect()
+    best = {}
+    for r in joined:
+        cur = best.get(r.cluster)
+        key = (-r.n_chars, r.doc_id)
+        if cur is None or key < cur[0]:
+            best[r.cluster] = (key, r.doc_id)
+    for r in joined:
+        if r.keep:
+            assert r.doc_id == best[r.cluster][1]
+
+
+def test_shard_manifest_accounts_for_every_document(spark, sf_dir):
+    m = layout.shard_manifest(spark, sf_dir)
+    rows = m.collect()
+    n_docs = tables.load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert len(rows) <= layout.SHUFFLE_SHARDS
+    assert all(0 <= r.shard < layout.SHUFFLE_SHARDS for r in rows)
+
+
+def test_shard_manifest_agrees_with_seeded_shuffle(spark, sf_dir):
+    """The manifest's per-shard doc counts must equal the positional
+    shuffle's — both derive from the same shard_assignments hash."""
+    m = {r.shard: r.n_docs for r in layout.shard_manifest(spark, sf_dir).collect()}
+    s = {
+        r.shard: r.n
+        for r in layout.seeded_shuffle(spark, sf_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert m == s
+
+
+def test_embedding_dim_profile_bounds_and_counts(spark, sf_dir):
+    prof = ann.embedding_dim_profile(spark, sf_dir).collect()
+    n_vecs = (
+        tables.load_table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == 64)
+        .count()
+    )
+    assert len(prof) == 64
+    for r in prof:
+        assert r.n >= n_vecs  # 64-dim vectors all contribute to every pos < 64
+        assert r.mn <= r.mean <= r.mx
+        assert r.std >= 0.0
+        # quantization error bound: std can't exceed half the range + grid
+        assert r.std <= (r.mx - r.mn) / 2 + 1e-5
