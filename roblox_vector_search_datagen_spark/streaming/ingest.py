@@ -72,13 +72,23 @@ def _rowwise_band_sigs() -> F.Column:
     array). Stateless, so it runs unchanged on an unbounded stream;
     batch-side it also skips the signature shuffle entirely. Empty
     shingle arrays (docs shorter than the shingle width) coalesce each
-    component to -1 so the signature is well-defined in both engines."""
+    component to -1 so the signature is well-defined in both engines.
 
-    def build(sh: F.Column) -> F.Column:
+    The shingle array is hashed ONCE (one md5 pass) and let-bound
+    before the K per-component transforms — codegen does no CSE across
+    lambda boundaries, so inlining h32 into each component would md5
+    the whole array K times (measured ~4x on the ingest ledger)."""
+
+    def build(hv: F.Column) -> F.Column:
+        # hv: array<long> of h32(shingle) % P values (already reduced)
         comps = [
             F.coalesce(
                 F.array_min(
-                    F.transform(sh, lambda x: H.minhash_value_expr(H.h32_expr(x), i))
+                    F.transform(
+                        hv,
+                        lambda h: (F.lit(H.MINHASH_A[i]) * h + F.lit(H.MINHASH_B[i]))
+                        % H.P,
+                    )
                 ),
                 F.lit(-1),
             )
@@ -94,13 +104,16 @@ def _rowwise_band_sigs() -> F.Column:
             )
         return F.array(*bands)
 
-    return H.let_expr(H.word_shingles_expr(F.col("text")), build)
+    hashed = F.transform(
+        H.word_shingles_expr(F.col("text")), lambda x: H.h32_expr(x) % H.P
+    )
+    return H.let_expr(hashed, build)
 
 
 def _band_sigs_sql() -> str:
-    h = H.h32_sql("x")
+    # operates on `hv` (pre-hashed shingle list, see the *_sql callers)
     comps = [
-        f"coalesce(list_min(list_transform(sh, x -> {H.minhash_value_sql(h, i)})), -1)"
+        f"coalesce(list_min(list_transform(hv, h -> (({H.MINHASH_A[i]} * h + {H.MINHASH_B[i]}) % {H.P}))), -1)"
         for i in range(H.MINHASH_K)
     ]
     bands = []
@@ -136,9 +149,10 @@ def ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ingest_near_dedup_oracle() -> str:
     bands = _band_sigs_sql()
     sh = H.word_shingles_sql("text")
+    h = H.h32_sql("x")
     return f"""
 WITH withsh AS (
-  SELECT doc_id, {sh} AS sh FROM documents
+  SELECT doc_id, list_transform({sh}, x -> {h} % {H.P}) AS hv FROM documents
 ),
 sigs AS (
   SELECT doc_id, unnest({bands}) AS band_sig FROM withsh
@@ -256,9 +270,10 @@ def ingest_decision_report_oracle() -> str:
     dg = H.digest_sql("text")
     bands = _band_sigs_sql()
     sh = H.word_shingles_sql("text")
+    h = H.h32_sql("x")
     return f"""
 WITH withsh AS (
-  SELECT doc_id, {sh} AS sh FROM documents
+  SELECT doc_id, list_transform({sh}, x -> {h} % {H.P}) AS hv FROM documents
 ),
 sigs AS (
   SELECT doc_id, unnest({bands}) AS band_sig FROM withsh
