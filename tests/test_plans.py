@@ -329,3 +329,37 @@ def test_ingest_ledger_plan_contract(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in p
     assert "EvalPython" not in p
+
+def test_session4_ops_plan_contracts(spark, sf_dir):
+    """Pinned physical properties of the fourth-session operators."""
+    from roblox_vector_search_datagen_spark.operators import ann, dedup, layout, maintenance
+
+    # snapshot_diff: one id-keyed full-outer join between the snapshots,
+    # no global sort, no cartesian anywhere in the merge+prune subtree
+    p = plan_of(maintenance.snapshot_diff(spark, sf_dir))
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p.lower()
+    assert "EvalPython" not in p
+
+    # dedup_representatives: the election window partitions BY CLUSTER —
+    # never a single global window over the corpus
+    p = plan_of(dedup.dedup_representatives(spark, sf_dir))
+    assert "partitionBy=[cluster" in p or "hashpartitioning(cluster" in p
+    assert "SinglePartition, Window" not in p
+    assert "EvalPython" not in p
+
+    # shard_manifest: no window at all (pure hash assignment + one agg);
+    # the 1-row corpus total broadcasts
+    p = plan_of(layout.shard_manifest(spark, sf_dir))
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "rangepartitioning" not in p.lower()
+    assert "EvalPython" not in p
+
+    # embedding_dim_profile: one aggregation keyed by dimension index,
+    # no join, no sort
+    p = plan_of(ann.embedding_dim_profile(spark, sf_dir))
+    assert "Join" not in p
+    assert "rangepartitioning" not in p.lower()
+    assert "EvalPython" not in p
