@@ -1071,58 +1071,91 @@ def minhash_band_sweep(
     with fewer rows = higher recall, more candidate volume for the
     verify stage; the sweep prices that trade on a sampled slab).
 
-    All configurations share ONE signature table (persisted — the
-    corpus pass runs once) and ONE unpivot: each config's bands are
-    extra rows in the same (cfg, band, sig) frame, so the whole sweep
-    is a single self-join keyed (cfg, band, sig) — per-config runs
-    would rescan the corpus len(configs) times. Candidate pairs
-    dedup per config, meet the broadcast truth pair set, and a final
-    |configs|-row aggregation emits the sweep. Emits (bands,
+    All configurations derive from ONE self-join at the FINEST banding:
+    a coarse band matches iff ALL of its constituent finest bands match
+    (a 4-row band is the concatenation of two adjacent 2-row bands), so
+    the sweep joins only the max(configs)-band unpivot, aggregates each
+    pair's set of colliding fine bands, and decides every coarser
+    config with subset logic on that set — no per-config join rows and
+    no distinct over the multi-config union (which round-3 profiling
+    showed dominated the sweep). The signature table is persisted so
+    the corpus pass runs once; pairs meet the broadcast truth set; a
+    single conditional aggregation emits all configs. Emits (bands,
     rows_per_band, n_truth, n_candidates, n_hits, recall, precision)."""
-    sig = _minhash_signatures(spark, sf_dir).persist()
-    structs = []
+    fine_b = max(configs)
+    fine_r = H.MINHASH_K // fine_b
     for b in configs:
-        r = H.MINHASH_K // b
-        for band in range(b):
-            cols = [F.col(f"mh{band * r + j}").cast("string") for j in range(r)]
-            structs.append(
-                F.struct(
-                    F.lit(b).alias("cfg"),
-                    F.lit(band).alias("band"),
-                    F.concat_ws(",", *cols).alias("sig"),
-                )
-            )
+        assert fine_b % b == 0, "every swept config must nest in the finest banding"
+    sig = _minhash_signatures(spark, sf_dir).persist()
+    structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{band * fine_r + j}").cast("string") for j in range(fine_r)],
+            ).alias("sig"),
+        )
+        for band in range(fine_b)
+    ]
     unpiv = sig.select("doc_id", F.explode(F.array(*structs)).alias("s")).select(
-        "doc_id", F.col("s.cfg").alias("cfg"), F.col("s.band").alias("band"), F.col("s.sig").alias("sig")
+        "doc_id", F.col("s.band").alias("band"), F.col("s.sig").alias("sig")
     )
-    left = unpiv.select("cfg", "band", "sig", F.col("doc_id").alias("doc_a"))
-    right = unpiv.select("cfg", "band", "sig", F.col("doc_id").alias("doc_b"))
-    cand = (
-        left.join(right, ["cfg", "band", "sig"])
+    left = unpiv.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    right = unpiv.select("band", "sig", F.col("doc_id").alias("doc_b"))
+    # (band, sig) is unique per doc, so a pair meets at most once per
+    # fine band — collect_set is exact without any pre-distinct
+    per_pair = (
+        left.join(right, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("cfg", "doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.collect_set("band").alias("fbs"))
     )
     truth = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
         "doc_a", "doc_b", F.lit(1).alias("t")
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    return (
-        cand.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
-        .groupBy("cfg")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-            F.count("t").cast("bigint").alias("n_hits"),
+    marked = per_pair.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+    aggs = []
+    for b in configs:
+        span = fine_b // b  # fine bands per config-b band
+        collides = F.lit(False)
+        for i in range(b):
+            grp = F.lit(True)
+            for j in range(span):
+                grp = grp & F.array_contains(F.col("fbs"), i * span + j)
+            collides = collides | grp
+        aggs.append(
+            F.sum(F.when(collides, 1).otherwise(0)).cast("bigint").alias(f"cand{b}")
         )
-        .crossJoin(F.broadcast(n_truth))
+        aggs.append(
+            F.sum(F.when(collides & F.col("t").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"hit{b}")
+        )
+    totals = marked.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(H.MINHASH_K // b).alias("rows_per_band"),
+                F.col(f"cand{b}").alias("n_candidates"),
+                F.col(f"hit{b}").alias("n_hits"),
+            )
+            for b in configs
+        ]
+    )
+    return (
+        totals.crossJoin(F.broadcast(n_truth))
+        .select("n_truth", F.explode(rows).alias("r"))
+        .filter(F.col("r.n_candidates") > 0)
         .select(
-            F.col("cfg").cast("int").alias("bands"),
-            (F.lit(H.MINHASH_K) / F.col("cfg")).cast("int").alias("rows_per_band"),
+            F.col("r.bands").cast("int").alias("bands"),
+            F.col("r.rows_per_band").cast("int").alias("rows_per_band"),
             "n_truth",
-            "n_candidates",
-            "n_hits",
-            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
-            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
+            F.col("r.n_candidates").alias("n_candidates"),
+            F.col("r.n_hits").alias("n_hits"),
+            F.round(F.col("r.n_hits") / F.col("n_truth"), 6).alias("recall"),
+            F.round(F.col("r.n_hits") / F.col("r.n_candidates"), 6).alias("precision"),
         )
     )
 
