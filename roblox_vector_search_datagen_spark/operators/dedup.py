@@ -1262,3 +1262,99 @@ SELECT least(src_a, src_b) AS source_lo,
          AS n_dup_pairs
 FROM j GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel observability: the per-stage dedup summary
+# ---------------------------------------------------------------------------
+
+def dedup_funnel_report(
+    spark: SparkSession, sf_dir: str, threshold: float = EXACT_JACCARD_DUP_THRESHOLD
+) -> DataFrame:
+    """One row per dedup-funnel stage with its count — the summary an
+    engineer reads after a dedup run to see where volume went: corpus
+    size, exact-duplicate groups and their excess copies, MinHash-LSH
+    candidate pairs, exact-verified duplicate pairs, and the number of
+    documents touched by at least one verified pair. The stage-to-stage
+    ratios are the funnel's health numbers (candidates per doc prices
+    the verify bill; verified/candidates is the blocking precision
+    already tracked by `lsh_recall_report`).
+
+    Scale shape: the verify stage is computed ONCE (persisted — it is
+    both counted and exploded for the touched-doc count) and every
+    stage reduces to a 1-row aggregate before the final assembly, so
+    the report adds two tiny aggregations on top of the funnel's own
+    cost. Emits (stage, n) — 6 rows.
+    """
+    d = tables.load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_docs"))
+    exact = dedup_exact(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_dup_groups"),
+        F.coalesce(F.sum(F.col("group_size") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("exact_dup_excess_docs"),
+    )
+    v = exact_jaccard_verify(spark, sf_dir, threshold).persist()
+    vstats = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("lsh_candidate_pairs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("verified_dup_pairs"),
+    )
+    near_docs = (
+        v.filter(F.col("is_dup"))
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("near_dup_docs"))
+    )
+    one = (
+        n_docs.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(vstats))
+        .crossJoin(F.broadcast(near_docs))
+    )
+    stages = (
+        "corpus_docs",
+        "exact_dup_groups",
+        "exact_dup_excess_docs",
+        "lsh_candidate_pairs",
+        "verified_dup_pairs",
+        "near_dup_docs",
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(s).alias("stage"), F.col(s).alias("n"))
+            for s in stages
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.stage", "r.n")
+
+
+def dedup_funnel_report_oracle(threshold: float = EXACT_JACCARD_DUP_THRESHOLD) -> str:
+    dg = H.digest_sql("text")
+    return f"""
+WITH verify AS ({exact_jaccard_verify_oracle(threshold)}),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS n_excess
+  FROM (SELECT {dg} AS dgst, count(*) AS cnt FROM documents GROUP BY 1)
+  WHERE cnt > 1
+)
+SELECT 'corpus_docs' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+UNION ALL
+SELECT 'exact_dup_groups', n_groups FROM exact
+UNION ALL
+SELECT 'exact_dup_excess_docs', n_excess FROM exact
+UNION ALL
+SELECT 'lsh_candidate_pairs', CAST(count(*) AS BIGINT) FROM verify
+UNION ALL
+SELECT 'verified_dup_pairs',
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) FROM verify
+UNION ALL
+SELECT 'near_dup_docs', CAST(count(*) AS BIGINT) FROM (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM verify WHERE is_dup
+    UNION ALL
+    SELECT doc_b FROM verify WHERE is_dup
+  )
+)
+"""

@@ -338,6 +338,12 @@ def _registry() -> dict[str, Query]:
         dedup.dedup_representatives_oracle(),
         ("dedup", "iterative"),
     )
+    # per-stage funnel summary (corpus -> exact -> candidates -> verified)
+    r["dedup_funnel_report"] = Query(
+        lambda spark, sf: dedup.dedup_funnel_report(spark, sf),
+        dedup.dedup_funnel_report_oracle(),
+        ("dedup", "profiling"),
+    )
     r["embedding_lsh_near_dups"] = Query(
         lambda spark, sf: dedup.embedding_lsh_near_dups(spark, sf),
         dedup.embedding_lsh_near_dups_oracle(),
@@ -627,6 +633,7 @@ _ADJUDICATE_FIRST = (
     "dedup_representatives",
     "shard_manifest",
     "embedding_dim_profile",
+    "dedup_funnel_report",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

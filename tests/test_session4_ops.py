@@ -107,6 +107,28 @@ def test_shard_manifest_agrees_with_seeded_shuffle(spark, sf_dir):
     assert m == s
 
 
+def test_dedup_funnel_report_stage_consistency(spark, sf_dir):
+    """The funnel's stage counts must be mutually consistent and agree
+    with the standalone operators they summarize."""
+    rep = {r.stage: r.n for r in dedup.dedup_funnel_report(spark, sf_dir).collect()}
+    assert set(rep) == {
+        "corpus_docs",
+        "exact_dup_groups",
+        "exact_dup_excess_docs",
+        "lsh_candidate_pairs",
+        "verified_dup_pairs",
+        "near_dup_docs",
+    }
+    assert rep["corpus_docs"] == tables.load_table(spark, sf_dir, "documents").count()
+    assert rep["lsh_candidate_pairs"] == dedup.lsh_candidate_pairs(spark, sf_dir).count()
+    assert rep["verified_dup_pairs"] <= rep["lsh_candidate_pairs"]
+    assert rep["near_dup_docs"] <= 2 * rep["verified_dup_pairs"]
+    assert rep["exact_dup_excess_docs"] >= rep["exact_dup_groups"] or rep["exact_dup_groups"] == 0
+    # every verified pair implies both members are exact or near dups
+    if rep["verified_dup_pairs"] > 0:
+        assert rep["near_dup_docs"] >= 2
+
+
 def test_embedding_dim_profile_bounds_and_counts(spark, sf_dir):
     prof = ann.embedding_dim_profile(spark, sf_dir).collect()
     n_vecs = (
