@@ -600,11 +600,16 @@ def main(argv: list[str] | None = None) -> int:
             r["source"]: round(float(r["sample_rate"]), 6)
             for r in tp.mixture_plan(spark, sf_dir).collect()
         }
+        funnel = {
+            r["stage"]: int(r["n"])
+            for r in dedup_ops.dedup_funnel_report(spark, sf_dir).collect()
+        }
         print(
             json.dumps(
                 {
                     "cross_split_candidates": int(n_leak),
                     "cross_split_dups": int(n_leak_dups),
+                    "dedup_funnel": funnel,
                     "media_dedup": media,
                     "mixture_sample_rates": plan,
                 },

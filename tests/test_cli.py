@@ -380,3 +380,6 @@ def test_audit_corpus_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
         assert (m["bytes_reclaimed"] == 0) == (m["n_dup_copies"] == 0)
     assert res["mixture_sample_rates"]
     assert all(0 < r <= 1.0 for r in res["mixture_sample_rates"].values())
+    funnel = res["dedup_funnel"]
+    assert funnel["verified_dup_pairs"] <= funnel["lsh_candidate_pairs"]
+    assert funnel["near_dup_docs"] <= funnel["corpus_docs"]
