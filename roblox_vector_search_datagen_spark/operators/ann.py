@@ -778,6 +778,75 @@ SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
 FROM assign GROUP BY cent_id
 """
 
+def index_build_report(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
+    """One row per index-build health metric — the ANN counterpart of
+    `dedup_funnel_report`, read after an IVF build before serving from
+    it: vector count, list count, non-empty cells, min/max cell size
+    and the balance ratio (max cell over mean cell — the number that
+    prices worst-case probe latency; a ratio far above 1 means a hot
+    cell and a re-seed), plus the member-weighted mean of the per-cell
+    mean cosines (overall assignment tightness). Emits (metric, value)
+    with every value as DOUBLE.
+
+    Scale shape: one aggregation over the |cells|-row
+    `ivf_cluster_quality` table — the report costs nothing beyond the
+    assignment pass it summarizes. The weighted mean multiplies each
+    cell's 6-dp mean (exact at 1e-6 grid) by its BIGINT member count,
+    so the sum is order-independent in both engines."""
+    q = ivf_cluster_quality(spark, sf_dir, k)
+    agg = q.agg(
+        F.sum("n_members").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("nonempty_cells"),
+        F.min("n_members").cast("bigint").alias("min_cell"),
+        F.max("n_members").cast("bigint").alias("max_cell"),
+        F.round(
+            F.sum(F.round(F.col("mean_cosine") * 1e6, 0).cast("bigint") * F.col("n_members"))
+            / (F.lit(1e6) * F.sum("n_members")),
+            6,
+        ).alias("wmc"),
+    )
+    balance = F.round(
+        F.col("max_cell") / (F.col("n_vectors") / F.col("nonempty_cells")), 6
+    )
+    metrics = [
+        ("n_vectors", F.col("n_vectors").cast("double")),
+        ("nlist", F.lit(float(k))),
+        ("nonempty_cells", F.col("nonempty_cells").cast("double")),
+        ("min_cell_size", F.col("min_cell").cast("double")),
+        ("max_cell_size", F.col("max_cell").cast("double")),
+        ("cell_balance", balance.cast("double")),
+        ("mean_member_cosine", F.col("wmc").cast("double")),
+    ]
+    rows = F.array(
+        *[
+            F.struct(F.lit(name).alias("metric"), value.alias("value"))
+            for name, value in metrics
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.metric", "r.value")
+
+def index_build_report_oracle(k: int = IVF_K) -> str:
+    return f"""
+WITH q AS ({ivf_cluster_quality_oracle(k)}),
+agg AS (
+  SELECT CAST(sum(n_members) AS BIGINT) AS n_vectors,
+         CAST(count(*) AS BIGINT) AS nonempty_cells,
+         CAST(min(n_members) AS BIGINT) AS min_cell,
+         CAST(max(n_members) AS BIGINT) AS max_cell,
+         round(sum(CAST(round(mean_cosine * 1e6) AS BIGINT) * n_members)
+               / (1e6 * sum(n_members)), 6) AS wmc
+  FROM q
+)
+SELECT 'n_vectors' AS metric, CAST(n_vectors AS DOUBLE) AS value FROM agg
+UNION ALL SELECT 'nlist', CAST({k} AS DOUBLE) FROM agg
+UNION ALL SELECT 'nonempty_cells', CAST(nonempty_cells AS DOUBLE) FROM agg
+UNION ALL SELECT 'min_cell_size', CAST(min_cell AS DOUBLE) FROM agg
+UNION ALL SELECT 'max_cell_size', CAST(max_cell AS DOUBLE) FROM agg
+UNION ALL SELECT 'cell_balance',
+  round(max_cell / (CAST(n_vectors AS DOUBLE) / nonempty_cells), 6) FROM agg
+UNION ALL SELECT 'mean_member_cosine', wmc FROM agg
+"""
+
 # ---------------------------------------------------------------------------
 # IVF training (unrolled Lloyd iteration with convergence report)
 # ---------------------------------------------------------------------------

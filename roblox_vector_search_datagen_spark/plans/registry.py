@@ -297,6 +297,12 @@ def _registry() -> dict[str, Query]:
         ann.ivf_cluster_quality_oracle(),
         ("ann",),
     )
+    # one-row-per-metric IVF build health summary (balance, tightness)
+    r["index_build_report"] = Query(
+        lambda spark, sf: ann.index_build_report(spark, sf),
+        ann.index_build_report_oracle(),
+        ("ann", "profiling"),
+    )
 
     # --- training-data pipeline: dedup ---
     r["dedup_exact"] = Query(dedup.dedup_exact, dedup.dedup_exact_oracle(), ("dedup", "bench"))
@@ -634,6 +640,7 @@ _ADJUDICATE_FIRST = (
     "shard_manifest",
     "embedding_dim_profile",
     "dedup_funnel_report",
+    "index_build_report",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

@@ -129,6 +129,20 @@ def test_dedup_funnel_report_stage_consistency(spark, sf_dir):
         assert rep["near_dup_docs"] >= 2
 
 
+def test_index_build_report_consistency(spark, sf_dir):
+    """The build report's metrics must agree with the per-cell quality
+    table it summarizes."""
+    rep = {r.metric: r.value for r in ann.index_build_report(spark, sf_dir).collect()}
+    cells = ann.ivf_cluster_quality(spark, sf_dir).collect()
+    assert rep["n_vectors"] == sum(c.n_members for c in cells)
+    assert rep["nonempty_cells"] == len(cells)
+    assert rep["min_cell_size"] == min(c.n_members for c in cells)
+    assert rep["max_cell_size"] == max(c.n_members for c in cells)
+    assert rep["cell_balance"] >= 1.0
+    assert -1.0 <= rep["mean_member_cosine"] <= 1.0
+    assert rep["nlist"] == ann.IVF_K
+
+
 def test_embedding_dim_profile_bounds_and_counts(spark, sf_dir):
     prof = ann.embedding_dim_profile(spark, sf_dir).collect()
     n_vecs = (
