@@ -618,6 +618,73 @@ SELECT pos, n, mn, mx,
 FROM agg
 """
 
+OUTLIER_K = 20
+
+def embedding_outliers(spark: SparkSession, sf_dir: str, k: int = OUTLIER_K) -> DataFrame:
+    """The k most ISOLATED vectors — lowest cosine to their nearest IVF
+    centroid, with a z-score against the corpus's assignment-cosine
+    distribution. This is the embedding-table review queue: a vector
+    far from every centroid is a garbage/truncated input, an encoder-
+    version straggler, or genuinely novel content, and it is both the
+    hardest case for IVF recall (its cell boundary is meaningless) and
+    the first candidate for a centroid re-seed. A fixed-k queue rather
+    than a sigma cut because isolation distributions are skewed — the
+    operational question is "what are the worst k", not "how many pass
+    a threshold". Emits (vec_id, cent_id, cosine, z), most isolated
+    first by (cosine asc, vec_id).
+
+    Scale shape: reuses the `ivf_assignments` pass (cosine to nearest
+    centroid is already computed), one 1-row integer-moment aggregate
+    broadcasts mean/std (cosine is 6-dp so the moments are exact
+    BIGINTs), and the k-cut is TakeOrderedAndProject — never a global
+    sort."""
+    assign = ivf_assignments(spark, sf_dir)
+    q = F.round(F.col("cosine") * 1e6, 0).cast("bigint")
+    stats = assign.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+    ).select(
+        (F.col("s1") / (F.lit(1e6) * F.col("n"))).alias("mean_cos"),
+        F.sqrt(
+            F.greatest(
+                (F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")))
+                / F.lit(1e12),
+                F.lit(0.0),
+            )
+        ).alias("std_cos"),
+    )
+    z = F.when(
+        F.col("std_cos") > 0,
+        F.round((F.col("cosine") - F.col("mean_cos")) / F.col("std_cos"), 6),
+    )
+    return (
+        assign.crossJoin(F.broadcast(stats))
+        .select("vec_id", "cent_id", "cosine", z.alias("z"))
+        .orderBy(F.asc_nulls_last("cosine"), "vec_id")
+        .limit(k)
+    )
+
+def embedding_outliers_oracle(k: int = OUTLIER_K) -> str:
+    s1 = "sum(CAST(round(cosine * 1e6) AS BIGINT))"
+    s2 = "sum(CAST(round(cosine * 1e6) AS BIGINT) * CAST(round(cosine * 1e6) AS BIGINT))"
+    return f"""
+WITH a AS ({ivf_assignments_oracle()}),
+st AS (
+  SELECT {s1} / (1e6 * count(*)) AS mean_cos,
+         sqrt(greatest(
+           ({s2} / CAST(count(*) AS DOUBLE)
+            - ({s1} / CAST(count(*) AS DOUBLE)) * ({s1} / CAST(count(*) AS DOUBLE))) / 1e12,
+           0.0)) AS std_cos
+  FROM a
+)
+SELECT vec_id, cent_id, cosine,
+       CASE WHEN std_cos > 0 THEN round((cosine - mean_cos) / std_cos, 6) END AS z
+FROM a CROSS JOIN st
+ORDER BY cosine ASC NULLS LAST, vec_id
+LIMIT {k}
+"""
+
 def sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension min/max scalar quantization of the embedding
     column to 8-bit codes, verified by per-vector checksums: code_sum

@@ -387,6 +387,81 @@ SELECT doc_id, split, CAST(shard AS INT) AS shard, CAST(n_tokens AS INT) AS n_to
 FROM c
 """
 
+def pack_efficiency_report(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """Packing-efficiency summary for `pack_sequences`: per split, how
+    many documents and tokens went in, how many `budget`-token training
+    sequences come out, and how many tokens the per-shard tails waste —
+    the number that decides whether the shard count (or the budget) is
+    right before a trainer burns a run on it. Under concat-and-split
+    packing every sequence is exactly `budget` tokens except each
+    (split, shard)'s last, so waste is purely the tail remainders:
+    waste_rate = tail_waste / (n_sequences * budget). Emits
+    (split, n_docs, total_tokens, n_sequences, tail_waste_tokens,
+    waste_rate).
+
+    Scale shape: no window at all — two map-side-combined aggregations
+    (doc -> shard totals -> split rollup); the whole report is one
+    corpus scan and two tiny exchanges."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    bucket = H.h32_expr(F.col("doc_id").cast("string")) % 100
+    toks = d.select(
+        bucket.cast("int").alias("shard"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        F.size(_words(F.col("text"))).alias("n_tokens"),
+    )
+    per_shard = toks.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tot"),
+    )
+    n_seq = F.floor((F.col("tot") + budget - 1) / budget)
+    tail = (budget - F.col("tot") % budget) % budget
+    return (
+        per_shard.groupBy("split")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("tot").cast("bigint").alias("total_tokens"),
+            F.sum(n_seq).cast("bigint").alias("n_sequences"),
+            F.sum(tail).cast("bigint").alias("tail_waste_tokens"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "total_tokens",
+            "n_sequences",
+            "tail_waste_tokens",
+            F.round(
+                F.col("tail_waste_tokens") / (F.col("n_sequences") * F.lit(budget)), 6
+            ).alias("waste_rate"),
+        )
+    )
+
+def pack_efficiency_report_oracle(budget: int = PACK_BUDGET_TOKENS) -> str:
+    h = H.h32_sql("CAST(doc_id AS VARCHAR)")
+    w = "string_split_regex(text, '\\s+')"
+    return f"""
+WITH t AS (
+  SELECT {h} % 100 AS shard,
+         CASE WHEN {h} % 100 < 80 THEN 'train'
+              WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         len({w}) AS n_tokens
+  FROM documents
+),
+per_shard AS (
+  SELECT split, shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tot
+  FROM t GROUP BY 1, 2
+)
+SELECT split,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(tot) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(floor((tot + {budget} - 1) / {budget}) AS BIGINT)) AS BIGINT) AS n_sequences,
+       CAST(sum(({budget} - tot % {budget}) % {budget}) AS BIGINT) AS tail_waste_tokens,
+       round(CAST(sum(({budget} - tot % {budget}) % {budget}) AS DOUBLE)
+             / (sum(CAST(floor((tot + {budget} - 1) / {budget}) AS BIGINT)) * {budget}), 6) AS waste_rate
+FROM per_shard GROUP BY split
+"""
+
 # ---------------------------------------------------------------------------
 # End-to-end corpus selection (the composed pipeline)
 # ---------------------------------------------------------------------------

@@ -813,3 +813,57 @@ SELECT source,
          AS n_docs_fully_covered
 FROM per_doc GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram (sequence-length selection)
+# ---------------------------------------------------------------------------
+
+TOKEN_HIST_BIN = 64
+
+
+def token_length_histogram(
+    spark: SparkSession, sf_dir: str, bin_width: int = TOKEN_HIST_BIN
+) -> DataFrame:
+    """Distribution of document token lengths in fixed-width bins — the
+    table that picks a training sequence length: the mass above a
+    candidate max_len is truncation loss, the mass far below it is
+    padding/packing overhead (pair with `pack_efficiency_report` to
+    price the chosen budget). Uses the whitespace-token convention of
+    `token_counts`. Emits (bin, lo_tokens, hi_tokens, n_docs,
+    total_tokens) — one scan, one map-side-combined aggregation with
+    |max_len / bin_width| output rows."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), r"\s+"))
+    b = F.floor(n / bin_width)
+    return (
+        d.select(b.cast("int").alias("bin"), n.alias("n_tokens"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * bin_width).cast("int").alias("lo_tokens"),
+            (F.col("bin") * bin_width + bin_width - 1).cast("int").alias("hi_tokens"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+def token_length_histogram_oracle(bin_width: int = TOKEN_HIST_BIN) -> str:
+    return rf"""
+WITH t AS (
+  SELECT CAST(floor(len(string_split_regex(text, '\s+')) / {bin_width}) AS INT) AS bin,
+         len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT bin,
+       CAST(bin * {bin_width} AS INT) AS lo_tokens,
+       CAST(bin * {bin_width} + {bin_width} - 1 AS INT) AS hi_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY bin
+"""

@@ -200,6 +200,12 @@ def _registry() -> dict[str, Query]:
     r["embedding_dim_profile"] = Query(
         ann.embedding_dim_profile, ann.embedding_dim_profile_oracle(), ("ann", "profiling")
     )
+    # norm-z-score outliers: the embedding-table data-quality gate
+    r["embedding_outliers"] = Query(
+        lambda spark, sf: ann.embedding_outliers(spark, sf),
+        ann.embedding_outliers_oracle(),
+        ("ann", "quality"),
+    )
 
     # --- streaming ingestion dedup (batch twin; stream twin in streaming/ingest.py) ---
     r["ingest_dedup"] = Query(
@@ -500,6 +506,18 @@ def _registry() -> dict[str, Query]:
         textprep.pack_sequences_oracle(),
         ("text", "packing"),
     )
+    # per-split packing waste summary (window-free twin aggregation)
+    r["pack_efficiency_report"] = Query(
+        lambda spark, sf: textprep.pack_efficiency_report(spark, sf),
+        textprep.pack_efficiency_report_oracle(),
+        ("text", "packing", "profiling"),
+    )
+    # token-length distribution for sequence-length selection
+    r["token_length_histogram"] = Query(
+        lambda spark, sf: textstats.token_length_histogram(spark, sf),
+        textstats.token_length_histogram_oracle(),
+        ("text", "profiling"),
+    )
     # cross-document repeated n-gram spans: the scalable boilerplate /
     # substring-dedup proxy (suffix-array dedup's cheap sibling)
     r["repeated_spans"] = Query(
@@ -641,6 +659,9 @@ _ADJUDICATE_FIRST = (
     "embedding_dim_profile",
     "dedup_funnel_report",
     "index_build_report",
+    "pack_efficiency_report",
+    "token_length_histogram",
+    "embedding_outliers",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

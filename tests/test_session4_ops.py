@@ -143,6 +143,52 @@ def test_index_build_report_consistency(spark, sf_dir):
     assert rep["nlist"] == ann.IVF_K
 
 
+def test_pack_efficiency_report_consistency(spark, sf_dir):
+    """Per-split token totals must agree with pack_sequences, waste is
+    bounded by one budget per shard, and waste_rate is a proportion."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    rep = {r.split: r for r in textprep.pack_efficiency_report(spark, sf_dir).collect()}
+    packed = (
+        textprep.pack_sequences(spark, sf_dir)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tot"))
+        .collect()
+    )
+    for p in packed:
+        r = rep[p.split]
+        assert r.n_docs == p.n_docs
+        assert r.total_tokens == p.tot
+        assert r.n_sequences * textprep.PACK_BUDGET_TOKENS >= r.total_tokens
+        assert r.tail_waste_tokens == r.n_sequences * textprep.PACK_BUDGET_TOKENS - r.total_tokens
+        assert 0.0 <= r.waste_rate < 1.0
+
+
+def test_token_length_histogram_partitions_corpus(spark, sf_dir):
+    from roblox_vector_search_datagen_spark.operators import textstats
+
+    rows = textstats.token_length_histogram(spark, sf_dir).collect()
+    n_docs = tables.load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    bins = [r.bin for r in rows]
+    assert len(bins) == len(set(bins))
+    for r in rows:
+        assert r.lo_tokens <= r.hi_tokens
+        assert r.n_docs * r.lo_tokens <= r.total_tokens <= r.n_docs * r.hi_tokens
+
+
+def test_embedding_outliers_are_the_k_most_isolated(spark, sf_dir):
+    out = ann.embedding_outliers(spark, sf_dir).collect()
+    assert len(out) == ann.OUTLIER_K
+    cosines = [r.cosine for r in out]
+    assert cosines == sorted(cosines)  # most isolated first
+    assert all(r.z < 0 for r in out)  # all below the mean cosine
+    # the queue's worst member bounds everything not in the queue
+    assign = ann.ivf_assignments(spark, sf_dir)
+    n_below = assign.filter(F.col("cosine") < cosines[-1]).count()
+    assert n_below <= ann.OUTLIER_K
+
+
 def test_embedding_dim_profile_bounds_and_counts(spark, sf_dir):
     prof = ann.embedding_dim_profile(spark, sf_dir).collect()
     n_vecs = (
