@@ -1329,6 +1329,44 @@ def dedup_funnel_report(
     return one.select(F.explode(rows).alias("r")).select("r.stage", "r.n")
 
 
+def dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the LSH candidate-pair graph: how many
+    documents have exactly `degree` near-dup candidates. The shape of
+    this histogram is the blocking-health diagnostic the funnel report
+    can't show — a heavy tail means some documents collide with
+    everything (a boilerplate template, a too-coarse band) and the
+    verify stage's cost is concentrated there; it is also the direct
+    input for choosing `ngram_jaccard_pairs`' df_cap. Emits
+    (degree, n_docs), candidates-per-doc ascending.
+
+    Scale shape: the pair list is symmetrized by a union (each pair
+    contributes one degree to each endpoint), then two
+    map-side-combined aggregations — |docs-in-pairs| then |distinct
+    degrees| rows; nothing wider than the candidate list itself."""
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    degrees = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_docs")
+    )
+
+def dup_graph_degrees_oracle() -> str:
+    return f"""
+WITH pairs AS ({lsh_candidate_pairs_oracle()}),
+ends AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT doc_b FROM pairs
+),
+degrees AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM degrees GROUP BY degree
+"""
+
 def dedup_funnel_report_oracle(threshold: float = EXACT_JACCARD_DUP_THRESHOLD) -> str:
     dg = H.digest_sql("text")
     return f"""

@@ -356,6 +356,12 @@ def _registry() -> dict[str, Query]:
         dedup.dedup_funnel_report_oracle(),
         ("dedup", "profiling"),
     )
+    # candidate-graph degree histogram (blocking-explosion diagnostic)
+    r["dup_graph_degrees"] = Query(
+        lambda spark, sf: dedup.dup_graph_degrees(spark, sf),
+        dedup.dup_graph_degrees_oracle(),
+        ("dedup", "profiling"),
+    )
     r["embedding_lsh_near_dups"] = Query(
         lambda spark, sf: dedup.embedding_lsh_near_dups(spark, sf),
         dedup.embedding_lsh_near_dups_oracle(),
@@ -662,6 +668,7 @@ _ADJUDICATE_FIRST = (
     "pack_efficiency_report",
     "token_length_histogram",
     "embedding_outliers",
+    "dup_graph_degrees",
     # -- (4) green only in round 1 --
     "prune_orphan_embeddings",
     "needs_details_worklist",

@@ -189,6 +189,15 @@ def test_embedding_outliers_are_the_k_most_isolated(spark, sf_dir):
     assert n_below <= ann.OUTLIER_K
 
 
+def test_dup_graph_degrees_sum_to_pair_endpoints(spark, sf_dir):
+    """Sum of degree*n_docs must equal 2x the candidate pair count
+    (every pair contributes one degree to each endpoint)."""
+    rows = dedup.dup_graph_degrees(spark, sf_dir).collect()
+    n_pairs = dedup.lsh_candidate_pairs(spark, sf_dir).count()
+    assert sum(r.degree * r.n_docs for r in rows) == 2 * n_pairs
+    assert all(r.degree >= 1 for r in rows)
+
+
 def test_embedding_dim_profile_bounds_and_counts(spark, sf_dir):
     prof = ann.embedding_dim_profile(spark, sf_dir).collect()
     n_vecs = (
