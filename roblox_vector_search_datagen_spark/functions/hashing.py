@@ -51,6 +51,16 @@ def h32_expr(col: Column) -> Column:
 def h32_sql(col: str) -> str:
     return f"(('0x' || substring(md5({col}), 1, 8))::BIGINT)"
 
+def h60_expr(col: Column) -> Column:
+    """Portable 60-bit string hash: int(md5(s)[:15], 16) — the widest
+    md5 prefix that is always a POSITIVE signed int64 in both engines
+    (16 hex chars could exceed 2^63-1). Used where 32 bits is too
+    narrow, e.g. the banded-simhash bit source."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+def h60_sql(col: str) -> str:
+    return f"(('0x' || substring(md5({col}), 1, 15))::BIGINT)"
+
 def minhash_value_expr(h: Column, i: int) -> Column:
     """i-th affine minhash transform of an h32 value. h is reduced mod P
     first so a*h never overflows int64."""

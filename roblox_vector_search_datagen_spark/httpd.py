@@ -35,6 +35,42 @@ def _match(template: str, path: str) -> dict[str, str] | None:
             return None
     return params
 
+# Self-contained API docs page served at /docs (src/api.ts:58-59).
+# Fetches the live /openapi.json and renders each path/method with its
+# summary and parameter table — no CDN scripts, no bundled assets.
+_DOCS_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>API docs</title>
+<style>
+ body{font-family:sans-serif;max-width:60em;margin:2em auto;padding:0 1em}
+ .op{border:1px solid #ccc;border-radius:4px;margin:.6em 0;padding:.6em 1em}
+ .m{display:inline-block;font-weight:bold;width:4em}
+ code{background:#f4f4f4;padding:0 .2em}
+ table{border-collapse:collapse;margin:.4em 0}
+ td,th{border:1px solid #ddd;padding:.2em .5em;font-size:.9em;text-align:left}
+</style></head><body>
+<h1 id="t">API docs</h1><div id="ops">loading /openapi.json…</div>
+<script>
+fetch('/openapi.json').then(r=>r.json()).then(spec=>{
+ document.getElementById('t').textContent=
+   (spec.info&&spec.info.title||'API')+' '+(spec.info&&spec.info.version||'');
+ const out=[];
+ for(const [path,methods] of Object.entries(spec.paths||{})){
+  for(const [method,op] of Object.entries(methods)){
+   const params=(op.parameters||[]).map(p=>
+    `<tr><td><code>${p.name}</code></td><td>${p.in}</td>`+
+    `<td>${p.required?'yes':'no'}</td>`+
+    `<td>${(p.schema&&p.schema.type)||''}</td></tr>`).join('');
+   out.push(`<div class="op"><span class="m">${method.toUpperCase()}</span>`+
+    `<code>${path}</code><p>${op.summary||''}</p>`+
+    (params?`<table><tr><th>param</th><th>in</th><th>required</th>`+
+      `<th>type</th></tr>${params}</table>`:'')+`</div>`);
+  }
+ }
+ document.getElementById('ops').innerHTML=out.join('')||'no paths';
+});
+</script></body></html>
+"""
+
 # route-param name -> handler kwarg name
 _PARAM_KWARGS = {"universeId": "universe_id", "id": "job_id"}
 # query params each handler accepts (everything else is ignored, like
@@ -48,6 +84,14 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         if method == "GET" and url.path == "/openapi.json":
             self._send(200, self.service.openapi_spec())
+            return
+        if method == "GET" and url.path == "/docs":
+            # interactive docs route (reference src/api.ts:58-59 mounts
+            # swagger-ui-express at /docs). No bundled swagger-ui assets
+            # here, so serve a self-contained page that fetches
+            # /openapi.json and renders the operation list client-side —
+            # zero external requests, works air-gapped.
+            self._send_html(200, _DOCS_HTML)
             return
         query = {k: v[0] for k, v in parse_qs(url.query).items()}
         for (m, template), fn in self.service.endpoints.items():
@@ -70,6 +114,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(500, {"error": str(e)})
             return
         self._send(404, {"error": f"no route for {method} {url.path}"})
+
+    def _send_html(self, status: int, html: str) -> None:
+        data = html.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
 
     def _send(self, status: int, body: object) -> None:
         data = json.dumps(body).encode()

@@ -55,6 +55,12 @@ class JobManager:
         self.spark = spark
         self.log_dir = log_dir
         self._clock = clock or (lambda: datetime.now(timezone.utc).replace(tzinfo=None))
+        # jobUpdated observers (jobManager.ts:188-192 emits an
+        # EventEmitter notification on every job mutation; the API's
+        # long-poll endpoints hang off it). Each callback receives the
+        # full post-transition row dict. Observer errors are isolated —
+        # a bad listener must not fail the job transition itself.
+        self._observers: list[Callable[[dict], None]] = []
         # resume the sequence from the persisted log: a manager built
         # over an existing log (process restart, second worker) must not
         # append transitions with seq below rows already present, or
@@ -127,21 +133,21 @@ class JobManager:
 
     def create_job(self, command: str) -> str:
         job_id = str(uuid.uuid4())
-        self._append(
-            {
-                "id": job_id,
-                "command": command,
-                "status": "pending",
-                "progress_current": None,
-                "progress_total": None,
-                "progress_message": None,
-                "result": None,
-                "error": None,
-                "created_at": self._clock(),
-                "started_at": None,
-                "completed_at": None,
-            }
-        )
+        row = {
+            "id": job_id,
+            "command": command,
+            "status": "pending",
+            "progress_current": None,
+            "progress_total": None,
+            "progress_message": None,
+            "result": None,
+            "error": None,
+            "created_at": self._clock(),
+            "started_at": None,
+            "completed_at": None,
+        }
+        self._append(row)
+        self._notify(row)
         return job_id
 
     def get_job(self, job_id: str) -> dict | None:
@@ -158,7 +164,23 @@ class JobManager:
             raise ValueError(f"illegal transition {cur['status']} -> {status} for {job_id}")
         nxt = {**cur, "status": status, **updates}
         self._append(nxt)
+        self._notify(nxt)
         return nxt
+
+    # -- jobUpdated events (jobManager.ts:188-192) -------------------------
+
+    def on_job_updated(self, callback: Callable[[dict], None]) -> Callable[[], None]:
+        """Subscribe to every job mutation (creation + each transition,
+        including progress re-appends). Returns an unsubscribe thunk."""
+        self._observers.append(callback)
+        return lambda: self._observers.remove(callback)
+
+    def _notify(self, row: dict) -> None:
+        for cb in list(self._observers):
+            try:
+                cb(dict(row))
+            except Exception:  # noqa: BLE001 — listener bugs don't fail jobs
+                pass
 
     def start_job(self, job_id: str) -> dict:
         return self._transition(job_id, "running", started_at=self._clock())

@@ -1051,3 +1051,212 @@ SELECT CAST({k} AS INT) AS k, CAST({PQ_RERANK_FACTOR} AS INT) AS rerank_factor,
        round(count(*) / {float(k)}, 6) AS recall
 FROM exact JOIN approx USING (vec_id)
 """
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed retrieval (the FAISS IVFADC production query shape)
+# ---------------------------------------------------------------------------
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "vector similarity search",
+    k: int = 20,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The full production ANN query: IVF coarse probe -> PQ/ADC rank
+    inside the probed cells -> exact rerank of the shortlist (Jégou et
+    al. 2011, IVFADC + refine). Composes the three primitives this
+    module already oracle-checks (`ann_ivf_topk`'s probe,
+    `pq_adc_topk`'s distance table, `pq_rerank_topk`'s refine) into the
+    one plan a 100 TB vector store actually executes per query:
+
+    * the coarse probe scores nlist representatives (broadcast-sized);
+    * the codes scan is restricted to the probed cells BEFORE any
+      distance math — at scale the codes table is stored partitioned by
+      cell id (IVF posting-list layout), so this filter is partition
+      pruning: 1/nlist of the code bytes are read, and codes are 8
+      ints/vector, not 64 floats;
+    * ADC is a broadcast K×M lookup-table join + one integer-quantized
+      sum per surviving vector;
+    * only k×PQ_RERANK_FACTOR raw vectors are ever re-read for the
+      exact cosine rerank (a broadcast semi-join probe).
+
+    Emits (vec_id, label, cosine)."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    qv_list = V.embed_query(query_text)
+    qv = V.vector_lit(qv_list)
+    reps = (
+        e.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+        .join(
+            e.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rep_emb")),
+            "rep_id",
+        )
+    )
+    probed = (
+        reps.select("label", F.round(V.cosine_expr(F.col("rep_emb"), qv), 6).alias("rep_cos"))
+        .orderBy(F.col("rep_cos").desc_nulls_last(), F.col("label"))
+        .limit(nprobe)
+        .select("label")
+    )
+    q_subs = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in qv_list[m * PQ_DSUB : (m + 1) * PQ_DSUB]])
+            for m in range(PQ_M)
+        ]
+    )
+    dtable = F.broadcast(
+        _pq_codebook(e).select(
+            "m",
+            "cent_id",
+            F.round(
+                _l2sq_expr(F.element_at(q_subs, F.col("m") + 1), F.col("cent_sub")), 6
+            ).alias("qd"),
+        )
+    )
+    # cell membership rides with the codes in an IVFADC layout; the
+    # fixture's pq_codes table doesn't carry label, so join it in (at
+    # scale: partition pruning, zero join)
+    codes = (
+        pq_codes(spark, sf_dir)
+        .select("vec_id", "m", "code")
+        .join(e.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(probed), "label")
+    )
+    adc = (
+        codes.join(dtable, (codes["m"] == dtable["m"]) & (codes["code"] == dtable["cent_id"]))
+        .groupBy("vec_id")
+        .agg(qsum6("qd").alias("approx_dist"))
+    )
+    shortlist = (
+        adc.orderBy(F.col("approx_dist").asc_nulls_last(), F.col("vec_id"))
+        .limit(k * PQ_RERANK_FACTOR)
+        .select("vec_id")
+    )
+    exact = e.join(F.broadcast(shortlist), "vec_id").select(
+        "vec_id", "label", F.round(V.cosine_expr(F.col("embedding"), qv), 6).alias("cosine")
+    )
+    return exact.orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id")).limit(k)
+
+def ivf_pq_topk_oracle(
+    query_text: str = "vector similarity search", k: int = 20, nprobe: int = 2
+) -> str:
+    qv = V.embed_query(query_text)
+    qv_lit = V.vector_sql_literal(qv)
+    cos_rep = V.cosine_sql("r.embedding", f"{qv_lit}")
+    cos_e = V.cosine_sql("e.embedding", f"{qv_lit}")
+    q_subs = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in qv[m * PQ_DSUB : (m + 1) * PQ_DSUB]) + "]"
+            for m in range(PQ_M)
+        )
+        + "]::DOUBLE[][]"
+    )
+    cent_sub = _pq_sub_sql("c.embedding", "g.m")
+    return f"""
+WITH reps AS (
+  SELECT e.label, min(e.vec_id) AS rep_id FROM embeddings e GROUP BY e.label
+),
+probed AS (
+  SELECT reps.label FROM reps JOIN embeddings r ON r.vec_id = reps.rep_id
+  ORDER BY round({cos_rep}, 6) DESC NULLS LAST, reps.label LIMIT {nprobe}
+),
+codes AS ({pq_codes_oracle()}),
+cents AS (
+  SELECT g.m, c.vec_id AS cent_id, {cent_sub} AS cent_sub
+  FROM embeddings c CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) g
+  WHERE c.vec_id < {PQ_NCODES}
+),
+dtable AS (
+  SELECT m, cent_id,
+         round({_pq_l2sq_sql(f"({q_subs})[m+1]", "cent_sub")}, 6) AS qd
+  FROM cents
+),
+cell_codes AS (
+  SELECT codes.* FROM codes
+  JOIN embeddings e ON e.vec_id = codes.vec_id
+  JOIN probed p ON p.label = e.label
+),
+adc AS (
+  SELECT cc.vec_id, round(sum(CAST(round((d.qd) * 1e6) AS BIGINT)) / 1e6, 6) AS approx_dist
+  FROM cell_codes cc JOIN dtable d ON cc.m = d.m AND cc.code = d.cent_id
+  GROUP BY cc.vec_id
+),
+short AS (
+  SELECT vec_id FROM adc ORDER BY approx_dist ASC NULLS LAST, vec_id
+  LIMIT {k * PQ_RERANK_FACTOR}
+)
+SELECT e.vec_id, e.label, round({cos_e}, 6) AS cosine
+FROM embeddings e JOIN short s ON s.vec_id = e.vec_id
+ORDER BY cosine DESC NULLS LAST, e.vec_id LIMIT {k}
+"""
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation evaluation
+# ---------------------------------------------------------------------------
+
+TRUNC_DIM = 32
+
+def dim_truncation_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "vector similarity search",
+    k: int = 20,
+    d_trunc: int = TRUNC_DIM,
+) -> DataFrame:
+    """Recall@k of cosine search over the FIRST d_trunc dims against the
+    full-dimension exact top-k — the evaluation behind
+    Matryoshka-truncated retrieval (Kusupati et al. 2022): if recall
+    holds at d/2, the index stores and scans HALF the vector bytes,
+    which at 100 TB is the difference between a 25 TB and a 12.5 TB
+    float scan before any quantization. Both rankings are narrow
+    TakeOrderedAndProject plans; the overlap join touches 2k rows.
+    Emits one row (k, d_full, d_trunc, n_overlap, recall)."""
+    qv_list = V.embed_query(query_text)
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    full_q = V.vector_lit(qv_list)
+    trunc_q = V.vector_lit(qv_list[:d_trunc])
+    scored_full = e.select(
+        "vec_id", F.round(V.cosine_expr(F.col("embedding"), full_q), 6).alias("cos")
+    )
+    scored_trunc = e.select(
+        "vec_id",
+        F.round(
+            V.cosine_expr(F.slice(F.col("embedding"), 1, d_trunc), trunc_q), 6
+        ).alias("cos"),
+    )
+    full = scored_full.orderBy(F.col("cos").desc_nulls_last(), F.col("vec_id")).limit(k).select("vec_id")
+    trunc = (
+        scored_trunc.orderBy(F.col("cos").desc_nulls_last(), F.col("vec_id")).limit(k).select("vec_id")
+    )
+    return full.join(trunc, "vec_id").agg(
+        F.lit(k).cast("int").alias("k"),
+        F.lit(len(qv_list)).cast("int").alias("d_full"),
+        F.lit(d_trunc).cast("int").alias("d_trunc"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
+    )
+
+def dim_truncation_recall_oracle(
+    query_text: str = "vector similarity search", k: int = 20, d_trunc: int = TRUNC_DIM
+) -> str:
+    qv = V.embed_query(query_text)
+    full_lit = V.vector_sql_literal(qv)
+    trunc_lit = V.vector_sql_literal(qv[:d_trunc])
+    cos_full = V.cosine_sql("embedding", full_lit)
+    cos_trunc = V.cosine_sql(f"embedding[1:{d_trunc}]", trunc_lit)
+    return f"""
+WITH full_k AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY round({cos_full}, 6) DESC NULLS LAST, vec_id LIMIT {k}
+),
+trunc_k AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY round({cos_trunc}, 6) DESC NULLS LAST, vec_id LIMIT {k}
+)
+SELECT CAST({k} AS INT) AS k, CAST({len(qv)} AS INT) AS d_full,
+       CAST({d_trunc} AS INT) AS d_trunc,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / {float(k)}, 6) AS recall
+FROM full_k JOIN trunc_k USING (vec_id)
+"""

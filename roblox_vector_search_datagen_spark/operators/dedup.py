@@ -238,8 +238,11 @@ SALT_BUCKETS = 8
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
     """SimHash pairs within Hamming distance <= max_hamming, blocked by
-    `source` (at scale the blocking key would be simhash prefix bands —
-    same join shape).
+    `source` — the WITHIN-SOURCE exact variant. The production-scale
+    global path is `simhash_banded_near_dups` (prefix-band blocking,
+    pigeonhole-complete for Hamming <= bands-1, candidate volume
+    bounded by band collisions); this one keeps the full Hamming-6
+    radius inside each source block at fixture scale.
 
     `source` has single-digit cardinality, so a plain equi-join would
     land every block on one reducer — the textbook skewed-key join. The
@@ -270,6 +273,153 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str, max_hamming: int = 6) ->
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+SIMHASH64_BITS = 60  # 15 md5 hex chars -> fits signed int64
+SIMHASH_BAND_BITS = 15
+SIMHASH_BANDS = SIMHASH64_BITS // SIMHASH_BAND_BITS  # 4 bands of 15 bits
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit frequency-weighted SimHash per document (Charikar 2002 /
+    Manku et al. WWW'07 shape). The 32-bit `simhash` is fine for a
+    Hamming profile but too narrow for band blocking — with b bands
+    guaranteeing Hamming <= b-1, 32 bits leaves 4-5-bit bands whose
+    collision probability (1/16-1/32) makes the candidate join
+    quadratic-ish on ANY corpus. 60 bits (the widest md5 prefix that
+    stays a positive int64 in both engines) gives 4 bands x 15 bits:
+    per-band random-collision probability 2^-15, so the banded join's
+    candidate volume is ~4*C(N,2)/32768 — linear-ish in corpus size,
+    which is what the production near-dup path needs.
+
+    One explode to tokens, one 60-ary conditional-sum aggregation, a
+    pure-expression fingerprint fold. All-integer math, bit-identical
+    in the oracle."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).withColumn("h", H.h60_expr(F.col("tok")))
+    bit = lambda j: F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+    sums = [
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(SIMHASH64_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    fp = None
+    for j in range(SIMHASH64_BITS):
+        term = F.when(
+            F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+_SIMHASH64_SQL = None
+
+
+def simhash64_oracle() -> str:
+    global _SIMHASH64_SQL
+    if _SIMHASH64_SQL is None:
+        h = H.h60_sql("tok")
+        sums = ", ".join(
+            f"sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+            for j in range(SIMHASH64_BITS)
+        )
+        fp = " + ".join(
+            f"CASE WHEN s{j} > 0 THEN 1::BIGINT << {j} ELSE 0::BIGINT END"
+            for j in range(SIMHASH64_BITS)
+        )
+        _SIMHASH64_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM sums
+"""
+    return _SIMHASH64_SQL
+
+
+def simhash_banded_near_dups(
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_BANDS - 1
+) -> DataFrame:
+    """GLOBAL SimHash near-dup pairs via prefix-band blocking — the
+    production-scale sibling of `simhash_near_dups` (which blocks on
+    the low-cardinality `source` column: exact within-source semantics,
+    but O(n^2/blocks) pair generation that does not survive 100x).
+
+    Pigeonhole guarantee: split the 60-bit fingerprint into 4 bands of
+    15 bits; any pair within Hamming distance <= 3 differs in at most 3
+    bands, so it agrees EXACTLY on at least one band and is found by a
+    plain equi-join keyed on (band, band_value) — the same bucketed
+    join shape as `lsh_candidate_pairs`. No all-pairs product ever
+    materializes: candidate volume is band collisions only
+    (~4*C(N,2)/2^15 for unrelated docs, plus the true near-dups), then
+    one exact bit_count verify per distinct candidate pair. At 100 TB
+    the band unpivot is a plan-constant 4x explode of an 8-byte key and
+    the join shuffles ~24 B/row — this is the Manku et al. WWW'07
+    scheme, reference semantics per `simhash_near_dups` (cf.
+    reference's content-identity needs; no simhash exists in the
+    reference — beyond-reference operator). Emits
+    (doc_a, doc_b, hamming)."""
+    fps = simhash64(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for j in range(SIMHASH_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.select(
+        "band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a")
+    )
+    b = bands.select(
+        "band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b")
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # a pair colliding in k bands appears k times; fp is
+        # functionally dependent on doc_id so distinct on all four
+        # columns dedups to one row per pair
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_banded_near_dups_oracle(max_hamming: int = SIMHASH_BANDS - 1) -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH fps AS ({simhash64_oracle()}),
+bands AS (
+  SELECT doc_id, simhash, CAST(j AS INT) AS band,
+         (simhash >> ({SIMHASH_BAND_BITS} * CAST(j AS INT))) & {mask} AS val
+  FROM fps, unnest(range(0, {SIMHASH_BANDS})) AS u(j)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
+FROM pairs WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
 
 def simhash_near_dups_oracle(max_hamming: int = 6) -> str:
     return f"""
@@ -809,6 +959,74 @@ FROM j
 """
 
 # ---------------------------------------------------------------------------
+# Edit-distance exact verify over LSH candidates
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX_CHARS = 256
+EDIT_SIM_THRESHOLD = 0.8
+
+def edit_distance_verify(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix_chars: int = EDIT_PREFIX_CHARS,
+    threshold: float = EDIT_SIM_THRESHOLD,
+) -> DataFrame:
+    """Character-level verification of the MinHash-LSH candidates: the
+    third exact-verify backend next to `exact_jaccard_verify` (set
+    overlap) and `embedding_lsh_verified` (semantic cosine), for the
+    near-dup class Jaccard under-reports — small in-place edits that
+    shift every overlapping shingle (typo farms, template fills).
+
+    Levenshtein is O(len^2) per pair, so it runs over a BOUNDED window
+    (the first `prefix_chars` lowercased chars) — the standard bounded-
+    verify trick: cost per candidate pair is a constant ~65k cell DP
+    regardless of document length, so the stage scales with CANDIDATE
+    count (LSH-bounded), never corpus bytes. The prefix similarity
+    1 - dist/max(len) is exact on the window and mirrored in the
+    oracle. JVM-side `levenshtein` — no Python in the plan. Emits
+    (doc_a, doc_b, edit_distance, edit_sim, is_dup)."""
+    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.lower("text"), 1, prefix_chars).alias("pfx")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    denom = F.greatest(F.length("pfx_a"), F.length("pfx_b"))
+    sim = F.when(
+        denom > 0, F.round(F.lit(1.0) - dist.cast("double") / denom, 6)
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("int").alias("edit_distance"),
+        sim.alias("edit_sim"),
+        (sim >= threshold).alias("is_dup"),
+    )
+
+def edit_distance_verify_oracle(
+    prefix_chars: int = EDIT_PREFIX_CHARS, threshold: float = EDIT_SIM_THRESHOLD
+) -> str:
+    return f"""
+WITH pairs AS ({lsh_candidate_pairs_oracle()}),
+pfx AS (SELECT doc_id, substring(lower(text), 1, {prefix_chars}) AS pfx FROM documents),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         levenshtein(a.pfx, b.pfx) AS dist,
+         greatest(len(a.pfx), len(b.pfx)) AS denom
+  FROM pairs p
+  JOIN pfx a ON a.doc_id = p.doc_a
+  JOIN pfx b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, CAST(dist AS INT) AS edit_distance,
+       CASE WHEN denom > 0 THEN round(1.0 - CAST(dist AS DOUBLE) / denom, 6) END AS edit_sim,
+       (CASE WHEN denom > 0 THEN round(1.0 - CAST(dist AS DOUBLE) / denom, 6) END)
+         >= {threshold} AS is_dup
+FROM j
+"""
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup: within-cluster embedding-cosine pruning)
 # ---------------------------------------------------------------------------
 
@@ -1084,8 +1302,18 @@ def minhash_band_sweep(
     rows_per_band, n_truth, n_candidates, n_hits, recall, precision)."""
     fine_b = max(configs)
     fine_r = H.MINHASH_K // fine_b
+    if H.MINHASH_K % fine_b != 0:
+        raise ValueError(
+            f"finest banding {fine_b} must divide MINHASH_K={H.MINHASH_K}"
+        )
     for b in configs:
-        assert fine_b % b == 0, "every swept config must nest in the finest banding"
+        # not an assert: under `python -O` an assert is stripped and a
+        # non-nesting tuple (e.g. b=3 with max 8) would silently
+        # misalign the fine-band grouping and emit wrong counts
+        if fine_b % b != 0:
+            raise ValueError(
+                f"swept config b={b} must nest in the finest banding b={fine_b}"
+            )
     sig = _minhash_signatures(spark, sf_dir).persist()
     structs = [
         F.struct(

@@ -230,13 +230,19 @@ def shard_manifest(
     the share. distinct-source per shard is the only non-mergeable agg;
     its key space is (shards x sources), both small by construction.
     """
-    d = tables.load_table(spark, sf_dir, "documents").select(
-        "doc_id",
+    d = tables.load_table(spark, sf_dir, "documents")
+    key = H.h32_expr(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string")))
+    # shard computed inline on the SAME projection — one corpus scan,
+    # no self-join back to a second documents read (round-3 advice:
+    # the shard_assignments join added a corpus-wide exchange here;
+    # shard_assignments stays the shared builder only for
+    # seeded_shuffle, which actually needs the key column downstream)
+    assigned = d.select(
         "source",
         "n_chars",
         F.size(F.split(F.col("text"), r"\s+")).alias("ws_tokens"),
+        F.pmod(key, F.lit(shards)).cast("int").alias("shard"),
     )
-    assigned = shard_assignments(spark, sf_dir, seed, shards).join(d, "doc_id")
     per_shard = assigned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
@@ -289,4 +295,83 @@ SELECT doc_id, shuffle_key, shard,
        CAST((row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) - 1)
             * {shards} + shard AS BIGINT) AS epoch_order
 FROM keyed
+"""
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_CHARS = 60_000
+COMPACT_FILE_SHARDS = 64
+
+def compaction_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    target_chars: int = COMPACT_TARGET_CHARS,
+    file_shards: int = COMPACT_FILE_SHARDS,
+) -> DataFrame:
+    """The small-files compaction plan: group undersized per-source
+    'files' into output bins of ~target size — the maintenance job
+    every long-lived lake table needs (streaming ingest and fine-grained
+    partitioning both leave thousands of KB-scale files whose per-file
+    open/footer cost dominates the scan at 100 TB).
+
+    Input 'files' are simulated from the corpus itself: (source,
+    file_id) cells of the documents table with their doc/char totals —
+    one corpus scan, one map-side-combined aggregation (at scale this
+    stage is a metadata-only listing, no data scan at all). Packing is
+    first-fit in (source, file_id) order via a running-sum window: a
+    file starts a new bin when the chars before it already fill
+    floor(cum_before/target) bins. The window runs over FILE METADATA
+    (per-source file counts — thousands of rows, not corpus rows), so
+    partitioning the window by source both matches the compaction
+    domain (bins never span a source/partition boundary — compaction
+    must preserve partition pruning) and bounds each window at
+    file_shards rows. Emits (source, file_id, n_docs, n_chars, bin) —
+    the (file -> output bin) assignment a rewrite job executes."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    files = (
+        d.select(
+            "source",
+            F.pmod(H.h32_expr(F.col("doc_id").cast("string")), F.lit(file_shards))
+            .cast("int")
+            .alias("file_id"),
+            "n_chars",
+        )
+        .groupBy("source", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return files.select(
+        "source",
+        "file_id",
+        "n_docs",
+        "n_chars",
+        F.floor(cum_before / target_chars).cast("int").alias("bin"),
+    )
+
+def compaction_plan_oracle(
+    target_chars: int = COMPACT_TARGET_CHARS, file_shards: int = COMPACT_FILE_SHARDS
+) -> str:
+    h = H.h32_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH files AS (
+  SELECT source, CAST({h} % {file_shards} AS INT) AS file_id,
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, file_id, n_docs, n_chars,
+       CAST(floor(COALESCE(sum(n_chars) OVER (
+              PARTITION BY source ORDER BY file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {target_chars}) AS INT) AS bin
+FROM files
 """

@@ -83,6 +83,29 @@ def _stub_pixels(content: bytes, width: int, height: int) -> list[float]:
     dig = hashlib.md5(content).digest()
     return [round(dig[i] / 255.0, 6) for i in range(4)]
 
+def _real_pixels(pil_image_mod, content: bytes, width: int, height: int) -> list[float]:
+    """Real decode path, taken when PIL imports: luminance mean/std plus
+    decoded-vs-declared dimension ratios — the same 4-float shape as
+    the stub so the Arrow schema is identical either way. Blobs that
+    are not decodable images (the synthetic fixtures are hash bytes,
+    not PNGs) fall back to the stub, keeping the operator total and
+    deterministic in every environment."""
+    import io
+
+    try:
+        import numpy as np
+
+        img = pil_image_mod.open(io.BytesIO(content)).convert("L")
+        arr = np.asarray(img, dtype="float64") / 255.0
+        return [
+            round(float(arr.mean()), 6),
+            round(float(arr.std()), 6),
+            round(img.width / max(int(width), 1), 6),
+            round(img.height / max(int(height), 1), 6),
+        ]
+    except Exception:  # noqa: BLE001 — undecodable blob -> documented stub
+        return _stub_pixels(content, width, height)
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -102,11 +125,14 @@ def media_feature_arrays(spark: SparkSession, sf_dir: str, batch_hint: int = 102
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decoder = _try_real_decoder()
+        decode = (
+            _stub_pixels
+            if decoder is None
+            else (lambda c, w, h: _real_pixels(decoder, c, w, h))
+        )
         for pdf in batches:
             feats = [
-                _stub_pixels(c, w, h)
-                if decoder is None
-                else _stub_pixels(c, w, h)  # real path would decode here
+                decode(c, w, h)
                 for c, w, h in zip(pdf["content"], pdf["meta"].str["width"], pdf["meta"].str["height"])
             ]
             yield pd.DataFrame(

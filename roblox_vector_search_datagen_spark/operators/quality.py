@@ -409,3 +409,99 @@ SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM tb JOIN hist h USING (b) CROSS JOIN tot
 GROUP BY tb.doc_id
 """
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (the n-gram step up from unigram_logprob)
+# ---------------------------------------------------------------------------
+
+BIGRAM_ADD_K = 0.5
+
+def bigram_lm_score(
+    spark: SparkSession, sf_dir: str, add_k: float = BIGRAM_ADD_K
+) -> DataFrame:
+    """Mean bigram log-probability of every document under the corpus's
+    own add-k-smoothed bigram LM — the CCNet/KenLM-style perplexity
+    quality signal one order up from `unigram_logprob`: repetitive or
+    word-salad documents diverge from fluent ones much harder under a
+    conditional model (p(w2|w1)) than under raw unigram frequency.
+
+    Plan shape (the n-gram LM scaling shape): ONE scan builds the
+    per-doc token array; bigrams come from an in-row `transform` over
+    the array (no positional window, no self-join on token position —
+    the classic mistake that shuffles the whole token stream twice);
+    the bigram and unigram count tables are hash aggregations with
+    map-side combine; scoring streams the bigram stream past both
+    count tables (each token matches exactly one row — no row blowup)
+    and the vocab size V is a broadcast scalar. p(w2|w1) =
+    (c(w1,w2)+k) / (c(w1)+k*V); integer-quantized mean so partition
+    order can't wobble the hash. Emits (doc_id, n_bigrams,
+    avg_logprob)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+
+    def bigrams_of(w):
+        return F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    toks = d.select(
+        "doc_id",
+        H.let_expr(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""), bigrams_of
+        ).alias("bi"),
+    )
+    bi = toks.select("doc_id", F.explode("bi").alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = bi.select(F.col("w1").alias("w")).union(
+        bi.select(F.col("w2").alias("w"))
+    ).agg(F.countDistinct("w").alias("v"))
+    logp = F.log(
+        (F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v"))
+    )
+    return (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            qmean6(logp).alias("avg_logprob"),
+        )
+    )
+
+def bigram_lm_score_oracle(add_k: float = BIGRAM_ADD_K) -> str:
+    return rf"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(w[1:len(w)-1]) AS w1,
+         unnest(w[2:len(w)]) AS w2
+  FROM docs WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT w1 AS w FROM bi UNION ALL SELECT w2 AS w FROM bi)
+),
+scored AS (
+  SELECT bi.doc_id,
+         ln((c2.c2 + {add_k}) / (c1.c1 + {add_k} * v.v)) AS logp
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(CAST(round((logp) * 1e6) AS BIGINT)) / (1e6 * count(logp)), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""

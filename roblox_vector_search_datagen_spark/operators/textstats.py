@@ -610,7 +610,7 @@ pairs AS (
   SELECT substring(w, CAST(i AS INT), 2) AS pair, cnt
   FROM vocab, unnest(range(1, len(w))) AS u(i)
 )
-SELECT pair, count(*) AS n_words, sum(cnt) AS total
+SELECT pair, count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS total
 FROM pairs GROUP BY 1
 ORDER BY total DESC, pair LIMIT {k}
 """

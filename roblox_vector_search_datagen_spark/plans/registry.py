@@ -339,6 +339,44 @@ def _registry() -> dict[str, Query]:
         dedup.simhash_near_dups_oracle(),
         ("dedup",),
     )
+    # production-scale global simhash path: 60-bit fingerprint, 4x15-bit
+    # prefix bands, pigeonhole-complete for Hamming <= 3
+    r["simhash_banded_near_dups"] = Query(
+        lambda spark, sf: dedup.simhash_banded_near_dups(spark, sf),
+        dedup.simhash_banded_near_dups_oracle(),
+        ("dedup", "bench"),
+    )
+    # third exact-verify backend: bounded-window Levenshtein over LSH
+    # candidates (char-level near-dup class Jaccard under-reports)
+    r["edit_distance_verify"] = Query(
+        lambda spark, sf: dedup.edit_distance_verify(spark, sf),
+        dedup.edit_distance_verify_oracle(),
+        ("dedup",),
+    )
+    # composed IVFADC+refine — the full production ANN query plan
+    r["ivf_pq_topk"] = Query(
+        lambda spark, sf: ann.ivf_pq_topk(spark, sf),
+        ann.ivf_pq_topk_oracle(),
+        ("ann", "bench"),
+    )
+    # Matryoshka truncation evaluation: recall@k at half the vector bytes
+    r["dim_truncation_recall"] = Query(
+        lambda spark, sf: ann.dim_truncation_recall(spark, sf),
+        ann.dim_truncation_recall_oracle(),
+        ("ann",),
+    )
+    # bigram add-k LM self-scoring, one order up from unigram_logprob
+    r["bigram_lm_score"] = Query(
+        lambda spark, sf: quality.bigram_lm_score(spark, sf),
+        quality.bigram_lm_score_oracle(),
+        ("quality",),
+    )
+    # small-files compaction planning over per-source file metadata
+    r["compaction_plan"] = Query(
+        lambda spark, sf: layout.compaction_plan(spark, sf),
+        layout.compaction_plan_oracle(),
+        ("layout",),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -617,70 +655,20 @@ def _registry() -> dict[str, Query]:
     )
     return r
 
-# The driver adjudicates a 50-query prefix window per round. Order the
-# registry so the scarce adjudication budget lands where the evidence is
-# weakest: (1) queries whose latest driver row is red (r1 env fails with
-# fixes since written; r2 hash fail fixed this round), (2) the two sketch
-# queries that had err=no_oracle in r2 and now carry an exact twin column
-# the oracle can hash, (3) queries new this round with no driver row yet,
-# (4) queries whose only green row is round 1 (stalest evidence first),
-# then everything green in round 2. Every query is self-contained, so
-# order carries no semantics.
+# The driver adjudicates a 50-query prefix window per round. Round-4
+# ordering, weakest evidence first: (1) the r3 red (bpe_pair_counts,
+# HUGEINT oracle dtype fixed this round) and the queries NEW this round
+# with no driver row yet, (2) queries whose latest green row is round 1
+# (stalest evidence), (3) latest-green round 2, (4) latest-green round
+# 3. Every query is self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
-    # -- (1) red at last driver contact --
-    "latest_event_per_user",
-    "jobs_by_status",
-    "jobs_page",
-    "old_jobs",
-    "generate_vectors",
-    "ivf_cluster_quality",
-    # -- (2) had err=no_oracle in r2; exact twin column added r3 --
-    "hll_daily_users",
-    "sketch_event_profile",
-    # -- (3) new in round 3, no driver row yet --
-    "embedding_lsh_verified",
-    "repeated_spans",
-    "semantic_dedup",
-    "hybrid_search",
     "bpe_pair_counts",
-    "dsir_weights",
-    "mixture_plan",
-    "split_leakage",
-    "media_dedup",
-    "ivf_train",
-    "sliding_event_counts",
-    "heavy_hitters",
-    "lsh_recall_report",
-    "bloom_decontaminate",
-    "seeded_shuffle",
-    "pq_recall_at_k",
-    "minhash_band_sweep",
-    "vocab_coverage",
-    "ingest_near_dedup",
-    "source_overlap",
-    "ingest_decision_report",
-    "snapshot_diff",
-    "dedup_representatives",
-    "shard_manifest",
-    "embedding_dim_profile",
-    "dedup_funnel_report",
-    "index_build_report",
-    "pack_efficiency_report",
-    "token_length_histogram",
-    "embedding_outliers",
-    "dup_graph_degrees",
-    # -- (4) green only in round 1 --
-    "prune_orphan_embeddings",
-    "needs_details_worklist",
-    "missing_images_worklist",
-    "needs_embeddings_worklist",
-    "clear_gameplay",
-    "dedup_exact",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "minhash_jaccard_estimates",
-    "simhash",
-    "simhash_near_dups",
+    "simhash_banded_near_dups",
+    "edit_distance_verify",
+    "ivf_pq_topk",
+    "dim_truncation_recall",
+    "bigram_lm_score",
+    "compaction_plan",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",
@@ -704,6 +692,102 @@ _ADJUDICATE_FIRST = (
     "stratified_sample",
     "decontaminate",
     "pack_sequences",
+    "vector_search",
+    "similar_search",
+    "text_search",
+    "list_games",
+    "list_games_unicode",
+    "count_games",
+    "stats",
+    "merge_games_gather",
+    "merge_games_search",
+    "merge_games_rolimons",
+    "prune_games",
+    "prune_counts",
+    "pii_scrub",
+    "unigram_logprob",
+    "quality_filter",
+    "quality_buckets",
+    "pmi_collocations",
+    "funnel_counts",
+    "user_retention",
+    "asof_next_action",
+    "retention_curve",
+    "event_anomalies",
+    "event_value_histogram",
+    "ann_recall_at_k",
+    "sq_quantize",
+    "ingest_dedup",
+    "training_corpus",
+    "bm25_search",
+    "skew_profile",
+    "events_zorder",
+    "per_group_sample",
+    "exact_jaccard_verify",
+    "ngram_dropped_shingles",
+    "mixture_report",
+    "top_quality_per_source",
+    "corpus_profile",
+    "asof_attribution",
+    "interval_click_counts",
+    "event_rollup",
+    "event_props_rollup",
+    "event_value_quantiles",
+    "media_inventory",
+    "frame_sample_plan",
+    "media_features",
+    "windowed_event_counts",
+    "sessionize",
+    "enriched_events",
+    "snapshot_diff",
+    "prune_orphan_embeddings",
+    "needs_details_worklist",
+    "missing_images_worklist",
+    "needs_embeddings_worklist",
+    "latest_event_per_user",
+    "jobs_by_status",
+    "jobs_page",
+    "old_jobs",
+    "clear_gameplay",
+    "hll_daily_users",
+    "pq_recall_at_k",
+    "embedding_dim_profile",
+    "embedding_outliers",
+    "ingest_near_dedup",
+    "ingest_decision_report",
+    "hybrid_search",
+    "heavy_hitters",
+    "dsir_weights",
+    "mixture_plan",
+    "seeded_shuffle",
+    "shard_manifest",
+    "ivf_cluster_quality",
+    "index_build_report",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "embedding_lsh_verified",
+    "minhash_jaccard_estimates",
+    "simhash",
+    "simhash_near_dups",
+    "dedup_representatives",
+    "dedup_funnel_report",
+    "dup_graph_degrees",
+    "semantic_dedup",
+    "split_leakage",
+    "lsh_recall_report",
+    "source_overlap",
+    "minhash_band_sweep",
+    "bloom_decontaminate",
+    "generate_vectors",
+    "ivf_train",
+    "vocab_coverage",
+    "pack_efficiency_report",
+    "token_length_histogram",
+    "repeated_spans",
+    "sketch_event_profile",
+    "media_dedup",
+    "sliding_event_counts",
 )
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:

@@ -90,6 +90,32 @@ def main() -> int:
                 if row["rows_match"] and row["schema_match"]:
                     a, b = _round_floats(spdf.copy()), _round_floats(odf.copy())
                     b.columns = a.columns
+                    # the REAL driver's value-hash is dtype-sensitive:
+                    # a DuckDB HUGEINT aggregate materializes as
+                    # float64 (4568.0) while Spark emits int64 (4568)
+                    # and the hashes differ even though the values are
+                    # equal (round-3 red: bpe_pair_counts). Reproduce
+                    # that strictness here: an int-kind column on one
+                    # side must be int-kind on the other.
+                    kind_mismatch = [
+                        c
+                        for c in a.columns
+                        if (a[c].dtype.kind in "iu" and b[c].dtype.kind == "f")
+                        or (a[c].dtype.kind == "f" and b[c].dtype.kind in "iu")
+                    ]
+                    if kind_mismatch:
+                        row["hash_match"] = False
+                        row["err"] = (
+                            "dtype-kind mismatch (driver hash distinguishes "
+                            "int vs float): "
+                            + ", ".join(
+                                f"{c}: spark={a[c].dtype} oracle={b[c].dtype}"
+                                for c in kind_mismatch
+                            )
+                        )[:300]
+                        failures.append(name)
+                        print(json.dumps(row), flush=True)
+                        continue
                     # tz-naive both sides
                     for c in a.columns:
                         for d in (a, b):

@@ -69,3 +69,14 @@ def test_async_post_over_socket(server):
             break
         time.sleep(1)
     assert job["status"] == "completed", job.get("error")
+
+def test_docs_route(server):
+    """/docs serves the interactive docs page (src/api.ts:58-59 mounts
+    swagger-ui there; here a self-contained HTML renderer over the live
+    /openapi.json)."""
+    base, _ = server
+    with urllib.request.urlopen(base + "/docs") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        body = r.read().decode()
+    assert "/openapi.json" in body  # renders the live spec client-side

@@ -131,3 +131,28 @@ def test_sqlite_read_rejects_unknown_status(spark, tmp_path):
     con.close()
     with pytest.raises(ValueError, match="unknown status"):
         sqlite_jobs.read_jobs_db(spark, db)
+
+def test_job_updated_events(jm):
+    """jobUpdated observer hook (jobManager.ts:188-192): every mutation
+    notifies subscribers with the post-transition row; unsubscribe
+    stops delivery; a raising listener doesn't fail the transition."""
+    seen: list[tuple[str, str]] = []
+    off = jm.on_job_updated(lambda row: seen.append((row["id"], row["status"])))
+
+    def boom(row):
+        raise RuntimeError("listener bug")
+
+    jm.on_job_updated(boom)  # must be isolated
+    jid = jm.create_job("gatherGames")
+    jm.start_job(jid)
+    jm.update_progress(jid, 1, 10, "page 1")
+    jm.complete_job(jid, "ok")
+    assert [s for i, s in seen if i == jid] == [
+        "pending",
+        "running",
+        "running",
+        "completed",
+    ]
+    off()
+    jid2 = jm.create_job("gatherGames")
+    assert all(i != jid2 for i, _ in seen)

@@ -36,3 +36,40 @@ def test_frame_sample_counts(spark, sf_dir):
     assert rows, "expected video rows"
     for r in rows[:20]:
         assert r.frame_ms % 5000 == 0 and r.frame_ms <= r.duration_ms
+
+def test_real_pixels_falls_back_on_undecodable_blob():
+    """The real-decoder arm is live code: given a decoder module it
+    attempts a decode and falls back to the stub for non-image bytes —
+    same 4-float shape either way, deterministic in every env."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            raise ValueError("not an image")
+
+    blob = b"not an image"
+    assert mm._real_pixels(FakePIL, blob, 64, 64) == mm._stub_pixels(blob, 64, 64)
+
+def test_real_pixels_decodes_when_decoder_works():
+    import numpy as np
+
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    class FakeImg:
+        width, height = 32, 16
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((16, 32), 51, dtype="uint8")
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            return FakeImg()
+
+    feats = mm._real_pixels(FakePIL, b"png-bytes", 64, 64)
+    assert feats == [0.2, 0.0, 0.5, 0.25]
