@@ -1260,3 +1260,78 @@ SELECT CAST({k} AS INT) AS k, CAST({len(qv)} AS INT) AS d_full,
        round(count(*) / {float(k)}, 6) AS recall
 FROM full_k JOIN trunc_k USING (vec_id)
 """
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+HN_ANCHORS = 10
+HN_K = 5
+HN_LO = 0.15  # below: trivially-easy negative, no gradient signal
+HN_HI = 0.95  # at/above: probable duplicate/positive, would poison training
+
+def hard_negative_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = HN_ANCHORS,
+    k: int = HN_K,
+    lo: float = HN_LO,
+    hi: float = HN_HI,
+) -> DataFrame:
+    """Top-k hard negatives per anchor: corpus vectors whose cosine to
+    the anchor falls in [lo, hi) — close enough to be informative for a
+    contrastive/embedding training objective, below the duplicate band
+    that would make them false negatives. The mining step every
+    retrieval-model training pipeline runs between dedup and batch
+    construction (cf. DPR, Karpukhin et al. 2020).
+
+    Physical shape = `knn_join` with a band predicate: the anchor block
+    broadcasts, the corpus scans ONCE, the band filter drops most pairs
+    BEFORE the rank window, and the window shuffles only (anchor_id,
+    vec_id, cosine) — vector payloads never cross an exchange. At 100
+    TB the shortlist could come from the IVF/PQ index instead of the
+    brute scan; the band-then-rank shape is unchanged. Emits
+    (anchor_id, neg_id, cosine, rank)."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    anchors = F.broadcast(
+        e.filter(F.col("vec_id") < n_anchors).select(
+            F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb")
+        )
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= n_anchors)
+        .crossJoin(anchors)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round(V.cosine_expr(F.col("embedding"), F.col("a_emb")), 6).alias("cosine"),
+        )
+        .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+def hard_negative_mining_oracle(
+    n_anchors: int = HN_ANCHORS, k: int = HN_K, lo: float = HN_LO, hi: float = HN_HI
+) -> str:
+    cos = V.cosine_sql("e.embedding", "a.a_emb")
+    return f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS a_emb FROM embeddings WHERE vec_id < {n_anchors}
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id AS neg_id, round({cos}, 6) AS cosine
+  FROM embeddings e CROSS JOIN a WHERE e.vec_id >= {n_anchors}
+),
+banded AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC NULLS LAST, neg_id) AS rank
+  FROM scored WHERE cosine >= {lo} AND cosine < {hi}
+)
+SELECT anchor_id, neg_id, cosine, CAST(rank AS INT) AS rank
+FROM banded WHERE rank <= {k}
+"""

@@ -727,3 +727,113 @@ SELECT t.cohort_day, t.day_offset, t.users, d.cohort_size,
        round(CAST(t.users AS DOUBLE) / d.cohort_size, 6) AS retention
 FROM tri t JOIN day0 d USING (cohort_day)
 """
+
+# ---------------------------------------------------------------------------
+# Rate-limit admission (per-user windowed cap)
+# ---------------------------------------------------------------------------
+
+RATE_LIMIT_N = 5
+RATE_WINDOW_MIN = 10
+
+def rate_limited_events(
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int = RATE_LIMIT_N,
+    window_min: int = RATE_WINDOW_MIN,
+) -> DataFrame:
+    """Deterministic rate-limit admission over the event stream: within
+    each (user, tumbling window) the first `limit` events by
+    (ts, event_id) are admitted, the rest are marked throttled — the
+    ingestion-guard every shared pipeline endpoint needs (abusive
+    producers otherwise skew every downstream per-user aggregate).
+
+    Sequential token buckets don't parallelize; a windowed rank DOES
+    and gives the same admission set for a fixed window grid: the rank
+    window partitions on (user_id, window_start) — narrow keys whose
+    cardinality grows with users x time, so no single reducer hotspot
+    at 100 TB (one celebrity user in one window is the only funnel, and
+    its size is bounded by that user's single-window event count). The
+    streaming twin of this shape is a keyed counter in
+    applyInPandasWithState. Emits (event_id, user_id, ts, win_start,
+    seq_in_win, admitted)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    win_us = window_min * 60 * 1_000_000
+    win_start = (F.floor(epoch_us("ts") / win_us) * win_us).cast("bigint")
+    keyed = e.select("event_id", "user_id", "ts", win_start.alias("win_start"))
+    w = Window.partitionBy("user_id", "win_start").orderBy("ts", "event_id")
+    return keyed.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "win_start",
+        F.row_number().over(w).cast("int").alias("seq_in_win"),
+    ).withColumn("admitted", F.col("seq_in_win") <= limit)
+
+def rate_limited_events_oracle(
+    limit: int = RATE_LIMIT_N, window_min: int = RATE_WINDOW_MIN
+) -> str:
+    win_us = window_min * 60 * 1_000_000
+    return f"""
+WITH keyed AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(epoch_us(ts) / {win_us}) * {win_us} AS BIGINT) AS win_start
+  FROM events
+)
+SELECT event_id, user_id, ts, win_start,
+       CAST(row_number() OVER (PARTITION BY user_id, win_start
+                               ORDER BY ts, event_id) AS INT) AS seq_in_win,
+       row_number() OVER (PARTITION BY user_id, win_start
+                          ORDER BY ts, event_id) <= {limit} AS admitted
+FROM keyed
+"""
+
+# ---------------------------------------------------------------------------
+# SCD2 state history (change-data-capture intervals)
+# ---------------------------------------------------------------------------
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history of each user's
+    event-type state: consecutive same-type events collapse into one
+    validity interval [valid_from, valid_to), the latest state is
+    open-ended (NULL valid_to), and `version` numbers each user's
+    states in order — the temporal table a lakehouse keeps next to a
+    mutable dimension so point-in-time joins stay possible after
+    updates (Kimball SCD2; Delta/Hudi/Iceberg merge pipelines build
+    exactly this shape).
+
+    Two narrow windows per user (lag to detect change, lead over the
+    collapsed rows to close intervals) — both partition on user_id and
+    carry only (ts, event_type): no self-join, no corpus-wide state.
+    Emits (user_id, state, valid_from, valid_to, version)."""
+    e = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn("prev_state", F.lag("state").over(wo)).filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wc).alias("valid_to"),
+        F.row_number().over(wc).cast("int").alias("version"),
+    )
+
+def scd2_user_state_oracle() -> str:
+    return """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events
+),
+changes AS (
+  SELECT user_id, state, ts, event_id FROM ordered
+  WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+FROM changes
+"""

@@ -377,6 +377,24 @@ def _registry() -> dict[str, Query]:
         layout.compaction_plan_oracle(),
         ("layout",),
     )
+    # contrastive-training prep: banded top-k negatives per anchor
+    r["hard_negative_mining"] = Query(
+        lambda spark, sf: ann.hard_negative_mining(spark, sf),
+        ann.hard_negative_mining_oracle(),
+        ("ann",),
+    )
+    # windowed per-user admission cap (deterministic rate limiting)
+    r["rate_limited_events"] = Query(
+        lambda spark, sf: timeseries.rate_limited_events(spark, sf),
+        timeseries.rate_limited_events_oracle(),
+        ("events",),
+    )
+    # SCD2 validity intervals from the event stream (temporal table)
+    r["scd2_user_state"] = Query(
+        timeseries.scd2_user_state,
+        timeseries.scd2_user_state_oracle(),
+        ("events",),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -669,6 +687,9 @@ _ADJUDICATE_FIRST = (
     "dim_truncation_recall",
     "bigram_lm_score",
     "compaction_plan",
+    "hard_negative_mining",
+    "rate_limited_events",
+    "scd2_user_state",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",
