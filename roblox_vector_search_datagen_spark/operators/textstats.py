@@ -867,3 +867,4 @@ SELECT bin,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM t GROUP BY bin
 """
+

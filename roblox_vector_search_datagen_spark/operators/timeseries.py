@@ -837,3 +837,65 @@ SELECT user_id, state, ts AS valid_from,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
 FROM changes
 """
+
+# ---------------------------------------------------------------------------
+# Winsorized value statistics (outlier-robust metric prep)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+def winsorized_event_stats(
+    spark: SparkSession, sf_dir: str, lo: float = WINSOR_LO, hi: float = WINSOR_HI
+) -> DataFrame:
+    """Per-event-type value statistics with and without winsorization
+    (clipping at the [lo, hi] quantiles) — the outlier-robust metric
+    prep that keeps one whale purchase from moving a mean-based
+    dashboard or reward signal.
+
+    The clip thresholds are the EXACT per-group percentiles rounded to
+    6 dp (the rounding is part of the operator contract so engine and
+    oracle clip at the identical boundary; exact percentile needs the
+    group's sorted values — at 100 TB substitute approx_percentile and
+    keep the same contract). Two aggregations: one tiny percentile
+    table per event_type (broadcast back), one clip-and-count pass.
+    Emits (event_type, n, p_lo, p_hi, n_clipped_lo, n_clipped_hi,
+    mean_raw, mean_winsorized)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(value, {lo})"), 6).alias("p_lo"),
+        F.round(F.expr(f"percentile(value, {hi})"), 6).alias("p_hi"),
+    )
+    j = e.select("event_type", "value").join(F.broadcast(pct), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_lo").alias("p_lo"),
+        F.min("p_hi").alias("p_hi"),
+        F.sum((F.col("value") < F.col("p_lo")).cast("long")).alias("n_clipped_lo"),
+        F.sum((F.col("value") > F.col("p_hi")).cast("long")).alias("n_clipped_hi"),
+        qmean6(F.col("value")).alias("mean_raw"),
+        qmean6(clipped).alias("mean_winsorized"),
+    )
+
+def winsorized_event_stats_oracle(lo: float = WINSOR_LO, hi: float = WINSOR_HI) -> str:
+    return f"""
+WITH pct AS (
+  SELECT event_type,
+         round(quantile_cont(value, {lo}), 6) AS p_lo,
+         round(quantile_cont(value, {hi}), 6) AS p_hi
+  FROM events GROUP BY event_type
+),
+j AS (
+  SELECT e.event_type, e.value, p.p_lo, p.p_hi,
+         least(greatest(e.value, p.p_lo), p.p_hi) AS clipped
+  FROM events e JOIN pct p USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+       CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       round(sum(CAST(round((value) * 1e6) AS BIGINT)) / (1e6 * count(value)), 6) AS mean_raw,
+       round(sum(CAST(round((clipped) * 1e6) AS BIGINT)) / (1e6 * count(clipped)), 6) AS mean_winsorized
+FROM j GROUP BY event_type
+"""

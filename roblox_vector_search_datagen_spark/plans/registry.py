@@ -395,6 +395,12 @@ def _registry() -> dict[str, Query]:
         timeseries.scd2_user_state_oracle(),
         ("events",),
     )
+    # outlier-robust metric prep: clip at 6-dp-rounded exact quantiles
+    r["winsorized_event_stats"] = Query(
+        lambda spark, sf: timeseries.winsorized_event_stats(spark, sf),
+        timeseries.winsorized_event_stats_oracle(),
+        ("events",),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -690,6 +696,7 @@ _ADJUDICATE_FIRST = (
     "hard_negative_mining",
     "rate_limited_events",
     "scd2_user_state",
+    "winsorized_event_stats",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",

@@ -363,3 +363,53 @@ def test_session4_ops_plan_contracts(spark, sf_dir):
     assert "Join" not in p
     assert "rangepartitioning" not in p.lower()
     assert "EvalPython" not in p
+
+def test_session5_ops_plan_contracts(spark, sf_dir):
+    """Pinned physical properties of the fifth-session operators."""
+    from roblox_vector_search_datagen_spark.operators import ann, dedup, layout, timeseries
+
+    # simhash_banded_near_dups: band-bucket equi-join — never a
+    # cartesian/BNLJ pair product; no range partitioning anywhere
+    p = plan_of(dedup.simhash_banded_near_dups(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "rangepartitioning" not in p.lower()
+    assert "EvalPython" not in p
+
+    # ivf_pq_topk: every dimension table (probe list, distance table,
+    # rerank shortlist) broadcasts; no sort-merge join anywhere
+    p = plan_of(ann.ivf_pq_topk(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+    # hard_negative_mining: anchors broadcast; the rank window
+    # partitions by anchor, never a single global window
+    p = plan_of(ann.hard_negative_mining(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SinglePartition, Window" not in p
+    assert "EvalPython" not in p
+
+    # compaction_plan: running-sum window partitions BY SOURCE over
+    # file metadata — no global (single-partition) window, no join
+    p = plan_of(layout.compaction_plan(spark, sf_dir))
+    assert "partitionBy=[source" in p or "hashpartitioning(source" in p
+    assert "SinglePartition, Window" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+    # winsorized_event_stats: the per-type percentile table broadcasts
+    # back; exactly one corpus-side aggregation pass after the join
+    p = plan_of(timeseries.winsorized_event_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+    # rate_limited_events / scd2_user_state: windows partition on
+    # narrow per-user keys, never SinglePartition
+    for df in (
+        timeseries.rate_limited_events(spark, sf_dir),
+        timeseries.scd2_user_state(spark, sf_dir),
+    ):
+        p = plan_of(df)
+        assert "SinglePartition, Window" not in p
+        assert "EvalPython" not in p
