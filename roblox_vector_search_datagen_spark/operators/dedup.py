@@ -195,7 +195,13 @@ JOIN sigs b ON b.doc_id = p.doc_b
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit frequency-weighted SimHash per document: one explode to
-    tokens, then 32 conditional sums in a single aggregation."""
+    tokens, then 32 conditional sums in a single aggregation.
+
+    A/B-measured alternative (round 4): pre-aggregating a (doc_id,
+    word) histogram so md5/bit terms run once per distinct pair is ~18%
+    SLOWER at repetition ratio ~2.3 — the extra word-keyed shuffle
+    costs more than the saved per-token expression work, so the direct
+    token-stream aggregation (one shuffle, map-side combined) stays."""
     d = tables.load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
@@ -293,7 +299,9 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One explode to tokens, one 60-ary conditional-sum aggregation, a
     pure-expression fingerprint fold. All-integer math, bit-identical
-    in the oracle."""
+    in the oracle. (A (doc_id, word)-histogram pre-aggregation was
+    A/B-measured ~18% slower here — see `simhash`'s docstring — so the
+    single token-stream shuffle stays.)"""
     d = tables.load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
@@ -360,7 +368,12 @@ def simhash_banded_near_dups(
     reference's content-identity needs; no simhash exists in the
     reference — beyond-reference operator). Emits
     (doc_a, doc_b, hamming)."""
-    fps = simhash64(spark, sf_dir)
+    # persisted for the same reason lsh_candidate_pairs persists its
+    # signature table: the band self-join references this subtree on
+    # BOTH sides and Catalyst does not share a subtree across a
+    # self-join — without the cache the token explode + 60-sum
+    # aggregation runs twice
+    fps = simhash64(spark, sf_dir).persist()
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = fps.select(
         "doc_id",
