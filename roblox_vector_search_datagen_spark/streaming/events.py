@@ -350,3 +350,68 @@ def stream_interval_click_purchases(
     return purchases.join(clicks, cond, "inner").select(
         "purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_id", "click_ts"
     )
+
+# ---------------------------------------------------------------------------
+# Streaming rate-limit admission (stateful per-(user, window) counter)
+# ---------------------------------------------------------------------------
+
+def stream_rate_limited_events(
+    spark: SparkSession, sf_dir: str, limit: int | None = None, window_min: int | None = None
+) -> DataFrame:
+    """Streaming twin of operators.timeseries.rate_limited_events: a
+    per-(user, tumbling-window) admission counter in GroupState. Each
+    group's state is ONE integer (events seen so far in that window),
+    so state memory is O(active user-windows) — at scale the window key
+    in the group key is what lets old state age out naturally.
+
+    Ordering contract: within a microbatch the group's rows are
+    admitted in (ts, event_id) order; across microbatches, admission is
+    arrival order (the true streaming semantic — an already-admitted
+    event is never revoked). With in-order arrival the admitted set
+    equals the batch twin's; the stream==batch test feeds the fixture
+    as one batch, which satisfies that. Emits (event_id, user_id,
+    win_start, seq_in_win, admitted)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.timeseries import RATE_LIMIT_N, RATE_WINDOW_MIN
+
+    limit = RATE_LIMIT_N if limit is None else limit
+    window_min = RATE_WINDOW_MIN if window_min is None else window_min
+    raw = _events_stream(spark, sf_dir)
+    win_us = window_min * 60 * 1_000_000
+    keyed = raw.select(
+        "event_id",
+        "user_id",
+        (F.floor(epoch_us("ts") / win_us) * win_us).cast("bigint").alias("win_start"),
+        "ts",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        user_id, win_start = key
+        (n,) = state.get if state.exists else (0,)
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        seq = n + 1 + rows.index.to_numpy()
+        n += len(rows)
+        state.update((n,))
+        yield pd.DataFrame(
+            {
+                "event_id": rows["event_id"],
+                "user_id": user_id,
+                "win_start": win_start,
+                "seq_in_win": seq.astype("int32"),
+                "admitted": seq <= limit,
+            }
+        )
+
+    return keyed.groupBy("user_id", "win_start").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id BIGINT, user_id BIGINT, win_start BIGINT, "
+            "seq_in_win INT, admitted BOOLEAN"
+        ),
+        stateStructType="n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

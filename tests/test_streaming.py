@@ -153,3 +153,24 @@ def test_stream_ingest_near_dedup_matches_batch(spark, sf_dir):
     # survivor of the band filter also survives the digest filter
     exact = {r.doc_id for r in ingest.ingest_dedup(spark, sf_dir).collect()}
     assert batch <= exact
+
+def test_stream_rate_limit_matches_batch(spark, sf_dir):
+    """The stateful streaming admission counter reproduces the batch
+    rate_limited_events verdict per event when the fixture arrives
+    in order (one microbatch)."""
+    from roblox_vector_search_datagen_spark.operators.timeseries import rate_limited_events
+
+    batch = {
+        r.event_id: (r.seq_in_win, r.admitted)
+        for r in rate_limited_events(spark, sf_dir).collect()
+    }
+    q = S.run_stream_to_memory(
+        S.stream_rate_limited_events(spark, sf_dir), "rate_limited", output_mode="update"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.event_id: (r.seq_in_win, r.admitted)
+        for r in spark.sql("SELECT * FROM rate_limited").collect()
+    }
+    assert len(batch) > 0 and set(streamed) == set(batch)
+    assert streamed == batch
