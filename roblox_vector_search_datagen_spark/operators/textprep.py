@@ -881,3 +881,64 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+def doc_span_novelty(spark: SparkSession, sf_dir: str, n: int = SPAN_N) -> DataFrame:
+    """Per-document span novelty: of each document's DISTINCT word
+    n-gram spans, how many also appear in at least one other document —
+    the per-doc memorization-risk gate complementing `repeated_spans`'
+    corpus-level top-k (Lee et al. 2021: a document whose content is
+    mostly shared spans contributes near-zero novel signal and inflates
+    memorization; pipelines drop or downweight above a shared-ratio
+    threshold).
+
+    Same single span stream as repeated_spans: one explode, a
+    (span, doc) distinct pre-aggregation, a span-level doc-frequency
+    rollup (narrow table), and a join back keyed on the span — the
+    Zipf-skewed join AQE skew-splitting handles; at 100 TB pre-hash
+    the span to an 8-byte key for the exchange. Emits
+    (doc_id, n_spans, n_shared, shared_ratio)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words(F.col("text")).alias("w")).withColumn("n", F.size("w"))
+    spans = w.filter(F.col("n") >= n).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - n + 1),
+                    lambda i: F.array_join(F.slice(F.col("w"), i, n), " "),
+                )
+            )
+        ).alias("span"),
+    )
+    df_cnt = spans.groupBy("span").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        spans.join(df_cnt, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+            F.round(
+                F.sum((F.col("df") >= 2).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("shared_ratio"),
+        )
+    )
+
+def doc_span_novelty_oracle(n: int = SPAN_N) -> str:
+    w = r"string_split_regex(text, '\s+')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {w} AS w, len({w}) AS nw FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, nw - {n} + 2),
+                               i -> array_to_string(w[i:i+{n}-1], ' '))) AS span
+  FROM t WHERE nw >= {n}
+),
+dfc AS (SELECT span, count(*) AS df FROM spans GROUP BY 1)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS shared_ratio
+FROM spans s JOIN dfc USING (span)
+GROUP BY s.doc_id
+"""

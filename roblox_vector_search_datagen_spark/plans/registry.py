@@ -401,6 +401,12 @@ def _registry() -> dict[str, Query]:
         timeseries.winsorized_event_stats_oracle(),
         ("events",),
     )
+    # per-doc memorization-risk gate over the repeated-spans stream
+    r["doc_span_novelty"] = Query(
+        lambda spark, sf: textprep.doc_span_novelty(spark, sf),
+        textprep.doc_span_novelty_oracle(),
+        ("textprep",),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -697,6 +703,7 @@ _ADJUDICATE_FIRST = (
     "rate_limited_events",
     "scd2_user_state",
     "winsorized_event_stats",
+    "doc_span_novelty",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",

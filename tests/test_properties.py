@@ -281,3 +281,29 @@ def test_training_corpus_funnel_is_monotone(spark, sf_dir):
     assert tc.filter(F.col("selected") & F.col("contaminated")).count() == 0
     n_sel = tc.filter("selected").count()
     assert 0 < n_sel < tc.count()
+
+def test_simhash_band_pigeonhole_guarantee():
+    """Mathematical completeness of the banded-simhash blocking: ANY
+    pair of 60-bit fingerprints within Hamming distance <= bands-1
+    must agree exactly on at least one 15-bit band (pure integer
+    check, no Spark)."""
+    import random
+
+    from roblox_vector_search_datagen_spark.operators.dedup import (
+        SIMHASH64_BITS,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+    )
+
+    rng = random.Random(7)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    for _ in range(500):
+        a = rng.getrandbits(SIMHASH64_BITS)
+        flips = rng.sample(range(SIMHASH64_BITS), rng.randint(0, SIMHASH_BANDS - 1))
+        b = a
+        for j in flips:
+            b ^= 1 << j
+        assert any(
+            (a >> (SIMHASH_BAND_BITS * i)) & mask == (b >> (SIMHASH_BAND_BITS * i)) & mask
+            for i in range(SIMHASH_BANDS)
+        ), (a, b, flips)
