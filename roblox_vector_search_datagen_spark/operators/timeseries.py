@@ -899,3 +899,49 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(CAST(round((clipped) * 1e6) AS BIGINT)) / (1e6 * count(clipped)), 6) AS mean_winsorized
 FROM j GROUP BY event_type
 """
+
+def point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 table: for every
+    `purchase` event, the user's state interval valid AT the purchase
+    timestamp — the feature-store join that makes a type-2 history
+    usable (training-serving skew dies exactly here: features must be
+    as-of the label event, never leakage from later state).
+
+    Join shape: equi-key on user_id with the validity-range predicate
+    on top — Spark executes the equi part as a hash join and applies
+    the range residual post-probe, so there is no cross product; each
+    event matches EXACTLY one interval by construction (intervals
+    partition each user's timeline: valid_from <= ts < valid_to, the
+    final open interval catching the tail; ties at a boundary belong
+    to the interval that starts there). At 100 TB both sides hash-
+    partition on user_id — co-located, no skew beyond the per-user
+    event count. Emits (event_id, user_id, ts, state, state_since,
+    version)."""
+    e = tables.load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    s = scd2_user_state(spark, sf_dir)
+    cond = (
+        (e["user_id"] == s["user_id"])
+        & (e["ts"] >= s["valid_from"])
+        & (s["valid_to"].isNull() | (e["ts"] < s["valid_to"]))
+    )
+    return e.join(s, cond).select(
+        e["event_id"],
+        e["user_id"],
+        e["ts"],
+        s["state"],
+        s["valid_from"].alias("state_since"),
+        s["version"],
+    )
+
+def point_in_time_state_oracle() -> str:
+    return f"""
+WITH scd AS ({scd2_user_state_oracle()}),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, s.state, s.valid_from AS state_since, s.version
+FROM p JOIN scd s
+  ON s.user_id = p.user_id
+ AND p.ts >= s.valid_from
+ AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+"""

@@ -407,6 +407,12 @@ def _registry() -> dict[str, Query]:
         textprep.doc_span_novelty_oracle(),
         ("textprep",),
     )
+    # feature-store point-in-time join against the SCD2 history
+    r["point_in_time_state"] = Query(
+        timeseries.point_in_time_state,
+        timeseries.point_in_time_state_oracle(),
+        ("events", "join"),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -704,6 +710,7 @@ _ADJUDICATE_FIRST = (
     "scd2_user_state",
     "winsorized_event_stats",
     "doc_span_novelty",
+    "point_in_time_state",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",
