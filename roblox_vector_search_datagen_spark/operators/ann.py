@@ -1335,3 +1335,90 @@ banded AS (
 SELECT anchor_id, neg_id, cosine, CAST(rank AS INT) AS rank
 FROM banded WHERE rank <= {k}
 """
+
+# ---------------------------------------------------------------------------
+# Split-centroid drift (distribution shift between dataset splits)
+# ---------------------------------------------------------------------------
+
+def split_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space distribution shift between the train/val/test
+    splits: per-split centroid (the same hash-bucket assignment as
+    `dataset_splits`, applied to vec_id), then pairwise centroid L2²
+    and cosine — the eval-harness check that a hash split didn't land
+    the holdout in a different region of embedding space (a drifted
+    split makes validation loss lie). Run the same query against
+    time- or source-based splits to monitor real drift.
+
+    One posexplode pass feeds a (split, pos) mean aggregation (3×64
+    rows out — map-side combined, corpus-size-independent shuffle);
+    the pairwise stage joins the tiny centroid tables on the dimension
+    index. All sums integer-quantized so partition order can't wobble
+    the hash. Emits (split_a, split_b, l2_sq, cosine)."""
+    from ..functions import hashing as H
+    from .textstats import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    bucket = H.h32_expr(F.col("vec_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    dims = e.select(split.alias("split"), F.posexplode("embedding").alias("pos", "v"))
+    cent = dims.groupBy("split", "pos").agg(qmean6(F.col("v").cast("double")).alias("c"))
+    a = cent.select(F.col("split").alias("split_a"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("split").alias("split_b"), "pos", F.col("c").alias("cb"))
+    joined = a.join(b, "pos").filter(F.col("split_a") < F.col("split_b"))
+    sums = joined.groupBy("split_a", "split_b").agg(
+        qsum6((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).alias("l2_sq"),
+        qsum6(F.col("ca") * F.col("cb")).alias("dot"),
+        qsum6(F.col("ca") * F.col("ca")).alias("na"),
+        qsum6(F.col("cb") * F.col("cb")).alias("nb"),
+    )
+    return sums.select(
+        "split_a",
+        "split_b",
+        "l2_sq",
+        F.when(
+            F.sqrt(F.col("na")) * F.sqrt(F.col("nb")) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6)
+        )
+        .alias("cosine"),
+    )
+
+def split_centroid_drift_oracle() -> str:
+    from ..functions import hashing as H
+    from ..functions.num import qmean6_sql, qsum6_sql
+    from .textstats import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    h = H.h32_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH dims AS (
+  SELECT CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+),
+cent AS (
+  SELECT split, pos, {qmean6_sql("v")} AS c FROM dims GROUP BY split, pos
+),
+j AS (
+  SELECT a.split AS split_a, b.split AS split_b, a.c AS ca, b.c AS cb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.split < b.split
+),
+sums AS (
+  SELECT split_a, split_b,
+         {qsum6_sql("(ca - cb) * (ca - cb)")} AS l2_sq,
+         {qsum6_sql("ca * cb")} AS dot,
+         {qsum6_sql("ca * ca")} AS na,
+         {qsum6_sql("cb * cb")} AS nb
+  FROM j GROUP BY split_a, split_b
+)
+SELECT split_a, split_b, l2_sq,
+       CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN NULL
+            ELSE round(dot / (sqrt(na) * sqrt(nb)), 6) END AS cosine
+FROM sums
+"""

@@ -868,3 +868,124 @@ SELECT bin,
 FROM t GROUP BY bin
 """
 
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: known-item search MRR
+# ---------------------------------------------------------------------------
+
+KI_PROBES = 10
+KI_QWORDS = 3
+
+def known_item_search_eval(
+    spark: SparkSession, sf_dir: str, n_probes: int = KI_PROBES, q_words: int = KI_QWORDS
+) -> DataFrame:
+    """Known-item retrieval evaluation: for each probe document, issue
+    its own first `q_words` distinct words as a BM25 query over the
+    whole corpus and report the rank at which the probe document itself
+    comes back — the self-retrieval MRR smoke test every search index
+    runs after a build (a known-item rank far from 1 means tokenizer,
+    statistics, or scoring drifted), here doubling as the evaluation
+    harness shape for multi-query batch retrieval.
+
+    Plan shape (multi-query BM25, same scale contract as
+    `bm25_search`): the K×Q probe-term table broadcasts; the single
+    posting explode is pruned to terms ANY probe uses before the one
+    real shuffle; per-term document frequencies are computed once and
+    broadcast; scoring aggregates (probe, doc) partials with integer
+    micro-unit sums; the per-probe ranking window partitions on
+    probe_id over only that probe's candidate set (docs sharing a
+    term), never the corpus. Emits (probe_id, n_candidates, rank,
+    reciprocal_rank)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    dl_expr = F.size(F.split(F.lower("text"), r"\s+"))
+    probe_terms = F.broadcast(
+        d.filter(F.col("doc_id") < n_probes)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.explode(
+                F.array_distinct(F.slice(F.split(F.lower("text"), r"\s+"), 1, q_words))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    tokens = d.select(
+        "doc_id", dl_expr.alias("dl"), F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    tf = (
+        tokens.join(probe_terms.select("term").distinct(), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs"), F.avg(dl_expr).alias("avgdl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(probe_terms, "term")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.sum(F.round((idf * norm) * 1e6, 0).cast("bigint")).alias("score_u"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score_u").desc(), F.col("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    n_cand = scored.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        ranked.filter(F.col("doc_id") == F.col("probe_id"))
+        .join(n_cand, "probe_id")
+        .select(
+            "probe_id",
+            "n_candidates",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.lit(1.0) / F.col("rank"), 6).alias("reciprocal_rank"),
+        )
+    )
+
+def known_item_search_eval_oracle(
+    n_probes: int = KI_PROBES, q_words: int = KI_QWORDS
+) -> str:
+    w = r"string_split_regex(lower(text), '\s+')"
+    return f"""
+WITH probe_terms AS (
+  SELECT DISTINCT doc_id AS probe_id,
+         unnest(list_distinct({w}[1:{q_words}])) AS term
+  FROM documents WHERE doc_id < {n_probes}
+),
+tokens AS (
+  SELECT doc_id, len({w}) AS dl, unnest({w}) AS term FROM documents
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf, min(t.dl) AS dl
+  FROM tokens t JOIN (SELECT DISTINCT term FROM probe_terms) q USING (term)
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len({w})) AS avgdl FROM documents
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT p.probe_id, tf.doc_id,
+         sum(CAST(round((ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl)))
+             * 1e6, 0) AS BIGINT)) AS score_u
+  FROM tf
+  JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  JOIN probe_terms p USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY score_u DESC, doc_id) AS rank
+  FROM scored
+),
+n_cand AS (SELECT probe_id, count(*) AS n_candidates FROM scored GROUP BY 1)
+SELECT r.probe_id, CAST(n.n_candidates AS BIGINT) AS n_candidates,
+       CAST(r.rank AS INT) AS rank,
+       round(1.0 / r.rank, 6) AS reciprocal_rank
+FROM ranked r JOIN n_cand n USING (probe_id)
+WHERE r.doc_id = r.probe_id
+"""

@@ -413,6 +413,18 @@ def _registry() -> dict[str, Query]:
         timeseries.point_in_time_state_oracle(),
         ("events", "join"),
     )
+    # self-retrieval MRR: multi-query batch BM25 evaluation harness
+    r["known_item_search_eval"] = Query(
+        lambda spark, sf: textstats.known_item_search_eval(spark, sf),
+        textstats.known_item_search_eval_oracle(),
+        ("text", "eval"),
+    )
+    # embedding-space distribution shift between dataset splits
+    r["split_centroid_drift"] = Query(
+        ann.split_centroid_drift,
+        ann.split_centroid_drift_oracle(),
+        ("ann", "eval"),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -711,6 +723,8 @@ _ADJUDICATE_FIRST = (
     "winsorized_event_stats",
     "doc_span_novelty",
     "point_in_time_state",
+    "known_item_search_eval",
+    "split_centroid_drift",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",
