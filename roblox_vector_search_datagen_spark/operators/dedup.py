@@ -1351,8 +1351,14 @@ def minhash_band_sweep(
         .groupBy("doc_a", "doc_b")
         .agg(F.collect_set("band").alias("fbs"))
     )
-    truth = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
-        "doc_a", "doc_b", F.lit(1).alias("t")
+    # persisted: the plan references the (expensive, bucket-join-built)
+    # truth set twice — the scalar count and the marked left-join — and
+    # Catalyst instantiates the subtree separately for each reference;
+    # only the bucket stage inside it was cached before
+    truth = (
+        ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+        .select("doc_a", "doc_b", F.lit(1).alias("t"))
+        .persist()
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     marked = per_pair.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
