@@ -135,7 +135,12 @@ def ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a semi-join on that narrow key — the arriving side never
     shuffles. Emits (doc_id,) survivors."""
     d = tables.load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", F.explode(_rowwise_band_sigs()).alias("band_sig"))
+    # persisted: the known and arriving branches both reference this
+    # signature stream and Catalyst instantiates the shingle+minhash
+    # subtree once per branch
+    sigs = d.select(
+        "doc_id", F.explode(_rowwise_band_sigs()).alias("band_sig")
+    ).persist()
     known = sigs.filter(F.col("doc_id") % 2 == 0).select("band_sig").distinct()
     arriving = sigs.filter(F.col("doc_id") % 2 == 1)
     collided = arriving.join(F.broadcast(known), "band_sig").select("doc_id").distinct()
@@ -229,10 +234,15 @@ def ingest_decision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("dhit", F.lit(1))
     )
+    # persisted: the per-band probe loop below builds LSH_BANDS
+    # differently-aliased broadcasts from this table, which defeats
+    # ReusedExchange (verified: 0 in the plan) — without the cache the
+    # half-corpus band-signature pass runs once per band
     known_bands = (
         d.filter(F.col("doc_id") % 2 == 0)
         .select(F.explode(_rowwise_band_sigs()).alias("band_sig"))
         .distinct()
+        .persist()
     )
     out = d.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id",
