@@ -882,8 +882,23 @@ def _exact_jaccard_stage(
     funnel. Carried columns from `pairs` are preserved; appends
     (jaccard, is_dup)."""
     d = tables.load_table(spark, sf_dir, "documents")
+    # Prune the shingle computation to the docs that actually appear in
+    # a candidate pair BEFORE tokenizing (the docstring's contract —
+    # previously the shingle projection ran over the whole corpus and
+    # relied on the join to drop rows, and ran TWICE because the a/b
+    # branches each instantiate the subtree). `pairs` is persisted so
+    # the id-collection pass doesn't recompute the blocking scheme; the
+    # pruned shingle table is persisted for the two id joins.
+    pairs = pairs.persist()
+    ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
     # word_shingles_expr already dedupes — no outer array_distinct
-    sh = d.select("doc_id", H.word_shingles_expr(F.col("text")).alias("sh"))
+    sh = (
+        d.join(ids, "doc_id")
+        .select("doc_id", H.word_shingles_expr(F.col("text")).alias("sh"))
+        .persist()
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
