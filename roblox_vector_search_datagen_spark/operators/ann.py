@@ -332,12 +332,16 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cand"),
     )
     best = scored.groupBy("vec_id", "m").agg(F.min("cand").alias("best"))
+    # persisted: four registry queries (pq_adc_topk, pq_rerank_topk,
+    # ivf_pq_topk, pq_recall_at_k) build on this encode pass, and the
+    # CacheManager substitutes the cached table by canonicalized-plan
+    # equality — one n-by-M encode per session instead of one per query
     return best.select(
         "vec_id",
         F.col("m").cast("int").alias("m"),
         F.col("best.cent_id").cast("int").alias("code"),
         F.col("best.dist").alias("dist"),
-    )
+    ).persist()
 
 def _pq_sub_sql(expr: str, m: str) -> str:
     return f"CAST({expr}[{m}*{PQ_DSUB}+1:({m}+1)*{PQ_DSUB}] AS DOUBLE[])"
