@@ -135,10 +135,15 @@ def ivf_assignments(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFra
         F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("cent_id"))
+    # persisted: ivf_centroid_update, ivf_cluster_quality,
+    # index_build_report, embedding_outliers and semantic_dedup all
+    # build on this assignment pass — the cache manager substitutes one
+    # materialization across them by canonicalized-plan equality
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("vec_id", "cent_id", "cosine")
+        .persist()
     )
 
 def ivf_assignments_oracle(k: int = IVF_K) -> str:
