@@ -375,3 +375,71 @@ SELECT source, file_id, n_docs, n_chars,
             / {target_chars}) AS INT) AS bin
 FROM files
 """
+
+# ---------------------------------------------------------------------------
+# Column cardinality profile (catalog / optimizer statistics)
+# ---------------------------------------------------------------------------
+
+# 3x the HLL++ default rsd (0.05): a 1-sigma bound would breach on a
+# regenerated fixture with the wrong cardinality roll; 3 sigma is the
+# contract a catalog actually trusts
+CARD_REL_ERR = 0.15
+
+def column_cardinality_profile(
+    spark: SparkSession, sf_dir: str, rel_err: float = CARD_REL_ERR
+) -> DataFrame:
+    """Per-column NDV (number-of-distinct-values) statistics for the
+    pipeline's hot columns — the table stats a catalog publishes and a
+    cost-based optimizer reads to pick join orders and broadcast
+    thresholds. Exact NDV needs a full distinct per column; the scale
+    path is HyperLogLog++ (`approx_count_distinct`), whose register-max
+    merge is order-independent, so the estimate is deterministic for a
+    given dataset regardless of partitioning. Like the other sketch
+    queries, the HLL estimate itself can't be reproduced by the oracle,
+    so the emitted contract is (exact NDV, estimate-within-rel_err
+    boolean) — the boolean pins the sketch's accuracy guarantee while
+    every emitted value hash-matches.
+
+    One pass per profiled column (union of narrow projections →
+    per-key exact distinct + HLL agg over the same rows — the exact leg
+    exists because fixture scale allows the twin; at 100 TB only the
+    HLL leg runs). Emits (col_name, n_rows, n_distinct, est_ok)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    e = tables.load_table(spark, sf_dir, "events")
+    profiled = [
+        d.select(F.lit("documents.source").alias("col_name"), F.col("source").cast("string").alias("v")),
+        d.select(F.lit("documents.lang").alias("col_name"), F.col("lang").cast("string").alias("v")),
+        e.select(F.lit("events.user_id").alias("col_name"), F.col("user_id").cast("string").alias("v")),
+        e.select(F.lit("events.event_type").alias("col_name"), F.col("event_type").cast("string").alias("v")),
+    ]
+    keyed = profiled[0]
+    for p in profiled[1:]:
+        keyed = keyed.unionByName(p)
+    stats = keyed.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.approx_count_distinct("v").alias("est"),
+    )
+    return stats.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        (
+            F.abs(F.col("est") - F.col("n_distinct"))
+            <= F.col("n_distinct") * rel_err
+        ).alias("est_ok"),
+    )
+
+def column_cardinality_profile_oracle(rel_err: float = CARD_REL_ERR) -> str:
+    return """
+WITH keyed AS (
+  SELECT 'documents.source' AS col_name, CAST(source AS VARCHAR) AS v FROM documents
+  UNION ALL SELECT 'documents.lang', CAST(lang AS VARCHAR) FROM documents
+  UNION ALL SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL SELECT 'events.event_type', CAST(event_type AS VARCHAR) FROM events
+)
+SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       TRUE AS est_ok
+FROM keyed GROUP BY col_name
+"""

@@ -425,6 +425,12 @@ def _registry() -> dict[str, Query]:
         ann.split_centroid_drift_oracle(),
         ("ann", "eval"),
     )
+    # catalog NDV statistics: exact twin + HLL accuracy contract
+    r["column_cardinality_profile"] = Query(
+        lambda spark, sf: layout.column_cardinality_profile(spark, sf),
+        layout.column_cardinality_profile_oracle(),
+        ("layout", "sketch"),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -725,6 +731,7 @@ _ADJUDICATE_FIRST = (
     "point_in_time_state",
     "known_item_search_eval",
     "split_centroid_drift",
+    "column_cardinality_profile",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",
