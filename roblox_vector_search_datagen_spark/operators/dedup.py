@@ -262,7 +262,11 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str, max_hamming: int = 6) ->
     joins; explicit salting keeps the parallelism deterministic."""
     fps = simhash(spark, sf_dir)
     src = tables.load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    fps = fps.join(src, "doc_id")
+    # persisted: the salted self-join references this subtree on both
+    # sides and Catalyst instantiates it per reference — without the
+    # cache the token explode + 32-sum aggregation runs twice (same
+    # fix as simhash_banded_near_dups)
+    fps = fps.join(src, "doc_id").persist()
     a = fps.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("fp_a"),

@@ -770,11 +770,14 @@ def bloom_decontaminate(
     docs = d.select(
         "doc_id", bucket.alias("bucket"), H.word_shingles_expr(F.col("text")).alias("sh")
     )
+    # persisted: the bit-position derivation AND the exact-twin probe
+    # both reference the benchmark hash set — one shingle pass, not two
     bench_h = (
         docs.filter(F.col("bucket") >= _TEST_BUCKET_GE)
         .select(F.explode("sh").alias("shingle"))
         .select(H.h32_expr(F.col("shingle")).alias("h"))
         .distinct()
+        .persist()
     )
     bits = (
         bench_h.select(
@@ -784,6 +787,10 @@ def bloom_decontaminate(
         )
         .distinct()
         .withColumn("bit", F.lit(1))
+        # persisted: the k per-hash-function probes each build a
+        # differently-aliased broadcast from this table, which defeats
+        # ReusedExchange (the ingest_decision_report pattern)
+        .persist()
     )
     # distinct on (doc_id, h): shingles are already distinct per doc,
     # but two shingles may collide in h32 — membership is per HASH, so
