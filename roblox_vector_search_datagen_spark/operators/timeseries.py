@@ -945,3 +945,63 @@ FROM p JOIN scd s
  AND p.ts >= s.valid_from
  AND (s.valid_to IS NULL OR p.ts < s.valid_to)
 """
+
+# ---------------------------------------------------------------------------
+# Min/max time-series downsampling (dashboard rendering)
+# ---------------------------------------------------------------------------
+
+DOWNSAMPLE_BUCKET_MIN = 60
+
+def event_minmax_downsample(
+    spark: SparkSession, sf_dir: str, bucket_min: int = DOWNSAMPLE_BUCKET_MIN
+) -> DataFrame:
+    """Min/max downsampling of the event value series per type: one
+    (min-value, max-value) witness point per time bucket — the standard
+    lossy reduction a dashboard applies before rendering (min/max
+    preserves every visual extreme exactly, unlike averaging, which is
+    why monitoring systems store it alongside the mean).
+
+    No window function at all: each extreme is a lexicographic
+    min/max over a (value, ts, event_id) struct inside a plain
+    (type, bucket) hash aggregation — map-side combined, shuffle
+    cardinality = types x buckets regardless of event volume, and the
+    struct tie-break makes the witness deterministic. Emits
+    (event_type, bucket_start, n, min_value, min_ts, max_value,
+    max_ts)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    bucket_us = bucket_min * 60 * 1_000_000
+    b = (F.floor(epoch_us("ts") / bucket_us) * bucket_us).cast("bigint")
+    keyed = e.select(
+        "event_type",
+        b.alias("bucket_start"),
+        F.struct(F.col("value"), F.col("ts"), F.col("event_id")).alias("s"),
+    )
+    agg = keyed.groupBy("event_type", "bucket_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("s").alias("lo"),
+        F.max("s").alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.round(F.col("lo.value"), 6).alias("min_value"),
+        F.col("lo.ts").alias("min_ts"),
+        F.round(F.col("hi.value"), 6).alias("max_value"),
+        F.col("hi.ts").alias("max_ts"),
+    )
+
+def event_minmax_downsample_oracle(bucket_min: int = DOWNSAMPLE_BUCKET_MIN) -> str:
+    bucket_us = bucket_min * 60 * 1_000_000
+    return f"""
+WITH keyed AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {bucket_us}) * {bucket_us} AS BIGINT) AS bucket_start,
+         struct_pack(value := value, ts := ts, event_id := event_id) AS s
+  FROM events
+)
+SELECT event_type, bucket_start, CAST(count(*) AS BIGINT) AS n,
+       round(min(s).value, 6) AS min_value, min(s).ts AS min_ts,
+       round(max(s).value, 6) AS max_value, max(s).ts AS max_ts
+FROM keyed GROUP BY event_type, bucket_start
+"""

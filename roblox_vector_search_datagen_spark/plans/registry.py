@@ -431,6 +431,12 @@ def _registry() -> dict[str, Query]:
         layout.column_cardinality_profile_oracle(),
         ("layout", "sketch"),
     )
+    # min/max witness points per time bucket (dashboard downsampling)
+    r["event_minmax_downsample"] = Query(
+        lambda spark, sf: timeseries.event_minmax_downsample(spark, sf),
+        timeseries.event_minmax_downsample_oracle(),
+        ("events",),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -732,6 +738,7 @@ _ADJUDICATE_FIRST = (
     "known_item_search_eval",
     "split_centroid_drift",
     "column_cardinality_profile",
+    "event_minmax_downsample",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",
