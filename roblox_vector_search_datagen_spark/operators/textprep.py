@@ -949,3 +949,94 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
 FROM spans s JOIN dfc USING (span)
 GROUP BY s.doc_id
 """
+
+TEMP_MIXTURE_TAU = 3.0
+
+def temperature_mixture_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = MIXTURE_BUDGET_TOKENS,
+    tau: float = TEMP_MIXTURE_TAU,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the mT5/XLM-R sampling
+    scheme, Xue et al. 2021): target share of source s is
+    p_s^(1/tau) / sum_r p_r^(1/tau), where p_s is the source's natural
+    token share. tau=1 reproduces natural proportions, tau->inf
+    approaches uniform — the standard knob that upsamples small
+    sources without flattening the mixture entirely (`mixture_plan` is
+    the tau->inf endpoint). Targets are capped at each source's actual
+    tokens (no upsampling past 1.0 — the same epoch-cap constraint as
+    mixture_plan).
+
+    Same scale shape as mixture_plan: one corpus aggregation to
+    |sources| rows, the tempered normalizer is a 1-row broadcast, all
+    math after the aggregation is driver-table-sized. Emits (source,
+    n_tokens, natural_share, temp_share, target_tokens, sample_rate)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(_words(F.col("text"))).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+    # integer nano-unit quantization (the qsum6 pattern, at 1e-9): pow
+    # is libm-derived and the normalizer is a float sum, so quantize
+    # each tempered share to the 1e-9 grid BEFORE summing — both
+    # engines then divide the identical integers and the downstream
+    # floor() cannot straddle an engine-dependent ulp boundary
+    shared = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "natural_share", F.col("n_tokens") / F.col("total_tokens")
+    ).withColumn(
+        "tempered_u",
+        F.round(F.pow(F.col("natural_share"), 1.0 / tau) * 1e9, 0).cast("bigint"),
+    )
+    z = shared.agg(F.sum("tempered_u").cast("bigint").alias("z_u"))
+    out = shared.crossJoin(F.broadcast(z)).withColumn(
+        "temp_share", F.col("tempered_u") / F.col("z_u")
+    )
+    target = F.least(
+        F.col("n_tokens"),
+        F.floor(F.col("temp_share") * budget).cast("bigint"),
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        F.round("natural_share", 6).alias("natural_share"),
+        F.round("temp_share", 6).alias("temp_share"),
+        target.alias("target_tokens"),
+        F.round(F.least(F.lit(1.0), target / F.col("n_tokens")), 6).alias("sample_rate"),
+    )
+
+def temperature_mixture_plan_oracle(
+    budget: int = MIXTURE_BUDGET_TOKENS, tau: float = TEMP_MIXTURE_TAU
+) -> str:
+    w = "string_split_regex(text, '\\s+')"
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(sum(len({w})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_src),
+shared AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens AS DOUBLE) / total_tokens AS natural_share,
+         CAST(round(pow(CAST(n_tokens AS DOUBLE) / total_tokens, 1.0 / {tau}) * 1e9, 0)
+              AS BIGINT) AS tempered_u
+  FROM per_src CROSS JOIN tot
+),
+z AS (SELECT CAST(sum(tempered_u) AS BIGINT) AS z_u FROM shared),
+out AS (
+  SELECT source, n_tokens, natural_share,
+         CAST(tempered_u AS DOUBLE) / z.z_u AS temp_share
+  FROM shared CROSS JOIN z
+)
+SELECT source, n_tokens,
+       round(natural_share, 6) AS natural_share,
+       round(temp_share, 6) AS temp_share,
+       least(n_tokens, CAST(floor(temp_share * {budget}) AS BIGINT)) AS target_tokens,
+       round(least(1.0, least(n_tokens, CAST(floor(temp_share * {budget}) AS BIGINT))
+                        / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate
+FROM out
+"""

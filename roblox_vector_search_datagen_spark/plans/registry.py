@@ -437,6 +437,12 @@ def _registry() -> dict[str, Query]:
         timeseries.event_minmax_downsample_oracle(),
         ("events",),
     )
+    # mT5-style temperature reweighting (mixture_plan's tunable sibling)
+    r["temperature_mixture_plan"] = Query(
+        lambda spark, sf: textprep.temperature_mixture_plan(spark, sf),
+        textprep.temperature_mixture_plan_oracle(),
+        ("textprep",),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -739,6 +745,7 @@ _ADJUDICATE_FIRST = (
     "split_centroid_drift",
     "column_cardinality_profile",
     "event_minmax_downsample",
+    "temperature_mixture_plan",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",
