@@ -413,3 +413,51 @@ def test_session5_ops_plan_contracts(spark, sf_dir):
         p = plan_of(df)
         assert "SinglePartition, Window" not in p
         assert "EvalPython" not in p
+
+def test_session5_late_ops_plan_contracts(spark, sf_dir):
+    """Pinned physical properties of the late fifth-session operators."""
+    from roblox_vector_search_datagen_spark.operators import (
+        ann,
+        layout,
+        textprep,
+        textstats,
+        timeseries,
+    )
+
+    # known_item_search_eval: probe terms broadcast, per-probe rank
+    # window (never a single global window), pure Catalyst
+    p = plan_of(textstats.known_item_search_eval(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SinglePartition, Window" not in p
+    assert "EvalPython" not in p
+
+    # split_centroid_drift: centroid tables join on the dimension
+    # index only — no cartesian, no python
+    p = plan_of(ann.split_centroid_drift(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    # column_cardinality_profile: one aggregation over the unioned
+    # projections — no join, no window, no python
+    p = plan_of(layout.column_cardinality_profile(spark, sf_dir))
+    assert "Join" not in p and "Window" not in p
+    assert "EvalPython" not in p
+
+    # event_minmax_downsample: hash aggregation only — explicitly
+    # window-free (the operator's whole point)
+    p = plan_of(timeseries.event_minmax_downsample(spark, sf_dir))
+    assert "Window" not in p and "Join" not in p
+    assert "EvalPython" not in p
+
+    # point_in_time_state: equi-key join with a range residual — the
+    # planner must NOT fall back to a cartesian/nested-loop product
+    p = plan_of(timeseries.point_in_time_state(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+    # temperature_mixture_plan: per-source table with broadcast
+    # scalars — no shuffle-heavy shapes at all
+    p = plan_of(textprep.temperature_mixture_plan(spark, sf_dir))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "SinglePartition, Window" not in p
+    assert "EvalPython" not in p
