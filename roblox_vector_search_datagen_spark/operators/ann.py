@@ -1431,3 +1431,48 @@ SELECT split_a, split_b, l2_sq,
             ELSE round(dot / (sqrt(na) * sqrt(nb)), 6) END AS cosine
 FROM sums
 """
+
+# ---------------------------------------------------------------------------
+# Embedding norm audit (index-build input validation)
+# ---------------------------------------------------------------------------
+
+NORM_UNIT_TOL = 1e-4
+
+def embedding_norm_audit(
+    spark: SparkSession, sf_dir: str, tol: float = NORM_UNIT_TOL
+) -> DataFrame:
+    """Per-label L2-norm audit of the embedding table — the input
+    validation an index build runs before trusting cosine math: a
+    zero-norm vector makes cosine NULL, a non-unit-norm population
+    means dot-product and cosine rankings diverge (so an IP-metric
+    index would silently mis-rank). Emits per label: count, min/max
+    norm (6 dp), the number of exactly-representable unit vectors
+    within `tol`, and the all_unit / none_zero contract booleans the
+    build job asserts on.
+
+    One scan, one per-row higher-order-function norm, one
+    map-side-combined aggregation keyed by label — nothing else."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    nrm = V.norm_expr(F.col("embedding"))
+    rows = e.select("label", nrm.alias("nrm"))
+    return rows.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum((F.abs(F.col("nrm") - 1.0) <= tol).cast("long")).alias("n_unit"),
+        F.min((F.abs(F.col("nrm") - 1.0) <= tol).cast("int")).cast("boolean").alias("all_unit"),
+        F.min((F.col("nrm") > 0).cast("int")).cast("boolean").alias("none_zero"),
+    )
+
+def embedding_norm_audit_oracle(tol: float = NORM_UNIT_TOL) -> str:
+    nrm = "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+    return f"""
+WITH rows_ AS (SELECT label, {nrm} AS nrm FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       CAST(sum(CASE WHEN abs(nrm - 1.0) <= {tol} THEN 1 ELSE 0 END) AS BIGINT) AS n_unit,
+       CAST(min(CASE WHEN abs(nrm - 1.0) <= {tol} THEN 1 ELSE 0 END) AS BOOLEAN) AS all_unit,
+       CAST(min(CASE WHEN nrm > 0 THEN 1 ELSE 0 END) AS BOOLEAN) AS none_zero
+FROM rows_ GROUP BY label
+"""

@@ -1040,3 +1040,61 @@ SELECT source, n_tokens,
                         / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate
 FROM out
 """
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+WS_PER_SOURCE = 5
+
+def weighted_sample(
+    spark: SparkSession, sf_dir: str, n_per_source: int = WS_PER_SOURCE
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, n per
+    source: the A-ES scheme (Efraimidis & Spirakis 2006) — each item
+    draws key u^(1/w) for uniform u and weight w, and the top-n keys
+    per stratum are a correct weighted sample. The uniform comes from
+    the portable hash (u = (h32(doc_id) % 10^6 + 1) / 10^6), so unlike
+    rand()-based sampling the exact membership set is reproducible
+    across engines, runs and retries — the property that makes a
+    sampled corpus slab auditable. Here w = n_chars (longer documents
+    proportionally likelier), the standard size-biased inclusion for
+    byte-budgeted slabs; `stratified_sample` and `per_group_sample`
+    remain the uniform members of the family.
+
+    One projection computes the key per row (scan-fused), and the
+    per-source top-n is a rank window over narrow (source, key) rows —
+    no global sort, no sampling state. Keys are rounded to 9 dp before
+    ranking so libm pow's ulp variance cannot reorder ties across
+    engines; doc_id breaks exact ties. Emits (source, rank, doc_id,
+    n_chars, u, key)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    u = (H.h32_expr(F.col("doc_id").cast("string")) % 1_000_000 + 1) / 1_000_000.0
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    keyed = d.select(
+        "source", "doc_id", "n_chars", F.round(u, 6).alias("u"), key.alias("key")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("key").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_per_source)
+        .select("source", F.col("rank").cast("int").alias("rank"), "doc_id", "n_chars", "u", "key")
+    )
+
+def weighted_sample_oracle(n_per_source: int = WS_PER_SOURCE) -> str:
+    h = H.h32_sql("CAST(doc_id AS VARCHAR)")
+    u = f"(({h} % 1000000 + 1) / 1000000.0)"
+    key = f"round(pow({u}, 1.0 / n_chars), 9)"
+    return f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars, round({u}, 6) AS u, {key} AS key
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY key DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars, u, key
+FROM ranked WHERE rank <= {n_per_source}
+"""

@@ -443,6 +443,18 @@ def _registry() -> dict[str, Query]:
         textprep.temperature_mixture_plan_oracle(),
         ("textprep",),
     )
+    # A-ES weighted sampling without replacement, hash-deterministic
+    r["weighted_sample"] = Query(
+        lambda spark, sf: textprep.weighted_sample(spark, sf),
+        textprep.weighted_sample_oracle(),
+        ("textprep", "sampling"),
+    )
+    # per-label L2-norm audit: index-build input validation
+    r["embedding_norm_audit"] = Query(
+        lambda spark, sf: ann.embedding_norm_audit(spark, sf),
+        ann.embedding_norm_audit_oracle(),
+        ("ann", "quality"),
+    )
     r["dedup_clusters"] = Query(
         lambda spark, sf: dedup.dedup_clusters(spark, sf),
         dedup.dedup_clusters_oracle(),
@@ -746,6 +758,8 @@ _ADJUDICATE_FIRST = (
     "column_cardinality_profile",
     "event_minmax_downsample",
     "temperature_mixture_plan",
+    "weighted_sample",
+    "embedding_norm_audit",
     "dedup_clusters",
     "embedding_lsh_near_dups",
     "ngram_jaccard_pairs",
