@@ -396,6 +396,7 @@ COMMANDS = (
     "queryVectorIndex",
     "selectCorpus",
     "auditCorpus",
+    "auditEmbeddings",
     "exportJobsDb",
     "importJobsDb",
 )
@@ -612,6 +613,44 @@ def main(argv: list[str] | None = None) -> int:
                     "dedup_funnel": funnel,
                     "media_dedup": media,
                     "mixture_sample_rates": plan,
+                },
+                sort_keys=True,
+            )
+        )
+    elif cmd == "auditEmbeddings":
+        # one-shot embedding-table health report: per-label norm
+        # contracts, split-centroid drift, and IVF cell balance — the
+        # checks an index build asserts before burning a rebuild
+        # (usage: auditEmbeddings [sf_dir])
+        from .operators import ann as ann_ops
+
+        sf_dir = args[0] if args else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        norms = {
+            int(r["label"]): {
+                "n": int(r["n"]),
+                "all_unit": bool(r["all_unit"]),
+                "none_zero": bool(r["none_zero"]),
+            }
+            for r in ann_ops.embedding_norm_audit(spark, sf_dir).collect()
+        }
+        drift = {
+            f'{r["split_a"]}->{r["split_b"]}': round(float(r["l2_sq"]), 6)
+            for r in ann_ops.split_centroid_drift(spark, sf_dir).collect()
+        }
+        cells = ann_ops.ivf_cluster_quality(spark, sf_dir).collect()
+        sizes = [int(r["n_members"]) for r in cells]
+        print(
+            json.dumps(
+                {
+                    "labels": norms,
+                    "all_unit": all(v["all_unit"] for v in norms.values()),
+                    "none_zero": all(v["none_zero"] for v in norms.values()),
+                    "split_centroid_l2sq": drift,
+                    "ivf_cells": len(sizes),
+                    "ivf_cell_min": min(sizes) if sizes else 0,
+                    "ivf_cell_max": max(sizes) if sizes else 0,
                 },
                 sort_keys=True,
             )

@@ -383,3 +383,14 @@ def test_audit_corpus_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     funnel = res["dedup_funnel"]
     assert funnel["verified_dup_pairs"] <= funnel["lsh_candidate_pairs"]
     assert funnel["near_dup_docs"] <= funnel["corpus_docs"]
+
+def test_audit_embeddings_command(spark, sf_dir, capsys):
+    """auditEmbeddings emits the norm contracts, split drift, and IVF
+    cell balance as one JSON health report."""
+    assert cli.main(["auditEmbeddings", sf_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["all_unit"] is True and res["none_zero"] is True
+    assert res["ivf_cells"] > 0
+    assert res["ivf_cell_min"] <= res["ivf_cell_max"]
+    assert len(res["split_centroid_l2sq"]) == 3
+    assert all(v >= 0 for v in res["split_centroid_l2sq"].values())
