@@ -51,17 +51,22 @@ _DOCS_HTML = """<!doctype html>
 <h1 id="t">API docs</h1><div id="ops">loading /openapi.json…</div>
 <script>
 fetch('/openapi.json').then(r=>r.json()).then(spec=>{
+ // every spec-derived string is HTML-escaped before innerHTML
+ // interpolation — the spec is server-generated today, but a docs
+ // renderer must not be the place that trusts it
+ const esc=s=>String(s).replace(/[&<>"']/g,
+   c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
  document.getElementById('t').textContent=
    (spec.info&&spec.info.title||'API')+' '+(spec.info&&spec.info.version||'');
  const out=[];
  for(const [path,methods] of Object.entries(spec.paths||{})){
   for(const [method,op] of Object.entries(methods)){
    const params=(op.parameters||[]).map(p=>
-    `<tr><td><code>${p.name}</code></td><td>${p.in}</td>`+
+    `<tr><td><code>${esc(p.name)}</code></td><td>${esc(p.in)}</td>`+
     `<td>${p.required?'yes':'no'}</td>`+
-    `<td>${(p.schema&&p.schema.type)||''}</td></tr>`).join('');
-   out.push(`<div class="op"><span class="m">${method.toUpperCase()}</span>`+
-    `<code>${path}</code><p>${op.summary||''}</p>`+
+    `<td>${esc((p.schema&&p.schema.type)||'')}</td></tr>`).join('');
+   out.push(`<div class="op"><span class="m">${esc(method.toUpperCase())}</span>`+
+    `<code>${esc(path)}</code><p>${esc(op.summary||'')}</p>`+
     (params?`<table><tr><th>param</th><th>in</th><th>required</th>`+
       `<th>type</th></tr>${params}</table>`:'')+`</div>`);
   }

@@ -1070,11 +1070,15 @@ def weighted_sample(
     n_chars, u, key)."""
     d = tables.load_table(spark, sf_dir, "documents")
     u = (H.h32_expr(F.col("doc_id").cast("string")) % 1_000_000 + 1) / 1_000_000.0
-    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    # greatest(n_chars, 1): an empty document would make 1/n_chars a
+    # NULL key (div-by-zero), and NULL placement under DESC differs
+    # between engines — clamp the weight so the key is always defined,
+    # and order desc_nulls_last anyway (registry determinism contract)
+    key = F.round(F.pow(u, F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1))), 9)
     keyed = d.select(
         "source", "doc_id", "n_chars", F.round(u, 6).alias("u"), key.alias("key")
     )
-    w = Window.partitionBy("source").orderBy(F.col("key").desc(), F.col("doc_id"))
+    w = Window.partitionBy("source").orderBy(F.col("key").desc_nulls_last(), F.col("doc_id"))
     return (
         keyed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n_per_source)
@@ -1084,7 +1088,7 @@ def weighted_sample(
 def weighted_sample_oracle(n_per_source: int = WS_PER_SOURCE) -> str:
     h = H.h32_sql("CAST(doc_id AS VARCHAR)")
     u = f"(({h} % 1000000 + 1) / 1000000.0)"
-    key = f"round(pow({u}, 1.0 / n_chars), 9)"
+    key = f"round(pow({u}, 1.0 / greatest(n_chars, 1)), 9)"
     return f"""
 WITH keyed AS (
   SELECT source, doc_id, n_chars, round({u}, 6) AS u, {key} AS key
