@@ -350,8 +350,42 @@ SELECT doc_id, {fp} AS simhash FROM sums
     return _SIMHASH64_SQL
 
 
+SIMHASH_BAND_CAP = 100
+
+
+def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash, band, val): the 4-way prefix-band unpivot of
+    the persisted 60-bit fingerprint table — shared by the banded pair
+    join and the dropped-bands report."""
+    # persisted for the same reason lsh_candidate_pairs persists its
+    # signature table: the band self-join references this subtree on
+    # BOTH sides and Catalyst does not share a subtree across a
+    # self-join — without the cache the token explode + 60-sum
+    # aggregation runs twice
+    fps = simhash64(spark, sf_dir).persist()
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for j in range(SIMHASH_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+
+
 def simhash_banded_near_dups(
-    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_BANDS - 1
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = SIMHASH_BANDS - 1,
+    band_cap: int = SIMHASH_BAND_CAP,
 ) -> DataFrame:
     """GLOBAL SimHash near-dup pairs via prefix-band blocking — the
     production-scale sibling of `simhash_near_dups` (which blocks on
@@ -371,33 +405,33 @@ def simhash_banded_near_dups(
     scheme, reference semantics per `simhash_near_dups` (cf.
     reference's content-identity needs; no simhash exists in the
     reference — beyond-reference operator). Emits
-    (doc_a, doc_b, hamming)."""
-    # persisted for the same reason lsh_candidate_pairs persists its
-    # signature table: the band self-join references this subtree on
-    # BOTH sides and Catalyst does not share a subtree across a
-    # self-join — without the cache the token explode + 60-sum
-    # aggregation runs twice
-    fps = simhash64(spark, sf_dir).persist()
-    mask = (1 << SIMHASH_BAND_BITS) - 1
-    bands = fps.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("val"),
-                )
-                for j in range(SIMHASH_BANDS)
-            ])
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    a = bands.select(
+    (doc_a, doc_b, hamming).
+
+    Band buckets are CAPPED at band_cap members (the `NGRAM_DF_CAP`
+    pattern): a duplicate-saturated corpus — exactly what a dedup
+    pipeline sees — collapses identical fingerprints into one (band,
+    val) bucket per band, and an uncapped equi-join goes quadratic
+    inside that bucket. Buckets above the cap are dropped via a window
+    count partitioned on (band, val) — the window's hash partitioning
+    IS the subsequent join key, so the cap adds zero extra exchanges:
+    each self-join side shuffles once on (band, val) either way, and
+    candidate volume is bounded at ~band_cap^2/2 per bucket. Semantics
+    become "pairs agreeing on at least one band with <= band_cap
+    members" — the members of a dropped bucket are near-identical en
+    masse, which is `dedup_exact` / `dedup_clusters` territory, not
+    pairwise near-dup discovery; `simhash_dropped_bands` reports what
+    the cap dropped. Mirrored exactly in the oracle."""
+    bands = _simhash_bands(spark, sf_dir)
+    wb = Window.partitionBy("band", "val")
+    kept = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= band_cap)
+        .drop("bucket_n")
+    )
+    a = kept.select(
         "band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a")
     )
-    b = bands.select(
+    b = kept.select(
         "band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b")
     )
     pairs = (
@@ -418,23 +452,67 @@ def simhash_banded_near_dups(
     )
 
 
-def simhash_banded_near_dups_oracle(max_hamming: int = SIMHASH_BANDS - 1) -> str:
+def _simhash_bands_sql() -> str:
     mask = (1 << SIMHASH_BAND_BITS) - 1
     return f"""
-WITH fps AS ({simhash64_oracle()}),
+fps AS ({simhash64_oracle()}),
 bands AS (
   SELECT doc_id, simhash, CAST(j AS INT) AS band,
          (simhash >> ({SIMHASH_BAND_BITS} * CAST(j AS INT))) & {mask} AS val
   FROM fps, unnest(range(0, {SIMHASH_BANDS})) AS u(j)
+)"""
+
+
+def simhash_banded_near_dups_oracle(
+    max_hamming: int = SIMHASH_BANDS - 1, band_cap: int = SIMHASH_BAND_CAP
+) -> str:
+    return f"""
+WITH {_simhash_bands_sql()},
+bcnt AS (SELECT band, val, count(*) AS n FROM bands GROUP BY 1, 2),
+kept AS (
+  SELECT b.* FROM bands b JOIN bcnt USING (band, val) WHERE bcnt.n <= {band_cap}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS fa, b.simhash AS fb
-  FROM bands a JOIN bands b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
+def simhash_dropped_bands(
+    spark: SparkSession, sf_dir: str, band_cap: int = SIMHASH_BAND_CAP
+) -> DataFrame:
+    """Observability for the simhash band cap (template:
+    `ngram_dropped_shingles`): how many (band, val) buckets the cap
+    drops, the total bucket count, and the widest bucket seen. A large
+    dropped fraction means the corpus is duplicate-saturated and
+    `dedup_exact`/`dedup_clusters` should run BEFORE pairwise near-dup
+    discovery. One narrow aggregation over the band unpivot — the
+    report costs one shuffle of (band, val) keys."""
+    b = (
+        _simhash_bands(spark, sf_dir)
+        .groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return b.agg(
+        F.sum((F.col("n") > band_cap).cast("long")).alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
+def simhash_dropped_bands_oracle(band_cap: int = SIMHASH_BAND_CAP) -> str:
+    return f"""
+WITH {_simhash_bands_sql()},
+bcnt AS (SELECT band, val, count(*) AS n FROM bands GROUP BY 1, 2)
+SELECT CAST(sum(CASE WHEN n > {band_cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket
+FROM bcnt
 """
 
 

@@ -346,6 +346,13 @@ def _registry() -> dict[str, Query]:
         dedup.simhash_banded_near_dups_oracle(),
         ("dedup", "bench"),
     )
+    # observability for the band cap (NGRAM_DF_CAP pattern): buckets
+    # dropped / total / widest — flags duplicate-saturated corpora
+    r["simhash_dropped_bands"] = Query(
+        lambda spark, sf: dedup.simhash_dropped_bands(spark, sf),
+        dedup.simhash_dropped_bands_oracle(),
+        ("dedup", "report"),
+    )
     # third exact-verify backend: bounded-window Levenshtein over LSH
     # candidates (char-level near-dup class Jaccard under-reports)
     r["edit_distance_verify"] = Query(

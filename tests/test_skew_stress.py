@@ -141,3 +141,67 @@ def test_repeated_spans_finds_injected_boilerplate(spark, tmp_path):
     spans = {r.span for r in got}
     assert "subscribe to our newsletter for" in spans
     assert all(r.n_docs >= 2 for r in got)
+
+
+@pytest.fixture(scope="module")
+def dupsat_dir(spark, tmp_path_factory):
+    """Duplicate-saturated corpus: 100 of 160 docs share ONE text (all
+    four simhash bands identical -> four buckets of 100), plus one
+    true near-dup pair of unique docs, plus unique word soup."""
+    d = tmp_path_factory.mktemp("dupsat")
+    base = " ".join(f"near{j} tok{j}" for j in range(20))
+    rows = []
+    for i in range(100):
+        rows.append((i, "the exact same duplicated document body", "en", "s", 40))
+    # near-dup pair: long shared text, tiny difference -> small hamming
+    rows.append((200, base + " tailone", "en", "s", 200))
+    rows.append((201, base + " tailtwo", "en", "s", 200))
+    for i in range(300, 358):
+        rows.append((i, " ".join(f"u{i}w{j}" for j in range(12)), "en", "s", 100))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_simhash_band_cap_bounds_candidates_on_dup_saturated_corpus(spark, dupsat_dir):
+    """Uncapped, the 100 identical docs alone produce C(100,2)=4950
+    pairs; with the cap their buckets are dropped and candidate volume
+    stays bounded by the cap while genuine near-dups (in cold buckets)
+    still surface."""
+    capped = dedup.simhash_banded_near_dups(spark, dupsat_dir, band_cap=50)
+    rows = capped.collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    # the injected near-dup pair survives (its band buckets are cold)
+    assert (200, 201) in pairs
+    # the saturated block's quadratic blowup is fenced off: no pair of
+    # identical docs (both ids < 100) appears, and total volume is far
+    # below the uncapped 4950+
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+    assert len(pairs) < 50 * 50
+    # uncapped twin DOES explode — the cap is load-bearing
+    uncapped = dedup.simhash_banded_near_dups(
+        spark, dupsat_dir, band_cap=10**9
+    ).count()
+    assert uncapped >= 4950
+
+
+def test_simhash_dropped_bands_reports_hot_buckets(spark, dupsat_dir):
+    r = dedup.simhash_dropped_bands(spark, dupsat_dir, band_cap=50).collect()[0]
+    # the 100 identical fingerprints occupy one bucket per band = 4 hot
+    assert r.n_dropped == 4
+    assert r.max_bucket == 100
+    assert r.n_buckets > 4
+
+
+def test_simhash_band_cap_adds_no_exchange(spark, dupsat_dir):
+    """The cap is a window count whose (band, val) partitioning IS the
+    self-join key: each side must shuffle exactly once on (band, val)
+    — the cap must not introduce an extra exchange or turn the join
+    into a product."""
+    df = dedup.simhash_banded_near_dups(spark, dupsat_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in p and "bucket_n" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # one (band, val) exchange per self-join side, nothing more
+    assert p.count("Exchange hashpartitioning(band") <= 2, p
