@@ -235,10 +235,18 @@ def knn_join(
     (N queries × corpus), vs. ann_topk's single online query.
 
     Physical shape: the query block broadcasts (a query batch is MBs
-    against a 100 TB corpus), the corpus scans once, and the per-query
-    rank window shuffles only (query_id, vec_id, cosine) — the vector
-    payload is projected away before the exchange, so shuffle bytes are
-    ~20 B/row regardless of dimension."""
+    against a 100 TB corpus), the corpus scans once, and ranking is
+    TWO-STAGE. A single per-query rank window would funnel every
+    scored row into n_queries reducer partitions — the first thing to
+    break at 100x corpus x small query batch. Stage 1 ranks on
+    (scan-partition id, query_id): reducer-key cardinality is
+    n_partitions x n_queries (no funnel, no skew) and it emits at most
+    k rows per (partition, query). Stage 2 re-ranks only those
+    n_partitions x k survivors per query — a superset of the true
+    top-k by construction, so results are identical to the one-stage
+    plan (oracle unchanged). Shuffled rows are narrow (query_id,
+    vec_id, cosine) triples — the vector payload is projected away
+    before any exchange."""
     e = tables.load_table(spark, sf_dir, "embeddings")
     q = F.broadcast(
         e.filter(F.col("vec_id") < n_queries).select(
@@ -252,11 +260,22 @@ def knn_join(
             "query_id",
             "vec_id",
             F.round(V.cosine_expr(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+            # materialized as a column so the (deterministic) reference
+            # can key the local window; the id itself is assigned at
+            # scan time, before any exchange
+            F.spark_partition_id().alias("_pid"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id"))
+    order = (F.col("cosine").desc_nulls_last(), F.col("vec_id"))
+    w_local = Window.partitionBy("_pid", "query_id").orderBy(*order)
+    local = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )

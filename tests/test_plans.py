@@ -110,6 +110,26 @@ def test_knn_and_pq_broadcast_small_sides(spark, sf_dir):
         assert "SortMergeJoin" not in p, fn.__name__
         assert "EvalPython" not in p, fn.__name__
 
+def test_knn_join_topk_is_two_stage(spark, sf_dir):
+    """knn_join must rank in two stages: a local window keyed on
+    (scan-partition id, query_id) pruning to k rows per partition,
+    then the global per-query window over the survivors only — one
+    global window over all scored rows funnels the whole corpus into
+    n_queries reducer partitions."""
+    from roblox_vector_search_datagen_spark.operators import ann
+
+    df = ann.knn_join(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(windows) == 2, p
+    # the first (inner, printed last) window is the local one
+    assert "_pid" in windows[-1], p
+    assert "_pid" not in windows[0], p
+    # results identical to the one-stage oracle ranking
+    got = {(r.query_id, r.rank): r.vec_id for r in df.collect()}
+    assert len(got) == ann.KNN_QUERIES * ann.KNN_K
+
+
 def test_cobucketed_join_is_exchange_free(spark, sf_dir):
     """Co-bucketed storage must satisfy the join's distribution
     requirement from the scan: a sort-merge join of the two bucketed
