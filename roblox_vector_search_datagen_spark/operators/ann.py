@@ -1028,6 +1028,151 @@ FROM report r JOIN shift s USING (cent_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: delta-only assignment + staleness
+# ---------------------------------------------------------------------------
+
+IVF_UPSERT_HWM = 400  # vec_id high-water mark of the frozen index
+IVF_STALE_THRESHOLD = 0.1
+
+
+def ivf_upsert_assignments(
+    spark: SparkSession, sf_dir: str, k: int = IVF_K, hwm: int = IVF_UPSERT_HWM
+) -> DataFrame:
+    """Incremental IVF maintenance, assignment step: assign ONLY the
+    vectors not yet in the index against the FROZEN centroids — the
+    ANN twin of `needs_embeddings_worklist` (reference worklist shape,
+    src/lib/corpus.ts maintenance cycle). A corpus pipeline upserts
+    continuously; rebuilding the whole index per batch
+    (`ivf_assignments`) re-scans 100 TB to place a few GB of new
+    vectors. Here the existing index contributes only its vec_id set
+    to an anti-join, the delta scan is |new vectors|, and the K x dim
+    frozen-centroid table broadcasts exactly as in the bulk build —
+    cost is proportional to the DELTA, not the corpus. Emits
+    (vec_id, cent_id, cosine) for delta vectors only; union with the
+    stored index is the caller's write step."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    indexed = ivf_assignments(spark, sf_dir, k).filter(F.col("vec_id") < hwm)
+    delta = e.join(indexed.select("vec_id"), "vec_id", "left_anti")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+        )
+    )
+    scored = delta.crossJoin(cents).select(
+        "vec_id",
+        "cent_id",
+        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("cent_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cent_id", "cosine")
+    )
+
+
+def ivf_upsert_assignments_oracle(k: int = IVF_K, hwm: int = IVF_UPSERT_HWM) -> str:
+    cos = V.cosine_sql("e.embedding", "c.cent")
+    return f"""
+WITH idx AS (
+  SELECT vec_id FROM ({ivf_assignments_oracle(k)}) t WHERE vec_id < {hwm}
+),
+delta AS (
+  SELECT e.* FROM embeddings e ANTI JOIN idx USING (vec_id)
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < {k}
+),
+scored AS (
+  SELECT e.vec_id, c.cent_id, round({cos}, 6) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 6) DESC NULLS LAST, c.cent_id) AS rn
+  FROM delta e CROSS JOIN cents c
+)
+SELECT vec_id, cent_id, cosine FROM scored WHERE rn = 1
+"""
+
+
+def ivf_staleness_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    threshold: float = IVF_STALE_THRESHOLD,
+) -> DataFrame:
+    """Staleness audit of the frozen index: per centroid, the fraction
+    of members whose nearest UPDATED centroid (one Lloyd step,
+    `ivf_centroid_update`) differs from their frozen assignment — the
+    reassignment-rate signal that decides WHEN the incremental-upsert
+    regime must give way to a rebuild (`split_centroid_drift` profiles
+    the drift magnitude; this profiles its routing impact). The
+    updated K x dim centroid table re-assembles with one K*dim-row
+    aggregation and broadcasts into a single corpus scan; the compare
+    joins two (vec_id, cent_id) narrow tables. Emits (cent_id, n,
+    n_reassigned, reassign_rate, stale)."""
+    frozen = ivf_assignments(spark, sf_dir, k).select(
+        "vec_id", F.col("cent_id").alias("frozen_cent")
+    )
+    upd = ivf_centroid_update(spark, sf_dir, k)
+    c1 = (
+        upd.groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("ps"))
+        .select("cent_id", F.transform("ps", lambda s: s["mean_v"]).alias("cent"))
+    )
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    scored = e.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "cent_id",
+        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("cent_id"))
+    nearest = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("new_cent"))
+    )
+    moved = (F.col("new_cent") != F.col("frozen_cent")).cast("long")
+    return (
+        frozen.join(nearest, "vec_id")
+        .groupBy(F.col("frozen_cent").alias("cent_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(moved).alias("n_reassigned"),
+            F.round(F.sum(moved) / F.count(F.lit(1)), 6).alias("reassign_rate"),
+        )
+        .withColumn("stale", F.col("reassign_rate") > threshold)
+    )
+
+
+def ivf_staleness_report_oracle(
+    k: int = IVF_K, threshold: float = IVF_STALE_THRESHOLD
+) -> str:
+    cos = V.cosine_sql("e.embedding", "c.cent")
+    return f"""
+WITH frozen AS (
+  SELECT vec_id, cent_id AS frozen_cent FROM ({ivf_assignments_oracle(k)}) t
+),
+upd AS ({ivf_centroid_update_oracle(k)}),
+c1 AS (SELECT cent_id, list(mean_v ORDER BY pos) AS cent FROM upd GROUP BY 1),
+scored AS (
+  SELECT e.vec_id, c.cent_id, round({cos}, 6) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 6) DESC NULLS LAST, c.cent_id) AS rn
+  FROM embeddings e CROSS JOIN c1 c
+),
+nearest AS (SELECT vec_id, cent_id AS new_cent FROM scored WHERE rn = 1)
+SELECT f.frozen_cent AS cent_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN n.new_cent <> f.frozen_cent THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reassigned,
+       round(sum(CASE WHEN n.new_cent <> f.frozen_cent THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS reassign_rate,
+       round(sum(CASE WHEN n.new_cent <> f.frozen_cent THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) > {threshold} AS stale
+FROM frozen f JOIN nearest n USING (vec_id)
+GROUP BY f.frozen_cent
+"""
+
+
 def pq_recall_at_k(
     spark: SparkSession,
     sf_dir: str,

@@ -577,6 +577,19 @@ def _registry() -> dict[str, Query]:
         ann.ivf_train_oracle(),
         ("vector", "index-build", "iterative"),
     )
+    # incremental index maintenance: delta-only assignment against the
+    # frozen index (anti-join worklist shape) + the reassignment-rate
+    # audit that decides upsert-vs-rebuild
+    r["ivf_upsert_assignments"] = Query(
+        lambda spark, sf: ann.ivf_upsert_assignments(spark, sf),
+        ann.ivf_upsert_assignments_oracle(),
+        ("vector", "index-build", "worklist"),
+    )
+    r["ivf_staleness_report"] = Query(
+        lambda spark, sf: ann.ivf_staleness_report(spark, sf),
+        ann.ivf_staleness_report_oracle(),
+        ("vector", "index-build", "report"),
+    )
     r["knn_join"] = Query(
         lambda spark, sf: ann.knn_join(spark, sf), ann.knn_join_oracle(), ("vector", "bench")
     )

@@ -481,3 +481,27 @@ def test_session5_late_ops_plan_contracts(spark, sf_dir):
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
     assert "SinglePartition, Window" not in p
     assert "EvalPython" not in p
+
+
+def test_ivf_upsert_is_delta_restricted(spark, sf_dir):
+    """The incremental assignment must (a) exclude already-indexed
+    vectors with an anti-join BEFORE scoring — the argmax window runs
+    over delta rows only — and (b) broadcast the frozen centroids.
+    Emitted rows == corpus minus the frozen index."""
+    from roblox_vector_search_datagen_spark.operators import ann
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    df = ann.ivf_upsert_assignments(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    n_total = tables.load_table(spark, sf_dir, "embeddings").count()
+    n_delta = df.count()
+    assert n_delta == max(0, n_total - ann.IVF_UPSERT_HWM)
+
+    # staleness report: updated centroids broadcast into ONE corpus
+    # scan; the frozen-vs-nearest compare is a narrow equi-join
+    p = plan_of(ann.ivf_staleness_report(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p and "EvalPython" not in p
