@@ -900,6 +900,138 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
 FROM j GROUP BY event_type
 """
 
+APPROX_PCT_ACCURACY = 100
+
+
+def event_value_quantiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = APPROX_PCT_ACCURACY
+) -> DataFrame:
+    """The 100 TB twin of `event_value_quantiles`: Greenwald-Khanna
+    approx_percentile (mergeable per-partition summaries, constant
+    memory, rank error <= n/accuracy) instead of exact percentile
+    (which buffers each group's values). DuckDB cannot reproduce GK
+    merge results, so — the `hll_daily_users` contract pattern — the
+    hash-matched columns are the EXACT quantiles and the approx path
+    is emitted as accuracy-contract booleans (|approx - exact| <=
+    0.25*IQR per quartile; observed worst case at accuracy=100 is
+    ~0.06*IQR, so a broken summary merge flips the driver row red with
+    4x headroom). Emits (event_type, n, p25, p50, p75, approx_p25_ok,
+    approx_p50_ok, approx_p75_ok)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.expr(
+            f"approx_percentile(value, array(0.25, 0.5, 0.75), {accuracy})"
+        ).alias("ap"),
+    )
+    tol = F.greatest(F.lit(1.0), 0.25 * (F.col("p75") - F.col("p25")))
+    return agg.select(
+        "event_type",
+        "n",
+        "p25",
+        "p50",
+        "p75",
+        (F.abs(F.col("ap")[0] - F.col("p25")) <= tol).alias("approx_p25_ok"),
+        (F.abs(F.col("ap")[1] - F.col("p50")) <= tol).alias("approx_p50_ok"),
+        (F.abs(F.col("ap")[2] - F.col("p75")) <= tol).alias("approx_p75_ok"),
+    )
+
+
+def event_value_quantiles_approx_oracle(accuracy: int = APPROX_PCT_ACCURACY) -> str:
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       TRUE AS approx_p25_ok, TRUE AS approx_p50_ok, TRUE AS approx_p75_ok
+FROM events GROUP BY event_type
+"""
+
+
+def winsorized_event_stats_approx(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: float = WINSOR_LO,
+    hi: float = WINSOR_HI,
+    accuracy: int = APPROX_PCT_ACCURACY,
+) -> DataFrame:
+    """The 100 TB twin of `winsorized_event_stats`: clip thresholds
+    from approx_percentile (the substitution that operator's docstring
+    promises at scale), validated against the exact twin in the same
+    plan. Hash-matched columns are the exact winsorized stats; the
+    approx path contributes contract booleans — threshold drift
+    bounded by 0.5*IQR (tail quantiles are where GK error
+    concentrates; observed worst ~10 vs IQR ~55 at accuracy=100) and
+    the approx-clipped mean within 1.0 of the exact winsorized mean (a
+    threshold shift of d moves the mean by <= tail_mass*d ~ 0.05*d).
+    Emits (event_type, n, p_lo, p_hi, mean_winsorized,
+    approx_thresholds_ok, approx_mean_ok)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(lo)), 6).alias("p_lo"),
+        F.round(F.percentile("value", F.lit(hi)), 6).alias("p_hi"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
+        F.expr(f"approx_percentile(value, array({lo}, {hi}), {accuracy})").alias("ap"),
+    )
+    j = e.select("event_type", "value").join(F.broadcast(pct), "event_type")
+    clip_exact = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    clip_approx = F.least(F.greatest(F.col("value"), F.col("ap")[0]), F.col("ap")[1])
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_lo").alias("p_lo"),
+        F.min("p_hi").alias("p_hi"),
+        F.min("q1").alias("q1"),
+        F.min("q3").alias("q3"),
+        F.min(F.col("ap")[0]).alias("a_lo"),
+        F.min(F.col("ap")[1]).alias("a_hi"),
+        qmean6(clip_exact).alias("mean_winsorized"),
+        qmean6(clip_approx).alias("mean_w_approx"),
+    )
+    th_tol = F.greatest(F.lit(1.0), 0.5 * (F.col("q3") - F.col("q1")))
+    return agg.select(
+        "event_type",
+        "n",
+        "p_lo",
+        "p_hi",
+        "mean_winsorized",
+        (
+            (F.abs(F.col("a_lo") - F.col("p_lo")) <= th_tol)
+            & (F.abs(F.col("a_hi") - F.col("p_hi")) <= th_tol)
+        ).alias("approx_thresholds_ok"),
+        (F.abs(F.col("mean_w_approx") - F.col("mean_winsorized")) <= 1.0).alias(
+            "approx_mean_ok"
+        ),
+    )
+
+
+def winsorized_event_stats_approx_oracle(
+    lo: float = WINSOR_LO, hi: float = WINSOR_HI, accuracy: int = APPROX_PCT_ACCURACY
+) -> str:
+    return f"""
+WITH pct AS (
+  SELECT event_type,
+         round(quantile_cont(value, {lo}), 6) AS p_lo,
+         round(quantile_cont(value, {hi}), 6) AS p_hi
+  FROM events GROUP BY event_type
+),
+j AS (
+  SELECT e.event_type, p.p_lo, p.p_hi,
+         least(greatest(e.value, p.p_lo), p.p_hi) AS clipped
+  FROM events e JOIN pct p USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+       round(sum(CAST(round((clipped) * 1e6) AS BIGINT)) / (1e6 * count(clipped)), 6)
+         AS mean_winsorized,
+       TRUE AS approx_thresholds_ok, TRUE AS approx_mean_ok
+FROM j GROUP BY event_type
+"""
+
+
 def point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment against the SCD2 table: for every
     `purchase` event, the user's state interval valid AT the purchase

@@ -408,6 +408,13 @@ def _registry() -> dict[str, Query]:
         timeseries.winsorized_event_stats_oracle(),
         ("events",),
     )
+    # 100 TB twin: approx_percentile clip thresholds, validated against
+    # the exact twin via contract booleans in the same plan
+    r["winsorized_event_stats_approx"] = Query(
+        lambda spark, sf: timeseries.winsorized_event_stats_approx(spark, sf),
+        timeseries.winsorized_event_stats_approx_oracle(),
+        ("events", "sketch"),
+    )
     # per-doc memorization-risk gate over the repeated-spans stream
     r["doc_span_novelty"] = Query(
         lambda spark, sf: textprep.doc_span_novelty(spark, sf),
@@ -698,6 +705,13 @@ def _registry() -> dict[str, Query]:
         timeseries.event_value_quantiles,
         timeseries.event_value_quantiles_oracle(),
         ("events", "agg"),
+    )
+    # 100 TB twin: Greenwald-Khanna summaries with accuracy-contract
+    # booleans against the exact quartiles (hll_daily_users pattern)
+    r["event_value_quantiles_approx"] = Query(
+        lambda spark, sf: timeseries.event_value_quantiles_approx(spark, sf),
+        timeseries.event_value_quantiles_approx_oracle(),
+        ("events", "sketch"),
     )
     # sketch estimates emitted as accuracy-contract booleans (oracle
     # expects TRUE) + exact twins — same pattern as hll_daily_users
