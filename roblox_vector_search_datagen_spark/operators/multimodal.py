@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The container ships no image/audio codecs, so the decode kernels are
-deterministic STUBS behind an import-try (`_try_real_decoder`) — the
-Spark-side contract (schema, batch shape, partitioning, UDF signature)
-is real and tested, and swapping in PIL/ffmpeg later changes one
-function, not the plan.
+The decode stage is REAL for PNG images: PIL when installed, else the
+vendored pure-stdlib reader (`functions/png.py`) — both yielding the
+same ITU-R 601-2 luminance — and only blobs neither can decode (audio/
+video, non-image bytes such as the synthetic fixtures) take the
+deterministic md5 stub. The Spark-side contract (schema, batch shape,
+partitioning, UDF signature) is identical either way, and swapping in
+ffmpeg for the remaining modalities changes one function, not the
+plan.
 
 Reference parity anchor: the reference's only binary pipeline is PNG
 icon/thumbnail download + base64 into an LLM prompt
@@ -66,15 +69,18 @@ def media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def _try_real_decoder():
-    """Return a real image decoder when codec libs exist; None here
-    (container has no PIL/cv2) — the stub below is the documented
-    fallback."""
-    try:  # pragma: no cover - not installed in this environment
+    """Return ("pil", module) when PIL imports, else ("png", module)
+    with the vendored pure-stdlib PNG reader (functions/png.py) — the
+    real decode arm is ALWAYS available now; blobs neither backend can
+    decode (e.g. the synthetic text-bytes fixtures) take the stub."""
+    try:  # pragma: no cover - PIL not installed in this environment
         import PIL.Image  # noqa: F401
 
-        return PIL.Image
+        return ("pil", PIL.Image)
     except ImportError:
-        return None
+        from ..functions import png as _png
+
+        return ("png", _png)
 
 def _stub_pixels(content: bytes, width: int, height: int) -> list[float]:
     """STUB decode: deterministic 4-value 'pixel statistics' from the
@@ -83,25 +89,32 @@ def _stub_pixels(content: bytes, width: int, height: int) -> list[float]:
     dig = hashlib.md5(content).digest()
     return [round(dig[i] / 255.0, 6) for i in range(4)]
 
-def _real_pixels(pil_image_mod, content: bytes, width: int, height: int) -> list[float]:
-    """Real decode path, taken when PIL imports: luminance mean/std plus
-    decoded-vs-declared dimension ratios — the same 4-float shape as
-    the stub so the Arrow schema is identical either way. Blobs that
-    are not decodable images (the synthetic fixtures are hash bytes,
-    not PNGs) fall back to the stub, keeping the operator total and
+def _real_pixels(backend, content: bytes, width: int, height: int) -> list[float]:
+    """Real decode path: luminance mean/std plus decoded-vs-declared
+    dimension ratios — the same 4-float shape as the stub so the Arrow
+    schema is identical either way. Both backends produce the same
+    ITU-R 601-2 integer luminance, so a later PIL install does not
+    change results on 8-bit PNGs. Blobs that are not decodable images
+    fall back to the stub, keeping the operator total and
     deterministic in every environment."""
     import io
 
+    kind, mod = backend
     try:
         import numpy as np
 
-        img = pil_image_mod.open(io.BytesIO(content)).convert("L")
-        arr = np.asarray(img, dtype="float64") / 255.0
+        if kind == "pil":
+            img = mod.open(io.BytesIO(content)).convert("L")
+            arr = np.asarray(img, dtype="float64") / 255.0
+            w0, h0 = img.width, img.height
+        else:
+            w0, h0, rows = mod.decode_png_luminance(content)
+            arr = np.asarray(rows, dtype="float64") / 255.0
         return [
             round(float(arr.mean()), 6),
             round(float(arr.std()), 6),
-            round(img.width / max(int(width), 1), 6),
-            round(img.height / max(int(height), 1), 6),
+            round(w0 / max(int(width), 1), 6),
+            round(h0 / max(int(height), 1), 6),
         ]
     except Exception:  # noqa: BLE001 — undecodable blob -> documented stub
         return _stub_pixels(content, width, height)
@@ -115,21 +128,26 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-def media_feature_arrays(spark: SparkSession, sf_dir: str, batch_hint: int = 1024) -> DataFrame:
+def media_feature_arrays(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_hint: int = 1024,
+    media_df: DataFrame | None = None,
+) -> DataFrame:
     """Feature extraction over binary media: one Arrow batch in, one
     out, numpy/pure-python inside — the decode stage of a multimodal
-    training pipeline. Partition-parallel; no shuffle at all."""
+    training pipeline. Partition-parallel; no shuffle at all.
+    `media_df` overrides the fixture-derived media table (tests feed
+    genuinely decodable PNG blobs through it to pin the real arm)."""
     import pandas as pd
 
-    m = media(spark, sf_dir)
+    m = media(spark, sf_dir) if media_df is None else media_df
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoder = _try_real_decoder()
-        decode = (
-            _stub_pixels
-            if decoder is None
-            else (lambda c, w, h: _real_pixels(decoder, c, w, h))
-        )
+        backend = _try_real_decoder()
+
+        def decode(c, w, h):
+            return _real_pixels(backend, c, w, h)
         for pdf in batches:
             feats = [
                 decode(c, w, h)

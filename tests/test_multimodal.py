@@ -49,7 +49,7 @@ def test_real_pixels_falls_back_on_undecodable_blob():
             raise ValueError("not an image")
 
     blob = b"not an image"
-    assert mm._real_pixels(FakePIL, blob, 64, 64) == mm._stub_pixels(blob, 64, 64)
+    assert mm._real_pixels(("pil", FakePIL), blob, 64, 64) == mm._stub_pixels(blob, 64, 64)
 
 def test_real_pixels_decodes_when_decoder_works():
     import numpy as np
@@ -71,5 +71,145 @@ def test_real_pixels_decodes_when_decoder_works():
         def open(buf):
             return FakeImg()
 
-    feats = mm._real_pixels(FakePIL, b"png-bytes", 64, 64)
+    feats = mm._real_pixels(("pil", FakePIL), b"png-bytes", 64, 64)
     assert feats == [0.2, 0.0, 0.5, 0.25]
+
+
+# ---------------------------------------------------------------------------
+# Vendored PNG decoder: the real decode arm, executed for real
+# ---------------------------------------------------------------------------
+
+def _gradient_rows(w=4, h=4):
+    return [[(y * w + x) * 16 for x in range(w)] for y in range(h)]
+
+
+def test_png_gray_roundtrip():
+    from roblox_vector_search_datagen_spark.functions import png
+
+    rows = _gradient_rows()
+    blob = png.encode_png_gray(rows)
+    w, h, got = png.decode_png_luminance(blob)
+    assert (w, h) == (4, 4)
+    assert got == rows
+
+
+def test_png_rgb_and_filters_decode():
+    """Hand-assembled PNGs exercising the RGB luminance transform and
+    every filter type (Sub/Up/Average/Paeth) against pixel values the
+    test filters forward itself."""
+    import struct
+    import zlib
+
+    from roblox_vector_search_datagen_spark.functions import png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # RGB 2x2, filter 0: known ITU-R 601-2 integer luminance
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    raw = b"".join(
+        b"\x00" + bytes(v for p in row for v in p) for row in px
+    )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, lum = png.decode_png_luminance(blob)
+    assert (w, h) == (2, 2)
+    assert lum == [[299 * 255 // 1000, 587 * 255 // 1000], [114 * 255 // 1000, 255]]
+
+    # grayscale 4x5, one row per filter type, filtered forward here
+    rows = [[(y * 37 + x * 16) % 256 for x in range(4)] for y in range(5)]
+    lines = []
+    prev = [0] * 4
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[y]
+        if ftype == 0:
+            enc = cur[:]
+        elif ftype == 1:
+            enc = [(cur[i] - (cur[i - 1] if i else 0)) & 0xFF for i in range(4)]
+        elif ftype == 2:
+            enc = [(cur[i] - prev[i]) & 0xFF for i in range(4)]
+        elif ftype == 3:
+            enc = [
+                (cur[i] - (((cur[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(4)
+            ]
+        else:
+            enc = [
+                (cur[i] - png._paeth(cur[i - 1] if i else 0, prev[i], prev[i - 1] if i else 0))
+                & 0xFF
+                for i in range(4)
+            ]
+        lines.append(bytes([ftype]) + bytes(enc))
+        prev = cur
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert png.decode_png_luminance(blob) == (4, 5, rows)
+
+
+def test_real_pixels_uses_vendored_png_backend():
+    """A decodable PNG must take the REAL arm — this test fails if
+    _real_pixels regresses to the stub on a decodable image."""
+    import numpy as np
+
+    from roblox_vector_search_datagen_spark.functions import png
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    rows = _gradient_rows()
+    blob = png.encode_png_gray(rows)
+    arr = np.asarray(rows, dtype="float64") / 255.0
+    expected = [
+        round(float(arr.mean()), 6),
+        round(float(arr.std()), 6),
+        round(4 / 8, 6),
+        round(4 / 16, 6),
+    ]
+    backend = mm._try_real_decoder()
+    got = mm._real_pixels(backend, blob, 8, 16)
+    assert got == expected
+    assert got != mm._stub_pixels(blob, 8, 16)
+
+
+def test_media_features_real_arm_end_to_end(spark):
+    """The full Arrow mapInPandas stage over a media frame holding one
+    genuinely decodable PNG and one opaque blob: the PNG row must carry
+    real luminance stats, the opaque row the documented stub."""
+    import numpy as np
+
+    from roblox_vector_search_datagen_spark.functions import png
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    rows = _gradient_rows()
+    blob = png.encode_png_gray(rows)
+    opaque = b"just text bytes"
+    media_df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(blob), (4, 4, None)),
+            (1, "image", bytearray(opaque), (64, 64, None)),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {
+        r.doc_id: r.features
+        for r in mm.media_feature_arrays(spark, None, media_df=media_df).collect()
+    }
+    arr = np.asarray(rows, dtype="float64") / 255.0
+    assert out[0] == [
+        round(float(arr.mean()), 6),
+        round(float(arr.std()), 6),
+        1.0,
+        1.0,
+    ]
+    assert out[1] == mm._stub_pixels(opaque, 64, 64)
