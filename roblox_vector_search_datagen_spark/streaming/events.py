@@ -83,12 +83,16 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
-def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_windowed_event_counts(
+    spark: SparkSession, sf_dir: str, raw: DataFrame | None = None
+) -> DataFrame:
     """Streaming twin: file-source readStream over the same parquet,
     1-hour watermark for late data, same windowed agg. Run with
     Trigger.AvailableNow into a sink; complete-mode output equals the
-    batch twin on a static directory."""
-    raw = _events_stream(spark, sf_dir)
+    batch twin on a static directory. `raw` overrides the source (the
+    late-data tests feed a multi-microbatch out-of-order stream through
+    it to pin the watermark-drop semantics)."""
+    raw = _events_stream(spark, sf_dir) if raw is None else raw
     return (
         raw.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -356,7 +360,11 @@ def stream_interval_click_purchases(
 # ---------------------------------------------------------------------------
 
 def stream_rate_limited_events(
-    spark: SparkSession, sf_dir: str, limit: int | None = None, window_min: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int | None = None,
+    window_min: int | None = None,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming twin of operators.timeseries.rate_limited_events: a
     per-(user, tumbling-window) admission counter in GroupState. Each
@@ -378,7 +386,7 @@ def stream_rate_limited_events(
 
     limit = RATE_LIMIT_N if limit is None else limit
     window_min = RATE_WINDOW_MIN if window_min is None else window_min
-    raw = _events_stream(spark, sf_dir)
+    raw = _events_stream(spark, sf_dir) if raw is None else raw
     win_us = window_min * 60 * 1_000_000
     keyed = raw.select(
         "event_id",

@@ -174,3 +174,124 @@ def test_stream_rate_limit_matches_batch(spark, sf_dir):
     }
     assert len(batch) > 0 and set(streamed) == set(batch)
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# Late-data / watermark semantics (out-of-order multi-microbatch feeds)
+# ---------------------------------------------------------------------------
+
+def _feed_dir(spark, tmp_path, batches):
+    """One parquet file per batch with strictly increasing mtimes, so a
+    maxFilesPerTrigger=1 file stream replays them as separate ordered
+    microbatches — the only way to make watermark advancement (a
+    batch-boundary effect) deterministic in a test."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = _time.time() - 1000
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = feed / f"b{i:02d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    return str(feed)
+
+
+def _raw_stream(spark, feed):
+    from pyspark.sql import functions as F
+
+    s = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_windowed_agg_drops_late_data_behind_watermark(spark, tmp_path):
+    """Out-of-order feed with a late straggler: once the watermark
+    (max ts - 1h, which Spark propagates with a one-trigger lag) has
+    passed the straggler's window AND that window was emitted, the
+    straggler must be DROPPED — the streamed append output equals the
+    batch twin over the feed MINUS the straggler, and differs from the
+    batch twin over the full feed by exactly that row."""
+    from datetime import datetime as dt
+
+    def e(i, h, m):
+        return (i, dt(2024, 3, 1, h, m), 1, "click", 1.0)
+
+    # batch 0: shuffled event times spanning 10:00-12:59
+    b0 = [e(1, 12, 10), e(2, 10, 20), e(3, 11, 40), e(4, 10, 50), e(5, 12, 59), e(6, 11, 5)]
+    # batch 1: on-time 13:30 — the 11:59 watermark from batch 0 takes
+    # effect here and closes the 10:00 and 11:00 windows
+    b1 = [e(8, 13, 30)]
+    # batch 2: the straggler at 10:05 — two triggers behind, its window
+    # already finalized: must be dropped, never re-emitted
+    b2 = [e(7, 10, 5)]
+    # batch 3: flush event far ahead so every window of interest closes
+    b3 = [e(9, 20, 0)]
+    feed = _feed_dir(spark, tmp_path, [b0, b1, b2, b3])
+
+    q = S.run_stream_to_memory(
+        S.stream_windowed_event_counts(spark, None, raw=_raw_stream(spark, feed)),
+        "late_win_counts",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM late_win_counts").collect()
+    }
+    expected = {
+        (dt(2024, 3, 1, 10, 0), 2, 2.0),  # straggler NOT counted
+        (dt(2024, 3, 1, 11, 0), 2, 2.0),
+        (dt(2024, 3, 1, 12, 0), 2, 2.0),
+        (dt(2024, 3, 1, 13, 0), 1, 1.0),
+        # flush window [20:00, 21:00) never closes -> absent in append
+    }
+    assert got == expected
+    # the batch twin over the FULL feed counts the straggler — the
+    # streamed result differs from it by exactly that dropped row
+    assert (dt(2024, 3, 1, 10, 0), 3, 3.0) not in got
+
+
+def test_rate_limit_admission_is_arrival_order_across_microbatches(spark, tmp_path):
+    """The stateful rate limiter's documented contract: within a
+    microbatch, (ts, event_id) order; ACROSS microbatches, arrival
+    order — an admitted event is never revoked when an earlier-ts event
+    arrives late. Feed 7 events of one (user, window) as 4-then-3 with
+    the late batch carrying the two EARLIEST timestamps: the limit-5
+    admission set must be batch-1's four plus the first (by ts) of
+    batch 2 — not the five earliest overall timestamps."""
+    from datetime import datetime as dt
+
+    def e(i, m, s):
+        return (i, dt(2024, 3, 1, 10, m, s), 1, "click", 1.0)
+
+    b0 = [e(11, 4, 0), e(12, 5, 0), e(13, 6, 0), e(14, 7, 0)]
+    b1 = [e(15, 1, 0), e(16, 0, 30), e(17, 8, 0)]  # two earliest arrive LATE
+    feed = _feed_dir(spark, tmp_path, [b0, b1])
+
+    q = S.run_stream_to_memory(
+        S.stream_rate_limited_events(spark, None, raw=_raw_stream(spark, feed)),
+        "late_rate_limited",
+        output_mode="update",
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_rate_limited").collect()
+    admitted = {r.event_id for r in rows if r.admitted}
+    # batch 1 admits 11-14 (seq 1-4); batch 2 sorts by ts -> 16 (seq 5,
+    # admitted), 15 (seq 6), 17 (seq 7). Event-time order would have
+    # admitted {16, 15, 11, 12, 13} — arrival order must win.
+    assert admitted == {11, 12, 13, 14, 16}
+    assert {r.event_id: r.seq_in_win for r in rows}[17] == 7
