@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions.caching import persist_if
 from ..functions.num import qmean6, qsum6
 from ..sources import tables
 
@@ -139,11 +140,11 @@ def ivf_assignments(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFra
     # index_build_report, embedding_outliers and semantic_dedup all
     # build on this assignment pass — the cache manager substitutes one
     # materialization across them by canonicalized-plan equality
-    return (
+    return persist_if(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("vec_id", "cent_id", "cosine")
-        .persist()
+        .select("vec_id", "cent_id", "cosine"),
+        k == IVF_K,
     )
 
 def ivf_assignments_oracle(k: int = IVF_K) -> str:
@@ -965,7 +966,7 @@ def ivf_train(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
     the re-assembly and the shift join, so it is persisted. Emits
     (cent_id, n_members, mean_cos, shift)."""
     e = tables.load_table(spark, sf_dir, "embeddings")
-    upd = ivf_centroid_update(spark, sf_dir, k).persist()
+    upd = persist_if(ivf_centroid_update(spark, sf_dir, k), k == IVF_K)
     c1 = (
         upd.groupBy("cent_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("ps"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.caching import persist_if
 from ..functions import vector as V
 from ..sources import tables
 
@@ -559,7 +560,9 @@ def ngram_jaccard_pairs(
     `ngram_dropped_shingles` reports how many buckets the cap dropped.
     """
     buckets_all = _ngram_buckets(spark, sf_dir)
-    buckets = buckets_all.filter(F.size("docs") <= df_cap).persist()
+    buckets = persist_if(
+        buckets_all.filter(F.size("docs") <= df_cap), df_cap == NGRAM_DF_CAP
+    )
     # union sizes over the SAME capped shingle universe as the
     # intersection — one extra count agg, still bounded by df_cap
     n_sh = (
@@ -950,7 +953,11 @@ WHERE {cos} >= {threshold}
 EXACT_JACCARD_DUP_THRESHOLD = 0.8
 
 def _exact_jaccard_stage(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame, threshold: float
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame,
+    threshold: float,
+    invariant: bool = True,
 ) -> DataFrame:
     """Shared final stage of the dedup funnel: exact shingle Jaccard
     over an arbitrary (doc_a, doc_b [, carried...]) candidate
@@ -971,7 +978,7 @@ def _exact_jaccard_stage(
     # branches each instantiate the subtree). `pairs` is persisted so
     # the id-collection pass doesn't recompute the blocking scheme; the
     # pruned shingle table is persisted for the two id joins.
-    pairs = pairs.persist()
+    pairs = persist_if(pairs, invariant)
     ids = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
@@ -979,8 +986,8 @@ def _exact_jaccard_stage(
     sh = (
         d.join(ids, "doc_id")
         .select("doc_id", H.word_shingles_expr(F.col("text")).alias("sh"))
-        .persist()
     )
+    sh = persist_if(sh, invariant)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1023,9 +1030,9 @@ def embedding_lsh_verified(
         F.col("vec_b").alias("doc_b"),
         "cosine",
     )
-    return _exact_jaccard_stage(spark, sf_dir, cands, threshold).select(
-        "doc_a", "doc_b", "cosine", "jaccard", "is_dup"
-    )
+    return _exact_jaccard_stage(
+        spark, sf_dir, cands, threshold, invariant=cos_threshold == 0.35
+    ).select("doc_a", "doc_b", "cosine", "jaccard", "is_dup")
 
 def embedding_lsh_verified_oracle(
     cos_threshold: float = 0.35,
@@ -1452,10 +1459,11 @@ def minhash_band_sweep(
     # truth set twice — the scalar count and the marked left-join — and
     # Catalyst instantiates the subtree separately for each reference;
     # only the bucket stage inside it was cached before
-    truth = (
-        ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
-        .select("doc_a", "doc_b", F.lit(1).alias("t"))
-        .persist()
+    truth = persist_if(
+        ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+            "doc_a", "doc_b", F.lit(1).alias("t")
+        ),
+        threshold == LSH_RECALL_TRUTH_THRESHOLD,
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     marked = per_pair.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
@@ -1638,7 +1646,10 @@ def dedup_funnel_report(
         .cast("bigint")
         .alias("exact_dup_excess_docs"),
     )
-    v = exact_jaccard_verify(spark, sf_dir, threshold).persist()
+    v = persist_if(
+        exact_jaccard_verify(spark, sf_dir, threshold),
+        threshold == EXACT_JACCARD_DUP_THRESHOLD,
+    )
     vstats = v.agg(
         F.count(F.lit(1)).cast("bigint").alias("lsh_candidate_pairs"),
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0))

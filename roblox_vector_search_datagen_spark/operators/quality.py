@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.caching import persist_if
 from ..functions.num import qmean6
 from ..sources import tables
 
@@ -368,10 +369,13 @@ def dsir_weights(
     # the histogram feeds both the totals aggregate and the scoring
     # join; persisting the `buckets`-row table stops Spark re-deriving
     # it from a third corpus scan
-    hist = toks.groupBy("b").agg(
-        F.count(F.lit(1)).alias("raw_cnt"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_cnt"),
-    ).persist()
+    hist = persist_if(
+        toks.groupBy("b").agg(
+            F.count(F.lit(1)).alias("raw_cnt"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_cnt"),
+        ),
+        buckets == DSIR_BUCKETS,
+    )
     totals = hist.agg(
         F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
     )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.caching import persist_if
 from ..sources import tables
 
 ROUND = 6
@@ -779,18 +780,19 @@ def bloom_decontaminate(
         .distinct()
         .persist()
     )
-    bits = (
+    # persisted (when (m, k) are the defaults): the k per-hash-function
+    # probes each build a differently-aliased broadcast from this
+    # table, which defeats ReusedExchange (ingest_decision_report
+    # pattern)
+    bits = persist_if(
         bench_h.select(
             F.explode(
                 F.array(*[H.minhash_value_expr(F.col("h"), j) % m for j in range(k)])
             ).alias("pos")
         )
         .distinct()
-        .withColumn("bit", F.lit(1))
-        # persisted: the k per-hash-function probes each build a
-        # differently-aliased broadcast from this table, which defeats
-        # ReusedExchange (the ingest_decision_report pattern)
-        .persist()
+        .withColumn("bit", F.lit(1)),
+        (m, k) == (BLOOM_M, BLOOM_K),
     )
     # distinct on (doc_id, h): shingles are already distinct per doc,
     # but two shingles may collide in h32 — membership is per HASH, so

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.caching import persist_if
 from ..functions import vector as V
 from ..sources import tables
 
@@ -332,11 +333,11 @@ def bm25_search(
     # persisted: dfreq and the scoring join both reference this posting
     # aggregation and Catalyst instantiates the subtree per reference —
     # the cache saves the second corpus tokenize (A/B: ~11% at sf0.1)
-    tf = (
+    tf = persist_if(
         tokens.filter(F.array_contains(qterms, F.col("term")))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")),
+        tuple(terms) == BM25_QUERY,
     )
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(dl_expr).alias("avgdl")
@@ -919,11 +920,11 @@ def known_item_search_eval(
     # aggregation, and Catalyst instantiates the subtree once per
     # reference — without the cache the corpus tokenize + explode runs
     # twice (measured 3.5 -> ~2 s at sf0.1)
-    tf = (
+    tf = persist_if(
         tokens.join(probe_terms.select("term").distinct(), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")),
+        (n_probes, q_words) == (KI_PROBES, KI_QWORDS),
     )
     stats = d.agg(F.count(F.lit(1)).alias("n_docs"), F.avg(dl_expr).alias("avgdl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

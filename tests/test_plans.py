@@ -505,3 +505,25 @@ def test_ivf_upsert_is_delta_restricted(spark, sf_dir):
     p = plan_of(ann.ivf_staleness_report(spark, sf_dir))
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_non_default_invocations_skip_the_cache(spark, sf_dir):
+    """Parameterized operators persist only their session-invariant
+    (all-defaults) subtrees: a non-default invocation must NOT mint a
+    new cache entry (they would accumulate per distinct argument set
+    for the session's lifetime), while the default invocation keeps its
+    measured cache reuse."""
+    from roblox_vector_search_datagen_spark.operators import ann, textstats
+
+    def executed(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # default: the tf posting subtree is cached (InMemoryTableScan)
+    assert "InMemoryTableScan" in executed(textstats.bm25_search(spark, sf_dir))
+    # non-default terms: same operator, no new cache entry
+    assert "InMemoryTableScan" not in executed(
+        textstats.bm25_search(spark, sf_dir, terms=("zebra", "unseen"))
+    )
+    assert "InMemoryTableScan" not in executed(
+        ann.ivf_assignments(spark, sf_dir, k=7)
+    )
