@@ -767,63 +767,19 @@ def _registry() -> dict[str, Query]:
     )
     return r
 
-# The driver adjudicates a 50-query prefix window per round. Round-4
-# ordering, weakest evidence first: (1) the r3 red (bpe_pair_counts,
-# HUGEINT oracle dtype fixed this round) and the queries NEW this round
-# with no driver row yet, (2) queries whose latest green row is round 1
-# (stalest evidence), (3) latest-green round 2, (4) latest-green round
-# 3. Every query is self-contained, so order carries no semantics.
+# The driver adjudicates a 50-query prefix window per round. Round-5
+# ordering, weakest evidence first: (1) the five queries NEW this
+# round (no driver row yet), (2) the 40 queries whose newest green
+# row is round 2 (stalest evidence), (3) latest-green round 3, (4)
+# latest-green round 4. After this window lands, no query's newest
+# driver contact is older than two rounds. Every query is
+# self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
-    "bpe_pair_counts",
-    "simhash_banded_near_dups",
-    "edit_distance_verify",
-    "ivf_pq_topk",
-    "dim_truncation_recall",
-    "bigram_lm_score",
-    "compaction_plan",
-    "hard_negative_mining",
-    "rate_limited_events",
-    "scd2_user_state",
-    "winsorized_event_stats",
-    "doc_span_novelty",
-    "point_in_time_state",
-    "known_item_search_eval",
-    "split_centroid_drift",
-    "column_cardinality_profile",
-    "event_minmax_downsample",
-    "temperature_mixture_plan",
-    "weighted_sample",
-    "embedding_norm_audit",
-    "dedup_clusters",
-    "embedding_lsh_near_dups",
-    "ngram_jaccard_pairs",
-    "embedding_near_dups",
-    "ann_topk",
-    "ivf_assignments",
-    "ivf_centroid_update",
-    "ann_ivf_topk",
-    "knn_join",
-    "pq_codes",
-    "pq_adc_topk",
-    "pq_rerank_topk",
-    "lang_id",
-    "text_quality",
-    "token_counts",
-    "doc_fingerprints",
-    "top_terms",
-    "dataset_splits",
-    "repetition_stats",
-    "doc_chunks",
-    "stratified_sample",
-    "decontaminate",
-    "pack_sequences",
-    "vector_search",
-    "similar_search",
-    "text_search",
-    "list_games",
-    "list_games_unicode",
-    "count_games",
-    "stats",
+    "simhash_dropped_bands",
+    "winsorized_event_stats_approx",
+    "ivf_upsert_assignments",
+    "ivf_staleness_report",
+    "event_value_quantiles_approx",
     "merge_games_gather",
     "merge_games_search",
     "merge_games_rolimons",
@@ -913,6 +869,56 @@ _ADJUDICATE_FIRST = (
     "sketch_event_profile",
     "media_dedup",
     "sliding_event_counts",
+    "bpe_pair_counts",
+    "simhash_banded_near_dups",
+    "edit_distance_verify",
+    "ivf_pq_topk",
+    "dim_truncation_recall",
+    "bigram_lm_score",
+    "compaction_plan",
+    "hard_negative_mining",
+    "rate_limited_events",
+    "scd2_user_state",
+    "winsorized_event_stats",
+    "doc_span_novelty",
+    "point_in_time_state",
+    "known_item_search_eval",
+    "split_centroid_drift",
+    "column_cardinality_profile",
+    "event_minmax_downsample",
+    "temperature_mixture_plan",
+    "weighted_sample",
+    "embedding_norm_audit",
+    "dedup_clusters",
+    "embedding_lsh_near_dups",
+    "ngram_jaccard_pairs",
+    "embedding_near_dups",
+    "ann_topk",
+    "ivf_assignments",
+    "ivf_centroid_update",
+    "ann_ivf_topk",
+    "knn_join",
+    "pq_codes",
+    "pq_adc_topk",
+    "pq_rerank_topk",
+    "lang_id",
+    "text_quality",
+    "token_counts",
+    "doc_fingerprints",
+    "top_terms",
+    "dataset_splits",
+    "repetition_stats",
+    "doc_chunks",
+    "stratified_sample",
+    "decontaminate",
+    "pack_sequences",
+    "vector_search",
+    "similar_search",
+    "text_search",
+    "list_games",
+    "list_games_unicode",
+    "count_games",
+    "stats",
 )
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:
