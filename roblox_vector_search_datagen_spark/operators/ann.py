@@ -1461,10 +1461,14 @@ def hard_negative_mining(
 
     Physical shape = `knn_join` with a band predicate: the anchor block
     broadcasts, the corpus scans ONCE, the band filter drops most pairs
-    BEFORE the rank window, and the window shuffles only (anchor_id,
-    vec_id, cosine) — vector payloads never cross an exchange. At 100
-    TB the shortlist could come from the IVF/PQ index instead of the
-    brute scan; the band-then-rank shape is unchanged. Emits
+    BEFORE ranking, and ranking is the same TWO-STAGE shape as
+    `knn_join` — a local window on (scan-partition id, anchor_id)
+    prunes to k rows per partition, then the global per-anchor window
+    ranks only the survivors, so no anchor ever funnels the whole
+    banded corpus into one reducer partition. Only narrow (anchor_id,
+    neg_id, cosine) triples cross an exchange. At 100 TB the shortlist
+    could come from the IVF/PQ index instead of the brute scan; the
+    band-then-rank shape is unchanged. Emits
     (anchor_id, neg_id, cosine, rank)."""
     e = tables.load_table(spark, sf_dir, "embeddings")
     anchors = F.broadcast(
@@ -1479,12 +1483,20 @@ def hard_negative_mining(
             "anchor_id",
             F.col("vec_id").alias("neg_id"),
             F.round(V.cosine_expr(F.col("embedding"), F.col("a_emb")), 6).alias("cosine"),
+            F.spark_partition_id().alias("_pid"),
         )
         .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("neg_id"))
+    order = (F.col("cosine").desc_nulls_last(), F.col("neg_id"))
+    w_local = Window.partitionBy("_pid", "anchor_id").orderBy(*order)
+    local = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .select("anchor_id", "neg_id", "cosine")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )

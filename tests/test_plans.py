@@ -118,15 +118,17 @@ def test_knn_join_topk_is_two_stage(spark, sf_dir):
     n_queries reducer partitions."""
     from roblox_vector_search_datagen_spark.operators import ann
 
-    df = ann.knn_join(spark, sf_dir)
-    p = df._jdf.queryExecution().executedPlan().toString()
-    windows = [ln for ln in p.splitlines() if "Window [" in ln]
-    assert len(windows) == 2, p
-    # the first (inner, printed last) window is the local one
-    assert "_pid" in windows[-1], p
-    assert "_pid" not in windows[0], p
+    for fn in (ann.knn_join, ann.hard_negative_mining):
+        p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        windows = [ln for ln in p.splitlines() if "Window [" in ln]
+        assert len(windows) == 2, (fn.__name__, p)
+        # the first (inner, printed last) window is the local one
+        assert "_pid" in windows[-1], (fn.__name__, p)
+        assert "_pid" not in windows[0], (fn.__name__, p)
     # results identical to the one-stage oracle ranking
-    got = {(r.query_id, r.rank): r.vec_id for r in df.collect()}
+    got = {
+        (r.query_id, r.rank): r.vec_id for r in ann.knn_join(spark, sf_dir).collect()
+    }
     assert len(got) == ann.KNN_QUERIES * ann.KNN_K
 
 
