@@ -37,6 +37,153 @@ def ann_topk(
         .select("vec_id", "label", "cosine", "doc_id", "source", "lang")
     )
 
+ANN_LSH_PROBE_HAMMING = 1
+
+
+def _py_sign_bucket(vec: list[float], bits: int) -> int:
+    """Python twin of dedup._sign_bucket_expr for a literal query
+    vector: same block partitioning, same left-to-right double
+    accumulation, same >= 0 sign rule."""
+    dims_per = len(vec) // bits
+    bucket = 0
+    for j in range(bits):
+        s = 0.0
+        for x in vec[j * dims_per : (j + 1) * dims_per]:
+            s += x
+        if s >= 0:
+            bucket |= 1 << j
+    return bucket
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "vector similarity search",
+    k: int = 20,
+    probe_hamming: int = ANN_LSH_PROBE_HAMMING,
+) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k — the query-time path of the
+    random-hyperplane index that `embedding_lsh_near_dups` uses for
+    dedup blocking, complementing the IVF family (`ann_ivf_topk`): no
+    trained centroids, just the vector's own sign bits, which makes it
+    the index you can query before any training pass has run.
+
+    The query's bucket and its multi-probe set (all buckets within
+    Hamming distance `probe_hamming` — the standard recall lever,
+    cf. Lv et al. VLDB'07 multi-probe LSH) are computed driver-side
+    from the LITERAL query vector and pushed into the scan as an IN
+    filter: with the corpus stored bucket-partitioned (the layout
+    `shard_manifest`/`events_zorder` model), that filter is partition
+    pruning — the scan itself shrinks to probes/2^bits of the corpus,
+    and only probed rows are ever scored. Emits (vec_id, bucket,
+    cosine)."""
+    from .dedup import LSH_SIGN_BITS, _sign_bucket_expr
+
+    qv_list = V.embed_query(query_text)
+    q_bucket = _py_sign_bucket(qv_list, LSH_SIGN_BITS)
+    probes = sorted(
+        q_bucket ^ m
+        for m in range(1 << LSH_SIGN_BITS)
+        if bin(m).count("1") <= probe_hamming
+    )
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    qv = V.vector_lit(qv_list)
+    scored = e.select(
+        "vec_id",
+        _sign_bucket_expr(F.col("embedding")).cast("int").alias("bucket"),
+        F.round(V.cosine_expr(F.col("embedding"), qv), 6).alias("cosine"),
+    ).filter(F.col("bucket").isin(probes))
+    return scored.orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id")).limit(k)
+
+
+def _lsh_bucket_sql(emb_d: str) -> str:
+    from .dedup import LSH_SIGN_BITS
+
+    dims_per = GEN_DIM // LSH_SIGN_BITS
+    return " + ".join(
+        f"CASE WHEN list_sum({emb_d}[{j * dims_per + 1}:{(j + 1) * dims_per}]) >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(LSH_SIGN_BITS)
+    )
+
+
+def ann_lsh_topk_oracle(
+    query_text: str = "vector similarity search",
+    k: int = 20,
+    probe_hamming: int = ANN_LSH_PROBE_HAMMING,
+) -> str:
+    from .dedup import LSH_SIGN_BITS
+
+    qv_list = V.embed_query(query_text)
+    q_bucket = _py_sign_bucket(qv_list, LSH_SIGN_BITS)
+    probes = sorted(
+        q_bucket ^ m
+        for m in range(1 << LSH_SIGN_BITS)
+        if bin(m).count("1") <= probe_hamming
+    )
+    qv = V.vector_sql_literal(qv_list)
+    cos = V.cosine_sql("embedding", f"{qv}")
+    return f"""
+WITH eb AS (
+  SELECT vec_id, embedding,
+         CAST({_lsh_bucket_sql("CAST(embedding AS DOUBLE[])")} AS INT) AS bucket
+  FROM embeddings
+)
+SELECT vec_id, bucket, round({cos}, 6) AS cosine
+FROM eb WHERE bucket IN ({", ".join(str(p) for p in probes)})
+ORDER BY cosine DESC NULLS LAST, vec_id LIMIT {k}
+"""
+
+
+def ann_lsh_recall_at_k(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "vector similarity search",
+    k: int = 20,
+    probe_hamming: int = ANN_LSH_PROBE_HAMMING,
+) -> DataFrame:
+    """Recall@k of the sign-LSH probe path against the exact top-k —
+    the `ann_recall_at_k` companion that decides probe_hamming before
+    the LSH index is trusted. Both rankings are narrow top-k plans;
+    the overlap join touches 2k rows. Emits (k, n_overlap, recall)."""
+    qv = V.vector_lit(V.embed_query(query_text))
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id", F.round(V.cosine_expr(F.col("embedding"), qv), 6).alias("cosine")
+    )
+    exact = (
+        scored.orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    approx = ann_lsh_topk(spark, sf_dir, query_text, k, probe_hamming).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
+    )
+
+
+def ann_lsh_recall_at_k_oracle(
+    query_text: str = "vector similarity search",
+    k: int = 20,
+    probe_hamming: int = ANN_LSH_PROBE_HAMMING,
+) -> str:
+    qv = V.vector_sql_literal(V.embed_query(query_text))
+    cos = V.cosine_sql("embedding", f"{qv}")
+    lsh = ann_lsh_topk_oracle(query_text, k, probe_hamming)
+    return f"""
+WITH exact AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY round({cos}, 6) DESC NULLS LAST, vec_id LIMIT {k}
+),
+approx AS (SELECT vec_id FROM ({lsh}) t)
+SELECT CAST({k} AS INT) AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / CAST({k} AS DOUBLE), 6) AS recall
+FROM exact JOIN approx USING (vec_id)
+"""
+
+
 def ann_topk_oracle(query_text: str = "vector similarity search", k: int = 20) -> str:
     qv = V.vector_sql_literal(V.embed_query(query_text))
     cos = V.cosine_sql("embedding", f"{qv}")

@@ -572,6 +572,19 @@ def _registry() -> dict[str, Query]:
     r["ann_ivf_topk"] = Query(
         lambda spark, sf: ann.ann_ivf_topk(spark, sf), ann.ann_ivf_topk_oracle(), ("vector",)
     )
+    # training-free query path: multi-probe sign-LSH buckets pushed
+    # into the scan as an IN filter (partition pruning on a
+    # bucket-partitioned layout) + its recall gate
+    r["ann_lsh_topk"] = Query(
+        lambda spark, sf: ann.ann_lsh_topk(spark, sf),
+        ann.ann_lsh_topk_oracle(),
+        ("vector",),
+    )
+    r["ann_lsh_recall_at_k"] = Query(
+        lambda spark, sf: ann.ann_lsh_recall_at_k(spark, sf),
+        ann.ann_lsh_recall_at_k_oracle(),
+        ("vector", "report"),
+    )
     r["generate_vectors"] = Query(
         lambda spark, sf: ann.generate_vectors_summary(spark, sf),
         ann.generate_vectors_oracle(),
@@ -775,6 +788,8 @@ def _registry() -> dict[str, Query]:
 # driver contact is older than two rounds. Every query is
 # self-contained, so order carries no semantics.
 _ADJUDICATE_FIRST = (
+    "ann_lsh_topk",
+    "ann_lsh_recall_at_k",
     "simhash_dropped_bands",
     "winsorized_event_stats_approx",
     "ivf_upsert_assignments",
