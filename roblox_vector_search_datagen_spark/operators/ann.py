@@ -443,6 +443,78 @@ scored AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM scored WHERE rank <= {k}
 """
 
+def knn_label_accuracy(
+    spark: SparkSession, sf_dir: str, n_queries: int = KNN_QUERIES, k: int = KNN_K
+) -> DataFrame:
+    """Embedding-quality evaluation by neighbor label agreement: for
+    each held-out query vector, what fraction of its exact top-k cosine
+    neighbors carries the query's own label — the standard k-NN
+    classification proxy a pipeline reads before trusting an embedding
+    model for dedup/clustering (a space whose neighbors ignore labels
+    will near-dup unrelated docs). The reference ships embeddings but
+    no intrinsic eval (src/lib/vectorSearch.ts stops at retrieval);
+    this is the missing acceptance gate, the label-space companion of
+    `ann_recall_at_k` (which scores the INDEX against brute force —
+    this scores the SPACE against external labels).
+
+    Physical shape: rides `knn_join`'s two-stage top-k (query block
+    broadcast, one corpus scan, no reducer funnel). The n_queries x k
+    result is tiny at any corpus size, so it broadcasts into the
+    column-pruned (vec_id, label) scan for neighbor labels; query
+    labels come from the same narrow scan pre-filtered to the query
+    block (n_queries rows, broadcast). The final aggregation is over
+    n_queries x k rows — driver-table-sized. Emits per query-label
+    (label, n_queries, n_neighbors, n_matching, match_rate)."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    q_labels = F.broadcast(
+        labels.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+        )
+    )
+    knn = knn_join(spark, sf_dir, n_queries, k)
+    matched = (
+        labels.join(F.broadcast(knn), "vec_id")
+        .join(q_labels, "query_id")
+        .select(
+            "query_id",
+            "q_label",
+            (F.col("label") == F.col("q_label")).cast("long").alias("m"),
+        )
+    )
+    return (
+        matched.groupBy("q_label")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum("m").alias("n_matching"),
+            F.round(F.sum("m") / F.count(F.lit(1)), 6).alias("match_rate"),
+        )
+        .select(
+            F.col("q_label").alias("label"),
+            "n_queries",
+            "n_neighbors",
+            "n_matching",
+            "match_rate",
+        )
+    )
+
+def knn_label_accuracy_oracle(n_queries: int = KNN_QUERIES, k: int = KNN_K) -> str:
+    return f"""
+WITH knn AS ({knn_join_oracle(n_queries, k)}),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT q.label AS label,
+       CAST(count(DISTINCT kn.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+       round(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS match_rate
+FROM knn kn
+JOIN lab n ON n.vec_id = kn.vec_id
+JOIN lab q ON q.vec_id = kn.query_id
+GROUP BY q.label
+"""
+
 # ---------------------------------------------------------------------------
 # Product quantization (encode + ADC scan) — the compressed-index path
 # ---------------------------------------------------------------------------
@@ -1019,6 +1091,74 @@ WITH assign AS ({ivf_assignments_oracle(k)})
 SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
        round(sum(CAST(round(cosine * 1e6) AS BIGINT)) / (1e6 * count(*)), 6) AS mean_cosine
 FROM assign GROUP BY cent_id
+"""
+
+def ivf_label_purity(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
+    """External-label cluster quality: per IVF cell, the share of
+    members carrying the cell's majority label — the purity metric
+    that validates a geometric clustering against ground-truth classes
+    (`ivf_cluster_quality` is the INTERNAL eval: member-to-centroid
+    tightness; this is the EXTERNAL one; together they are the
+    standard pair for accepting a coarse quantizer). A low-purity cell
+    mixes classes, so semantic dedup within it risks collapsing
+    distinct content.
+
+    Physical shape: reuses the persisted `ivf_assignments` subtree
+    (shared with five other index queries), joined to the
+    column-pruned (vec_id, label) scan — a narrow equi-join on vec_id,
+    then one (cent_id, label) aggregation whose output is at most
+    cells x labels rows; the majority pick is a window over that tiny
+    table. Purity is an exact integer ratio rounded to 6 dp, so the
+    hash is partition-order independent. Ties break to the smallest
+    label. Emits (cent_id, n_members, n_labels, top_label,
+    top_label_n, purity)."""
+    assign = ivf_assignments(spark, sf_dir, k).select("vec_id", "cent_id")
+    labels = tables.load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cell_label = (
+        assign.join(labels, "vec_id")
+        .groupBy("cent_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("cent_id")
+    w = Window.partitionBy("cent_id").orderBy(
+        F.col("n").desc_nulls_last(), F.col("label").asc()
+    )
+    return (
+        cell_label.withColumn("n_members", F.sum("n").over(tot))
+        .withColumn("n_labels", F.count(F.lit(1)).over(tot))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cent_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_labels").cast("bigint").alias("n_labels"),
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_label_n"),
+            F.round(F.col("n") / F.col("n_members"), 6).alias("purity"),
+        )
+    )
+
+def ivf_label_purity_oracle(k: int = IVF_K) -> str:
+    return f"""
+WITH assign AS ({ivf_assignments_oracle(k)}),
+cl AS (
+  SELECT a.cent_id, e.label, CAST(count(*) AS BIGINT) AS n
+  FROM assign a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cent_id, label, n,
+         sum(n) OVER (PARTITION BY cent_id) AS n_members,
+         count(*) OVER (PARTITION BY cent_id) AS n_labels,
+         row_number() OVER (PARTITION BY cent_id
+                            ORDER BY n DESC NULLS LAST, label ASC) AS rn
+  FROM cl
+)
+SELECT cent_id, CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       label AS top_label, n AS top_label_n,
+       round(n / CAST(n_members AS DOUBLE), 6) AS purity
+FROM ranked WHERE rn = 1
 """
 
 def index_build_report(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:

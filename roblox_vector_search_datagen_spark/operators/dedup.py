@@ -946,6 +946,53 @@ FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """
 
+CROSS_LINGUAL_THRESHOLD = 0.25
+
+def cross_lingual_near_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = CROSS_LINGUAL_THRESHOLD
+) -> DataFrame:
+    """Translation-contamination audit: embedding near-dup pairs whose
+    two documents carry DIFFERENT `lang` tags — the multilingual
+    pipeline's blind spot. Text-level dedup (shingles, simhash,
+    n-gram Jaccard) is lexical and can never pair a document with its
+    translation, so translated copies sail through every text funnel
+    stage and leak across train/eval language splits; only the
+    embedding space sees them. This query is the audit that sizes that
+    leak before a language-stratified split is trusted.
+
+    Physical shape: candidates come from the production sign-LSH
+    bucketed path (`embedding_lsh_near_dups` — bucket equi-join, never
+    all-pairs), with a lower default threshold than same-language
+    dedup because translation pairs sit farther apart in embedding
+    space than verbatim copies. The surviving pair set is a vanishing
+    fraction of the corpus, so it broadcasts into the column-pruned
+    (doc_id, lang) scan twice (vec_id and doc_id are the same key
+    space, reference src/lib/embeddings.ts); each lang join streams
+    the document scan against the in-memory pair table — no shuffle
+    of the corpus. Emits (vec_a, vec_b, lang_a, lang_b, cosine)."""
+    pairs = embedding_lsh_near_dups(spark, sf_dir, threshold).select(
+        "vec_a", "vec_b", "cosine"
+    )
+    d = tables.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = d.select(F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a"))
+    b = d.select(F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b"))
+    with_a = a.join(F.broadcast(pairs), "vec_a")
+    return (
+        b.join(F.broadcast(with_a), "vec_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("vec_a", "vec_b", "lang_a", "lang_b", "cosine")
+    )
+
+def cross_lingual_near_dups_oracle(threshold: float = CROSS_LINGUAL_THRESHOLD) -> str:
+    return f"""
+WITH pairs AS ({embedding_lsh_near_dups_oracle(threshold)})
+SELECT p.vec_a, p.vec_b, a.lang AS lang_a, b.lang AS lang_b, p.cosine
+FROM pairs p
+JOIN documents a ON a.doc_id = p.vec_a
+JOIN documents b ON b.doc_id = p.vec_b
+WHERE a.lang <> b.lang
+"""
+
 # ---------------------------------------------------------------------------
 # Exact-Jaccard verification (the final stage of the dedup funnel)
 # ---------------------------------------------------------------------------

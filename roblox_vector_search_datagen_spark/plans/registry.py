@@ -613,6 +613,21 @@ def _registry() -> dict[str, Query]:
     r["knn_join"] = Query(
         lambda spark, sf: ann.knn_join(spark, sf), ann.knn_join_oracle(), ("vector", "bench")
     )
+    r["knn_label_accuracy"] = Query(
+        lambda spark, sf: ann.knn_label_accuracy(spark, sf),
+        ann.knn_label_accuracy_oracle(),
+        ("vector", "eval"),
+    )
+    r["ivf_label_purity"] = Query(
+        lambda spark, sf: ann.ivf_label_purity(spark, sf),
+        ann.ivf_label_purity_oracle(),
+        ("vector", "index-build", "eval"),
+    )
+    r["cross_lingual_near_dups"] = Query(
+        lambda spark, sf: dedup.cross_lingual_near_dups(spark, sf),
+        dedup.cross_lingual_near_dups_oracle(),
+        ("dedup", "eval"),
+    )
     r["pq_codes"] = Query(
         ann.pq_codes, ann.pq_codes_oracle(), ("vector", "index-build", "bench")
     )
@@ -781,13 +796,17 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. Round-5
-# ordering, weakest evidence first: (1) the five queries NEW this
+# ordering, weakest evidence first: (1) the ten queries NEW this
 # round (no driver row yet), (2) the 40 queries whose newest green
 # row is round 2 (stalest evidence), (3) latest-green round 3, (4)
-# latest-green round 4. After this window lands, no query's newest
-# driver contact is older than two rounds. Every query is
-# self-contained, so order carries no semantics.
+# latest-green round 4. (1)+(2) fill the window exactly, so after
+# this window lands no query's newest driver contact is older than
+# two rounds. Every query is self-contained, so order carries no
+# semantics.
 _ADJUDICATE_FIRST = (
+    "knn_label_accuracy",
+    "ivf_label_purity",
+    "cross_lingual_near_dups",
     "ann_lsh_topk",
     "ann_lsh_recall_at_k",
     "simhash_dropped_bands",

@@ -529,3 +529,34 @@ def test_non_default_invocations_skip_the_cache(spark, sf_dir):
     assert "InMemoryTableScan" not in executed(
         ann.ivf_assignments(spark, sf_dir, k=7)
     )
+
+
+def test_session6_eval_ops_plan_contracts(spark, sf_dir):
+    """Pinned physical properties of the sixth-session eval operators."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import ann, dedup
+
+    # knn_label_accuracy: the tiny knn result and the query-label block
+    # broadcast into the column-pruned label scans — never a shuffled
+    # join of the corpus against a 50-row table; pure Catalyst
+    p = plan_of(ann.knn_label_accuracy(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+
+    # ivf_label_purity: narrow (vec_id) equi-join of the persisted
+    # assignment table with the pruned label scan, majority pick as a
+    # window over the cells-x-labels table; no cartesian, no python
+    p = plan_of(ann.ivf_label_purity(spark, sf_dir))
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    schemas = re.findall(r"ReadSchema: (.*)", p)
+    assert schemas and all("embedding" not in s or "vec_id" in s for s in schemas)
+
+    # cross_lingual_near_dups: the surviving pair set broadcasts into
+    # the (doc_id, lang) scans — the corpus never shuffles for the
+    # lang decoration; every emitted pair crosses languages
+    df = dedup.cross_lingual_near_dups(spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert df.filter(F.col("lang_a") == F.col("lang_b")).count() == 0
