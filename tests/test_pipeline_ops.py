@@ -230,3 +230,54 @@ def test_ingest_decision_report_consistency(spark, sf_dir):
         assert not (r.is_exact_dup and r.is_near_dup)
         if r.verdict == "accepted":
             assert r.quality_keep and not r.is_exact_dup and not r.is_near_dup
+
+
+def test_knn_label_accuracy_mass_conservation(spark, sf_dir):
+    """The per-label report must conserve the knn mass exactly: query
+    counts sum to KNN_QUERIES, neighbor counts to KNN_QUERIES x KNN_K,
+    matches never exceed neighbors, and match_rate is the exact
+    rounded integer ratio."""
+    rows = ann.knn_label_accuracy(spark, sf_dir).collect()
+    assert sum(r.n_queries for r in rows) == ann.KNN_QUERIES
+    assert sum(r.n_neighbors for r in rows) == ann.KNN_QUERIES * ann.KNN_K
+    for r in rows:
+        assert 0 <= r.n_matching <= r.n_neighbors
+        assert abs(r.match_rate - round(r.n_matching / r.n_neighbors, 6)) < 1e-9
+
+
+def test_ivf_label_purity_consistency(spark, sf_dir):
+    """Purity rows must agree with the assignment table: one row per
+    non-empty cell, member counts matching ivf_cluster_quality, purity
+    the exact majority share in (0, 1], never below the uniform floor
+    1/n_labels."""
+    purity = {r.cent_id: r for r in ann.ivf_label_purity(spark, sf_dir).collect()}
+    quality = {r.cent_id: r for r in ann.ivf_cluster_quality(spark, sf_dir).collect()}
+    assert set(purity) == set(quality)
+    for cid, r in purity.items():
+        assert r.n_members == quality[cid].n_members
+        assert 1 <= r.top_label_n <= r.n_members
+        assert abs(r.purity - round(r.top_label_n / r.n_members, 6)) < 1e-9
+        assert r.purity * r.n_labels >= 1 - 1e-6  # majority >= uniform share
+
+
+def test_cross_lingual_near_dups_is_lang_mismatched_subset(spark, sf_dir):
+    """Every emitted pair must exist in the sign-LSH near-dup set at
+    the same threshold with the same cosine, and its two documents
+    must genuinely carry different lang tags."""
+    out = dedup.cross_lingual_near_dups(spark, sf_dir)
+    base = dedup.embedding_lsh_near_dups(
+        spark, sf_dir, dedup.CROSS_LINGUAL_THRESHOLD
+    ).select("vec_a", "vec_b", F.col("cosine").alias("base_cos"))
+    joined = out.join(base, ["vec_a", "vec_b"], "left")
+    rows = joined.collect()
+    assert rows, "expected non-empty cross-lingual pairs on the fixture"
+    langs = {
+        r.doc_id: r.lang
+        for r in tables.load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    for r in rows:
+        assert r.base_cos is not None and r.base_cos == r.cosine
+        assert r.lang_a != r.lang_b
+        assert langs[r.vec_a] == r.lang_a and langs[r.vec_b] == r.lang_b
