@@ -803,6 +803,12 @@ def _registry() -> dict[str, Query]:
 # this window lands no query's newest driver contact is older than
 # two rounds. Every query is self-contained, so order carries no
 # semantics.
+#
+# Round-6 rotation plan: promote group (3) — the cohort whose newest
+# green row is round 3 (snapshot_diff, prune_orphan_embeddings, the
+# worklists, jobs queries, hll/sketch family, the dedup/ANN round-3
+# cohort) — to the head behind any round-6 additions; the round-5
+# groups (1)+(2) become the freshest evidence and rotate to the back.
 _ADJUDICATE_FIRST = (
     "knn_label_accuracy",
     "ivf_label_purity",
