@@ -889,19 +889,48 @@ def _sign_bucket_expr(emb) -> F.Column:
         bucket = bucket + F.when(block >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
-def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.35) -> DataFrame:
+EMB_LSH_BUCKET_CAP = 100
+
+def embedding_lsh_near_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    bucket_cap: int = EMB_LSH_BUCKET_CAP,
+) -> DataFrame:
     """embedding_near_dups' 100 TB path: block on a random-hyperplane
     sign bucket instead of the `label` column, then exact-verify cosine
     within each bucket. The bucket join is the same shape as the
     label-blocked variant but the key is derived from the vector itself,
     so it needs no metadata column and its selectivity scales with the
     bit count (2^LSH_SIGN_BITS buckets; multi-probe or banded repeats
-    raise recall the same way MinHash bands do)."""
+    raise recall the same way MinHash bands do).
+
+    Buckets are CAPPED at bucket_cap members (the `SIMHASH_BAND_CAP` /
+    `NGRAM_DF_CAP` pattern): identical vectors hash to the SAME bucket
+    no matter how many sign bits are used, so a duplicate-saturated
+    corpus collapses into one hot bucket and the uncapped self-join
+    goes quadratic inside it. The cap is a window count partitioned on
+    `bucket` — the window's hash partitioning IS the self-join key, so
+    it adds zero extra exchanges — bounding per-bucket candidate
+    volume at ~bucket_cap^2/2. Members of a dropped bucket are
+    near-identical en masse: `dedup_exact`/`dedup_clusters` territory,
+    not pairwise discovery. For ORGANIC bucket growth (corpus scale-up
+    rather than duplication) the knob is LSH_SIGN_BITS ∝ log N, which
+    keeps expected width flat; the cap only fences the degenerate
+    collapse. Mirrored exactly in the oracle; fixture bucket widths
+    (max 17 at sf0.1) sit far under the default cap, so the cap binds
+    only on saturated corpora (stress-tested in test_skew_stress)."""
     e = tables.load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
         _sign_bucket_expr(F.col("embedding")).alias("bucket"),
         V.norm_expr(F.col("embedding")).alias("nrm"),
+    )
+    wb = Window.partitionBy("bucket")
+    e = (
+        e.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= bucket_cap)
+        .drop("bucket_n")
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
@@ -923,7 +952,9 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str, threshold: float =
         .select("vec_a", "vec_b", "bucket", "cosine")
     )
 
-def embedding_lsh_near_dups_oracle(threshold: float = 0.35) -> str:
+def embedding_lsh_near_dups_oracle(
+    threshold: float = 0.35, bucket_cap: int = EMB_LSH_BUCKET_CAP
+) -> str:
     dims_per = 64 // LSH_SIGN_BITS
     blocks = " + ".join(
         f"CASE WHEN list_sum(emb_d[{j * dims_per + 1}:{(j + 1) * dims_per}]) >= 0 "
@@ -936,10 +967,14 @@ def embedding_lsh_near_dups_oracle(threshold: float = 0.35) -> str:
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d FROM embeddings
 ),
-eb AS (
+eb0 AS (
   SELECT vec_id, emb_d, {blocks} AS bucket,
          sqrt(list_dot_product(emb_d, emb_d)) AS nrm
   FROM e
+),
+bcnt AS (SELECT bucket, count(*) AS n FROM eb0 GROUP BY 1),
+eb AS (
+  SELECT eb0.* FROM eb0 JOIN bcnt USING (bucket) WHERE bcnt.n <= {bucket_cap}
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket, {cos} AS cosine
 FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

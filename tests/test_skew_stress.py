@@ -205,3 +205,57 @@ def test_simhash_band_cap_adds_no_exchange(spark, dupsat_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # one (band, val) exchange per self-join side, nothing more
     assert p.count("Exchange hashpartitioning(band") <= 2, p
+
+
+@pytest.fixture(scope="module")
+def dupsat_emb_dir(spark, tmp_path_factory):
+    """Duplicate-saturated embedding corpus: 100 of 142 vectors are
+    IDENTICAL (identical vectors share a sign bucket at ANY bit count
+    -> one hot bucket), plus one true near-dup pair in a cold bucket,
+    plus scattered noise."""
+    d = tmp_path_factory.mktemp("dupsatemb")
+    rows = []
+    for i in range(100):
+        rows.append((i, [1.0] * 64, 0))  # every block positive -> bucket 255
+    near_a = [-1.0] * 8 + [1.0] * 56  # block0 negative -> bucket 254
+    near_b = near_a[:63] + [0.5]
+    rows.append((200, near_a, 1))
+    rows.append((201, near_b, 1))
+    for i in range(300, 340):
+        # sign pattern from the id bits scatters the noise over buckets
+        v = []
+        for blk in range(8):
+            s = 1.0 if (i >> blk) & 1 else -1.0
+            v.extend([s * (0.5 + 0.01 * ((i + j) % 7)) for j in range(8)])
+        rows.append((i, v, 2))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_embedding_lsh_bucket_cap_bounds_candidates(spark, dupsat_emb_dir):
+    """Uncapped, the 100 identical vectors alone produce C(100,2)=4950
+    same-bucket pairs at cosine 1.0; with the cap their bucket is
+    dropped while the genuine near-dup pair (cold bucket) still
+    surfaces."""
+    capped = dedup.embedding_lsh_near_dups(spark, dupsat_emb_dir, bucket_cap=50)
+    pairs = {(r.vec_a, r.vec_b) for r in capped.collect()}
+    assert (200, 201) in pairs
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+    assert len(pairs) < 50 * 50
+    uncapped = dedup.embedding_lsh_near_dups(
+        spark, dupsat_emb_dir, bucket_cap=10**9
+    ).count()
+    assert uncapped >= 4950
+
+
+def test_embedding_lsh_bucket_cap_adds_no_exchange(spark, dupsat_emb_dir):
+    """The cap is a window count whose `bucket` partitioning IS the
+    self-join key — each side shuffles exactly once on bucket, no
+    extra exchange, no product."""
+    df = dedup.embedding_lsh_near_dups(spark, dupsat_emb_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in p and "bucket_n" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning(bucket") <= 2, p
