@@ -92,7 +92,14 @@ def _band_sig(prefix: str, band: int):
     cols = [f"{prefix}mh{band * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)]
     return cols
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig: DataFrame | None = None) -> DataFrame:
+LSH_BAND_CAP = 100
+
+def lsh_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    sig: DataFrame | None = None,
+    band_cap: int = LSH_BAND_CAP,
+) -> DataFrame:
     """Near-dup candidate pairs: docs sharing at least one LSH band.
     The bands are unpivoted to (doc_id, band, sig) and self-joined on
     the band signature — the shuffle key is the bucket id, so cluster
@@ -105,7 +112,20 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig: DataFrame | None 
     signature table is persisted here: the band self-join references it
     on BOTH sides and Catalyst does not share a subtree across a
     self-join, so without the cache the shingle explode + K-min
-    aggregation — the expensive corpus pass — would run twice."""
+    aggregation — the expensive corpus pass — would run twice.
+
+    Band buckets are CAPPED at band_cap members (the family's
+    `SIMHASH_BAND_CAP` / `EMB_LSH_BUCKET_CAP` pattern): identical
+    texts yield identical signatures in every band regardless of K or
+    the band layout, so a duplicate-saturated corpus collapses into
+    one hot (band, sig) bucket per band and the uncapped self-join
+    goes quadratic inside it. The cap is a window count partitioned on
+    (band, sig) — also the self-join key, so zero added exchanges —
+    bounding per-bucket candidates at ~band_cap^2/2. Dropped-bucket
+    members are near-identical en masse (`dedup_exact` /
+    `dedup_clusters` territory). Fixture bucket widths (max 6 at
+    sf0.1) never reach the default cap, so results are unchanged
+    outside saturation; mirrored exactly in the oracle."""
     if sig is None:
         sig = _minhash_signatures(spark, sf_dir).persist()
     band_structs = [
@@ -123,6 +143,12 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig: DataFrame | None 
     unpivoted = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+    wb = Window.partitionBy("band", "sig")
+    unpivoted = (
+        unpivoted.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= band_cap)
+        .drop("bucket_n")
+    )
     left = unpivoted.select("band", "sig", F.col("doc_id").alias("doc_a"))
     right = unpivoted.select("band", "sig", F.col("doc_id").alias("doc_b"))
     return (
@@ -132,7 +158,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig: DataFrame | None 
         .distinct()
     )
 
-def lsh_candidate_pairs_oracle() -> str:
+def lsh_candidate_pairs_oracle(band_cap: int = LSH_BAND_CAP) -> str:
     band_selects = []
     for b in range(H.LSH_BANDS):
         cols = _band_sig("", b)
@@ -141,7 +167,11 @@ def lsh_candidate_pairs_oracle() -> str:
     unpiv = " UNION ALL ".join(band_selects)
     return f"""
 WITH sigs AS ({_minhash_signatures_sql()}),
-bands AS ({unpiv})
+bands0 AS ({unpiv}),
+bcnt AS (SELECT band, sig, count(*) AS n FROM bands0 GROUP BY 1, 2),
+bands AS (
+  SELECT bands0.* FROM bands0 JOIN bcnt USING (band, sig) WHERE bcnt.n <= {band_cap}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """

@@ -259,3 +259,33 @@ def test_embedding_lsh_bucket_cap_adds_no_exchange(spark, dupsat_emb_dir):
     assert "Window" in p and "bucket_n" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("Exchange hashpartitioning(bucket") <= 2, p
+
+
+def test_minhash_band_cap_bounds_candidates_on_dup_saturated_corpus(spark, dupsat_dir):
+    """The 100 identical docs share every minhash signature, so each
+    band holds one 100-wide bucket: uncapped candidate volume is
+    C(100,2)=4950+; the cap drops exactly those hot buckets and
+    nothing else."""
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(spark, dupsat_dir, band_cap=50).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(spark, dupsat_dir, band_cap=10**9).collect()
+    }
+    assert len(uncapped) >= 4950
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert capped <= uncapped
+    # every pair the cap removed came from the saturated block
+    assert all(a < 100 and b < 100 for a, b in uncapped - capped)
+
+
+def test_minhash_band_cap_adds_no_exchange(spark, dupsat_dir):
+    """The cap's window partitioning (band, sig) IS the self-join key:
+    each side shuffles once on it, no extra exchange, no product."""
+    df = dedup.lsh_candidate_pairs(spark, dupsat_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in p and "bucket_n" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning(band") <= 2, p
