@@ -289,3 +289,40 @@ def test_minhash_band_cap_adds_no_exchange(spark, dupsat_dir):
     assert "Window" in p and "bucket_n" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("Exchange hashpartitioning(band") <= 2, p
+
+
+def test_minhash_band_cap_boundary_on_random_duplication(spark, tmp_path):
+    """Cap-boundary semantics on a randomly duplicated corpus:
+    identical texts share EVERY band signature, so a duplication group
+    wider than the cap saturates all its buckets and its pairs must
+    vanish, while a group exactly AT the cap keeps all C(cap,2) pairs.
+    Seeded, so deterministic."""
+    import random
+
+    rng = random.Random(11)
+    cap = 5
+    rows, groups, did = [], {}, 0
+    for t, size in enumerate([1, 2, 5, 6, 9, 5, 1, 2]):
+        words = " ".join(f"t{t}w{rng.randint(0, 10**6)}" for _ in range(12))
+        groups[t] = (size, [])
+        for _ in range(size):
+            groups[t][1].append(did)
+            rows.append((did, words, "en", "s", len(words)))
+            did += 1
+    d = str(tmp_path / "dupgroups")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(spark, d, band_cap=cap).collect()
+    }
+    for size, ids in groups.values():
+        group_pairs = {
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        }
+        if size > cap:
+            assert not (group_pairs & pairs), (size, group_pairs & pairs)
+        elif size >= 2:
+            assert group_pairs <= pairs, (size, group_pairs - pairs)
