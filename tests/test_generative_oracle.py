@@ -1,0 +1,191 @@
+"""Generative oracle parity: the driver validates every oracle only on
+the driver-generated fixtures, so a Spark/DuckDB semantic divergence
+that the fixture distribution never exercises (empty documents,
+whitespace-only text, unicode, zero-norm vectors, identical-vector
+blocks, duplicate-saturated groups) would sail through every gate.
+These tests replay the driver compare on two SEEDED synthetic corpora
+built to hit exactly those edges. Deterministic (seeded rng, no
+Date.now-style inputs), so a pass is stable."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from roblox_vector_search_datagen_spark.plans.registry import QUERIES
+
+from .oracle_utils import normalize
+
+# documents+embeddings-only queries — the two tables the generators
+# emit; every name resolves in the central registry
+GEN_QUERIES = [
+    "dedup_exact",
+    "lsh_candidate_pairs",
+    "minhash_jaccard_estimates",
+    "simhash_banded_near_dups",
+    "simhash_dropped_bands",
+    "ngram_jaccard_pairs",
+    "lang_id",
+    "token_counts",
+    "doc_fingerprints",
+    "training_corpus",
+    "embedding_lsh_near_dups",
+    "embedding_near_dups",
+    "cross_lingual_near_dups",
+    "ivf_assignments",
+    "ivf_label_purity",
+    "knn_join",
+]
+
+LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def _compare(spark_df, oracle: str, sf_dir: str, tables: list[str], label: str):
+    """oracle_utils.compare_spark_duckdb, but registering only the
+    tables the synthetic dir actually contains."""
+    con = duckdb.connect()
+    for t in tables:
+        # Spark writes <table>.parquet as a DIRECTORY of part files
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    res = con.execute(oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    con.close()
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    assert sorted(c.lower() for c in s_cols) == sorted(c.lower() for c in d_cols), (
+        f"{label}: schema spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{label}: rows spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    _, sn = normalize(s_cols, s_rows)
+    _, dn = normalize(d_cols, d_rows)
+    bad = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not bad, f"{label}: {len(bad)} value mismatches, first: {bad[0]}"
+
+
+def _write(spark, d, docs, embs):
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+
+def _rand_vec(rng):
+    return [rng.uniform(-1, 1) for _ in range(64)]
+
+
+@pytest.fixture(scope="module")
+def organic_dir(spark, tmp_path_factory):
+    """Plausible corpus: word soup across langs/sources with one exact
+    -dup group, a near-dup pair, and unit edge docs (empty, one-word,
+    unicode, tab/multi-space whitespace)."""
+    rng = random.Random(42)
+    docs = []
+    dup_text = "the shared duplicated body of the gathered document set"
+    for i in range(60):
+        if i in (3, 17, 29, 41, 44, 52, 58):
+            text = dup_text
+        elif i == 5:
+            text = ""
+        elif i == 6:
+            text = "solo"
+        elif i == 7:
+            text = "数据 去重 管道 数据 去重 管道 流 处理 数据 去重"
+        elif i == 8:
+            text = "alpha\tbeta  gamma\tdelta epsilon  zeta"
+        elif i in (21, 22):  # near-dup pair: one word differs
+            tail = "tailA" if i == 21 else "tailB"
+            text = "common prefix words shared by the near duplicate pair " + tail
+        else:
+            text = " ".join(
+                f"w{rng.randint(0, 300)}" for _ in range(rng.randint(3, 30))
+            )
+        docs.append((i, text, LANGS[i % 5], f"src{i % 3}", len(text)))
+    embs = []
+    for i in range(60):
+        if i in (21, 22):  # identical vectors for the near-dup pair
+            rng2 = random.Random(99)
+            v = [rng2.uniform(-1, 1) for _ in range(64)]
+        elif i == 5:
+            v = [0.0] * 64  # zero norm -> NULL cosine path
+        else:
+            v = _rand_vec(rng)
+        embs.append((i, v, i % 10))
+    d = str(tmp_path_factory.mktemp("organic"))
+    _write(spark, d, docs, embs)
+    return d
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    """Hostile corpus: a 30-doc identical block (saturation below the
+    caps, so the cap plumbing itself is compared), a 20-doc common-
+    phrase family, whitespace-only and empty docs, and an embedding
+    side with an identical-vector block plus zero vectors."""
+    rng = random.Random(7)
+    docs = []
+    block = "every one of these documents is byte identical to the others"
+    phrase = "subscribe to our newsletter for updates and offers"
+    did = 0
+    for _ in range(30):
+        docs.append((did, block, "en", "hot", len(block)))
+        did += 1
+    for _ in range(20):
+        noise = " ".join(f"n{rng.randint(0, 200)}" for _ in range(rng.randint(2, 8)))
+        text = f"{noise} {phrase}"
+        docs.append((did, text, LANGS[did % 5], "warm", len(text)))
+        did += 1
+    for text in ("", "   ", "\t\t"):
+        docs.append((did, text, "en", "cold", len(text)))
+        did += 1
+    for _ in range(27):
+        text = " ".join(f"u{did}x{rng.randint(0, 10**6)}" for _ in range(12))
+        docs.append((did, text, LANGS[did % 5], "cold", len(text)))
+        did += 1
+    rng2 = random.Random(13)
+    shared = [rng2.uniform(-1, 1) for _ in range(64)]
+    embs = []
+    for i in range(did):
+        if i < 30:
+            v = list(shared)  # identical-vector block
+        elif i in (50, 51):
+            v = [0.0] * 64
+        else:
+            v = _rand_vec(rng)
+        embs.append((i, v, i % 10))
+    d = str(tmp_path_factory.mktemp("adversarial"))
+    _write(spark, d, docs, embs)
+    return d
+
+
+@pytest.mark.parametrize("name", GEN_QUERIES)
+def test_generative_parity_organic(spark, organic_dir, name):
+    q = QUERIES[name]
+    _compare(
+        q.builder(spark, organic_dir),
+        q.oracle,
+        organic_dir,
+        ["documents", "embeddings"],
+        f"organic/{name}",
+    )
+
+
+@pytest.mark.parametrize("name", GEN_QUERIES)
+def test_generative_parity_adversarial(spark, adversarial_dir, name):
+    q = QUERIES[name]
+    _compare(
+        q.builder(spark, adversarial_dir),
+        q.oracle,
+        adversarial_dir,
+        ["documents", "embeddings"],
+        f"adversarial/{name}",
+    )
