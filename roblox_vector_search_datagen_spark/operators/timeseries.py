@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import persist_if
 from ..functions.num import qmean6, qsum6
 from ..functions.timeutil import epoch_us
 from ..sources import tables
@@ -373,7 +374,19 @@ def sketch_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the sketch's accuracy contract — the same bounds
     tests/test_properties.py enforces. The oracle expects TRUE, so a
     broken sketch path flips the driver row red: the sketches stay
-    load-bearing while every emitted column is hash-matchable."""
+    load-bearing while every emitted column is hash-matchable.
+
+    The p50 contract asserts what Greenwald-Khanna actually
+    guarantees — the estimate is a GENUINE element of the group whose
+    RANK brackets the median (rank error <= n/accuracy) — not a
+    value-distance bound: value distance is a property of the data's
+    density, and a sparse-valued group (small n, wide gaps) can put
+    the rank-correct element arbitrarily far from the interpolated
+    exact median (surfaced by the generative edge corpus in
+    tests/test_generative_oracle.py). Checking rank needs the
+    estimate joined back over the events (a second narrow pass;
+    `agg` is persisted so the broadcast probe side doesn't recompute
+    the sketch aggregation)."""
     e = tables.load_table(spark, sf_dir, "events")
     # keep count_distinct OUT of the main aggregate: mixing a distinct
     # aggregate with the percentile/sketch aggregates makes Catalyst
@@ -393,8 +406,21 @@ def sketch_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    agg = agg.join(nu, "event_type")
-    return agg.select(
+    agg = persist_if(agg.join(nu, "event_type"), True)
+    rk = (
+        e.select("event_type", "value")
+        .join(F.broadcast(agg.select("event_type", "ap50")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") < F.col("ap50")).cast("long")).alias("n_lt"),
+            F.sum((F.col("value") <= F.col("ap50")).cast("long")).alias("n_le"),
+            F.sum((F.col("value") == F.col("ap50")).cast("long")).alias("n_eq"),
+        )
+    )
+    # GK rank-error allowance: <= n/accuracy ranks, +1 for the
+    # engine's target-rank rounding convention
+    eps = F.ceil(F.col("n") / F.lit(10_000.0)) + F.lit(1)
+    return agg.join(rk, "event_type").select(
         "event_type",
         "n",
         "n_users",
@@ -404,8 +430,9 @@ def sketch_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(1.0), 0.05 * F.col("n_users"))
         ).alias("users_est_in_bounds"),
         (
-            F.abs(F.col("ap50") - F.col("p50"))
-            <= F.greatest(F.lit(0.5), 0.05 * F.abs(F.col("p50")))
+            (F.col("n_eq") >= 1)
+            & (F.col("n_lt") <= F.ceil(F.col("n") * 0.5) + eps)
+            & (F.col("n_le") >= F.floor(F.col("n") * 0.5) - eps)
         ).alias("p50_est_in_bounds"),
     )
 
@@ -912,10 +939,19 @@ def event_value_quantiles_approx(
     (which buffers each group's values). DuckDB cannot reproduce GK
     merge results, so — the `hll_daily_users` contract pattern — the
     hash-matched columns are the EXACT quantiles and the approx path
-    is emitted as accuracy-contract booleans (|approx - exact| <=
-    0.25*IQR per quartile; observed worst case at accuracy=100 is
-    ~0.06*IQR, so a broken summary merge flips the driver row red with
-    4x headroom). Emits (event_type, n, p25, p50, p75, approx_p25_ok,
+    is emitted as accuracy-contract booleans.
+
+    The booleans assert GK's ACTUAL guarantee — each estimate is a
+    genuine element whose rank sits within n/accuracy (+1 for the
+    target-rank rounding convention) of the requested quantile's rank
+    — not a value-distance bound: a value-relative tolerance is a
+    property of the data's density, and a sparse-valued group can put
+    the rank-correct element arbitrarily far from the interpolated
+    exact quantile (the flaw the generative edge corpus surfaced in
+    the sibling `sketch_event_profile`). Rank checking joins the
+    estimates back over the events (one extra narrow pass; the
+    aggregate is persisted so the broadcast probe side doesn't rerun
+    the sketch). Emits (event_type, n, p25, p50, p75, approx_p25_ok,
     approx_p50_ok, approx_p75_ok)."""
     e = tables.load_table(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
@@ -927,16 +963,38 @@ def event_value_quantiles_approx(
             f"approx_percentile(value, array(0.25, 0.5, 0.75), {accuracy})"
         ).alias("ap"),
     )
-    tol = F.greatest(F.lit(1.0), 0.25 * (F.col("p75") - F.col("p25")))
-    return agg.select(
+    agg = persist_if(agg, accuracy == APPROX_PCT_ACCURACY)
+    rank_aggs = []
+    for i in range(3):
+        rank_aggs += [
+            F.sum((F.col("value") < F.col("ap")[i]).cast("long")).alias(f"lt{i}"),
+            F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(f"le{i}"),
+            F.sum((F.col("value") == F.col("ap")[i]).cast("long")).alias(f"eq{i}"),
+        ]
+    rk = (
+        e.select("event_type", "value")
+        .join(F.broadcast(agg.select("event_type", "ap")), "event_type")
+        .groupBy("event_type")
+        .agg(*rank_aggs)
+    )
+    eps = F.ceil(F.col("n") / F.lit(float(accuracy))) + F.lit(1)
+
+    def rank_ok(i: int, q: float):
+        return (
+            (F.col(f"eq{i}") >= 1)
+            & (F.col(f"lt{i}") <= F.ceil(F.col("n") * q) + eps)
+            & (F.col(f"le{i}") >= F.floor(F.col("n") * q) - eps)
+        )
+
+    return agg.join(rk, "event_type").select(
         "event_type",
         "n",
         "p25",
         "p50",
         "p75",
-        (F.abs(F.col("ap")[0] - F.col("p25")) <= tol).alias("approx_p25_ok"),
-        (F.abs(F.col("ap")[1] - F.col("p50")) <= tol).alias("approx_p50_ok"),
-        (F.abs(F.col("ap")[2] - F.col("p75")) <= tol).alias("approx_p75_ok"),
+        rank_ok(0, 0.25).alias("approx_p25_ok"),
+        rank_ok(1, 0.5).alias("approx_p50_ok"),
+        rank_ok(2, 0.75).alias("approx_p75_ok"),
     )
 
 
@@ -962,47 +1020,70 @@ def winsorized_event_stats_approx(
     from approx_percentile (the substitution that operator's docstring
     promises at scale), validated against the exact twin in the same
     plan. Hash-matched columns are the exact winsorized stats; the
-    approx path contributes contract booleans — threshold drift
-    bounded by 0.5*IQR (tail quantiles are where GK error
-    concentrates; observed worst ~10 vs IQR ~55 at accuracy=100) and
-    the approx-clipped mean within 1.0 of the exact winsorized mean (a
-    threshold shift of d moves the mean by <= tail_mass*d ~ 0.05*d).
+    approx path contributes contract booleans that are THEOREMS, not
+    tuned tolerances (the lesson from the generative edge corpus):
+
+    * approx_thresholds_ok — each GK threshold is a genuine element of
+      the group whose RANK sits within n/accuracy (+1 rounding) of the
+      requested tail quantile's rank; the rank counts ride the clip
+      join that already probes every event against the per-type
+      thresholds, so the contract adds no extra pass.
+    * approx_mean_ok — winsorization is 1-Lipschitz in each threshold
+      (shifting a clip bound by d moves every affected row by at most
+      d), so |approx mean - exact mean| <= |a_lo - p_lo| +
+      |a_hi - p_hi| (+2e-6 for the two 6-dp roundings).
+
     Emits (event_type, n, p_lo, p_hi, mean_winsorized,
     approx_thresholds_ok, approx_mean_ok)."""
     e = tables.load_table(spark, sf_dir, "events")
     pct = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
         F.round(F.percentile("value", F.lit(lo)), 6).alias("p_lo"),
         F.round(F.percentile("value", F.lit(hi)), 6).alias("p_hi"),
-        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
-        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
         F.expr(f"approx_percentile(value, array({lo}, {hi}), {accuracy})").alias("ap"),
     )
     j = e.select("event_type", "value").join(F.broadcast(pct), "event_type")
     clip_exact = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
     clip_approx = F.least(F.greatest(F.col("value"), F.col("ap")[0]), F.col("ap")[1])
+    rank_aggs = []
+    for i, tag in ((0, "lo"), (1, "hi")):
+        rank_aggs += [
+            F.sum((F.col("value") < F.col("ap")[i]).cast("long")).alias(f"lt_{tag}"),
+            F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(f"le_{tag}"),
+            F.sum((F.col("value") == F.col("ap")[i]).cast("long")).alias(f"eq_{tag}"),
+        ]
     agg = j.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.min("n").alias("n"),
         F.min("p_lo").alias("p_lo"),
         F.min("p_hi").alias("p_hi"),
-        F.min("q1").alias("q1"),
-        F.min("q3").alias("q3"),
         F.min(F.col("ap")[0]).alias("a_lo"),
         F.min(F.col("ap")[1]).alias("a_hi"),
         qmean6(clip_exact).alias("mean_winsorized"),
         qmean6(clip_approx).alias("mean_w_approx"),
+        *rank_aggs,
     )
-    th_tol = F.greatest(F.lit(1.0), 0.5 * (F.col("q3") - F.col("q1")))
+    eps = F.ceil(F.col("n") / F.lit(float(accuracy))) + F.lit(1)
+
+    def rank_ok(tag: str, q: float):
+        return (
+            (F.col(f"eq_{tag}") >= 1)
+            & (F.col(f"lt_{tag}") <= F.ceil(F.col("n") * q) + eps)
+            & (F.col(f"le_{tag}") >= F.floor(F.col("n") * q) - eps)
+        )
+
+    mean_tol = (
+        F.abs(F.col("a_lo") - F.col("p_lo"))
+        + F.abs(F.col("a_hi") - F.col("p_hi"))
+        + F.lit(2e-6)
+    )
     return agg.select(
         "event_type",
         "n",
         "p_lo",
         "p_hi",
         "mean_winsorized",
-        (
-            (F.abs(F.col("a_lo") - F.col("p_lo")) <= th_tol)
-            & (F.abs(F.col("a_hi") - F.col("p_hi")) <= th_tol)
-        ).alias("approx_thresholds_ok"),
-        (F.abs(F.col("mean_w_approx") - F.col("mean_winsorized")) <= 1.0).alias(
+        (rank_ok("lo", lo) & rank_ok("hi", hi)).alias("approx_thresholds_ok"),
+        (F.abs(F.col("mean_w_approx") - F.col("mean_winsorized")) <= mean_tol).alias(
             "approx_mean_ok"
         ),
     )

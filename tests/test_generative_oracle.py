@@ -189,3 +189,103 @@ def test_generative_parity_adversarial(spark, adversarial_dir, name):
         ["documents", "embeddings"],
         f"adversarial/{name}",
     )
+
+
+EVENT_QUERIES = [
+    "sessionize",
+    "funnel_counts",
+    "user_retention",
+    "retention_curve",
+    "asof_next_action",
+    "asof_attribution",
+    "interval_click_counts",
+    # event_rollup joins the customer dimension — not an events-only query
+    "event_props_rollup",
+    "event_value_quantiles",
+    "event_value_quantiles_approx",
+    "winsorized_event_stats",
+    "winsorized_event_stats_approx",
+    "windowed_event_counts",
+    "sliding_event_counts",
+    "latest_event_per_user",
+    "event_anomalies",
+    "event_value_histogram",
+    "scd2_user_state",
+    "point_in_time_state",
+    "rate_limited_events",
+    "winsorized_event_stats",
+    "event_minmax_downsample",
+    "hll_daily_users",
+    "sketch_event_profile",
+]
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    """Event stream built to hit ordering/window edges the fixture's
+    uniform generator rarely produces: same-microsecond ties (click and
+    purchase at one instant — the as-of tie-break), single-event users,
+    events exactly ON hour/day boundaries, repeated exact values
+    (quantile ties), zero/negative values, bursts inside one rate-limit
+    window, and empty/missing props keys."""
+    import datetime as dt
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(ts, uid, etype, value, props='{"k": 1}'):
+        nonlocal eid
+        rows.append((eid, ts, uid, etype, float(value), props))
+        eid += 1
+
+    # user 1: single event, value 0, empty props
+    add(base + dt.timedelta(hours=1), 1, "view", 0.0, "{}")
+    # user 2: same-instant tie burst — click and purchase at one μs,
+    # then a second click at the same μs (event_id must break the tie)
+    t = base + dt.timedelta(hours=2, microseconds=123)
+    add(t, 2, "click", 10.0)
+    add(t, 2, "purchase", -5.5)
+    add(t, 2, "click", 10.0)
+    # user 3: events exactly on hour and day boundaries
+    add(base, 3, "signup", 1.0)
+    add(base + dt.timedelta(hours=3), 3, "click", 2.0)
+    add(base + dt.timedelta(days=1), 3, "purchase", 2.0)
+    add(base + dt.timedelta(days=2), 3, "view", 3.0)
+    # user 4: burst of 8 events in 10 seconds (rate-limit pressure),
+    # all with the same exact value (quantile ties)
+    for j in range(8):
+        add(base + dt.timedelta(hours=5, seconds=j), 4, "click", 7.25)
+    # user 5: signup only after activity (funnel out-of-order)
+    add(base + dt.timedelta(hours=6), 5, "purchase", 100.0)
+    add(base + dt.timedelta(hours=7), 5, "signup", 1.0)
+    # users 10..24: random multi-day streams
+    for uid in range(10, 25):
+        t = base + dt.timedelta(minutes=rng.randint(0, 600))
+        for _ in range(rng.randint(2, 20)):
+            t = t + dt.timedelta(seconds=rng.randint(1, 40000))
+            props = rng.choice(['{"k": %d}' % rng.randint(0, 99), "{}", '{"x": 3}'])
+            add(t, uid, rng.choice(EVENT_TYPES), round(rng.uniform(-50, 300), 2), props)
+
+    d = str(tmp_path_factory.mktemp("edgeevents"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_generative_parity_events(spark, edge_events_dir, name):
+    q = QUERIES[name]
+    _compare(
+        q.builder(spark, edge_events_dir),
+        q.oracle,
+        edge_events_dir,
+        ["events"],
+        f"events/{name}",
+    )
