@@ -757,19 +757,74 @@ WHERE {cos} >= {threshold}
 # Dedup cluster assignment (connected components over candidate pairs)
 # ---------------------------------------------------------------------------
 
+def _connected_components(und: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation with pointer jumping over a symmetric
+    (src, dst) edge table; returns (doc_id, cluster). Each round does
+    (a) one edge step — min over direct neighbors' labels — and (b)
+    one pointer jump — adopt the label of the node my label points to
+    — so reach doubles per round and convergence is O(log diameter),
+    not O(diameter): max_iter=25 covers any component a physical graph
+    can produce (2^25-hop diameter). Labels are localCheckpoint-ed so
+    lineage doesn't grow with iterations (the standard Spark pattern
+    for iterative graph algorithms).
+
+    Labels only ever decrease, so sum(label) strictly decreases until
+    the fixpoint — one cheap aggregate per round instead of a
+    change-detection join. If the loop exhausts max_iter without
+    reaching the fixpoint it RAISES rather than silently returning an
+    under-merged clustering (the old behavior — a wrong answer with no
+    signal — is the one failure mode a dedup pipeline can't detect
+    downstream)."""
+    # round 0 folded into init: label = min(self, direct neighbors)
+    labels = (
+        und.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("_m"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("_m")).alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(prop, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: adopt my label's own label (labels are node ids,
+        # and every node has a row, so the left join always hits)
+        jump = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("jumped")
+        )
+        labels = (
+            stepped.join(jump, "label", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("jumped"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select("doc_id", F.col("label").alias("cluster"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected components did not converge in {max_iter} rounds"
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> DataFrame:
     """Connected components over the LSH candidate-pair graph: every doc
     that appears in at least one near-dup pair is labeled with its
     component's minimum doc_id — the cluster representative a training
     pipeline keeps while dropping the rest.
 
-    Iterative min-label propagation with a driver convergence loop;
-    each round is one hash join + min aggregate, and labels are
-    localCheckpoint-ed so lineage doesn't grow with iterations (the
-    standard Spark pattern for iterative graph algorithms). Converges in
-    O(component diameter) rounds — near-dup components are shallow
-    star-ish clusters, so this beats the O(log n) large-star/small-star
-    machinery in practice; swap it in if components ever get deep.
+    Delegates to `_connected_components` (min-label propagation +
+    pointer jumping, O(log diameter) rounds, raises on non-convergence
+    — see its docstring; deep-chain behavior is pinned by
+    tests/test_skew_stress.py on an explicit 120-node path graph).
 
     Not SQL-expressible as one query in Spark, but DuckDB's recursive
     CTE reaches the same fixpoint — see dedup_clusters_oracle.
@@ -780,36 +835,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Data
         .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
-    # round 0 folded into init: label = min(self, direct neighbors)
-    labels = (
-        und.groupBy(F.col("src").alias("doc_id"))
-        .agg(F.min("dst").alias("_m"))
-        .select("doc_id", F.least(F.col("doc_id"), F.col("_m")).alias("label"))
-        .localCheckpoint()
-    )
-    # labels only ever decrease, so sum(label) strictly decreases until
-    # the fixpoint — one cheap aggregate per round instead of a
-    # change-detection join
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        prop = (
-            und.join(labels.withColumnRenamed("doc_id", "src"), "src")
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select("doc_id", F.col("label").alias("cluster"))
+    return _connected_components(und, max_iter)
 
 def dedup_clusters_oracle() -> str:
     pairs = lsh_candidate_pairs_oracle()

@@ -326,3 +326,54 @@ def test_minhash_band_cap_boundary_on_random_duplication(spark, tmp_path):
             assert not (group_pairs & pairs), (size, group_pairs & pairs)
         elif size >= 2:
             assert group_pairs <= pairs, (size, group_pairs - pairs)
+
+
+def test_connected_components_converges_on_deep_path_graph(spark):
+    """A 120-node PATH graph (diameter 119) — the shape that broke the
+    pre-pointer-jumping loop, which extended reach by one hop per round
+    and silently returned an under-merged clustering after 25 rounds.
+    With pointer jumping reach doubles per round (~7 rounds here), and
+    non-convergence now raises instead of returning wrong labels."""
+    n = 120
+    edges = [(i, i + 1) for i in range(n - 1)]
+    und = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    labels = {r.doc_id: r.cluster for r in dedup._connected_components(und).collect()}
+    assert set(labels) == set(range(n))
+    assert all(c == 0 for c in labels.values()), (
+        f"under-merged: {sorted(set(labels.values()))[:5]}"
+    )
+
+
+def test_dedup_clusters_matches_union_find_on_chain_corpus(spark, tmp_path):
+    """End-to-end on a sliding-window near-dup chain: whatever edge set
+    LSH produces, the Spark clustering must equal an independent python
+    union-find over those same edges."""
+    words = [f"w{j}" for j in range(140)]
+    rows = []
+    for i in range(80):
+        text = " ".join(words[i : i + 40])
+        rows.append((i, text, "en", "s", len(text)))
+    d = str(tmp_path / "chain")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    edges = [(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(spark, d).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in parent}
+    got = {r.doc_id: r.cluster for r in dedup.dedup_clusters(spark, d).collect()}
+    assert got == truth
