@@ -30,6 +30,11 @@ GEN_QUERIES = [
     "lang_id",
     "token_counts",
     "doc_fingerprints",
+    "text_quality",
+    "quality_filter",
+    "dataset_splits",
+    "doc_chunks",
+    "repetition_stats",
     "training_corpus",
     "embedding_lsh_near_dups",
     "embedding_near_dups",
