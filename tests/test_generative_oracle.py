@@ -35,6 +35,11 @@ GEN_QUERIES = [
     "dataset_splits",
     "doc_chunks",
     "repetition_stats",
+    "per_group_sample",
+    "stratified_sample",
+    "top_quality_per_source",
+    "vocab_coverage",
+    "token_length_histogram",
     "training_corpus",
     "embedding_lsh_near_dups",
     "embedding_near_dups",
@@ -222,6 +227,7 @@ EVENT_QUERIES = [
     "event_minmax_downsample",
     "hll_daily_users",
     "sketch_event_profile",
+    "events_zorder",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
