@@ -95,7 +95,16 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, list[list[int]]]:
     if width is None or not idat:
         raise ValueError("truncated PNG")
     bpp = _CHANNELS[color_type]
-    samples = _unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    # hold the documented "raises ValueError" contract even for blobs
+    # that pass the signature/IHDR checks but carry corrupt or short
+    # IDAT data, which would otherwise surface as zlib.error/IndexError
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
+    if len(raw) < height * (width * bpp + 1):
+        raise ValueError("truncated PNG pixel data")
+    samples = _unfilter(raw, width, height, bpp)
     rows: list[list[int]] = []
     for y in range(height):
         base = y * width * bpp

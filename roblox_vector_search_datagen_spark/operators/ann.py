@@ -1325,7 +1325,11 @@ IVF_STALE_THRESHOLD = 0.1
 
 
 def ivf_upsert_assignments(
-    spark: SparkSession, sf_dir: str, k: int = IVF_K, hwm: int = IVF_UPSERT_HWM
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    hwm: int = IVF_UPSERT_HWM,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental IVF maintenance, assignment step: assign ONLY the
     vectors not yet in the index against the FROZEN centroids — the
@@ -1338,10 +1342,21 @@ def ivf_upsert_assignments(
     frozen-centroid table broadcasts exactly as in the bulk build —
     cost is proportional to the DELTA, not the corpus. Emits
     (vec_id, cent_id, cosine) for delta vectors only; union with the
-    stored index is the caller's write step."""
+    stored index is the caller's write step.
+
+    `index` is the stored index table (needs a `vec_id` column); pass
+    it in production and the plan touches the corpus only for the
+    anti-joined delta — that is when the delta-cost claim above is
+    literal. When None (the test-harness default, which has no stored
+    index to read), the frozen index is SIMULATED by re-running the
+    bulk assignment and filtering to the high-water mark, so that
+    fixture stand-in pays one extra corpus pass the real deployment
+    does not (`test_plans.py` pins the scan count of the
+    materialized-index path)."""
     e = tables.load_table(spark, sf_dir, "embeddings")
-    indexed = ivf_assignments(spark, sf_dir, k).filter(F.col("vec_id") < hwm)
-    delta = e.join(indexed.select("vec_id"), "vec_id", "left_anti")
+    if index is None:
+        index = ivf_assignments(spark, sf_dir, k).filter(F.col("vec_id") < hwm)
+    delta = e.join(index.select("vec_id"), "vec_id", "left_anti")
     cents = F.broadcast(
         e.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")

@@ -223,7 +223,6 @@ EVENT_QUERIES = [
     "scd2_user_state",
     "point_in_time_state",
     "rate_limited_events",
-    "winsorized_event_stats",
     "event_minmax_downsample",
     "hll_daily_users",
     "sketch_event_profile",

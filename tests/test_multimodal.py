@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 
 import duckdb
+import pytest
 
 from roblox_vector_search_datagen_spark.operators import multimodal as M
 
@@ -91,6 +92,36 @@ def test_png_gray_roundtrip():
     w, h, got = png.decode_png_luminance(blob)
     assert (w, h) == (4, 4)
     assert got == rows
+
+
+def test_png_corrupt_input_raises_valueerror():
+    """The documented contract is ValueError for anything that is not a
+    supported PNG — including blobs whose IDAT is corrupt (would be
+    zlib.error) or decompresses short (would be IndexError in the
+    unfilter loop)."""
+    import struct
+    import zlib
+
+    from roblox_vector_search_datagen_spark.functions import png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+    sig = b"\x89PNG\r\n\x1a\n"
+    # corrupt deflate stream
+    bad_idat = sig + ihdr + chunk(b"IDAT", b"\xde\xad\xbe\xef") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        png.decode_png_luminance(bad_idat)
+    # valid deflate stream, but shorter than height*(stride+1)
+    short = sig + ihdr + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="truncated PNG pixel data"):
+        png.decode_png_luminance(short)
 
 
 def test_png_rgb_and_filters_decode():

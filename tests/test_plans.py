@@ -11,6 +11,7 @@ import re
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from roblox_vector_search_datagen_spark.operators import maintenance, multimodal, search
 
@@ -507,6 +508,32 @@ def test_ivf_upsert_is_delta_restricted(spark, sf_dir):
     p = plan_of(ann.ivf_staleness_report(spark, sf_dir))
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_ivf_upsert_materialized_index_is_delta_cost(spark, sf_dir):
+    """With a stored index table passed in (the production path), the
+    plan must NOT re-run the bulk assignment: exactly two corpus scans
+    remain (the anti-joined delta and the K-row centroid slice), so the
+    docstring's cost-proportional-to-the-delta claim is literal. The
+    default (index=None) fixture stand-in pays more scans — assert the
+    gap so a regression re-introducing the full pass is caught."""
+    from roblox_vector_search_datagen_spark.operators import ann
+
+    stored = spark.range(ann.IVF_UPSERT_HWM).select(F.col("id").alias("vec_id"))
+    def n_scans(p):
+        return len(re.findall(r"\(\d+\) Scan parquet", p))
+
+    df = ann.ivf_upsert_assignments(spark, sf_dir, index=stored)
+    p = plan_of(df)
+    assert n_scans(p) == 2, p
+    assert "LeftAnti" in p and "BroadcastExchange" in p
+    p_default = plan_of(ann.ivf_upsert_assignments(spark, sf_dir))
+    assert n_scans(p_default) > 2
+    # same rows either way: the stand-in's simulated index covers the
+    # same vec_id set as the stored table
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, ann.ivf_upsert_assignments(spark, sf_dir).collect()))
+    assert a == b
 
 
 def test_non_default_invocations_skip_the_cache(spark, sf_dir):
