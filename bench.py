@@ -14,6 +14,24 @@ import os
 import sys
 import time
 
+def _storage_sample(spark) -> tuple[int, float]:
+    """(cached-RDD count, cached MiB) from the live storage pool.
+
+    Round 5's driver bench ran the back-of-registry cohort 2.18x
+    slower than an identical-code run, and the suspected mechanism was
+    the 8g driver heap evicting persisted subtrees late in the
+    149-query session. This sample per query turns that hypothesis
+    into data: monotone-growing occupancy with no drops == no
+    eviction; a drop in cached MiB without an unpersist == the LRU
+    evicted a shared subtree and later consumers recompute it cold."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        cached = [i for i in infos if i.isCached()]
+        return len(cached), round(sum(i.memSize() for i in cached) / 1048576, 1)
+    except Exception:  # py4j surface moved — instrumentation must never fail the bench
+        return -1, -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -42,6 +60,9 @@ def main() -> None:
     # the min over three reflects the plan's steady-state cost — what a
     # cluster executing the query repeatedly actually sees
     times: dict[str, float] = {}
+    storage: dict[str, list] = {}
+    evictions = 0
+    prev_mb = 0.0
     for name, q in QUERIES.items():
         best = float("inf")
         for _ in range(3):
@@ -49,6 +70,14 @@ def main() -> None:
             q.builder(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        n_cached, mem_mb = _storage_sample(spark)
+        storage[name] = [n_cached, mem_mb]
+        # nothing in the registry unpersists, so cached MiB shrinking
+        # between queries is an LRU eviction (1 MiB slack for block
+        # accounting jitter)
+        if mem_mb >= 0 and mem_mb < prev_mb - 1.0:
+            evictions += 1
+        prev_mb = max(prev_mb, mem_mb)
     # NOTE (measured, round 3): do NOT clearCache() between queries.
     # Spark's CacheManager substitutes cached plan fragments by
     # canonicalized-plan equality, so the persist()-ed signature /
@@ -76,6 +105,17 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        # per-query [cached-RDD count, cached MiB] + eviction count:
+        # the round-6 cache-pressure instrumentation (see
+        # _storage_sample). peak/final answer "did the storage pool
+        # stay bounded over the full session" at a glance.
+        "storage": {
+            "driver_memory": spark.conf.get("spark.driver.memory", "?"),
+            "evictions": evictions,
+            "peak_cached_mb": max((v[1] for v in storage.values()), default=0.0),
+            "final_cached_mb": next(reversed(storage.values()), [0, 0.0])[1],
+            "per_query": storage,
+        },
     }
     print(json.dumps(full, separators=(",", ":")))
     # The driver's 2 KB stdout tail can only ever hold the truncated
@@ -96,6 +136,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(times),
+        "driver_memory": full["storage"]["driver_memory"],
+        "cache_evictions": evictions,
         "queries_elided": 0,
         "queries": {},
     }

@@ -1317,6 +1317,245 @@ FROM report r JOIN shift s USING (cent_id)
 
 
 # ---------------------------------------------------------------------------
+# Multi-iteration Lloyd training (unrolled + train-to-convergence loop)
+# ---------------------------------------------------------------------------
+
+IVF_TRAIN_ROUNDS = 2
+
+
+def _cents_from_flat(flat: DataFrame) -> DataFrame:
+    """Re-assemble a flat (cent_id, pos, val) centroid table into
+    (cent_id, cent array) — K×dim rows in, K rows out."""
+    return (
+        flat.groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("ps"))
+        .select("cent_id", F.transform("ps", lambda s: s["val"]).alias("cent"))
+    )
+
+
+def _lloyd_round(e: DataFrame, flat: DataFrame, invariant: bool):
+    """One Lloyd iteration against the flat centroid table: assign every
+    vector to its max-cosine centroid, recompute element-wise means,
+    carry empty cells' centroids forward unchanged. Returns
+    (new_flat with old_val column, assignment). The corpus is scanned
+    once for scoring and once for the update fan-out; the K×dim update
+    table and the n-row assignment are persisted under default args
+    because each feeds two downstream branches (Catalyst instantiates
+    a subtree once per reference)."""
+    cents = F.broadcast(_cents_from_flat(flat))
+    scored = e.crossJoin(cents).select(
+        "vec_id",
+        "cent_id",
+        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("cent_id"))
+    assign = persist_if(
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cent_id"),
+        invariant,
+    )
+    upd = persist_if(
+        e.join(assign, "vec_id")
+        .select("cent_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cent_id", "pos")
+        .agg(qmean6(F.col("v").cast("double")).alias("mean_v")),
+        invariant,
+    )
+    new_flat = flat.join(upd, ["cent_id", "pos"], "left").select(
+        "cent_id",
+        "pos",
+        F.coalesce("mean_v", "val").alias("val"),
+        F.col("val").alias("old_val"),
+    )
+    return new_flat, assign
+
+
+def ivf_train_iters(
+    spark: SparkSession, sf_dir: str, k: int = IVF_K, rounds: int = IVF_TRAIN_ROUNDS
+) -> DataFrame:
+    """`rounds` unrolled Lloyd iterations of the IVF coarse quantizer
+    with per-round telemetry — the oracle-pinned iteration body of
+    `ivf_train_converged` (`ivf_train` pins ONE iteration; this pins
+    the round-to-round composition: round 2 assigns against round 1's
+    UPDATED means, so a transposed join or a missed empty-cell
+    carry-forward shows up as a hash mismatch, which a single
+    iteration cannot catch). Reference parity: the ANN index build the
+    reference delegates to its embeddings API (src/endpoints/
+    vectorSearch.get.ts) needs a trained coarse quantizer at corpus
+    scale.
+
+    Scale shape per round: one corpus scan scores against the
+    broadcast K×dim centroids, one corpus fan-out feeds a (cent_id,
+    pos)-keyed aggregate whose cardinality is K×dim regardless of
+    corpus size; shifts and member counts ride the same tiny tables.
+    Emits (round, cent_id, n_members, shift) — shift is the L1
+    distance each centroid moved that round, the scalar a training
+    loop thresholds on."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    invariant = k == IVF_K and rounds == IVF_TRAIN_ROUNDS
+    flat = (
+        e.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .withColumn("val", F.col("val").cast("double"))
+    )
+    reports = []
+    for r in range(1, rounds + 1):
+        new_flat, assign = _lloyd_round(e, flat, invariant)
+        shift = new_flat.groupBy("cent_id").agg(
+            qsum6(F.abs(F.col("val") - F.col("old_val"))).alias("shift")
+        )
+        n_members = assign.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+        reports.append(
+            shift.join(n_members, "cent_id", "left").select(
+                F.lit(r).alias("round"),
+                "cent_id",
+                F.coalesce("n", F.lit(0)).cast("bigint").alias("n_members"),
+                "shift",
+            )
+        )
+        flat = new_flat.select("cent_id", "pos", "val")
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def ivf_train_iters_oracle(k: int = IVF_K, rounds: int = IVF_TRAIN_ROUNDS) -> str:
+    from ..functions.num import qmean6_sql, qsum6_sql
+
+    if rounds != 2:
+        raise ValueError("oracle pins exactly 2 unrolled rounds")
+    cos = V.cosine_sql("e.embedding", "c.cent")
+
+    def round_sql(i: int) -> str:
+        prev = f"flat{i - 1}"
+        return f"""
+cents{i - 1} AS (
+  SELECT cent_id, list(val ORDER BY pos) AS cent FROM {prev} GROUP BY cent_id
+),
+scored{i} AS (
+  SELECT e.vec_id, c.cent_id, round({cos}, 6) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 6) DESC NULLS LAST, c.cent_id) AS rn
+  FROM embeddings e CROSS JOIN cents{i - 1} c
+),
+a{i} AS (SELECT vec_id, cent_id FROM scored{i} WHERE rn = 1),
+upd{i} AS (
+  SELECT a.cent_id, g.i - 1 AS pos,
+         {qmean6_sql("CAST(e.embedding[g.i] AS DOUBLE)")} AS mean_v
+  FROM embeddings e
+  JOIN a{i} a USING (vec_id)
+  CROSS JOIN generate_series(1, {GEN_DIM}) AS g(i)
+  GROUP BY a.cent_id, g.i - 1
+),
+flat{i} AS (
+  SELECT f.cent_id, f.pos, COALESCE(u.mean_v, f.val) AS val, f.val AS old_val
+  FROM {prev} f LEFT JOIN upd{i} u USING (cent_id, pos)
+),
+shift{i} AS (
+  SELECT cent_id, {qsum6_sql("abs(val - old_val)")} AS shift
+  FROM flat{i} GROUP BY cent_id
+),
+n{i} AS (SELECT cent_id, count(*) AS n FROM a{i} GROUP BY cent_id)"""
+
+    return f"""
+WITH flat0 AS (
+  SELECT vec_id AS cent_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN generate_series(1, {GEN_DIM}) AS g(i)
+  WHERE vec_id < {k}
+),{round_sql(1)},{round_sql(2)}
+SELECT 1 AS round, s.cent_id, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members, s.shift
+FROM shift1 s LEFT JOIN n1 n USING (cent_id)
+UNION ALL
+SELECT 2 AS round, s.cent_id, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members, s.shift
+FROM shift2 s LEFT JOIN n2 n USING (cent_id)
+"""
+
+
+def ivf_train_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    max_iter: int = 30,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Train-to-convergence Lloyd loop: iterate `_lloyd_round` until no
+    centroid's L1 shift exceeds `tol`, RAISE on budget exhaustion —
+    the same loop discipline as `_connected_components`
+    (operators/dedup.py): localCheckpoint per round so lineage stays
+    flat, one cheap driver-side scalar per round as the convergence
+    signal, and refusal to return a half-trained index silently (a
+    wrong index serves wrong neighbors with no downstream signal).
+
+    The per-round body is exactly `ivf_train_iters`' oracle-pinned
+    iteration (assign → quantized means → empty-cell carry-forward),
+    so this loop's correctness is inherited; what the loop adds —
+    fixpoint detection, budget raise, telemetry — is pytest-pinned
+    (tests/test_pipeline_ops.py). Emits one row per executed round:
+    (round, max_shift, total_shift, n_reassigned) — n_reassigned is
+    how many vectors changed cells that round, the other scalar
+    production training monitors.
+
+    Scale: per round, two corpus scans (score + update fan-out) and
+    K×dim-sized everything else; the loop state checkpointed between
+    rounds is K×dim rows. Driver-side data is O(rounds) scalars."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    flat = (
+        e.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .withColumn("val", F.col("val").cast("double"))
+        .localCheckpoint()
+    )
+    prev_assign = None
+    telemetry = []
+    for r in range(1, max_iter + 1):
+        new_flat, assign = _lloyd_round(e, flat, invariant=False)
+        # round-local persist with explicit release: each round's plan
+        # has fresh lineage, so persist_if's session-invariant cache
+        # would mint one entry per round and accumulate — the exact
+        # leak functions/caching.py guards against. Lifecycle here is
+        # explicit instead: persist, consume both branches, unpersist.
+        assign = assign.persist()
+        new_flat = new_flat.localCheckpoint()
+        row = new_flat.agg(
+            F.max(F.abs(F.col("val") - F.col("old_val"))).alias("max_shift"),
+            qsum6(F.abs(F.col("val") - F.col("old_val"))).alias("total_shift"),
+        ).collect()[0]
+        if prev_assign is None:
+            n_reassigned = assign.count()
+        else:
+            n_reassigned = (
+                assign.alias("a")
+                .join(prev_assign.alias("p"), "vec_id")
+                .filter(F.col("a.cent_id") != F.col("p.cent_id"))
+                .count()
+            )
+        telemetry.append((r, float(row.max_shift), float(row.total_shift), n_reassigned))
+        if prev_assign is not None:
+            prev_assign.unpersist()
+        prev_assign = assign
+        flat = new_flat.select("cent_id", "pos", "val").localCheckpoint()
+        if row.max_shift <= tol:
+            prev_assign.unpersist()
+            return spark.createDataFrame(
+                telemetry, "round int, max_shift double, total_shift double, n_reassigned bigint"
+            )
+    if prev_assign is not None:
+        prev_assign.unpersist()
+    raise RuntimeError(
+        f"ivf_train_converged: max centroid shift {telemetry[-1][1]} still above "
+        f"tol={tol} after {max_iter} rounds — refusing to return a half-trained index"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental index maintenance: delta-only assignment + staleness
 # ---------------------------------------------------------------------------
 

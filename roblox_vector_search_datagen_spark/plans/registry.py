@@ -597,6 +597,16 @@ def _registry() -> dict[str, Query]:
         ann.ivf_train_oracle(),
         ("vector", "index-build", "iterative"),
     )
+    # TWO unrolled Lloyd iterations with per-round telemetry — pins the
+    # round-to-round composition (round 2 assigns against round 1's
+    # updated means + empty-cell carry-forward) that ivf_train's single
+    # iteration can't; the oracle-pinned body of ivf_train_converged,
+    # whose fixpoint loop is pytest-pinned (test_pipeline_ops.py)
+    r["ivf_train_iters"] = Query(
+        lambda spark, sf: ann.ivf_train_iters(spark, sf),
+        ann.ivf_train_iters_oracle(),
+        ("vector", "index-build", "iterative"),
+    )
     # incremental index maintenance: delta-only assignment against the
     # frozen index (anti-join worklist shape) + the reassignment-rate
     # audit that decides upsert-vs-rebuild

@@ -281,3 +281,38 @@ def test_cross_lingual_near_dups_is_lang_mismatched_subset(spark, sf_dir):
         assert r.base_cos is not None and r.base_cos == r.cosine
         assert r.lang_a != r.lang_b
         assert langs[r.vec_a] == r.lang_a and langs[r.vec_b] == r.lang_b
+
+
+def test_ivf_train_converged_reaches_fixpoint(spark, sf_dir):
+    """The Lloyd loop must (a) reach the fixpoint within budget on the
+    fixture corpus, (b) end with max_shift <= tol and zero
+    reassignments, (c) report strictly decreasing total shift into the
+    fixpoint's neighborhood, and (d) agree with the oracle-pinned
+    unrolled body (`ivf_train_iters`) on the rounds both execute."""
+    from roblox_vector_search_datagen_spark.operators import ann
+
+    tel = ann.ivf_train_converged(spark, sf_dir).collect()
+    assert len(tel) >= 2
+    last = tel[-1]
+    assert last.max_shift <= 1e-6
+    assert last.n_reassigned == 0
+    # round 1 does real work; totals head monotonically to ~0
+    assert tel[0].total_shift > tel[-1].total_shift
+    # loop round r's L1 total == the unrolled body's sum over centroids
+    unrolled = ann.ivf_train_iters(spark, sf_dir).collect()
+    per_round = {}
+    for r in unrolled:
+        per_round[r["round"]] = round(per_round.get(r["round"], 0.0) + r.shift, 6)
+    for t in tel[: len(per_round)]:
+        assert abs(per_round[t["round"]] - t.total_shift) < 1e-6
+
+
+def test_ivf_train_converged_raises_on_budget_exhaustion(spark, sf_dir):
+    """A budget too small to converge must RAISE — never return a
+    half-trained index silently."""
+    import pytest as _pytest
+
+    from roblox_vector_search_datagen_spark.operators import ann
+
+    with _pytest.raises(RuntimeError, match="refusing to return a half-trained index"):
+        ann.ivf_train_converged(spark, sf_dir, max_iter=1)
