@@ -39,15 +39,24 @@ def qmean6(col: Column | str) -> Column:
     """round(avg(col), 6) with order-independent integer accumulation.
 
     Uses count(col) (non-null count), matching avg() null semantics.
-    """
+
+    The mean is rounded at INTEGER micro-unit scale — round(Σq/n) —
+    not by round(x, 6) on the double: decimal midpoints like 2.5e-6
+    are not binary-representable, and Spark (BigDecimal HALF_UP on the
+    double's exact expansion) and DuckDB (multiply-shift) break the
+    tie differently, a 1-ulp divergence the generative parity suite
+    caught on ivf_train_iters. Integer-scale midpoints (k + 0.5,
+    k < 2^52) ARE exact doubles, and both engines round them half-away
+    identically, so Σq/n → round → /1e6 is bit-reproducible."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(_q(c)) / (F.lit(1e6) * F.count(c)), 6)
+    return F.round(F.sum(_q(c)) / F.count(c), 0).cast("bigint") / F.lit(1e6)
 
 def qsum6_sql(expr: str) -> str:
     return f"round(sum(CAST(round(({expr}) * 1e6) AS BIGINT)) / 1e6, 6)"
 
 def qmean6_sql(expr: str) -> str:
+    # integer-scale rounding, mirroring qmean6 (see its docstring)
     return (
-        f"round(sum(CAST(round(({expr}) * 1e6) AS BIGINT))"
-        f" / (1e6 * count({expr})), 6)"
+        f"CAST(round(sum(CAST(round(({expr}) * 1e6) AS BIGINT))"
+        f" / count({expr})) AS BIGINT) / 1e6"
     )

@@ -750,7 +750,7 @@ dims AS (
   CROSS JOIN generate_series(1, 64) AS g(i)
 )
 SELECT cent_id, CAST(pos AS INT) AS pos,
-       round(sum(CAST(round((v) * 1e6) AS BIGINT)) / (1e6 * count(v)), 6) AS mean_v
+       CAST(round(sum(CAST(round((v) * 1e6) AS BIGINT)) / count(v)) AS BIGINT) / 1e6 AS mean_v
 FROM dims GROUP BY cent_id, pos
 """
 
@@ -834,14 +834,17 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q).alias("_s1"),
         F.sum(q * q).alias("_s2"),
     )
-    mean = F.col("_s1") / (F.lit(1e6) * F.col("n"))
+    # mean rounded at integer micro-unit scale (functions/num.qmean6
+    # rationale: decimal midpoints on doubles tie-break differently
+    # across engines; integer midpoints are exact)
+    mean_q = F.round(F.col("_s1") / F.col("n"), 0).cast("bigint") / F.lit(1e6)
     var = (F.col("_s2") / F.col("n") - (F.col("_s1") / F.col("n")) * (F.col("_s1") / F.col("n"))) / F.lit(1e12)
     return agg.select(
         "pos",
         "n",
         "mn",
         "mx",
-        F.round(mean, 6).alias("mean"),
+        mean_q.alias("mean"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
     )
 
@@ -861,7 +864,7 @@ agg AS (
   FROM ex GROUP BY pos
 )
 SELECT pos, n, mn, mx,
-       round(s1 / (1e6 * n), 6) AS mean,
+       CAST(round(s1 / n) AS BIGINT) / 1e6 AS mean,
        round(sqrt(greatest((s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) / 1e12, 0.0)), 6) AS std
 FROM agg
 """
@@ -997,8 +1000,8 @@ coded AS (
 SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
        CAST(sum(code) AS BIGINT) AS code_sum,
        CAST(sum(code * pos) AS BIGINT) AS code_pos_dot,
-       round(sum(CAST(round((abs(x - (mn + code / 255.0 * (mx - mn)))) * 1e6) AS BIGINT))
-             / (1e6 * count(abs(x - (mn + code / 255.0 * (mx - mn))))), 6) AS mae
+       CAST(round(sum(CAST(round((abs(x - (mn + code / 255.0 * (mx - mn)))) * 1e6) AS BIGINT))
+             / count(abs(x - (mn + code / 255.0 * (mx - mn))))) AS BIGINT) / 1e6 AS mae
 FROM coded GROUP BY vec_id
 """
 
@@ -1078,10 +1081,13 @@ def ivf_cluster_quality(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> Dat
     assign = ivf_assignments(spark, sf_dir, k)
     return assign.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(
-            F.sum(F.round(F.col("cosine") * 1e6, 0).cast("bigint"))
-            / (F.lit(1e6) * F.count(F.lit(1))),
-            6,
+        (
+            F.round(
+                F.sum(F.round(F.col("cosine") * 1e6, 0).cast("bigint"))
+                / F.count(F.lit(1)),
+                0,
+            ).cast("bigint")
+            / F.lit(1e6)
         ).alias("mean_cosine"),
     )
 
@@ -1089,7 +1095,7 @@ def ivf_cluster_quality_oracle(k: int = IVF_K) -> str:
     return f"""
 WITH assign AS ({ivf_assignments_oracle(k)})
 SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
-       round(sum(CAST(round(cosine * 1e6) AS BIGINT)) / (1e6 * count(*)), 6) AS mean_cosine
+       CAST(round(sum(CAST(round(cosine * 1e6) AS BIGINT)) / count(*)) AS BIGINT) / 1e6 AS mean_cosine
 FROM assign GROUP BY cent_id
 """
 
@@ -1182,10 +1188,13 @@ def index_build_report(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> Data
         F.count(F.lit(1)).cast("bigint").alias("nonempty_cells"),
         F.min("n_members").cast("bigint").alias("min_cell"),
         F.max("n_members").cast("bigint").alias("max_cell"),
-        F.round(
-            F.sum(F.round(F.col("mean_cosine") * 1e6, 0).cast("bigint") * F.col("n_members"))
-            / (F.lit(1e6) * F.sum("n_members")),
-            6,
+        (
+            F.round(
+                F.sum(F.round(F.col("mean_cosine") * 1e6, 0).cast("bigint") * F.col("n_members"))
+                / F.sum("n_members"),
+                0,
+            ).cast("bigint")
+            / F.lit(1e6)
         ).alias("wmc"),
     )
     balance = F.round(
@@ -1216,8 +1225,8 @@ agg AS (
          CAST(count(*) AS BIGINT) AS nonempty_cells,
          CAST(min(n_members) AS BIGINT) AS min_cell,
          CAST(max(n_members) AS BIGINT) AS max_cell,
-         round(sum(CAST(round(mean_cosine * 1e6) AS BIGINT) * n_members)
-               / (1e6 * sum(n_members)), 6) AS wmc
+         CAST(round(sum(CAST(round(mean_cosine * 1e6) AS BIGINT) * n_members)
+               / sum(n_members)) AS BIGINT) / 1e6 AS wmc
   FROM q
 )
 SELECT 'n_vectors' AS metric, CAST(n_vectors AS DOUBLE) AS value FROM agg

@@ -94,6 +94,23 @@ def _band_sig(prefix: str, band: int):
 
 LSH_BAND_CAP = 100
 
+def _minhash_band_unpivot(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) unpivot of the minhash signature table — one
+    generator pass instead of a per-band union (which would re-run the
+    whole signature aggregation per band per join side)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(c).cast("string") for c in _band_sig("", b)]
+            ).alias("sig"),
+        )
+        for b in range(H.LSH_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
 def lsh_candidate_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -128,21 +145,7 @@ def lsh_candidate_pairs(
     outside saturation; mirrored exactly in the oracle."""
     if sig is None:
         sig = _minhash_signatures(spark, sf_dir).persist()
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(c).cast("string") for c in _band_sig("", b)]
-            ).alias("sig"),
-        )
-        for b in range(H.LSH_BANDS)
-    ]
-    # one generator pass unpivots all bands — a union of per-band
-    # projections would re-run the whole signature aggregation per band
-    # per join side (8 document scans instead of 2)
-    unpivoted = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    unpivoted = _minhash_band_unpivot(sig)
     wb = Window.partitionBy("band", "sig")
     unpivoted = (
         unpivoted.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
@@ -174,6 +177,47 @@ bands AS (
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+def lsh_dropped_buckets(
+    spark: SparkSession, sf_dir: str, band_cap: int = LSH_BAND_CAP
+) -> DataFrame:
+    """Observability for the minhash band cap (template:
+    `simhash_dropped_bands` / `ngram_dropped_shingles`): how many
+    (band, sig) buckets `lsh_candidate_pairs`' cap drops, the total
+    bucket count, and the widest bucket seen. Near-identical groups
+    wider than the cap vanish from the candidate stream SILENTLY
+    without this — and unlike byte-identical copies they are invisible
+    to `dedup_exact` too, so a large dropped fraction is the signal to
+    route the corpus through clustering (`dedup_clusters`) before
+    pairwise discovery. One narrow (band, sig) aggregation — the
+    report costs one shuffle of bucket keys, never the pair space."""
+    b = (
+        _minhash_band_unpivot(_minhash_signatures(spark, sf_dir))
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return b.agg(
+        F.sum((F.col("n") > band_cap).cast("long")).alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+    )
+
+def lsh_dropped_buckets_oracle(band_cap: int = LSH_BAND_CAP) -> str:
+    band_selects = []
+    for b in range(H.LSH_BANDS):
+        cols = _band_sig("", b)
+        sig = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs")
+    unpiv = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sigs AS ({_minhash_signatures_sql()}),
+bands0 AS ({unpiv}),
+bcnt AS (SELECT band, sig, count(*) AS n FROM bands0 GROUP BY 1, 2)
+SELECT CAST(sum(CASE WHEN n > {band_cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket
+FROM bcnt
 """
 
 def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,6 +1079,47 @@ eb AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket, {cos} AS cosine
 FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
+"""
+
+def embedding_lsh_dropped_buckets(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = EMB_LSH_BUCKET_CAP
+) -> DataFrame:
+    """Observability for the sign-LSH bucket cap (template:
+    `simhash_dropped_bands`): how many sign buckets
+    `embedding_lsh_near_dups`' cap drops, the total bucket count, and
+    the widest bucket. Dropped-bucket members are near-identical
+    vectors en masse that would otherwise vanish from
+    `embedding_lsh_verified` / `cross_lingual_near_dups` with no
+    signal. One narrow bucket-keyed aggregation over a single
+    embedding scan."""
+    b = (
+        tables.load_table(spark, sf_dir, "embeddings")
+        .select(_sign_bucket_expr(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return b.agg(
+        F.sum((F.col("n") > bucket_cap).cast("long")).alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+    )
+
+def embedding_lsh_dropped_buckets_oracle(bucket_cap: int = EMB_LSH_BUCKET_CAP) -> str:
+    dims_per = 64 // LSH_SIGN_BITS
+    blocks = " + ".join(
+        f"CASE WHEN list_sum(emb_d[{j * dims_per + 1}:{(j + 1) * dims_per}]) >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(LSH_SIGN_BITS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d FROM embeddings
+),
+bcnt AS (SELECT {blocks} AS bucket, count(*) AS n FROM e GROUP BY 1)
+SELECT CAST(sum(CASE WHEN n > {bucket_cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket
+FROM bcnt
 """
 
 CROSS_LINGUAL_THRESHOLD = 0.25

@@ -82,6 +82,32 @@ def _try_real_decoder():
 
         return ("png", _png)
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+def _sniff_format(content: bytes) -> str:
+    """Magic-bytes format sniff — the explicit dispatch gate for the
+    decode stage. 'other' means the blob WILL stub-decode; the
+    per-format counters in `media_inventory` make a corpus that is
+    silently 100% stub-decoded visible (a training pipeline that
+    thinks it extracted real pixel stats from opaque bytes is a silent
+    data bug)."""
+    if content[:8] == _PNG_MAGIC:
+        return "png"
+    if content[:3] == _JPEG_MAGIC:
+        return "jpeg"
+    return "other"
+
+def media_format_expr(content) -> F.Column:
+    """Pure-Catalyst twin of `_sniff_format` (hex-prefix compare on the
+    first 8 bytes), usable in aggregations without a Python worker."""
+    h8 = F.hex(F.substring(content, 1, 8))
+    return (
+        F.when(h8 == "89504E470D0A1A0A", F.lit("png"))
+        .when(h8.startswith("FFD8FF"), F.lit("jpeg"))
+        .otherwise(F.lit("other"))
+    )
+
 def _stub_pixels(content: bytes, width: int, height: int) -> list[float]:
     """STUB decode: deterministic 4-value 'pixel statistics' from the
     blob digest — stands in for mean/std channel stats of a real
@@ -92,14 +118,21 @@ def _stub_pixels(content: bytes, width: int, height: int) -> list[float]:
 def _real_pixels(backend, content: bytes, width: int, height: int) -> list[float]:
     """Real decode path: luminance mean/std plus decoded-vs-declared
     dimension ratios — the same 4-float shape as the stub so the Arrow
-    schema is identical either way. Both backends produce the same
-    ITU-R 601-2 integer luminance, so a later PIL install does not
-    change results on 8-bit PNGs. Blobs that are not decodable images
-    fall back to the stub, keeping the operator total and
-    deterministic in every environment."""
+    schema is identical either way. Dispatch is an EXPLICIT
+    magic-bytes sniff (`_sniff_format`): png → PIL or the vendored
+    reader (same ITU-R 601-2 luminance, so a later PIL install does
+    not change results on 8-bit PNGs), jpeg → PIL when installed
+    (this container ships no JPEG codec — counted, not hidden, via
+    media_inventory's n_jpeg vs n_stub), anything else → the
+    documented deterministic stub. Corrupt blobs that pass the sniff
+    but fail decode also fall back to the stub, keeping the operator
+    total and deterministic in every environment."""
     import io
 
     kind, mod = backend
+    fmt = _sniff_format(content)
+    if fmt == "other" or (fmt == "jpeg" and kind != "pil"):
+        return _stub_pixels(content, width, height)
     try:
         import numpy as np
 
@@ -116,7 +149,7 @@ def _real_pixels(backend, content: bytes, width: int, height: int) -> list[float
             round(w0 / max(int(width), 1), 6),
             round(h0 / max(int(height), 1), 6),
         ]
-    except Exception:  # noqa: BLE001 — undecodable blob -> documented stub
+    except Exception:  # noqa: BLE001 — corrupt-but-sniffed blob -> documented stub
         return _stub_pixels(content, width, height)
 
 FEATURES_SCHEMA = T.StructType(
@@ -223,13 +256,24 @@ FROM m WHERE media_type = 'video'
 
 def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata rollup per modality — the sanity dashboard of a
-    multimodal corpus (bytes, dimensions, durations)."""
+    multimodal corpus (bytes, dimensions, durations), now with
+    per-format decode-path counters (magic-bytes sniff): n_png and
+    n_jpeg blobs take (or would take, for jpeg without PIL) the real
+    decoder; n_stub blobs take the deterministic stub. A corpus whose
+    image rows report n_stub == n is visibly NOT producing real pixel
+    features — the observability the format gate exists for. The
+    sniff is a codegen'd hex-prefix compare on 8 bytes, added to the
+    existing single aggregation pass."""
     m = media(spark, sf_dir)
+    fmt = media_format_expr(F.col("content"))
     return m.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("content")).alias("total_bytes"),
         F.round(F.avg("meta.width"), 6).alias("avg_width"),
         F.round(F.avg("meta.duration_ms"), 6).alias("avg_duration_ms"),
+        F.sum((fmt == "png").cast("long")).alias("n_png"),
+        F.sum((fmt == "jpeg").cast("long")).alias("n_jpeg"),
+        F.sum((fmt == "other").cast("long")).alias("n_stub"),
     )
 
 def media_inventory_oracle() -> str:
@@ -246,7 +290,15 @@ SELECT media_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes,
        round(avg(width), 6) AS avg_width,
-       round(avg(duration_ms), 6) AS avg_duration_ms
+       round(avg(duration_ms), 6) AS avg_duration_ms,
+       CAST(sum(CASE WHEN substr(hex(content), 1, 16) = '89504E470D0A1A0A'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+       CAST(sum(CASE WHEN substr(hex(content), 1, 16) <> '89504E470D0A1A0A'
+                 AND substr(hex(content), 1, 6) = 'FFD8FF'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_jpeg,
+       CAST(sum(CASE WHEN substr(hex(content), 1, 16) <> '89504E470D0A1A0A'
+                 AND substr(hex(content), 1, 6) <> 'FFD8FF'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_stub
 FROM m GROUP BY media_type
 """
 

@@ -167,8 +167,8 @@ WITH t AS (
 v AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
 tot AS (SELECT sum(cnt) AS total FROM v)
 SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(CAST(round((ln(v.cnt / (SELECT total FROM tot))) * 1e6) AS BIGINT))
-             / (1e6 * count(ln(v.cnt / (SELECT total FROM tot)))), 6) AS avg_logprob
+       CAST(round(sum(CAST(round((ln(v.cnt / (SELECT total FROM tot))) * 1e6) AS BIGINT))
+             / count(ln(v.cnt / (SELECT total FROM tot)))) AS BIGINT) / 1e6 AS avg_logprob
 FROM t JOIN v USING (word)
 GROUP BY t.doc_id
 """
@@ -512,6 +512,6 @@ scored AS (
   FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(sum(CAST(round((logp) * 1e6) AS BIGINT)) / (1e6 * count(logp)), 6) AS avg_logprob
+       CAST(round(sum(CAST(round((logp) * 1e6) AS BIGINT)) / count(logp)) AS BIGINT) / 1e6 AS avg_logprob
 FROM scored GROUP BY doc_id
 """

@@ -254,7 +254,7 @@ SELECT event_type,
        round(quantile_cont(value, 0.25), 6) AS p25,
        round(quantile_cont(value, 0.50), 6) AS p50,
        round(quantile_cont(value, 0.75), 6) AS p75,
-       round(sum(CAST(round((value) * 1e6) AS BIGINT)) / (1e6 * count(value)), 6) AS mean_value,
+       CAST(round(sum(CAST(round((value) * 1e6) AS BIGINT)) / count(value)) AS BIGINT) / 1e6 AS mean_value,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -922,8 +922,8 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        min(p_lo) AS p_lo, min(p_hi) AS p_hi,
        CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
        CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
-       round(sum(CAST(round((value) * 1e6) AS BIGINT)) / (1e6 * count(value)), 6) AS mean_raw,
-       round(sum(CAST(round((clipped) * 1e6) AS BIGINT)) / (1e6 * count(clipped)), 6) AS mean_winsorized
+       CAST(round(sum(CAST(round((value) * 1e6) AS BIGINT)) / count(value)) AS BIGINT) / 1e6 AS mean_raw,
+       CAST(round(sum(CAST(round((clipped) * 1e6) AS BIGINT)) / count(clipped)) AS BIGINT) / 1e6 AS mean_winsorized
 FROM j GROUP BY event_type
 """
 
@@ -1106,7 +1106,7 @@ j AS (
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        min(p_lo) AS p_lo, min(p_hi) AS p_hi,
-       round(sum(CAST(round((clipped) * 1e6) AS BIGINT)) / (1e6 * count(clipped)), 6)
+       CAST(round(sum(CAST(round((clipped) * 1e6) AS BIGINT)) / count(clipped)) AS BIGINT) / 1e6
          AS mean_winsorized,
        TRUE AS approx_thresholds_ok, TRUE AS approx_mean_ok
 FROM j GROUP BY event_type

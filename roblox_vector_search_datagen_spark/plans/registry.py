@@ -318,6 +318,13 @@ def _registry() -> dict[str, Query]:
     r["lsh_candidate_pairs"] = Query(
         dedup.lsh_candidate_pairs, dedup.lsh_candidate_pairs_oracle(), ("dedup", "bench")
     )
+    # observability twin for the band cap above — saturated corpora
+    # must be detectable, not silently under-deduped
+    r["lsh_dropped_buckets"] = Query(
+        lambda spark, sf: dedup.lsh_dropped_buckets(spark, sf),
+        dedup.lsh_dropped_buckets_oracle(),
+        ("dedup", "report"),
+    )
     r["exact_jaccard_verify"] = Query(
         dedup.exact_jaccard_verify, dedup.exact_jaccard_verify_oracle(), ("dedup",)
     )
@@ -496,6 +503,12 @@ def _registry() -> dict[str, Query]:
         lambda spark, sf: dedup.embedding_lsh_near_dups(spark, sf),
         dedup.embedding_lsh_near_dups_oracle(),
         ("dedup", "vector"),
+    )
+    # observability twin for the sign-LSH bucket cap above
+    r["embedding_lsh_dropped_buckets"] = Query(
+        lambda spark, sf: dedup.embedding_lsh_dropped_buckets(spark, sf),
+        dedup.embedding_lsh_dropped_buckets_oracle(),
+        ("dedup", "vector", "report"),
     )
     r["ngram_jaccard_pairs"] = Query(
         lambda spark, sf: dedup.ngram_jaccard_pairs(spark, sf),

@@ -41,10 +41,13 @@ GEN_QUERIES = [
     "vocab_coverage",
     "token_length_histogram",
     "training_corpus",
+    "lsh_dropped_buckets",
     "embedding_lsh_near_dups",
+    "embedding_lsh_dropped_buckets",
     "embedding_near_dups",
     "cross_lingual_near_dups",
     "ivf_assignments",
+    "ivf_train_iters",
     "ivf_label_purity",
     "knn_join",
 ]

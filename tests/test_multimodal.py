@@ -7,6 +7,7 @@ import hashlib
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from roblox_vector_search_datagen_spark.operators import multimodal as M
 
@@ -72,7 +73,8 @@ def test_real_pixels_decodes_when_decoder_works():
         def open(buf):
             return FakeImg()
 
-    feats = mm._real_pixels(("pil", FakePIL), b"png-bytes", 64, 64)
+    # blob must pass the magic-bytes sniff to reach the PIL arm
+    feats = mm._real_pixels(("pil", FakePIL), b"\x89PNG\r\n\x1a\npayload", 64, 64)
     assert feats == [0.2, 0.0, 0.5, 0.25]
 
 
@@ -244,3 +246,53 @@ def test_media_features_real_arm_end_to_end(spark):
         1.0,
     ]
     assert out[1] == mm._stub_pixels(opaque, 64, 64)
+
+
+def test_sniff_format_dispatch():
+    from roblox_vector_search_datagen_spark.functions import png
+    from roblox_vector_search_datagen_spark.operators import multimodal as MM
+
+    png_blob = png.encode_png_gray([[0, 128], [255, 7]])
+    assert MM._sniff_format(png_blob) == "png"
+    assert MM._sniff_format(b"\xff\xd8\xff\xe0rest-of-jfif") == "jpeg"
+    assert MM._sniff_format(b"plain text bytes") == "other"
+    assert MM._sniff_format(b"") == "other"
+    # jpeg without a PIL backend must take the stub, not raise
+    backend = MM._try_real_decoder()
+    jpeg_blob = b"\xff\xd8\xff\xe0\x00\x10JFIFgarbage"
+    if backend[0] != "pil":
+        assert MM._real_pixels(backend, jpeg_blob, 4, 4) == MM._stub_pixels(jpeg_blob, 4, 4)
+    # a sniffed-png blob with corrupt body still degrades to the stub
+    corrupt = png_blob[:20] + b"\x00" * 10
+    assert MM._real_pixels(backend, corrupt, 4, 4) == MM._stub_pixels(corrupt, 4, 4)
+
+
+def test_media_inventory_counts_decode_paths(spark, sf_dir):
+    """The fixture media table is text bytes — every blob must be
+    visibly counted as stub-decoded (n_stub == n, zero png/jpeg): the
+    'corpus is silently 100% stub' signal the counters exist for."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as MM
+
+    for r in MM.media_inventory(spark, sf_dir).collect():
+        assert r.n_stub == r.n
+        assert r.n_png == 0 and r.n_jpeg == 0
+
+
+def test_media_format_expr_matches_python_sniff(spark):
+    """The Catalyst sniff and the Python-side sniff must agree on the
+    same blobs (png / jpeg / text / short / empty)."""
+    from roblox_vector_search_datagen_spark.functions import png
+    from roblox_vector_search_datagen_spark.operators import multimodal as MM
+
+    blobs = [
+        png.encode_png_gray([[1]]),
+        b"\xff\xd8\xff\xe1exif",
+        b"text",
+        b"\x89PNG\r\n",  # truncated magic -> other
+        b"",
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)], "i int, content binary"
+    ).select("i", MM.media_format_expr(F.col("content")).alias("fmt"))
+    got = {r.i: r.fmt for r in df.collect()}
+    assert got == {i: MM._sniff_format(b) for i, b in enumerate(blobs)}

@@ -377,3 +377,26 @@ def test_dedup_clusters_matches_union_find_on_chain_corpus(spark, tmp_path):
     truth = {x: find(x) for x in parent}
     got = {r.doc_id: r.cluster for r in dedup.dedup_clusters(spark, d).collect()}
     assert got == truth
+
+
+def test_lsh_dropped_buckets_reports_hot_buckets(spark, dupsat_dir):
+    """The minhash band cap's observability twin: the 100 identical
+    texts share every band signature, so each band contributes exactly
+    one hot bucket the cap drops — saturation is visible, not silent."""
+    from roblox_vector_search_datagen_spark.functions import hashing as H
+
+    r = dedup.lsh_dropped_buckets(spark, dupsat_dir, band_cap=50).collect()[0]
+    assert r.n_dropped == H.LSH_BANDS
+    assert r.max_bucket == 100
+    assert r.n_buckets > H.LSH_BANDS
+
+
+def test_embedding_lsh_dropped_buckets_reports_hot_bucket(spark, dupsat_emb_dir):
+    """The sign-LSH cap's observability twin: 100 identical vectors
+    collapse into ONE hot sign bucket."""
+    r = dedup.embedding_lsh_dropped_buckets(
+        spark, dupsat_emb_dir, bucket_cap=50
+    ).collect()[0]
+    assert r.n_dropped == 1
+    assert r.max_bucket == 100
+    assert r.n_buckets > 1
