@@ -200,12 +200,21 @@ SELECT user_id, sess_seq, min(ts) AS session_start, max(ts) AS session_end,
 FROM s GROUP BY user_id, sess_seq
 """
 
-def stream_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+def stream_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_min: int = SESSION_GAP_MIN,
+    raw: DataFrame | None = None,
+) -> DataFrame:
     """Streaming sessionization via the built-in session_window — the
     watermark bounds state so Spark can emit and evict closed sessions
     (applyInPandasWithState would be the fully-custom variant; the
-    built-in gap window expresses exactly this operator)."""
-    raw = _events_stream(spark, sf_dir)
+    built-in gap window expresses exactly this operator). `raw`
+    overrides the source (the late-data tests feed out-of-order
+    multi-microbatch streams through it to pin the hardest watermark
+    semantics in the repo: a late event MERGING two open sessions
+    vs being dropped after they finalized)."""
+    raw = _events_stream(spark, sf_dir) if raw is None else raw
     return (
         raw.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id")

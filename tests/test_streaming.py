@@ -295,3 +295,83 @@ def test_rate_limit_admission_is_arrival_order_across_microbatches(spark, tmp_pa
     # admitted {16, 15, 11, 12, 13} — arrival order must win.
     assert admitted == {11, 12, 13, 14, 16}
     assert {r.event_id: r.seq_in_win for r in rows}[17] == 7
+
+
+def test_session_window_late_event_merges_open_sessions(spark, tmp_path):
+    """The hardest watermark case: a late-arriving event can MERGE two
+    already-open sessions. Events at 10:00 and 10:50 (gap 50 min > the
+    30-min session gap) form two sessions; a bridging 10:25 event
+    arrives one microbatch later but still within the 2-hour watermark,
+    so the state store must coalesce the two sessions into one — the
+    streamed append output equals the batch twin over the FULL feed
+    (one 3-event session), not two 1-event sessions."""
+    from datetime import datetime as dt
+
+    def e(i, h, m):
+        return (i, dt(2024, 3, 1, h, m), 1, "click", 1.0)
+
+    b0 = [e(1, 10, 0), e(2, 10, 50)]
+    b1 = [e(3, 10, 25)]  # bridges: 10:00..10:25..10:50, all gaps < 30m
+    b2 = [e(4, 20, 0)]  # flush: watermark 18:00 closes everything real
+    feed = _feed_dir(spark, tmp_path, [b0, b1, b2])
+
+    q = S.run_stream_to_memory(
+        S.stream_sessionize(spark, None, raw=_raw_stream(spark, feed)),
+        "late_sess_merge",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM late_sess_merge").collect()
+    }
+    # one merged session; the flush session (20:00) never closes
+    assert got == {(1, dt(2024, 3, 1, 10, 0), 3, 3.0)}
+
+
+def test_session_window_straggler_behind_watermark_is_dropped(spark, tmp_path):
+    """Once the watermark finalized the two sessions, the same bridging
+    event must be DROPPED: the streamed output equals the batch twin
+    over the feed MINUS the straggler (two 1-event sessions) and
+    documents the divergence from the full-feed batch twin (which
+    would merge them). Spark filters late events against the PREVIOUS
+    trigger's watermark (the late-events watermark lags the eviction
+    watermark by one batch — verified empirically: a straggler one
+    trigger earlier is still admitted and MERGES, the companion test
+    above), so the straggler lands two on-time batches after the
+    watermark-advancing event."""
+    from datetime import datetime as dt
+
+    def e(i, h, m):
+        return (i, dt(2024, 3, 1, h, m), 1, "click", 1.0)
+
+    b0 = [e(1, 10, 0), e(2, 10, 50)]
+    # on-time 13:30: eviction watermark becomes 11:30 one trigger
+    # later, passing both session ends (10:30, 11:20)
+    b1 = [e(5, 13, 30)]
+    # on-time 13:45 (same session as 13:30): during this trigger the
+    # two early sessions finalize and emit; the late-events watermark
+    # for the NEXT trigger is now 11:30
+    b2 = [e(6, 13, 45)]
+    b3 = [e(3, 10, 25)]  # straggler behind the late-events watermark: dropped
+    b4 = [e(4, 20, 0)]  # flush closes the 13:30 session
+    feed = _feed_dir(spark, tmp_path, [b0, b1, b2, b3, b4])
+
+    q = S.run_stream_to_memory(
+        S.stream_sessionize(spark, None, raw=_raw_stream(spark, feed)),
+        "late_sess_drop",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM late_sess_drop").collect()
+    }
+    assert got == {
+        (1, dt(2024, 3, 1, 10, 0), 1, 1.0),
+        (1, dt(2024, 3, 1, 10, 50), 1, 1.0),
+        (1, dt(2024, 3, 1, 13, 30), 2, 2.0),
+    }
+    # divergence from the full-feed batch twin is exactly the merge the
+    # dropped straggler would have caused
+    assert (1, dt(2024, 3, 1, 10, 0), 3, 3.0) not in got
