@@ -47,19 +47,33 @@ def _round_floats(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     from __spark_entry__ import oracle_sql, queries
 
-    spark = (
+    import os
+
+    builder_extra = {}
+    # cache-pressure mode (tests/test_cache_pressure.py): shrink the
+    # unified memory pool Spark believes it owns so persisted subtrees
+    # face real LRU eviction at tiny SFs — eviction must degrade to
+    # recompute, never to wrong answers, and this harness proves it by
+    # oracle-comparing every query under the squeezed pool.
+    testing_mem = os.environ.get("DRIVER_SIM_TESTING_MEMORY")
+    if testing_mem:
+        builder_extra["spark.testing.memory"] = testing_mem
+        builder_extra["spark.testing.reservedMemory"] = "0"
+    spark_builder = (
         SparkSession.builder.master("local[16]")
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", os.environ.get("DRIVER_SIM_MEMORY", "8g"))
         # deliberately NON-UTC: the real driver inherits the host zone,
         # so any engine expression that implicitly reads the session
         # timezone (NTZ->LTZ casts, unix_* on cast timestamps) must
         # fail HERE rather than on a non-UTC driver host. DuckDB side
         # is timezone-naive, so a mismatch surfaces as a value diff.
         .config("spark.sql.session.timeZone", "America/New_York")
-        .getOrCreate()
     )
+    for k, v in builder_extra.items():
+        spark_builder = spark_builder.config(k, v)
+    spark = spark_builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
