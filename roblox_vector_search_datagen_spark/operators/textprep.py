@@ -671,6 +671,134 @@ FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= {min_docs}
 ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT {k}
 """
 
+SPAN_CHAIN_MIN_WORDS = SPAN_N + 2
+SPAN_CHAIN_TOPK = 100
+
+def repeated_substring_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    min_words: int = SPAN_CHAIN_MIN_WORDS,
+    k: int = SPAN_CHAIN_TOPK,
+) -> DataFrame:
+    """MAXIMAL cross-document repeated substrings via shingle chaining
+    — the substring-dedup upgrade of `repeated_spans` (which reports
+    fixed-width n-grams and therefore undercounts long boilerplate: a
+    50-word template shows up as 46 overlapping 5-gram rows, never as
+    one 50-word span). This is the distributed shape of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better")
+    suffix-array substring dedup: positions whose shingle occurs in
+    >= min_docs documents are chained into maximal consecutive runs
+    (gaps-and-islands), and a run of length L recovers the full
+    L-word repeated substring — suffix-automaton fidelity from
+    relational operators.
+
+    Scale shape: shingle document frequency is one two-level hash agg;
+    the repeated-shingle set joins back position-rows one-to-one (no
+    fan-out — each position matches at most once, so unlike the
+    bucket self-joins this needs no cap); the island window shuffles
+    (doc_id, pos) pairs keyed by doc; the final text reconstruction
+    joins the top-k-bounded run table back to the word arrays. At
+    100 TB the span join key becomes an 8-byte hash (same plan,
+    narrower exchange). Emits (doc_id, start_pos, len_words,
+    span_text), longest first."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    t = persist_if(
+        d.select("doc_id", _words(F.col("text")).alias("w")).withColumn("nw", F.size("w")),
+        n == SPAN_N and min_docs == SPAN_MIN_DOCS
+        and min_words == SPAN_CHAIN_MIN_WORDS and k == SPAN_CHAIN_TOPK,
+    )
+    pos_spans = (
+        t.filter(F.col("nw") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("nw") - n + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice(F.col("w"), i, n), " ").alias("span"),
+                    ),
+                )
+            ).alias("ps"),
+        )
+        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.span").alias("span"))
+    )
+    rep_spans = (
+        pos_spans.select("span", "doc_id")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    rep = pos_spans.join(rep_spans, "span").select("doc_id", "pos")
+    wgrp = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        rep.withColumn("grp", F.col("pos") - F.row_number().over(wgrp))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_pos"),
+            (F.max("pos") - F.min("pos") + n).cast("bigint").alias("len_words"),
+        )
+        .filter(F.col("len_words") >= min_words)
+    )
+    return (
+        runs.join(t.select("doc_id", "w"), "doc_id")
+        .select(
+            "doc_id",
+            "start_pos",
+            "len_words",
+            F.array_join(
+                F.slice(F.col("w"), F.col("start_pos").cast("int"), F.col("len_words").cast("int")),
+                " ",
+            ).alias("span_text"),
+        )
+        .orderBy(F.col("len_words").desc(), "doc_id", "start_pos")
+        .limit(k)
+    )
+
+def repeated_substring_spans_oracle(
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    min_words: int = SPAN_CHAIN_MIN_WORDS,
+    k: int = SPAN_CHAIN_TOPK,
+) -> str:
+    w = r"string_split_regex(text, '\s+')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {w} AS w, len({w}) AS nw FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + {n} - 1), ' ') AS span
+  FROM (SELECT doc_id, w, unnest(range(1, nw - {n} + 2)) AS i FROM t WHERE nw >= {n})
+),
+df AS (
+  SELECT span FROM (
+    SELECT span, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY span
+  ) WHERE n_docs >= {min_docs}
+),
+rep AS (SELECT s.doc_id, s.pos FROM s JOIN df USING (span)),
+runs AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+         CAST(max(pos) - min(pos) + {n} AS BIGINT) AS len_words
+  FROM (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM rep
+  )
+  GROUP BY doc_id, grp
+  HAVING max(pos) - min(pos) + {n} >= {min_words}
+)
+SELECT r.doc_id, r.start_pos, r.len_words,
+       array_to_string(list_slice(t.w, r.start_pos, r.start_pos + r.len_words - 1), ' ')
+         AS span_text
+FROM runs r JOIN t USING (doc_id)
+ORDER BY len_words DESC, doc_id, start_pos LIMIT {k}
+"""
+
 # ---------------------------------------------------------------------------
 # Mixture planning (token-budget allocation across sources)
 # ---------------------------------------------------------------------------

@@ -725,6 +725,14 @@ def _registry() -> dict[str, Query]:
         textprep.repeated_spans_oracle(),
         ("text", "dedup"),
     )
+    # substring-dedup upgrade: shingle runs chained into MAXIMAL
+    # repeated substrings (Lee et al. 2022 shape); repeated_spans is
+    # the cheap fixed-width sibling
+    r["repeated_substring_spans"] = Query(
+        lambda spark, sf: textprep.repeated_substring_spans(spark, sf),
+        textprep.repeated_substring_spans_oracle(),
+        ("text", "dedup"),
+    )
     r["mixture_report"] = Query(
         textprep.mixture_report, textprep.mixture_report_oracle(), ("text", "profiling")
     )
@@ -818,71 +826,45 @@ def _registry() -> dict[str, Query]:
     )
     return r
 
-# The driver adjudicates a 50-query prefix window per round. Round-5
-# ordering, weakest evidence first: (1) the ten queries NEW this
-# round (no driver row yet), (2) the 40 queries whose newest green
-# row is round 2 (stalest evidence), (3) latest-green round 3, (4)
-# latest-green round 4. (1)+(2) fill the window exactly, so after
-# this window lands no query's newest driver contact is older than
-# two rounds. Every query is self-contained, so order carries no
+# The driver adjudicates a 50-query prefix window per round. Round-6
+# ordering, weakest evidence first: (1) the three queries NEW this
+# round (ivf_train_iters + the two dropped-bucket reports), (2) the
+# 15 queries whose RESULTS changed this round (media_inventory's
+# format counters; the integer-scale qmean6 rework, which re-pins
+# every mean-bearing oracle) — changed code needs fresh driver
+# evidence regardless of staleness, (3) the cohort whose newest green
+# row is round 3 (snapshot_diff, the worklists, jobs family,
+# hll/sketch family, the r3 dedup/ANN cohort), exactly filling the
+# 50 window. Behind the window: the rest of the r3 cohort, then
+# latest-green r4, then the round-5 window (freshest evidence, rotates
+# to the back). Every query is self-contained, so order carries no
 # semantics.
 #
-# Round-6 rotation plan: promote group (3) — the cohort whose newest
-# green row is round 3 (snapshot_diff, prune_orphan_embeddings, the
-# worklists, jobs queries, hll/sketch family, the dedup/ANN round-3
-# cohort) — to the head behind any round-6 additions; the round-5
-# groups (1)+(2) become the freshest evidence and rotate to the back.
+# Round-7 rotation plan: promote whatever round-7 adds or changes,
+# then the remaining r3/r4 stragglers right behind the window here
+# (split_leakage .. bpe_pair_counts and the r4 block from
+# simhash_banded_near_dups), so after r07 no query's newest driver
+# row is older than two rounds.
 _ADJUDICATE_FIRST = (
-    "knn_label_accuracy",
-    "ivf_label_purity",
-    "cross_lingual_near_dups",
-    "ann_lsh_topk",
-    "ann_lsh_recall_at_k",
-    "simhash_dropped_bands",
-    "winsorized_event_stats_approx",
-    "ivf_upsert_assignments",
-    "ivf_staleness_report",
-    "event_value_quantiles_approx",
-    "merge_games_gather",
-    "merge_games_search",
-    "merge_games_rolimons",
-    "prune_games",
-    "prune_counts",
-    "pii_scrub",
-    "unigram_logprob",
-    "quality_filter",
-    "quality_buckets",
-    "pmi_collocations",
-    "funnel_counts",
-    "user_retention",
-    "asof_next_action",
-    "retention_curve",
-    "event_anomalies",
-    "event_value_histogram",
-    "ann_recall_at_k",
-    "sq_quantize",
-    "ingest_dedup",
-    "training_corpus",
-    "bm25_search",
-    "skew_profile",
-    "events_zorder",
-    "per_group_sample",
-    "exact_jaccard_verify",
-    "ngram_dropped_shingles",
-    "mixture_report",
-    "top_quality_per_source",
-    "corpus_profile",
-    "asof_attribution",
-    "interval_click_counts",
-    "event_rollup",
-    "event_props_rollup",
-    "event_value_quantiles",
+    "repeated_substring_spans",
+    "ivf_train_iters",
+    "lsh_dropped_buckets",
+    "embedding_lsh_dropped_buckets",
     "media_inventory",
-    "frame_sample_plan",
-    "media_features",
-    "windowed_event_counts",
-    "sessionize",
-    "enriched_events",
+    "winsorized_event_stats_approx",
+    "ivf_staleness_report",
+    "unigram_logprob",
+    "quality_buckets",
+    "sq_quantize",
+    "event_value_quantiles",
+    "embedding_dim_profile",
+    "ivf_cluster_quality",
+    "index_build_report",
+    "ivf_train",
+    "bigram_lm_score",
+    "winsorized_event_stats",
+    "split_centroid_drift",
+    "ivf_centroid_update",
     "snapshot_diff",
     "prune_orphan_embeddings",
     "needs_details_worklist",
@@ -895,7 +877,6 @@ _ADJUDICATE_FIRST = (
     "clear_gameplay",
     "hll_daily_users",
     "pq_recall_at_k",
-    "embedding_dim_profile",
     "embedding_outliers",
     "ingest_near_dedup",
     "ingest_decision_report",
@@ -905,8 +886,6 @@ _ADJUDICATE_FIRST = (
     "mixture_plan",
     "seeded_shuffle",
     "shard_manifest",
-    "ivf_cluster_quality",
-    "index_build_report",
     "dedup_exact",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -924,7 +903,6 @@ _ADJUDICATE_FIRST = (
     "minhash_band_sweep",
     "bloom_decontaminate",
     "generate_vectors",
-    "ivf_train",
     "vocab_coverage",
     "pack_efficiency_report",
     "token_length_histogram",
@@ -933,20 +911,60 @@ _ADJUDICATE_FIRST = (
     "media_dedup",
     "sliding_event_counts",
     "bpe_pair_counts",
+    "knn_label_accuracy",
+    "ivf_label_purity",
+    "cross_lingual_near_dups",
+    "ann_lsh_topk",
+    "ann_lsh_recall_at_k",
+    "simhash_dropped_bands",
+    "ivf_upsert_assignments",
+    "event_value_quantiles_approx",
+    "merge_games_gather",
+    "merge_games_search",
+    "merge_games_rolimons",
+    "prune_games",
+    "prune_counts",
+    "pii_scrub",
+    "quality_filter",
+    "pmi_collocations",
+    "funnel_counts",
+    "user_retention",
+    "asof_next_action",
+    "retention_curve",
+    "event_anomalies",
+    "event_value_histogram",
+    "ann_recall_at_k",
+    "ingest_dedup",
+    "training_corpus",
+    "bm25_search",
+    "skew_profile",
+    "events_zorder",
+    "per_group_sample",
+    "exact_jaccard_verify",
+    "ngram_dropped_shingles",
+    "mixture_report",
+    "top_quality_per_source",
+    "corpus_profile",
+    "asof_attribution",
+    "interval_click_counts",
+    "event_rollup",
+    "event_props_rollup",
+    "frame_sample_plan",
+    "media_features",
+    "windowed_event_counts",
+    "sessionize",
+    "enriched_events",
     "simhash_banded_near_dups",
     "edit_distance_verify",
     "ivf_pq_topk",
     "dim_truncation_recall",
-    "bigram_lm_score",
     "compaction_plan",
     "hard_negative_mining",
     "rate_limited_events",
     "scd2_user_state",
-    "winsorized_event_stats",
     "doc_span_novelty",
     "point_in_time_state",
     "known_item_search_eval",
-    "split_centroid_drift",
     "column_cardinality_profile",
     "event_minmax_downsample",
     "temperature_mixture_plan",
@@ -958,7 +976,6 @@ _ADJUDICATE_FIRST = (
     "embedding_near_dups",
     "ann_topk",
     "ivf_assignments",
-    "ivf_centroid_update",
     "ann_ivf_topk",
     "knn_join",
     "pq_codes",

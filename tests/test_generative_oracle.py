@@ -36,6 +36,7 @@ GEN_QUERIES = [
     "doc_chunks",
     "repetition_stats",
     "per_group_sample",
+    "repeated_substring_spans",
     "stratified_sample",
     "top_quality_per_source",
     "vocab_coverage",

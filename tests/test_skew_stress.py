@@ -400,3 +400,39 @@ def test_embedding_lsh_dropped_buckets_reports_hot_bucket(spark, dupsat_emb_dir)
     assert r.n_dropped == 1
     assert r.max_bucket == 100
     assert r.n_buckets > 1
+
+
+def test_repeated_substring_spans_recovers_maximal_boilerplate(spark, tmp_path):
+    """The chained upgrade must recover a LONG shared template as ONE
+    maximal span per doc (the fixed-width sibling fragments it into
+    overlapping n-grams), with the exact start/length/text; unique
+    docs and sub-threshold runs contribute nothing."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    boiler = " ".join(f"tpl{j}" for j in range(12))  # 12-word template
+    rows = []
+    for i in range(4):
+        lead = " ".join(f"d{i}l{j}" for j in range(i + 1))  # varied offset
+        tail = " ".join(f"d{i}t{j}" for j in range(5))
+        rows.append((i, f"{lead} {boiler} {tail}", "en", "s", 0))
+    for i in range(10, 16):
+        rows.append((i, " ".join(f"u{i}w{j}" for j in range(20)), "en", "s", 0))
+    d = tmp_path / "chainfix"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    got = textprep.repeated_substring_spans(
+        spark, str(d), n=5, min_docs=2, min_words=7, k=20
+    ).collect()
+    assert len(got) == 4, got
+    for r in got:
+        assert r.len_words == 12
+        assert r.span_text == boiler
+        assert r.start_pos == r.doc_id + 2  # 1-based, after the lead words
+    # the fixed-width sibling reports the same template only as 5-gram
+    # fragments — 8 overlapping windows, none longer
+    frag = textprep.repeated_spans(spark, str(d), n=5, min_docs=2, k=50).collect()
+    assert all(len(r.span.split()) == 5 for r in frag)
+    assert sum(1 for r in frag if r.span.split()[0].startswith("tpl")) == 8
