@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The decode stage is REAL for PNG images: PIL when installed, else the
-vendored pure-stdlib reader (`functions/png.py`) — both yielding the
-same ITU-R 601-2 luminance — and only blobs neither can decode (audio/
-video, non-image bytes such as the synthetic fixtures) take the
+The decode stage is REAL for PNG and baseline-JPEG images: PIL when
+installed, else the vendored pure-stdlib readers (`functions/png.py`,
+`functions/jpeg.py`) — all yielding the same ITU-R 601-2 luminance —
+and only blobs no backend can decode (audio/video, non-image bytes
+such as the synthetic fixtures, progressive JPEG) take the
 deterministic md5 stub. The Spark-side contract (schema, batch shape,
 partitioning, UDF signature) is identical either way, and swapping in
 ffmpeg for the remaining modalities changes one function, not the
@@ -69,18 +70,20 @@ def media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def _try_real_decoder():
-    """Return ("pil", module) when PIL imports, else ("png", module)
-    with the vendored pure-stdlib PNG reader (functions/png.py) — the
-    real decode arm is ALWAYS available now; blobs neither backend can
+    """Return ("pil", module) when PIL imports, else ("vendored",
+    {fmt: module}) with the pure-stdlib PNG and baseline-JPEG readers
+    (functions/png.py, functions/jpeg.py) — the real decode arm is
+    ALWAYS available for both sniffed formats; blobs no backend can
     decode (e.g. the synthetic text-bytes fixtures) take the stub."""
     try:  # pragma: no cover - PIL not installed in this environment
         import PIL.Image  # noqa: F401
 
         return ("pil", PIL.Image)
     except ImportError:
+        from ..functions import jpeg as _jpeg
         from ..functions import png as _png
 
-        return ("png", _png)
+        return ("vendored", {"png": _png, "jpeg": _jpeg})
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_MAGIC = b"\xff\xd8\xff"
@@ -121,17 +124,17 @@ def _real_pixels(backend, content: bytes, width: int, height: int) -> list[float
     schema is identical either way. Dispatch is an EXPLICIT
     magic-bytes sniff (`_sniff_format`): png → PIL or the vendored
     reader (same ITU-R 601-2 luminance, so a later PIL install does
-    not change results on 8-bit PNGs), jpeg → PIL when installed
-    (this container ships no JPEG codec — counted, not hidden, via
-    media_inventory's n_jpeg vs n_stub), anything else → the
-    documented deterministic stub. Corrupt blobs that pass the sniff
-    but fail decode also fall back to the stub, keeping the operator
-    total and deterministic in every environment."""
+    not change results on 8-bit PNGs), jpeg → PIL or the vendored
+    baseline decoder (whose Y' channel IS that luma, so again
+    backend-invariant), anything else → the documented deterministic
+    stub. Corrupt blobs that pass the sniff but fail decode also fall
+    back to the stub, keeping the operator total and deterministic in
+    every environment."""
     import io
 
     kind, mod = backend
     fmt = _sniff_format(content)
-    if fmt == "other" or (fmt == "jpeg" and kind != "pil"):
+    if fmt == "other":
         return _stub_pixels(content, width, height)
     try:
         import numpy as np
@@ -140,8 +143,11 @@ def _real_pixels(backend, content: bytes, width: int, height: int) -> list[float
             img = mod.open(io.BytesIO(content)).convert("L")
             arr = np.asarray(img, dtype="float64") / 255.0
             w0, h0 = img.width, img.height
+        elif fmt == "png":
+            w0, h0, rows = mod["png"].decode_png_luminance(content)
+            arr = np.asarray(rows, dtype="float64") / 255.0
         else:
-            w0, h0, rows = mod.decode_png_luminance(content)
+            w0, h0, rows = mod["jpeg"].decode_jpeg_luminance(content)
             arr = np.asarray(rows, dtype="float64") / 255.0
         return [
             round(float(arr.mean()), 6),
@@ -258,8 +264,8 @@ def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata rollup per modality — the sanity dashboard of a
     multimodal corpus (bytes, dimensions, durations), now with
     per-format decode-path counters (magic-bytes sniff): n_png and
-    n_jpeg blobs take (or would take, for jpeg without PIL) the real
-    decoder; n_stub blobs take the deterministic stub. A corpus whose
+    n_jpeg blobs take the real decoder (vendored pure-stdlib readers
+    when PIL is absent); n_stub blobs take the deterministic stub. A corpus whose
     image rows report n_stub == n is visibly NOT producing real pixel
     features — the observability the format gate exists for. The
     sniff is a codegen'd hex-prefix compare on 8 bytes, added to the

@@ -257,11 +257,11 @@ def test_sniff_format_dispatch():
     assert MM._sniff_format(b"\xff\xd8\xff\xe0rest-of-jfif") == "jpeg"
     assert MM._sniff_format(b"plain text bytes") == "other"
     assert MM._sniff_format(b"") == "other"
-    # jpeg without a PIL backend must take the stub, not raise
+    # a sniffed-jpeg blob with corrupt body degrades to the stub, not
+    # an exception (the vendored decoder raises ValueError inside)
     backend = MM._try_real_decoder()
     jpeg_blob = b"\xff\xd8\xff\xe0\x00\x10JFIFgarbage"
-    if backend[0] != "pil":
-        assert MM._real_pixels(backend, jpeg_blob, 4, 4) == MM._stub_pixels(jpeg_blob, 4, 4)
+    assert MM._real_pixels(backend, jpeg_blob, 4, 4) == MM._stub_pixels(jpeg_blob, 4, 4)
     # a sniffed-png blob with corrupt body still degrades to the stub
     corrupt = png_blob[:20] + b"\x00" * 10
     assert MM._real_pixels(backend, corrupt, 4, 4) == MM._stub_pixels(corrupt, 4, 4)
@@ -296,3 +296,150 @@ def test_media_format_expr_matches_python_sniff(spark):
     ).select("i", MM.media_format_expr(F.col("content")).alias("fmt"))
     got = {r.i: r.fmt for r in df.collect()}
     assert got == {i: MM._sniff_format(b) for i, b in enumerate(blobs)}
+
+
+# ---------------------------------------------------------------------------
+# Vendored baseline JPEG decoder (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _blocky_rows(w=16, h=16):
+    """Image of flat 8x8 tiles — the DCT of a constant block is exactly
+    its DC coefficient, so encode→decode is bit-exact (no rounding
+    tolerance needed)."""
+    return [[(((x // 8) * 2 + (y // 8)) * 60 + 40) % 256 for x in range(w)] for y in range(h)]
+
+
+def test_jpeg_gray_roundtrip_exact_on_flat_blocks():
+    from roblox_vector_search_datagen_spark.functions import jpeg
+
+    rows = _blocky_rows()
+    assert jpeg.decode_jpeg_luminance(jpeg.encode_jpeg_gray(rows)) == (16, 16, rows)
+
+
+def test_jpeg_gray_roundtrip_gradient_within_rounding():
+    """Arbitrary content round-trips within the +/-1 FDCT/IDCT float
+    rounding bound at quant=1; also covers non-multiple-of-8 sizes
+    (edge-replicated pad, cropped on decode)."""
+    from roblox_vector_search_datagen_spark.functions import jpeg
+
+    rows = [[(x * 17 + y * 31) % 256 for x in range(13)] for y in range(11)]
+    w, h, dec = jpeg.decode_jpeg_luminance(jpeg.encode_jpeg_gray(rows))
+    assert (w, h) == (13, 11)
+    assert max(abs(a - b) for ra, rb in zip(rows, dec) for a, b in zip(ra, rb)) <= 1
+
+
+def test_jpeg_nonuniform_quant_table_dequantizes_correctly():
+    """A sloped quant table makes the zigzag-vs-raster indexing of the
+    dequantizer observable: encode at quant q, decode must apply the
+    SAME per-coefficient q (error stays bounded by the quantization
+    step along each coefficient, far below a mis-indexed dequant)."""
+    from roblox_vector_search_datagen_spark.functions import jpeg
+
+    rows = [[(x * 37 + y * 11) % 256 for x in range(8)] for y in range(8)]
+    quant = [1 + (i % 4) for i in range(64)]  # raster-order table
+    _, _, dec = jpeg.decode_jpeg_luminance(jpeg.encode_jpeg_gray(rows, quant=quant))
+    err = max(abs(a - b) for ra, rb in zip(rows, dec) for a, b in zip(ra, rb))
+    assert err <= 8  # sum of +/- q/2 per active coefficient, observed ~4
+
+
+def test_jpeg_restart_markers():
+    from roblox_vector_search_datagen_spark.functions import jpeg
+
+    rows = _blocky_rows(32, 8)  # 4 MCUs in a row
+    blob = jpeg.encode_jpeg_gray(rows, restart_interval=1)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+    assert jpeg.decode_jpeg_luminance(blob) == (32, 8, rows)
+
+
+def test_jpeg_color420_luma_matches_gray_encode():
+    """3-component 4:2:0 with flat chroma: the decoder must entropy-
+    decode chroma blocks to keep the bitstream in sync, and the Y it
+    returns must equal the grayscale encode of the same plane."""
+    from roblox_vector_search_datagen_spark.functions import jpeg
+
+    rows = _blocky_rows(24, 16)  # width not a multiple of the 16-px MCU
+    _, _, gray = jpeg.decode_jpeg_luminance(jpeg.encode_jpeg_gray(rows))
+    w, h, color = jpeg.decode_jpeg_luminance(jpeg.encode_jpeg_color420_flat_chroma(rows))
+    assert (w, h) == (24, 16)
+    assert color == gray == rows
+
+
+def test_jpeg_error_contract_is_valueerror():
+    """Everything unsupported or corrupt raises ValueError — the same
+    contract as decode_png_luminance."""
+    from roblox_vector_search_datagen_spark.functions import jpeg
+
+    rows = _blocky_rows(8, 8)
+    blob = jpeg.encode_jpeg_gray(rows)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_luminance(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_luminance(blob[:40])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_luminance(blob[:-20])  # truncated entropy data
+    # progressive (SOF2) is out of scope and must be refused, not
+    # mis-decoded: rewrite the SOF0 marker in place
+    sof0 = blob.index(b"\xff\xc0")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_luminance(blob[:sof0] + b"\xff\xc2" + blob[sof0 + 2 :])
+    # 16-bit quant tables (Pq=1) are out of scope
+    dqt = blob.index(b"\xff\xdb")
+    bad = bytearray(blob)
+    bad[dqt + 4] = 0x10
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_luminance(bytes(bad))
+
+
+def test_real_pixels_uses_vendored_jpeg_backend():
+    """A decodable baseline JPEG must take the REAL arm — this test
+    fails if the jpeg branch regresses to the stub."""
+    import numpy as np
+
+    from roblox_vector_search_datagen_spark.functions import jpeg
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    rows = _blocky_rows()
+    blob = jpeg.encode_jpeg_gray(rows)
+    arr = np.asarray(rows, dtype="float64") / 255.0
+    expected = [
+        round(float(arr.mean()), 6),
+        round(float(arr.std()), 6),
+        round(16 / 32, 6),
+        round(16 / 8, 6),
+    ]
+    backend = mm._try_real_decoder()
+    got = mm._real_pixels(backend, blob, 32, 8)
+    assert got == expected
+    assert got != mm._stub_pixels(blob, 32, 8)
+
+
+def test_media_features_jpeg_real_arm_end_to_end(spark):
+    """The Arrow mapInPandas stage over a frame holding a PNG, a JPEG,
+    and an opaque blob: each takes its own documented decode path."""
+    import numpy as np
+
+    from roblox_vector_search_datagen_spark.functions import jpeg, png
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    rows = _blocky_rows()
+    png_blob = png.encode_png_gray(rows)
+    jpeg_blob = jpeg.encode_jpeg_gray(rows)
+    opaque = b"audio bytes, no codec"
+    media_df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(png_blob), (16, 16, None)),
+            (1, "image", bytearray(jpeg_blob), (16, 16, None)),
+            (2, "audio", bytearray(opaque), (None, None, 900)),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {
+        r.doc_id: r.features
+        for r in mm.media_feature_arrays(spark, None, media_df=media_df).collect()
+    }
+    arr = np.asarray(rows, dtype="float64") / 255.0
+    real = [round(float(arr.mean()), 6), round(float(arr.std()), 6), 1.0, 1.0]
+    assert out[0] == real  # png arm
+    assert out[1] == real  # jpeg arm decodes the SAME luminance
+    assert out[2] == mm._stub_pixels(opaque, 64, 64)
