@@ -1724,6 +1724,68 @@ GROUP BY f.frozen_cent
 """
 
 
+def ivf_index_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    hwm: int = IVF_UPSERT_HWM,
+) -> DataFrame:
+    """Post-merge balance audit of the incremental index: the stored
+    rows (frozen assignments below the high-water mark) unioned with
+    the upsert delta (ivf_upsert_assignments), profiled per centroid —
+    how much of each cell is newly ingested mass. This is the write
+    step's acceptance report: a cell whose upsert share runs far above
+    the corpus-wide delta fraction is absorbing drifted data the
+    frozen quantizer routes badly (ivf_staleness_report profiles the
+    re-routing impact; this profiles the accumulation), and is the
+    first candidate when `split_centroid_drift` picks cells to split.
+
+    Scale shape: both inputs are (vec_id, cent_id) narrow tables the
+    cache manager already shares across the IVF family; the union
+    feeds one K-row aggregation with map-side partial combine — no
+    join, no vector payload, no new corpus pass. Emits (cent_id,
+    n_kept, n_upserted, n_total, upsert_share), largest cells first.
+    """
+    kept = (
+        ivf_assignments(spark, sf_dir, k)
+        .filter(F.col("vec_id") < hwm)
+        .select("cent_id", F.lit(0).alias("is_new"))
+    )
+    new = ivf_upsert_assignments(spark, sf_dir, k, hwm).select(
+        "cent_id", F.lit(1).alias("is_new")
+    )
+    return (
+        kept.unionByName(new)
+        .groupBy("cent_id")
+        .agg(
+            F.sum(1 - F.col("is_new")).alias("n_kept"),
+            F.sum("is_new").alias("n_upserted"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.sum("is_new") / F.count(F.lit(1)), 6).alias("upsert_share"),
+        )
+        .orderBy(F.col("n_total").desc(), "cent_id")
+    )
+
+
+def ivf_index_merge_oracle(k: int = IVF_K, hwm: int = IVF_UPSERT_HWM) -> str:
+    return f"""
+WITH kept AS (
+  SELECT cent_id, 0 AS is_new FROM ({ivf_assignments_oracle(k)}) t WHERE vec_id < {hwm}
+),
+delta AS (
+  SELECT cent_id, 1 AS is_new FROM ({ivf_upsert_assignments_oracle(k, hwm)}) t
+),
+merged AS (SELECT * FROM kept UNION ALL SELECT * FROM delta)
+SELECT cent_id,
+       CAST(sum(1 - is_new) AS BIGINT) AS n_kept,
+       CAST(sum(is_new) AS BIGINT) AS n_upserted,
+       CAST(count(*) AS BIGINT) AS n_total,
+       round(sum(is_new) / CAST(count(*) AS DOUBLE), 6) AS upsert_share
+FROM merged GROUP BY cent_id
+ORDER BY n_total DESC, cent_id
+"""
+
+
 def pq_recall_at_k(
     spark: SparkSession,
     sf_dir: str,

@@ -633,6 +633,14 @@ def _registry() -> dict[str, Query]:
         ann.ivf_staleness_report_oracle(),
         ("vector", "index-build", "report"),
     )
+    # post-merge balance audit: stored rows + upsert delta profiled per
+    # centroid (streaming/vectors.py:stream_ivf_upsert produces the
+    # delta continuously; this is the write step's acceptance report)
+    r["ivf_index_merge"] = Query(
+        lambda spark, sf: ann.ivf_index_merge(spark, sf),
+        ann.ivf_index_merge_oracle(),
+        ("vector", "index-build", "report"),
+    )
     r["knn_join"] = Query(
         lambda spark, sf: ann.knn_join(spark, sf), ann.knn_join_oracle(), ("vector", "bench")
     )
@@ -842,10 +850,13 @@ def _registry() -> dict[str, Query]:
 #
 # Round-7 rotation plan: promote whatever round-7 adds or changes,
 # then the remaining r3/r4 stragglers right behind the window here
-# (split_leakage .. bpe_pair_counts and the r4 block from
+# (dup_graph_degrees first — ivf_index_merge, added mid-round-6,
+# displaced it from the r6 window's slot 50 —
+# then split_leakage .. bpe_pair_counts and the r4 block from
 # simhash_banded_near_dups), so after r07 no query's newest driver
 # row is older than two rounds.
 _ADJUDICATE_FIRST = (
+    "ivf_index_merge",
     "repeated_substring_spans",
     "ivf_train_iters",
     "lsh_dropped_buckets",

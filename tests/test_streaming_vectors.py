@@ -1,0 +1,118 @@
+"""Streaming vector-index maintenance (streaming/vectors.py) vs the
+oracle-pinned batch twin (operators/ann.py:ivf_upsert_assignments), plus
+the routing expression's edge semantics."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time as _time
+
+from pyspark.sql import functions as F
+
+from roblox_vector_search_datagen_spark.operators import ann
+from roblox_vector_search_datagen_spark.streaming import vectors as SV
+from roblox_vector_search_datagen_spark.streaming.events import run_stream_to_memory
+
+
+def test_stream_ivf_upsert_matches_batch(spark, sf_dir):
+    """AvailableNow drain over the static fixture == the DuckDB-pinned
+    batch twin row-for-row, cosine values included."""
+    batch = {
+        (r.vec_id, r.cent_id, r.cosine)
+        for r in ann.ivf_upsert_assignments(spark, sf_dir).collect()
+    }
+    q = run_stream_to_memory(
+        SV.stream_ivf_upsert(spark, sf_dir), "vec_upsert", output_mode="append"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.vec_id, r.cent_id, r.cosine)
+        for r in spark.sql("SELECT * FROM vec_upsert").collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
+def _embedding_feed(spark, tmp_path, batches):
+    """One parquet file per microbatch with increasing mtimes (same
+    ordered-replay trick as tests/test_streaming.py:_feed_dir)."""
+    feed = tmp_path / "vfeed"
+    feed.mkdir()
+    t0 = _time.time() - 1000
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"vstage{i}"
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = feed / f"b{i:02d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    return str(feed)
+
+
+def test_stream_ivf_upsert_multibatch_anti_join_drops_indexed(spark, sf_dir, tmp_path):
+    """Multi-microbatch feed: vectors already in the stored index are
+    dropped by the stream-static anti-join in whichever microbatch
+    they arrive, new vectors come out exactly once, and routing agrees
+    with the batch expression on the same rows."""
+    hwm = ann.IVF_UPSERT_HWM
+    emb = lambda seed: [float((seed * 31 + j) % 7 - 3) for j in range(64)]
+    b0 = [(hwm + 1, emb(1), 0), (hwm + 2, emb(2), 0)]
+    # microbatch 1 replays two already-merged vectors + brings one new
+    b1 = [(2, emb(3), 0), (3, emb(4), 0), (hwm + 3, emb(5), 0)]
+    feed = _embedding_feed(spark, tmp_path, [b0, b1])
+    raw = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = run_stream_to_memory(
+        SV.stream_ivf_upsert(spark, sf_dir, raw=raw), "vec_upsert_mb", output_mode="append"
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM vec_upsert_mb").collect()
+    assert sorted(r.vec_id for r in out) == [hwm + 1, hwm + 2, hwm + 3]
+    # routing parity: the same rows through the batch-side expression
+    cents = SV._frozen_centroids(spark, sf_dir, ann.IVF_K)
+    cent_col, cos_col = SV._nearest_centroid_cols(F.col("embedding"), cents)
+    expected = {
+        (r.vec_id, r.cent_id, r.cosine)
+        for r in spark.createDataFrame(
+            b0 + b1[2:], "vec_id long, embedding array<float>, label int"
+        )
+        .select("vec_id", cent_col.alias("cent_id"), cos_col.alias("cosine"))
+        .collect()
+    }
+    assert {(r.vec_id, r.cent_id, r.cosine) for r in out} == expected
+
+
+def test_nearest_centroid_expr_tie_breaks_to_smallest_cent(spark):
+    """Two identical centroids: the argmax must pick the smaller
+    cent_id, matching the batch window's cosine DESC, cent_id ASC."""
+    cents = [(5, [1.0, 0.0]), (7, [1.0, 0.0])]
+    cent_col, cos_col = SV._nearest_centroid_cols(F.col("embedding"), cents)
+    row = (
+        spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+        .select(cent_col.alias("cent_id"), cos_col.alias("cosine"))
+        .collect()[0]
+    )
+    assert row.cent_id == 5
+    assert row.cosine == 1.0
+
+
+def test_nearest_centroid_expr_zero_norm_degrades_to_null(spark):
+    """A zero-norm vector has NULL cosine against every centroid; the
+    batch window's DESC NULLS LAST ordering then lands on the smallest
+    cent_id with NULL cosine — the expression must do the same."""
+    cents = [(3, [1.0, 0.0]), (9, [0.0, 1.0])]
+    cent_col, cos_col = SV._nearest_centroid_cols(F.col("embedding"), cents)
+    row = (
+        spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<float>")
+        .select(cent_col.alias("cent_id"), cos_col.alias("cosine"))
+        .collect()[0]
+    )
+    assert row.cent_id == 3
+    assert row.cosine is None
