@@ -859,6 +859,9 @@ def _connected_components(und: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
+_CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> DataFrame:
     """Connected components over the LSH candidate-pair graph: every doc
     that appears in at least one near-dup pair is labeled with its
@@ -872,14 +875,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Data
 
     Not SQL-expressible as one query in Spark, but DuckDB's recursive
     CTE reaches the same fixpoint — see dedup_clusters_oracle.
-    """
+
+    Default-argument results are memoized per (application, sf_dir):
+    the loop executes EAGERLY at build time (each round is an action),
+    and its result is a checkpoint-backed leaf the CacheManager cannot
+    substitute by plan equality the way it does for persisted
+    declarative subtrees — so without the memo every downstream
+    consumer (dedup_representatives here; any pipeline stage keying on
+    cluster labels in production) re-runs the whole iteration. Same
+    persist-discipline rules as functions/caching.py: non-default
+    max_iter skips the memo, bounded entries (one per sf_dir seen)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if max_iter == 25 and key in _CLUSTERS_MEMO:
+        return _CLUSTERS_MEMO[key]
     edges = lsh_candidate_pairs(spark, sf_dir)
     und = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
-    return _connected_components(und, max_iter)
+    result = _connected_components(und, max_iter)
+    if max_iter == 25:
+        _CLUSTERS_MEMO[key] = result
+    return result
 
 def dedup_clusters_oracle() -> str:
     pairs = lsh_candidate_pairs_oracle()

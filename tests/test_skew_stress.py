@@ -436,3 +436,20 @@ def test_repeated_substring_spans_recovers_maximal_boilerplate(spark, tmp_path):
     frag = textprep.repeated_spans(spark, str(d), n=5, min_docs=2, k=50).collect()
     assert all(len(r.span.split()) == 5 for r in frag)
     assert sum(1 for r in frag if r.span.split()[0].startswith("tpl")) == 8
+
+
+def test_dedup_clusters_memoizes_default_invocations(spark, sf_dir):
+    """The CC loop executes eagerly at build time and returns a
+    checkpoint-backed leaf the CacheManager cannot substitute, so the
+    session memo is the reuse mechanism: a second default call must
+    return the SAME DataFrame (no re-iteration), a non-default
+    max_iter must bypass the memo, and the memoized labels must stay
+    correct."""
+    from roblox_vector_search_datagen_spark.operators import dedup
+
+    first = dedup.dedup_clusters(spark, sf_dir)
+    again = dedup.dedup_clusters(spark, sf_dir)
+    assert again is first
+    assert dedup.dedup_clusters(spark, sf_dir, max_iter=24) is not first
+    labels = {r.doc_id: r.cluster for r in first.collect()}
+    assert all(c <= d for d, c in labels.items())
