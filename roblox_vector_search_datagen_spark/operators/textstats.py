@@ -621,6 +621,240 @@ ORDER BY total DESC, pair LIMIT {k}
 """
 
 # ---------------------------------------------------------------------------
+# BPE training + corpus tokenization (fertility audit)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+
+# learned merge lists per (application, sf_dir, m): training is an
+# eager driver loop (each round collects ONE row — the argmax pair), so
+# like dedup_clusters its result cannot be shared via the CacheManager;
+# deterministic, bounded entries (same discipline as functions/caching)
+_BPE_MEMO: dict[tuple[str, str, int], list[tuple[int, str, str, int]]] = {}
+
+
+def _bpe_apply_expr(seg, a: str, b: str) -> F.Column:
+    """One BPE merge applied to a space-separated segmentation string:
+    the exact left-to-right greedy pass of Sennrich et al. 2016 §3.2,
+    as a string fold — merge when the accumulated string's LAST symbol
+    is `a` and the incoming symbol is `b`, else append with a space.
+    Expressed identically in DuckDB (`list_reduce`, _bpe_apply_sql) so
+    the oracle reproduces every segmentation byte-for-byte.
+
+    The input `seg` is deliberately referenced EXACTLY ONCE. Higher-
+    order functions are CodegenFallback, so interpreted evaluation
+    gets no common-subexpression elimination: a formulation that
+    mentioned split(seg) k times would copy the whole upstream
+    segmentation tree k-fold PER MERGE ROUND — k^m expression blowup
+    for m chained merges (the first cut did exactly that: 4
+    references, 50s for a 6-merge fertility pass that runs in ~1s
+    linear). Folding from an empty-string init with the first symbol
+    handled inside the lambda keeps the m-round chain linear."""
+    return F.aggregate(
+        F.split(seg, " "),
+        F.lit(""),
+        lambda acc, x: F.when(acc == "", x)
+        .when(
+            (F.regexp_extract(acc, "[^ ]*$", 0) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(acc, x),
+        )
+        .otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
+def _bpe_apply_sql(seg: str, a_expr: str, b_expr: str) -> str:
+    return f"""CASE WHEN len(string_split({seg}, ' ')) = 1 THEN {seg} ELSE
+      list_reduce(string_split({seg}, ' '),
+        (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]*$') = {a_expr} AND x = {b_expr}
+                    THEN acc || x ELSE acc || ' ' || x END) END"""
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word histogram — the vocab-scale reduction every BPE
+    trainer runs first (Heaps' law bounds it sublinearly in corpus
+    bytes, which is why 100 TB BPE training is feasible at all)."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, m: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn `m` BPE merges on the corpus word histogram: per round,
+    count adjacent SYMBOL pairs on the current segmentation (weighted
+    by word frequency, overlapping occurrences counted as Sennrich
+    does), pick the max — ties broken (total DESC, a ASC, b ASC) so
+    engine and oracle agree — apply it, repeat. Each round's argmax is
+    a single-row collect (the O(1) iterative-driver pattern of
+    _connected_components); the pair count is a vocab-scale
+    aggregation, never a corpus pass. Returns [(round, a, b, total)].
+
+    Rounds re-derive the segmentation lazily (round r's plan folds r-1
+    merges over the vocab scan) — at vocab scale that beats minting
+    per-round cache entries; a trainer with thousands of merges would
+    localCheckpoint every few rounds exactly like ivf_train_converged.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, m)
+    if key in _BPE_MEMO:
+        return _BPE_MEMO[key]
+    vocab = persist_if(_bpe_vocab(spark, sf_dir), m == BPE_MERGES)
+    cur = vocab.select(
+        "w", "cnt", F.array_join(F.split(F.col("w"), ""), " ").alias("seg")
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, m + 1):
+        syms = F.split(F.col("seg"), " ")
+        pair_expr = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            )
+        )
+        top = (
+            cur.filter(F.size(syms) >= 2)
+            .select("cnt", pair_expr.alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.col("total").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, total = top[0].a, top[0].b, int(top[0].total)
+        merges.append((r, a, b, total))
+        cur = cur.select("w", "cnt", _bpe_apply_expr(F.col("seg"), a, b).alias("seg"))
+    _BPE_MEMO[key] = merges
+    return merges
+
+
+def _bpe_train_ctes(m: int) -> str:
+    """The oracle's unrolled training rounds: CTEs vocab, seg0,
+    p1..pm (pair counts), m1..mm (argmax), seg1..segm (applied)."""
+    parts = [
+        r"""vocab AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+seg0 AS (
+  SELECT w, cnt, array_to_string(string_split(w, ''), ' ') AS seg FROM vocab
+)"""
+    ]
+    for r in range(1, m + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS total
+  FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg{r - 1}),
+       unnest(range(1, len(s))) AS u(i)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, total FROM p{r} ORDER BY total DESC, a, b LIMIT 1),
+seg{r} AS (
+  SELECT w, cnt, {_bpe_apply_sql("seg", "m.a", "m.b")} AS seg
+  FROM seg{r - 1} CROSS JOIN m{r} m
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str, m: int = BPE_MERGES) -> DataFrame:
+    """The learned merge table (round, a, b, merged, total) — the
+    artifact a tokenizer build publishes. The reference has no
+    tokenizer (its text feeds an embeddings API wholesale,
+    generateEmbeddings.ts); this is the beyond-reference
+    tokenizer-induction step bpe_pair_counts (first-round statistics
+    only) points toward, now trained to m rounds with exact Sennrich
+    apply semantics, oracle-pinned round by round."""
+    rows = _bpe_train(spark, sf_dir, m)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, t) for r, a, b, t in rows],
+        "round int, a string, b string, merged string, total bigint",
+    )
+
+
+def bpe_merges_oracle(m: int = BPE_MERGES) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a, b, a || b AS merged, total FROM m{r}"
+        for r in range(1, m + 1)
+    )
+    return f"WITH {_bpe_train_ctes(m)}\n{unions}"
+
+
+def bpe_fertility_report(
+    spark: SparkSession, sf_dir: str, m: int = BPE_MERGES
+) -> DataFrame:
+    """Apply the trained tokenizer to the whole corpus and report
+    per-source fertility — tokens per word and chars per token, the
+    acceptance metric for a tokenizer build (a source whose fertility
+    runs hot is one the merges under-fit, e.g. a language the training
+    mix under-weighted).
+
+    Scale shape: the trained merges enter the plan as LITERALS (m
+    folds fused into one projection — no join against a merges table),
+    so tokenization is a stateless single-pass projection over the
+    (source, word) histogram: corpus-scale input, vocab-scale shuffle,
+    zero additional corpus passes for the m merge rounds. Emits
+    (source, n_words, n_tokens, fertility, chars_per_token)."""
+    merges = _bpe_train(spark, sf_dir, m)
+    d = tables.load_table(spark, sf_dir, "documents")
+    src = (
+        d.select("source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg = F.array_join(F.split(F.col("w"), ""), " ")
+    for _, a, b, _t in merges:
+        seg = _bpe_apply_expr(seg, a, b)
+    toks = F.size(F.split(seg, " "))
+    return (
+        src.select("source", "cnt", (F.col("cnt") * toks).alias("t"),
+                   (F.col("cnt") * F.length("w")).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum("t").alias("n_tokens"),
+            F.round(F.sum("t") / F.sum("cnt"), 6).alias("fertility"),
+            F.round(F.sum("c") / F.sum("t"), 6).alias("chars_per_token"),
+        )
+        .select("source", "n_words", "n_tokens", "fertility", "chars_per_token")
+    )
+
+
+def bpe_fertility_report_oracle(m: int = BPE_MERGES) -> str:
+    return rf"""
+WITH {_bpe_train_ctes(m)},
+src AS (
+  SELECT source, w, count(*) AS cnt
+  FROM (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1, 2
+),
+toks AS (
+  SELECT s.source, s.cnt,
+         s.cnt * len(string_split(g.seg, ' ')) AS t,
+         s.cnt * len(s.w) AS c
+  FROM src s JOIN seg{m} g USING (w)
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       round(sum(t) / CAST(sum(cnt) AS DOUBLE), 6) AS fertility,
+       round(sum(c) / CAST(sum(t) AS DOUBLE), 6) AS chars_per_token
+FROM toks GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Heavy hitters (count-min sketch with exact-twin verification)
 # ---------------------------------------------------------------------------
 

@@ -253,6 +253,19 @@ def _registry() -> dict[str, Query]:
         textstats.bpe_pair_counts_oracle(),
         ("text", "tokenizer"),
     )
+    # BPE trained to m rounds (eager driver loop, O(1) argmax collects;
+    # oracle unrolls the same rounds as CTEs) + the corpus-wide
+    # tokenizer application it exists for: per-source fertility audit
+    r["bpe_merges"] = Query(
+        lambda spark, sf: textstats.bpe_merges(spark, sf),
+        textstats.bpe_merges_oracle(),
+        ("text", "tokenizer", "iterative"),
+    )
+    r["bpe_fertility_report"] = Query(
+        lambda spark, sf: textstats.bpe_fertility_report(spark, sf),
+        textstats.bpe_fertility_report_oracle(),
+        ("text", "tokenizer", "report"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(
@@ -850,12 +863,16 @@ def _registry() -> dict[str, Query]:
 #
 # Round-7 rotation plan: promote whatever round-7 adds or changes,
 # then the remaining r3/r4 stragglers right behind the window here
-# (dup_graph_degrees first — ivf_index_merge, added mid-round-6,
-# displaced it from the r6 window's slot 50 —
+# (dedup_representatives, dedup_funnel_report and dup_graph_degrees
+# first — the three round-6 mid-round additions bpe_merges,
+# bpe_fertility_report and ivf_index_merge displaced them from the r6
+# window's last slots —
 # then split_leakage .. bpe_pair_counts and the r4 block from
 # simhash_banded_near_dups), so after r07 no query's newest driver
 # row is older than two rounds.
 _ADJUDICATE_FIRST = (
+    "bpe_merges",
+    "bpe_fertility_report",
     "ivf_index_merge",
     "repeated_substring_spans",
     "ivf_train_iters",

@@ -316,3 +316,78 @@ def test_ivf_train_converged_raises_on_budget_exhaustion(spark, sf_dir):
 
     with _pytest.raises(RuntimeError, match="refusing to return a half-trained index"):
         ann.ivf_train_converged(spark, sf_dir, max_iter=1)
+
+
+def _py_bpe_reference(word_freq, m):
+    """Independent pure-Python Sennrich BPE trainer: per round, count
+    adjacent symbol pairs weighted by word frequency (overlapping
+    occurrences counted), argmax with (total DESC, a ASC, b ASC)
+    tie-break, apply left-to-right greedily."""
+    segs = {w: list(w) for w in word_freq}
+    merges = []
+    for r in range(1, m + 1):
+        counts = {}
+        for w, syms in segs.items():
+            f = word_freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), total = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, total))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def test_bpe_merges_match_pure_python_trainer(spark, sf_dir):
+    """The relational trainer must learn EXACTLY the merges an
+    independent in-memory Sennrich implementation learns from the same
+    word histogram — true-BPE semantics, not just engine parity."""
+    freq = {
+        r.w: r.cnt for r in textstats._bpe_vocab(spark, sf_dir).collect()
+    }
+    expected, segs = _py_bpe_reference(freq, textstats.BPE_MERGES)
+    got = [
+        (r.round, r.a, r.b, r.total)
+        for r in textstats.bpe_merges(spark, sf_dir).orderBy("round").collect()
+    ]
+    assert got == expected
+    # and the fertility report's token mass equals the reference
+    # segmentations applied to the same per-source histogram
+    d = tables.load_table(spark, sf_dir, "documents")
+    src = (
+        d.select("source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    exp_tokens = {}
+    for r in src:
+        exp_tokens[r.source] = exp_tokens.get(r.source, 0) + r.cnt * len(segs[r.w])
+    rep = {r.source: r.n_tokens for r in textstats.bpe_fertility_report(spark, sf_dir).collect()}
+    assert rep == exp_tokens
+
+
+def test_bpe_fertility_decreases_with_more_merges(spark, sf_dir):
+    """More merges can only shrink segmentations: corpus token mass at
+    m merges is monotone non-increasing in m, bounded below by the
+    word count (fertility >= 1) and above by the char mass."""
+    by_m = {}
+    for m in (0, 2, textstats.BPE_MERGES):
+        rows = textstats.bpe_fertility_report(spark, sf_dir, m=m).collect()
+        by_m[m] = sum(r.n_tokens for r in rows)
+        for r in rows:
+            assert r.fertility >= 1.0
+            assert r.chars_per_token >= 1.0
+    assert by_m[0] >= by_m[2] >= by_m[textstats.BPE_MERGES]
