@@ -28,6 +28,7 @@ FLOAT_HEAVY = [
     "unigram_logprob",
     "minhash_jaccard_estimates",
     "knn_label_accuracy",
+    "bpe_fertility_report",
 ]
 
 
@@ -50,3 +51,24 @@ def test_partition_count_invariance(spark, sf_dir, name):
         f"{name}: result depends on partition count; first diff: "
         f"{next((a, b) for a, b in zip(rows3, rows31) if a != b)}"
     )
+
+
+def test_bpe_training_is_partition_invariant(spark, sf_dir):
+    """The learned merge TABLE (not just downstream floats) must not
+    depend on shuffle fan-out: integer pair totals + (total DESC, a, b)
+    tie-break make each round's argmax partition-independent. The memo
+    is cleared between runs so both actually train."""
+    from roblox_vector_search_datagen_spark.operators import textstats
+
+    results = []
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    for n in (3, 31):
+        textstats._BPE_MEMO.clear()
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            results.append(textstats._bpe_train(spark, sf_dir))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    textstats._BPE_MEMO.clear()
+    assert results[0] == results[1]
+    assert len(results[0]) == textstats.BPE_MERGES
