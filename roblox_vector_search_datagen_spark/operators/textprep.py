@@ -709,7 +709,12 @@ def repeated_substring_spans(
         n == SPAN_N and min_docs == SPAN_MIN_DOCS
         and min_words == SPAN_CHAIN_MIN_WORDS and k == SPAN_CHAIN_TOPK,
     )
-    pos_spans = (
+    # persisted: both the document-frequency branch and the position
+    # join re-reference this explode, and the per-position span strings
+    # are built by interpreted HOFs (transform + array_join are
+    # CodegenFallback) — the most expensive projection in the plan, so
+    # one materialization instead of two is the dominant cost lever
+    pos_spans = persist_if(
         t.filter(F.col("nw") >= n)
         .select(
             "doc_id",
@@ -723,7 +728,9 @@ def repeated_substring_spans(
                 )
             ).alias("ps"),
         )
-        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.span").alias("span"))
+        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.span").alias("span")),
+        n == SPAN_N and min_docs == SPAN_MIN_DOCS
+        and min_words == SPAN_CHAIN_MIN_WORDS and k == SPAN_CHAIN_TOPK,
     )
     rep_spans = (
         pos_spans.select("span", "doc_id")
