@@ -1174,17 +1174,20 @@ def known_item_search_eval(
         .agg(F.sum(F.round((idf * norm) * 1e6, 0).cast("bigint")).alias("score_u"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("score_u").desc(), F.col("doc_id"))
-    ranked = scored.withColumn("rank", F.row_number().over(w))
-    n_cand = scored.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_candidates"))
-    return (
-        ranked.filter(F.col("doc_id") == F.col("probe_id"))
-        .join(n_cand, "probe_id")
-        .select(
-            "probe_id",
-            "n_candidates",
-            F.col("rank").cast("int").alias("rank"),
-            F.round(F.lit(1.0) / F.col("rank"), 6).alias("reciprocal_rank"),
-        )
+    # n_candidates as a window count over the SAME partitioning as the
+    # rank — one instantiation of the scoring subtree, one shuffle, no
+    # self-join (a groupBy branch would re-run the whole tf/probe join)
+    w_all = Window.partitionBy("probe_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).withColumn(
+        "n_candidates", F.count(F.lit(1)).over(w_all)
+    )
+    return ranked.filter(F.col("doc_id") == F.col("probe_id")).select(
+        "probe_id",
+        "n_candidates",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.lit(1.0) / F.col("rank"), 6).alias("reciprocal_rank"),
     )
 
 def known_item_search_eval_oracle(
