@@ -789,6 +789,57 @@ def bpe_merges_oracle(m: int = BPE_MERGES) -> str:
     return f"WITH {_bpe_train_ctes(m)}\n{unions}"
 
 
+def bpe_vocab(spark: SparkSession, sf_dir: str, m: int = BPE_MERGES) -> DataFrame:
+    """The tokenizer's publishable vocabulary: every symbol the
+    m-merge segmentation emits anywhere in the corpus, with its
+    corpus-weighted frequency and a deterministic token id (frequency
+    DESC, symbol ASC — the id assignment every tokenizer artifact
+    fixes at build time). Base characters that survive unmerged and
+    merged symbols land in one table, so `size(vocab)` is the
+    embedding-matrix row count a model build allocates.
+
+    Scale shape: one explode over the vocab-histogram segmentation
+    (vocab-scale, not corpus-scale), one aggregation, one global rank
+    over the (small) symbol table. Emits (token, token_id, n_words,
+    freq)."""
+    merges = _bpe_train(spark, sf_dir, m)
+    vocab = _bpe_vocab(spark, sf_dir)
+    seg = F.array_join(F.split(F.col("w"), ""), " ")
+    for _, a, b, _t in merges:
+        seg = _bpe_apply_expr(seg, a, b)
+    syms = (
+        vocab.select("w", "cnt", F.explode(F.split(seg, " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("w").alias("n_words"),
+            F.sum("cnt").alias("freq"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return syms.select(
+        "token",
+        (F.row_number().over(w_rank)).cast("int").alias("token_id"),
+        "n_words",
+        "freq",
+    )
+
+
+def bpe_vocab_oracle(m: int = BPE_MERGES) -> str:
+    return f"""
+WITH {_bpe_train_ctes(m)},
+syms AS (
+  SELECT token, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+         CAST(sum(cnt) AS BIGINT) AS freq
+  FROM (SELECT w, cnt, unnest(string_split(seg, ' ')) AS token FROM seg{m})
+  GROUP BY token
+)
+SELECT token,
+       CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id,
+       n_words, freq
+FROM syms
+"""
+
+
 def bpe_fertility_report(
     spark: SparkSession, sf_dir: str, m: int = BPE_MERGES
 ) -> DataFrame:

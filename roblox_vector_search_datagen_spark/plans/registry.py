@@ -266,6 +266,13 @@ def _registry() -> dict[str, Query]:
         textstats.bpe_fertility_report_oracle(),
         ("text", "tokenizer", "report"),
     )
+    # the publishable vocabulary artifact: every emitted symbol with a
+    # deterministic frequency-ranked token id (embedding-matrix rows)
+    r["bpe_vocab"] = Query(
+        lambda spark, sf: textstats.bpe_vocab(spark, sf),
+        textstats.bpe_vocab_oracle(),
+        ("text", "tokenizer"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(
@@ -863,16 +870,17 @@ def _registry() -> dict[str, Query]:
 #
 # Round-7 rotation plan: promote whatever round-7 adds or changes,
 # then the remaining r3/r4 stragglers right behind the window here
-# (dedup_representatives, dedup_funnel_report and dup_graph_degrees
-# first — the three round-6 mid-round additions bpe_merges,
-# bpe_fertility_report and ivf_index_merge displaced them from the r6
-# window's last slots —
+# (simhash_near_dups, dedup_representatives, dedup_funnel_report and
+# dup_graph_degrees first — the four round-6 mid-round additions
+# bpe_merges, bpe_fertility_report, bpe_vocab and ivf_index_merge
+# displaced them from the r6 window's last slots —
 # then split_leakage .. bpe_pair_counts and the r4 block from
 # simhash_banded_near_dups), so after r07 no query's newest driver
 # row is older than two rounds.
 _ADJUDICATE_FIRST = (
     "bpe_merges",
     "bpe_fertility_report",
+    "bpe_vocab",
     "ivf_index_merge",
     "repeated_substring_spans",
     "ivf_train_iters",

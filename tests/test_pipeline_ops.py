@@ -391,3 +391,24 @@ def test_bpe_fertility_decreases_with_more_merges(spark, sf_dir):
             assert r.fertility >= 1.0
             assert r.chars_per_token >= 1.0
     assert by_m[0] >= by_m[2] >= by_m[textstats.BPE_MERGES]
+
+
+def test_bpe_vocab_is_dense_ranked_and_matches_reference_segs(spark, sf_dir):
+    """Token ids are a dense 1..N frequency ranking, every learned
+    merge's output symbol appears, and per-token corpus frequency
+    equals the pure-Python reference segmentations' counts."""
+    freq = {r.w: r.cnt for r in textstats._bpe_vocab(spark, sf_dir).collect()}
+    merges, segs = _py_bpe_reference(freq, textstats.BPE_MERGES)
+    exp_freq = {}
+    for w, syms in segs.items():
+        for s in syms:
+            exp_freq[s] = exp_freq.get(s, 0) + freq[w]
+    rows = textstats.bpe_vocab(spark, sf_dir).collect()
+    assert sorted(r.token_id for r in rows) == list(range(1, len(rows) + 1))
+    got_freq = {r.token: r.freq for r in rows}
+    assert got_freq == exp_freq
+    merged_syms = {a + b for _, a, b, _t in merges}
+    # a merge's output can itself be merged away by a later round; at
+    # minimum the LAST round's output must survive in the vocab
+    assert merges[-1][1] + merges[-1][2] in got_freq
+    assert merged_syms & got_freq.keys()
