@@ -50,7 +50,11 @@ GEN_QUERIES = [
     "ivf_assignments",
     "ivf_train_iters",
     "ivf_label_purity",
+    "ivf_index_merge",
     "knn_join",
+    "bpe_merges",
+    "bpe_fertility_report",
+    "bpe_vocab",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
