@@ -840,6 +840,85 @@ FROM syms
 """
 
 
+BPE_ENCODE_DOCS = 10
+
+
+def bpe_encode_sample(
+    spark: SparkSession, sf_dir: str, m: int = BPE_MERGES, n_docs: int = BPE_ENCODE_DOCS
+) -> DataFrame:
+    """The tokenizer's end product: documents encoded to ordered
+    token-id sequences — the model-ready representation a training
+    shard stores. Bounded to the first `n_docs` documents so the
+    emitted table stays a publishable sample; the plan is the
+    production encode unchanged (drop the doc_id filter and it IS the
+    corpus encode).
+
+    Scale shape: tokenize + the m literal-merge folds are one
+    stateless projection (no merges table join); token ids come from
+    ONE broadcast of the corpus vocabulary; the only shuffle is the
+    per-document position window, bounded by document length. Emits
+    (doc_id, pos, token, token_id) with pos 1-based in reading
+    order."""
+    merges = _bpe_train(spark, sf_dir, m)
+    d = tables.load_table(spark, sf_dir, "documents")
+    words = (
+        d.filter(F.col("doc_id") < n_docs)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("wpos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    seg = F.array_join(F.split(F.col("w"), ""), " ")
+    for _, a, b, _t in merges:
+        seg = _bpe_apply_expr(seg, a, b)
+    syms = words.select(
+        "doc_id", "wpos", F.posexplode(F.split(seg, " ")).alias("spos", "token")
+    )
+    ids = F.broadcast(bpe_vocab(spark, sf_dir, m).select("token", "token_id"))
+    w_pos = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+    return syms.join(ids, "token").select(
+        "doc_id",
+        F.row_number().over(w_pos).cast("int").alias("pos"),
+        "token",
+        "token_id",
+    )
+
+
+def bpe_encode_sample_oracle(m: int = BPE_MERGES, n_docs: int = BPE_ENCODE_DOCS) -> str:
+    return rf"""
+WITH {_bpe_train_ctes(m)},
+vsyms AS (
+  SELECT token, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+         CAST(sum(cnt) AS BIGINT) AS freq
+  FROM (SELECT w, cnt, unnest(string_split(seg, ' ')) AS token FROM seg{m})
+  GROUP BY token
+),
+ids AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id
+  FROM vsyms
+),
+words AS (
+  SELECT doc_id, i AS wpos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        FROM documents WHERE doc_id < {n_docs}),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+  WHERE ws[i] <> ''
+),
+syms AS (
+  SELECT doc_id, wpos, j AS spos, ss[j] AS token
+  FROM (SELECT wd.doc_id, wd.wpos, string_split(g.seg, ' ') AS ss
+        FROM words wd JOIN seg{m} g USING (w)),
+       unnest(range(1, len(ss) + 1)) AS v(j)
+)
+SELECT s.doc_id,
+       CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.wpos, s.spos)
+            AS INT) AS pos,
+       s.token, i.token_id
+FROM syms s JOIN ids i USING (token)
+"""
+
+
 def bpe_fertility_report(
     spark: SparkSession, sf_dir: str, m: int = BPE_MERGES
 ) -> DataFrame:

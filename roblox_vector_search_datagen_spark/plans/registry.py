@@ -273,6 +273,14 @@ def _registry() -> dict[str, Query]:
         textstats.bpe_vocab_oracle(),
         ("text", "tokenizer"),
     )
+    # the end product: sample documents encoded to ordered token-id
+    # rows — the model-ready shard representation (corpus encode is
+    # the same plan minus the doc_id bound)
+    r["bpe_encode_sample"] = Query(
+        lambda spark, sf: textstats.bpe_encode_sample(spark, sf),
+        textstats.bpe_encode_sample_oracle(),
+        ("text", "tokenizer"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(
@@ -870,10 +878,11 @@ def _registry() -> dict[str, Query]:
 #
 # Round-7 rotation plan: promote whatever round-7 adds or changes,
 # then the remaining r3/r4 stragglers right behind the window here
-# (simhash_near_dups, dedup_representatives, dedup_funnel_report and
-# dup_graph_degrees first — the four round-6 mid-round additions
-# bpe_merges, bpe_fertility_report, bpe_vocab and ivf_index_merge
-# displaced them from the r6 window's last slots —
+# (simhash, simhash_near_dups, dedup_representatives,
+# dedup_funnel_report and dup_graph_degrees first — the five
+# round-6 mid-round additions bpe_merges, bpe_fertility_report,
+# bpe_vocab, bpe_encode_sample and ivf_index_merge displaced them
+# from the r6 window's last slots —
 # then split_leakage .. bpe_pair_counts and the r4 block from
 # simhash_banded_near_dups), so after r07 no query's newest driver
 # row is older than two rounds.
@@ -881,6 +890,7 @@ _ADJUDICATE_FIRST = (
     "bpe_merges",
     "bpe_fertility_report",
     "bpe_vocab",
+    "bpe_encode_sample",
     "ivf_index_merge",
     "repeated_substring_spans",
     "ivf_train_iters",

@@ -55,6 +55,7 @@ GEN_QUERIES = [
     "bpe_merges",
     "bpe_fertility_report",
     "bpe_vocab",
+    "bpe_encode_sample",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]

@@ -412,3 +412,27 @@ def test_bpe_vocab_is_dense_ranked_and_matches_reference_segs(spark, sf_dir):
     # minimum the LAST round's output must survive in the vocab
     assert merges[-1][1] + merges[-1][2] in got_freq
     assert merged_syms & got_freq.keys()
+
+
+def test_bpe_encode_sample_reconstructs_documents(spark, sf_dir):
+    """Round-trip: per document, concatenating the encoded tokens in
+    pos order must reproduce the document's lowercased words exactly
+    (BPE segments within words, never across), and every token_id must
+    resolve in the published vocabulary."""
+    rows = textstats.bpe_encode_sample(spark, sf_dir).collect()
+    assert rows
+    vocab = {r.token: r.token_id for r in textstats.bpe_vocab(spark, sf_dir).collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.token))
+        assert vocab[r.token] == r.token_id
+    d = tables.load_table(spark, sf_dir, "documents")
+    texts = {
+        r.doc_id: "".join(r.text.lower().split())
+        for r in d.filter(F.col("doc_id") < textstats.BPE_ENCODE_DOCS).collect()
+    }
+    for doc_id, toks in by_doc.items():
+        toks.sort()
+        assert [p for p, _ in toks] == list(range(1, len(toks) + 1))
+        assert "".join(t for _, t in toks) == texts[doc_id]
+    assert set(by_doc) == {d for d in texts if texts[d]}
