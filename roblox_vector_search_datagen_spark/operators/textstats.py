@@ -759,8 +759,14 @@ seg0 AS (
 ),
 m{r} AS (SELECT a, b, total FROM p{r} ORDER BY total DESC, a, b LIMIT 1),
 seg{r} AS (
-  SELECT w, cnt, {_bpe_apply_sql("seg", "m.a", "m.b")} AS seg
-  FROM seg{r - 1} CROSS JOIN m{r} m
+  -- LEFT JOIN, not CROSS: an exhausted corpus (no pairs left) must
+  -- carry the segmentation forward unchanged, matching the trainer's
+  -- early break — a cross join against the empty argmax would empty
+  -- every later CTE and silently zero the downstream oracles
+  SELECT w, cnt,
+         CASE WHEN m.a IS NULL THEN seg
+              ELSE {_bpe_apply_sql("seg", "m.a", "m.b")} END AS seg
+  FROM seg{r - 1} LEFT JOIN m{r} m ON TRUE
 )"""
         )
     return ",\n".join(parts)

@@ -308,3 +308,34 @@ def test_generative_parity_events(spark, edge_events_dir, name):
         ["events"],
         f"events/{name}",
     )
+
+
+@pytest.fixture(scope="module")
+def exhausted_dir(spark, tmp_path_factory):
+    """Pair-exhaustion corpus: every word collapses to one symbol
+    after a single merge ('ab' everywhere, plus bare single chars), so
+    BPE training runs dry before the m-round budget. The trainer
+    breaks early; the oracle must carry segmentations forward through
+    the empty argmax rounds instead of emptying them."""
+    docs = []
+    for i in range(12):
+        text = "ab ab a b ab" if i % 2 == 0 else "a b ab"
+        docs.append((i, text, "en", f"s{i % 2}", len(text)))
+    embs = [(i, [float(i % 3)] * 64, i % 2) for i in range(12)]
+    d = str(tmp_path_factory.mktemp("exhausted"))
+    _write(spark, d, docs, embs)
+    return d
+
+
+@pytest.mark.parametrize(
+    "name", ["bpe_merges", "bpe_vocab", "bpe_fertility_report", "bpe_encode_sample"]
+)
+def test_bpe_parity_survives_pair_exhaustion(spark, exhausted_dir, name):
+    q = QUERIES[name]
+    _compare(
+        q.builder(spark, exhausted_dir),
+        q.oracle,
+        exhausted_dir,
+        ["documents", "embeddings"],
+        f"exhausted/{name}",
+    )
