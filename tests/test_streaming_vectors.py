@@ -116,3 +116,37 @@ def test_nearest_centroid_expr_zero_norm_degrades_to_null(spark):
     )
     assert row.cent_id == 3
     assert row.cosine is None
+
+
+def test_stream_ivf_upsert_through_idempotent_sink_feeds_merge(spark, sf_dir, tmp_path):
+    """The full continuous-ingestion loop: drain the streaming upsert
+    through the batchId-idempotent parquet sink (twice — the second
+    drain simulates a reprocess and must self-replace, not
+    double-append), then hand the landed delta to ivf_index_merge as
+    the stored-index write step would. The merge totals must conserve
+    mass: n_kept sums to the frozen index size, n_upserted to the
+    landed delta, and per-centroid n_upserted must equal the landed
+    delta's own centroid histogram."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.streaming import sinks
+
+    out = str(tmp_path / "delta_out")
+    for i in range(2):
+        q = sinks.stream_to_parquet_idempotent(
+            SV.stream_ivf_upsert(spark, sf_dir), out, str(tmp_path / f"ck{i}")
+        )
+        q.awaitTermination(120)
+    landed = spark.read.parquet(out)
+    batch = ann.ivf_upsert_assignments(spark, sf_dir)
+    assert landed.count() == batch.count()  # reprocess did not duplicate
+    merge = ann.ivf_index_merge(spark, sf_dir).collect()
+    n_kept = sum(r.n_kept for r in merge)
+    n_upserted = sum(r.n_upserted for r in merge)
+    assert n_kept == ann.IVF_UPSERT_HWM
+    assert n_upserted == landed.count()
+    landed_hist = {
+        r.cent_id: r.n for r in landed.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    merge_hist = {r.cent_id: r.n_upserted for r in merge if r.n_upserted > 0}
+    assert merge_hist == landed_hist
