@@ -12,6 +12,8 @@ cluster: score 1/nlist of the bytes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -737,7 +739,12 @@ FROM embeddings e JOIN cands c ON c.vec_id = e.vec_id
 ORDER BY cosine DESC NULLS LAST, e.vec_id LIMIT {k}
 """
 
-def ivf_centroid_update(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
+def ivf_centroid_update(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    assign: DataFrame | None = None,
+) -> DataFrame:
     """IVF bulk build, update step (one Lloyd iteration): per-centroid
     element-wise mean of the assigned vectors, emitted flat as
     (cent_id, pos, mean) — the shape the next assignment pass joins on.
@@ -745,8 +752,15 @@ def ivf_centroid_update(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> Dat
     posexplode fans each vector into dim rows ONCE, then a single
     (cent_id, pos) aggregation computes all means — no per-dimension
     scans, one shuffle keyed (cent_id, pos) whose cardinality is K×dim
-    regardless of corpus size (map-side combine does the heavy sum)."""
-    assign = ivf_assignments(spark, sf_dir, k).select("vec_id", "cent_id")
+    regardless of corpus size (map-side combine does the heavy sum).
+
+    `assign` lets the stored-index path supply the (vec_id, cent_id)
+    table directly (warehouse table + delta) so the Lloyd step joins a
+    narrow stored table instead of re-deriving the bulk assignment
+    from the corpus; default re-derives (the bulk-build regime)."""
+    if assign is None:
+        assign = ivf_assignments(spark, sf_dir, k)
+    assign = assign.select("vec_id", "cent_id")
     e = tables.load_table(spark, sf_dir, "embeddings")
     dims = (
         e.join(assign, "vec_id")
@@ -1656,6 +1670,7 @@ def ivf_staleness_report(
     sf_dir: str,
     k: int = IVF_K,
     threshold: float = IVF_STALE_THRESHOLD,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Staleness audit of the frozen index: per centroid, the fraction
     of members whose nearest UPDATED centroid (one Lloyd step,
@@ -1666,11 +1681,41 @@ def ivf_staleness_report(
     updated K x dim centroid table re-assembles with one K*dim-row
     aggregation and broadcasts into a single corpus scan; the compare
     joins two (vec_id, cent_id) narrow tables. Emits (cent_id, n,
-    n_reassigned, reassign_rate, stale)."""
-    frozen = ivf_assignments(spark, sf_dir, k).select(
-        "vec_id", F.col("cent_id").alias("frozen_cent")
-    )
-    upd = ivf_centroid_update(spark, sf_dir, k)
+    n_reassigned, reassign_rate, stale).
+
+    `index` routes the frozen side through the STORED warehouse table
+    (`ivf_stored_index`): the full frozen assignment set is the stored
+    rows unioned with the delta upsert — content-identical to the bulk
+    re-derivation (same centroids, same argmax), so the oracle is
+    unchanged, but the corpus is scanned only for the delta and the
+    Lloyd/rescore passes, never to reconstruct what the index already
+    knows. `ivf_staleness_stored` is the registry twin that also
+    persists the merged assignment set (it feeds both the frozen
+    compare and the Lloyd step), so the delta computes once."""
+    if index is not None:
+        assign_full = index.select("vec_id", "cent_id").unionByName(
+            ivf_upsert_assignments(spark, sf_dir, k, index=index).select(
+                "vec_id", "cent_id"
+            )
+        )
+    else:
+        assign_full = ivf_assignments(spark, sf_dir, k).select("vec_id", "cent_id")
+    return _staleness_core(spark, sf_dir, assign_full, k, threshold)
+
+
+def _staleness_core(
+    spark: SparkSession,
+    sf_dir: str,
+    assign_full: DataFrame,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared staleness body: frozen assignments from `assign_full`
+    (vec_id, cent_id — full corpus coverage), one Lloyd step over the
+    same set, re-assign against the updated centroids, per-centroid
+    reassignment rates."""
+    frozen = assign_full.select("vec_id", F.col("cent_id").alias("frozen_cent"))
+    upd = ivf_centroid_update(spark, sf_dir, k, assign=assign_full)
     c1 = (
         upd.groupBy("cent_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("ps"))
@@ -1787,6 +1832,149 @@ SELECT cent_id,
 FROM merged GROUP BY cent_id
 ORDER BY n_total DESC, cent_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Stored-index lifecycle: build -> store -> load -> serve
+# ---------------------------------------------------------------------------
+
+IVF_WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "data", "warehouse")
+
+
+def ivf_index_store(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    hwm: int = IVF_UPSERT_HWM,
+    rebuild: bool = False,
+) -> str:
+    """BUILD -> STORE step of the index lifecycle: materialize the
+    frozen IVF index (vec_id, cent_id, cosine below the high-water
+    mark) as a parquet warehouse table and return its path. This is
+    the table a 100 TB deployment actually serves from — the
+    in-memory `index=` parameter of `ivf_upsert_assignments` made the
+    delta-cost claim testable, this makes it OPERATIONAL: the index
+    survives the session, and every maintenance query (upsert, merge
+    audit, staleness) reads the narrow stored table instead of
+    re-deriving the assignment set from the corpus.
+
+    Write-if-absent keyed by (sf tag, k, hwm): the content is a pure
+    function of the fixture tables and the defaults, so rebuilding per
+    call would only burn the bench. `rebuild=True` is the invalidation
+    hook for sessions that mutate the corpus under `sf_dir` (the
+    continuous-ingestion regime) — same contract as the dedup-cluster
+    session memo."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(IVF_WAREHOUSE, f"ivf_index_{tag}_k{k}_hwm{hwm}")
+    if rebuild or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            ivf_assignments(spark, sf_dir, k)
+            .filter(F.col("vec_id") < hwm)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def ivf_stored_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    hwm: int = IVF_UPSERT_HWM,
+) -> DataFrame:
+    """LOAD step: the frozen index as a DataFrame backed by the stored
+    parquet table (writing it first if absent). Downstream plans that
+    take this as their `index=` input scan the narrow (vec_id,
+    cent_id, cosine) table — never the corpus — for the frozen side."""
+    return spark.read.parquet(ivf_index_store(spark, sf_dir, k, hwm))
+
+
+def index_lifecycle_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    hwm: int = IVF_UPSERT_HWM,
+) -> DataFrame:
+    """SERVE step — the registry's end-to-end stored-index path:
+    load the frozen index from the warehouse table, assign the
+    anti-joined delta against the broadcast frozen centroids
+    (`ivf_upsert_assignments(index=stored)`), and emit the merge
+    acceptance audit (`ivf_index_merge` schema: cent_id, n_kept,
+    n_upserted, n_total, upsert_share).
+
+    This is the plan a production deployment runs per ingest batch,
+    and its cost is LITERALLY the delta: the corpus (embeddings)
+    parquet is scanned exactly twice — once for the anti-joined delta,
+    once for the K-row frozen-centroid slice — and the frozen side is
+    the stored narrow table (`test_plans.py` pins the per-location
+    scan counts on this exact registry builder, closing the round-6
+    gap where the 2-scan plan existed only under a test harness).
+
+    The oracle intentionally does NOT read the warehouse table: it
+    re-derives the frozen index from the base tables
+    (`ivf_index_merge_oracle`), so a hash-green row certifies the full
+    build -> store -> load -> serve roundtrip preserved every value."""
+    stored = ivf_stored_index(spark, sf_dir, k, hwm)
+    kept = stored.select("cent_id", F.lit(0).alias("is_new"))
+    new = ivf_upsert_assignments(spark, sf_dir, k, hwm, index=stored).select(
+        "cent_id", F.lit(1).alias("is_new")
+    )
+    return (
+        kept.unionByName(new)
+        .groupBy("cent_id")
+        .agg(
+            F.sum(1 - F.col("is_new")).alias("n_kept"),
+            F.sum("is_new").alias("n_upserted"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.sum("is_new") / F.count(F.lit(1)), 6).alias("upsert_share"),
+        )
+        .orderBy(F.col("n_total").desc(), "cent_id")
+    )
+
+
+def index_lifecycle_report_oracle(k: int = IVF_K, hwm: int = IVF_UPSERT_HWM) -> str:
+    return ivf_index_merge_oracle(k, hwm)
+
+
+def ivf_staleness_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    threshold: float = IVF_STALE_THRESHOLD,
+    hwm: int = IVF_UPSERT_HWM,
+) -> DataFrame:
+    """Staleness audit on the STORED-index path — the registry twin of
+    `ivf_staleness_report(index=...)`. The full frozen assignment set
+    is (warehouse table) UNION (delta upsert against the frozen
+    centroids) — content-identical to the bulk re-derivation, so the
+    oracle is `ivf_staleness_report_oracle` unchanged and a green row
+    certifies the stored path value-for-value.
+
+    The merged set feeds BOTH the frozen compare and the Lloyd update
+    join; it is persisted for the default (session-invariant)
+    arguments so the delta anti-join scan runs once — the narrow
+    (vec_id, cent_id) table is index-sized, safely cacheable, and is
+    exactly what a production deployment would write back as the next
+    index generation. Corpus scans on this path: delta + centroid
+    slice + Lloyd join + re-score — never a scan to reconstruct what
+    the index already knows."""
+    stored = ivf_stored_index(spark, sf_dir, k, hwm)
+    assign_full = persist_if(
+        stored.select("vec_id", "cent_id").unionByName(
+            ivf_upsert_assignments(spark, sf_dir, k, hwm, index=stored).select(
+                "vec_id", "cent_id"
+            )
+        ),
+        k == IVF_K and hwm == IVF_UPSERT_HWM,
+    )
+    return _staleness_core(spark, sf_dir, assign_full, k, threshold)
+
+
+def ivf_staleness_stored_oracle(
+    k: int = IVF_K, threshold: float = IVF_STALE_THRESHOLD
+) -> str:
+    return ivf_staleness_report_oracle(k, threshold)
 
 
 def pq_recall_at_k(

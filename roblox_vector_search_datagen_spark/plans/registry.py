@@ -669,6 +669,23 @@ def _registry() -> dict[str, Query]:
         ann.ivf_index_merge_oracle(),
         ("vector", "index-build", "report"),
     )
+    # the stored-index lifecycle end to end: build -> store (warehouse
+    # parquet) -> load -> serve the merge audit with delta-only corpus
+    # cost; the oracle re-derives from base tables so a green row
+    # certifies the storage roundtrip value-for-value
+    r["index_lifecycle_report"] = Query(
+        lambda spark, sf: ann.index_lifecycle_report(spark, sf),
+        ann.index_lifecycle_report_oracle(),
+        ("vector", "index-build", "report", "lifecycle"),
+    )
+    # staleness audit on the stored-index path: frozen set = warehouse
+    # table + delta upsert (persisted once), content-identical to the
+    # bulk re-derivation so the oracle is unchanged
+    r["ivf_staleness_stored"] = Query(
+        lambda spark, sf: ann.ivf_staleness_stored(spark, sf),
+        ann.ivf_staleness_stored_oracle(),
+        ("vector", "index-build", "report", "lifecycle"),
+    )
     r["knn_join"] = Query(
         lambda spark, sf: ann.knn_join(spark, sf), ann.knn_join_oracle(), ("vector", "bench")
     )
