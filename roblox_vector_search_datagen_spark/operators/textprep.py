@@ -699,10 +699,19 @@ def repeated_substring_spans(
     fan-out — each position matches at most once, so unlike the
     bucket self-joins this needs no cap); the island window shuffles
     (doc_id, pos) pairs keyed by doc; the final text reconstruction
-    joins the top-k-bounded run table back to the word arrays. At
-    100 TB the span join key becomes an 8-byte hash (same plan,
-    narrower exchange). Emits (doc_id, start_pos, len_words,
-    span_text), longest first."""
+    joins the top-k-bounded run table back to the word arrays.
+
+    The span key is an 8-byte xxhash64 of the span text, NEVER the
+    n-word string: the df aggregation and the position join exchange
+    hashes, and the string exists only inside the per-position
+    projection (hashed immediately) and the final top-k
+    reconstruction (sliced from the word arrays). Key width dominates
+    shuffle volume at 100 TB — this is the same narrowing
+    `_ngram_buckets` applies to shingle keys. The oracle keeps exact
+    span strings; a 64-bit collision (odds ~m^2/2^65) would merge two
+    distinct spans' document frequencies, which the hash-green gate
+    would surface — none on the fixtures. Emits (doc_id, start_pos,
+    len_words, span_text), longest first."""
     d = tables.load_table(spark, sf_dir, "documents")
     t = persist_if(
         d.select("doc_id", _words(F.col("text")).alias("w")).withColumn("nw", F.size("w")),
@@ -723,24 +732,26 @@ def repeated_substring_spans(
                     F.sequence(F.lit(1), F.col("nw") - n + 1),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        F.array_join(F.slice(F.col("w"), i, n), " ").alias("span"),
+                        F.xxhash64(
+                            F.array_join(F.slice(F.col("w"), i, n), " ")
+                        ).alias("span_h"),
                     ),
                 )
             ).alias("ps"),
         )
-        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.span").alias("span")),
+        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.span_h").alias("span_h")),
         n == SPAN_N and min_docs == SPAN_MIN_DOCS
         and min_words == SPAN_CHAIN_MIN_WORDS and k == SPAN_CHAIN_TOPK,
     )
     rep_spans = (
-        pos_spans.select("span", "doc_id")
+        pos_spans.select("span_h", "doc_id")
         .distinct()
-        .groupBy("span")
+        .groupBy("span_h")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("span")
+        .select("span_h")
     )
-    rep = pos_spans.join(rep_spans, "span").select("doc_id", "pos")
+    rep = pos_spans.join(rep_spans, "span_h").select("doc_id", "pos")
     wgrp = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         rep.withColumn("grp", F.col("pos") - F.row_number().over(wgrp))

@@ -652,3 +652,18 @@ def test_index_lifecycle_report_is_delta_cost_on_registry_path(spark, sf_dir):
     a = sorted(map(tuple, df_stored.collect()))
     b = sorted(map(tuple, ann.ivf_staleness_report(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_repeated_substring_spans_exchanges_hash_keys_only(spark, sf_dir):
+    """The span join/agg key is the 8-byte xxhash64 — the n-word span
+    STRING must never be a shuffle key (key width dominates exchange
+    volume at scale; the string exists only inside the hashed
+    projection and the final top-k reconstruction)."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    p = textprep.repeated_substring_spans(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in p, p
+    assert re.search(r"hashpartitioning\(span_h", p), p
+    assert not re.search(r"hashpartitioning\(span[,#]", p), p
