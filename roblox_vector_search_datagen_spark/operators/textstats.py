@@ -682,8 +682,14 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_CHECKPOINT_EVERY = 8
+
+
 def _bpe_train(
-    spark: SparkSession, sf_dir: str, m: int = BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    checkpoint_every: int = BPE_CHECKPOINT_EVERY,
 ) -> list[tuple[int, str, str, int]]:
     """Learn `m` BPE merges on the corpus word histogram: per round,
     count adjacent SYMBOL pairs on the current segmentation (weighted
@@ -694,10 +700,17 @@ def _bpe_train(
     _connected_components); the pair count is a vocab-scale
     aggregation, never a corpus pass. Returns [(round, a, b, total)].
 
-    Rounds re-derive the segmentation lazily (round r's plan folds r-1
-    merges over the vocab scan) — at vocab scale that beats minting
-    per-round cache entries; a trainer with thousands of merges would
-    localCheckpoint every few rounds exactly like ivf_train_converged.
+    Rounds re-derive the segmentation lazily (round r's plan folds the
+    merges since the last checkpoint over the vocab scan) — at vocab
+    scale that beats minting per-round cache entries — and every
+    `checkpoint_every` rounds the segmentation is localCheckpoint-ed
+    (the `ivf_train_converged` lifecycle): the fold chain and its
+    analysis cost stay bounded at O(checkpoint_every) regardless of
+    how many thousand merges the trainer runs, at the price of one
+    vocab-scale materialization per cadence. The default m never
+    reaches the cadence, so the small-m oracle plans are unchanged;
+    the 30-merge pytest pins merge-for-merge parity with the
+    independent pure-Python trainer ACROSS checkpoint boundaries.
     """
     key = (spark.sparkContext.applicationId, sf_dir, m)
     if key in _BPE_MEMO:
@@ -732,6 +745,8 @@ def _bpe_train(
         a, b, total = top[0].a, top[0].b, int(top[0].total)
         merges.append((r, a, b, total))
         cur = cur.select("w", "cnt", _bpe_apply_expr(F.col("seg"), a, b).alias("seg"))
+        if checkpoint_every and r % checkpoint_every == 0:
+            cur = cur.localCheckpoint()
     _BPE_MEMO[key] = merges
     return merges
 
@@ -865,16 +880,28 @@ def bpe_encode_sample(
     per-document position window, bounded by document length. Emits
     (doc_id, pos, token, token_id) with pos 1-based in reading
     order."""
+    return _bpe_encode(spark, sf_dir, m, doc_bound=n_docs).select(
+        "doc_id", "pos", "token", "token_id"
+    )
+
+
+def _bpe_encode(
+    spark: SparkSession, sf_dir: str, m: int, doc_bound: int | None = None
+) -> DataFrame:
+    """Shared encode plan: tokenize + fold the m learned merges as
+    literals (stateless projection), broadcast the vocabulary for ids,
+    rank token positions per document. `doc_bound` limits to the
+    sample prefix (`bpe_encode_sample`); None is the full-corpus
+    production encode (`token_shards`). Emits (doc_id, pos, token,
+    token_id)."""
     merges = _bpe_train(spark, sf_dir, m)
     d = tables.load_table(spark, sf_dir, "documents")
-    words = (
-        d.filter(F.col("doc_id") < n_docs)
-        .select(
-            "doc_id",
-            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("wpos", "w"),
-        )
-        .filter(F.col("w") != "")
-    )
+    if doc_bound is not None:
+        d = d.filter(F.col("doc_id") < doc_bound)
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("wpos", "w"),
+    ).filter(F.col("w") != "")
     seg = F.array_join(F.split(F.col("w"), ""), " ")
     for _, a, b, _t in merges:
         seg = _bpe_apply_expr(seg, a, b)
@@ -921,6 +948,84 @@ SELECT s.doc_id,
        CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.wpos, s.spos)
             AS INT) AS pos,
        s.token, i.token_id
+FROM syms s JOIN ids i USING (token)
+"""
+
+
+def token_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """The tokenizer lifecycle's TERMINAL artifact: the whole corpus
+    encoded to ordered token ids, shard-keyed with the same seeded
+    hash as `shard_manifest` / `seeded_shuffle` — the (shard, doc_id,
+    pos, token_id) table a training job's data loader reads, where
+    `bpe_encode_sample` is only the publishable preview. One row per
+    token: writing this partitioned by `shard` gives each loader split
+    a self-contained, reproducibly-assigned slice (same seed => same
+    membership as the shard manifest it is validated against).
+
+    Scale shape: identical to the sample encode with the doc_id bound
+    dropped — the m merge folds are literals in one stateless
+    projection, the vocabulary broadcasts, and the only shuffle is the
+    per-document position window (bounded by document length); the
+    shard key is a pure per-row hash, no extra exchange. Emits
+    (shard, doc_id, pos, token_id) — the token string stays out so
+    the artifact is as narrow as what a trainer actually stores."""
+    from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    seed = SHUFFLE_SEED if seed is None else seed
+    shards = SHUFFLE_SHARDS if shards is None else shards
+    shard = F.pmod(
+        H.h32_expr(
+            F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string"))
+        ),
+        F.lit(shards),
+    ).cast("int")
+    return _bpe_encode(spark, sf_dir, m).select(
+        shard.alias("shard"), "doc_id", "pos", "token_id"
+    )
+
+
+def token_shards_oracle(
+    m: int = BPE_MERGES, seed: int | None = None, shards: int | None = None
+) -> str:
+    from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    seed = SHUFFLE_SEED if seed is None else seed
+    shards = SHUFFLE_SHARDS if shards is None else shards
+    h = H.h32_sql(f"('{seed}' || ':' || CAST(s.doc_id AS VARCHAR))")
+    return rf"""
+WITH {_bpe_train_ctes(m)},
+vsyms AS (
+  SELECT token, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM (SELECT w, cnt, unnest(string_split(seg, ' ')) AS token FROM seg{m})
+  GROUP BY token
+),
+ids AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id
+  FROM vsyms
+),
+words AS (
+  SELECT doc_id, i AS wpos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+  WHERE ws[i] <> ''
+),
+syms AS (
+  SELECT doc_id, wpos, j AS spos, ss[j] AS token
+  FROM (SELECT wd.doc_id, wd.wpos, string_split(g.seg, ' ') AS ss
+        FROM words wd JOIN seg{m} g USING (w)),
+       unnest(range(1, len(ss) + 1)) AS v(j)
+)
+SELECT CAST({h} % {shards} AS INT) AS shard,
+       s.doc_id,
+       CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.wpos, s.spos)
+            AS INT) AS pos,
+       i.token_id
 FROM syms s JOIN ids i USING (token)
 """
 

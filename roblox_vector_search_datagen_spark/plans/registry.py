@@ -281,6 +281,14 @@ def _registry() -> dict[str, Query]:
         textstats.bpe_encode_sample_oracle(),
         ("text", "tokenizer"),
     )
+    # the tokenizer lifecycle's terminal artifact: the FULL corpus
+    # encoded to (shard, doc_id, pos, token_id) — the model-ready
+    # table a data loader reads, shard-keyed like shard_manifest
+    r["token_shards"] = Query(
+        lambda spark, sf: textstats.token_shards(spark, sf),
+        textstats.token_shards_oracle(),
+        ("text", "tokenizer", "lifecycle"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(

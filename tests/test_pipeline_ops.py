@@ -436,3 +436,72 @@ def test_bpe_encode_sample_reconstructs_documents(spark, sf_dir):
         assert [p for p, _ in toks] == list(range(1, len(toks) + 1))
         assert "".join(t for _, t in toks) == texts[doc_id]
     assert set(by_doc) == {d for d in texts if texts[d]}
+
+
+def test_bpe_train_checkpoint_cadence_preserves_merges(spark, sf_dir):
+    """A 30-merge train crosses the localCheckpoint cadence three
+    times (every 8 rounds); the learned merges must match the
+    independent pure-Python Sennrich trainer merge-for-merge across
+    every checkpoint boundary — the lineage cut must never change a
+    segmentation. Also pins that a no-checkpoint train (cadence
+    disabled) learns the identical sequence, so the cadence is purely
+    a physical-lifecycle knob."""
+    freq = {r.w: r.cnt for r in textstats._bpe_vocab(spark, sf_dir).collect()}
+    expected, _segs = _py_bpe_reference(freq, 30)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, 30)
+    textstats._BPE_MEMO.pop(memo_key, None)
+    got = textstats._bpe_train(spark, sf_dir, 30)
+    assert got == expected
+    assert len(got) >= textstats.BPE_CHECKPOINT_EVERY * 3  # cadence crossed
+    # the memo would short-circuit the retrain — drop it so the
+    # no-checkpoint variant actually re-learns from scratch
+    textstats._BPE_MEMO.pop(memo_key, None)
+    no_ckpt = textstats._bpe_train(spark, sf_dir, 30, checkpoint_every=0)
+    assert no_ckpt == got
+
+
+def test_token_shards_terminates_the_tokenizer_lifecycle(spark, sf_dir):
+    """`token_shards` is the model-ready artifact: positions are dense
+    1..n per document, the total token mass equals what
+    `bpe_fertility_report` accounted per source, the shard keying
+    matches the manifest hash, and the packing stage consumes it — a
+    token-budget greedy fill over the per-doc counts reproduces the
+    independent pure-Python packer shard for shard."""
+    from pyspark.sql import Window
+
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    ts = textstats.token_shards(spark, sf_dir).persist()
+    # dense per-doc positions: max(pos) == row count per doc
+    per_doc = ts.groupBy("shard", "doc_id").agg(
+        F.max("pos").alias("n_tokens"), F.count(F.lit(1)).alias("n_rows")
+    )
+    assert per_doc.filter(F.col("n_tokens") != F.col("n_rows")).count() == 0
+    # token mass closes against the fertility report
+    total = ts.count()
+    fert = textstats.bpe_fertility_report(spark, sf_dir).collect()
+    assert total == sum(r.n_tokens for r in fert)
+    # pack_sequences' packing logic consumes the artifact: same greedy
+    # fill, but over TRUE BPE token counts instead of whitespace counts
+    budget = textprep.PACK_BUDGET_TOKENS
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = per_doc.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(prev / budget).cast("int").alias("seq_id"),
+        (prev % budget).cast("int").alias("seq_offset"),
+    ).collect()
+    # independent greedy packer over the same counts
+    by_shard = {}
+    for r in sorted(packed, key=lambda r: (r.shard, r.doc_id)):
+        run = by_shard.get(r.shard, 0)
+        assert r.seq_id == run // budget, r
+        assert r.seq_offset == run % budget, r
+        by_shard[r.shard] = run + r.n_tokens
+    ts.unpersist()
