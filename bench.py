@@ -32,6 +32,32 @@ def _storage_sample(spark) -> tuple[int, float]:
         return -1, -1.0
 
 
+def _runtime_sample(spark) -> tuple[int, int]:
+    """(cumulative JVM GC ms, cumulative executor task ms).
+
+    Round 6 left a watch-list: four queries ran 1.6-1.8x slower under
+    the driver than solo with ZERO cache evictions recorded, so the
+    eviction counter alone can't attribute the inflation. Per-query
+    DELTAS of these two series split the hypothesis space: a gc_ms
+    spike on the slow queries == driver-heap pressure (GC pauses the
+    wall clock but not task work); task_ms growing with wall time ==
+    the work itself got bigger (recompute, skew); neither == external
+    host noise squeezing the process off the CPUs."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        gc_ms = sum(b.getCollectionTime() for b in beans)
+        it = spark.sparkContext._jsc.sc().statusStore().executorList(True).iterator()
+        task_ms = 0
+        while it.hasNext():
+            task_ms += it.next().totalDuration()
+        return int(gc_ms), int(task_ms)
+    except Exception:  # instrumentation must never fail the bench
+        return -1, -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -63,6 +89,7 @@ def main() -> None:
     storage: dict[str, list] = {}
     evictions = 0
     prev_mb = 0.0
+    prev_gc, prev_task = _runtime_sample(spark)
     for name, q in QUERIES.items():
         best = float("inf")
         for _ in range(3):
@@ -71,7 +98,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
         n_cached, mem_mb = _storage_sample(spark)
-        storage[name] = [n_cached, mem_mb]
+        gc_ms, task_ms = _runtime_sample(spark)
+        # per-query [cached-RDD count, cached MiB, gc-ms delta,
+        # task-ms delta] — deltas cover all 3 timed runs of the query
+        storage[name] = [
+            n_cached,
+            mem_mb,
+            gc_ms - prev_gc if gc_ms >= 0 and prev_gc >= 0 else -1,
+            task_ms - prev_task if task_ms >= 0 and prev_task >= 0 else -1,
+        ]
+        prev_gc, prev_task = gc_ms, task_ms
         # nothing in the registry unpersists, so cached MiB shrinking
         # between queries is an LRU eviction (1 MiB slack for block
         # accounting jitter)
@@ -105,10 +141,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
-        # per-query [cached-RDD count, cached MiB] + eviction count:
-        # the round-6 cache-pressure instrumentation (see
-        # _storage_sample). peak/final answer "did the storage pool
-        # stay bounded over the full session" at a glance.
+        # per-query [cached-RDD count, cached MiB, gc-ms delta,
+        # task-ms delta] + eviction count: the round-6 cache-pressure
+        # instrumentation (_storage_sample) plus the round-7
+        # driver-inflation attribution (_runtime_sample). peak/final
+        # answer "did the storage pool stay bounded" at a glance; the
+        # gc/task deltas attribute any driver-vs-solo per-query gap.
         "storage": {
             "driver_memory": spark.conf.get("spark.driver.memory", "?"),
             "evictions": evictions,

@@ -215,7 +215,11 @@ def decode_jpeg_luminance(data: bytes) -> tuple[int, int, list[list[int]]]:
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xC0:  # SOF0: baseline DCT
+            if len(body) < 6:
+                raise ValueError("short JPEG SOF segment")
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("short JPEG SOF component list")
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
             comps = []
@@ -228,10 +232,17 @@ def decode_jpeg_luminance(data: bytes) -> tuple[int, int, list[list[int]]]:
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(body):
+                if len(body) < off + 17:
+                    raise ValueError("short JPEG DHT segment")
                 tc_th = body[off]
                 counts = list(body[off + 1 : off + 17])
                 nsym = sum(counts)
                 symbols = body[off + 17 : off + 17 + nsym]
+                if len(symbols) != nsym:
+                    # counts promise more symbols than the segment
+                    # carries — raise the documented contract error, not
+                    # an IndexError from inside the table build
+                    raise ValueError("JPEG DHT counts exceed supplied symbols")
                 table = _HuffTable(counts, symbols)
                 if tc_th >> 4 == 0:
                     huff_dc[tc_th & 0x0F] = table
@@ -241,6 +252,8 @@ def decode_jpeg_luminance(data: bytes) -> tuple[int, int, list[list[int]]]:
         elif marker == 0xDB:  # DQT (8-bit tables only)
             off = 0
             while off < len(body):
+                if len(body) < off + 65:
+                    raise ValueError("short JPEG DQT segment")
                 pq_tq = body[off]
                 if pq_tq >> 4 != 0:
                     raise ValueError("unsupported 16-bit JPEG quant table")
@@ -251,11 +264,17 @@ def decode_jpeg_luminance(data: bytes) -> tuple[int, int, list[list[int]]]:
                 quant[pq_tq & 0x0F] = table
                 off += 65
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("short JPEG DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not body:
+                raise ValueError("short JPEG SOS segment")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("short JPEG SOS component list")
             scan = []
             for i in range(ns):
                 cs, tables_ = body[1 + 2 * i : 3 + 2 * i]

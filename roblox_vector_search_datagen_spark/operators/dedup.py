@@ -900,8 +900,28 @@ def _connected_components(und: DataFrame, max_iter: int = 25) -> DataFrame:
 
 _CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+CLUSTERS_MAX_ITER = 25
 
-def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> DataFrame:
+
+def clear_session_memos() -> None:
+    """Invalidation hook for sessions that mutate data under a
+    previously-read sf_dir (the continuous-ingestion regime): the
+    eager-result memos (`_CLUSTERS_MEMO` here, `_BPE_MEMO` in
+    textstats) key on (applicationId, sf_dir) and would otherwise
+    serve pre-ingestion results forever. Call after a batch lands;
+    `streaming/ingest` pipelines that rewrite fixture dirs should do
+    this in their commit step. Persisted DECLARATIVE subtrees don't
+    need this — re-reading parquet picks up new files — it is only
+    the driver-side eager loops whose results are plan-opaque."""
+    from . import textstats as _ts
+
+    _CLUSTERS_MEMO.clear()
+    _ts._BPE_MEMO.clear()
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = CLUSTERS_MAX_ITER
+) -> DataFrame:
     """Connected components over the LSH candidate-pair graph: every doc
     that appears in at least one near-dup pair is labeled with its
     component's minimum doc_id — the cluster representative a training
@@ -923,9 +943,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Data
     consumer (dedup_representatives here; any pipeline stage keying on
     cluster labels in production) re-runs the whole iteration. Same
     persist-discipline rules as functions/caching.py: non-default
-    max_iter skips the memo, bounded entries (one per sf_dir seen)."""
+    max_iter skips the memo (the guard compares against the shared
+    `CLUSTERS_MAX_ITER` constant, so changing the default can't
+    silently decouple memo hits from the default path), bounded
+    entries (one per sf_dir seen); `clear_session_memos` is the
+    invalidation hook for sessions that mutate sf_dir."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if max_iter == 25 and key in _CLUSTERS_MEMO:
+    if max_iter == CLUSTERS_MAX_ITER and key in _CLUSTERS_MEMO:
         return _CLUSTERS_MEMO[key]
     edges = lsh_candidate_pairs(spark, sf_dir)
     und = (
@@ -934,7 +958,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Data
         .localCheckpoint()
     )
     result = _connected_components(und, max_iter)
-    if max_iter == 25:
+    if max_iter == CLUSTERS_MAX_ITER:
         _CLUSTERS_MEMO[key] = result
     return result
 

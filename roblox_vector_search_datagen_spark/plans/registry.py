@@ -887,189 +887,90 @@ def _registry() -> dict[str, Query]:
     )
     return r
 
-# The driver adjudicates a 50-query prefix window per round. Round-6
+# The driver adjudicates a 50-query prefix window per round. A 50-slot
+# window over a 161-query registry takes FOUR rounds to cycle the
+# whole registry — that is the honest staleness ceiling (the "no row
+# older than two rounds" claim earlier rounds made is arithmetically
+# impossible; COVERAGE.md states the 4-round invariant). Round-7
 # ordering, weakest evidence first: (1) the three queries NEW this
-# round (ivf_train_iters + the two dropped-bucket reports), (2) the
-# 15 queries whose RESULTS changed this round (media_inventory's
-# format counters; the integer-scale qmean6 rework, which re-pins
-# every mean-bearing oracle) — changed code needs fresh driver
-# evidence regardless of staleness, (3) the cohort whose newest green
-# row is round 3 (snapshot_diff, the worklists, jobs family,
-# hll/sketch family, the r3 dedup/ANN cohort), exactly filling the
-# 50 window. Behind the window: the rest of the r3 cohort, then
-# latest-green r4, then the round-5 window (freshest evidence, rotates
-# to the back). Every query is self-contained, so order carries no
-# semantics.
-#
-# Round-7 rotation plan: promote whatever round-7 adds or changes,
-# then the remaining r3/r4 stragglers right behind the window here
-# (simhash, simhash_near_dups, dedup_representatives,
-# dedup_funnel_report and dup_graph_degrees first — the five
-# round-6 mid-round additions bpe_merges, bpe_fertility_report,
-# bpe_vocab, bpe_encode_sample and ivf_index_merge displaced them
-# from the r6 window's last slots —
-# then split_leakage .. bpe_pair_counts and the r4 block from
-# simhash_banded_near_dups), so after r07 no query's newest driver
-# row is older than two rounds.
+# round (the stored-index lifecycle pair + token_shards), (2)
+# repeated_substring_spans, whose span join was re-keyed to an 8-byte
+# hash this round — changed plans need fresh driver evidence, (3) the
+# 46-query cohort whose newest green row is round 4 (the oldest bulk
+# cohort; the 19-query r3 cohort was re-verified by the round-6
+# judge's full-registry sim and rotates in right behind the window,
+# filling the r08 slots). Every query is self-contained, so order
+# carries no semantics.
 _ADJUDICATE_FIRST = (
-    "bpe_merges",
-    "bpe_fertility_report",
-    "bpe_vocab",
-    "bpe_encode_sample",
-    "ivf_index_merge",
+    "index_lifecycle_report",
+    "ivf_staleness_stored",
+    "token_shards",
     "repeated_substring_spans",
-    "ivf_train_iters",
-    "lsh_dropped_buckets",
-    "embedding_lsh_dropped_buckets",
-    "media_inventory",
-    "winsorized_event_stats_approx",
-    "ivf_staleness_report",
-    "unigram_logprob",
-    "quality_buckets",
-    "sq_quantize",
-    "event_value_quantiles",
-    "embedding_dim_profile",
-    "ivf_cluster_quality",
-    "index_build_report",
-    "ivf_train",
-    "bigram_lm_score",
-    "winsorized_event_stats",
-    "split_centroid_drift",
-    "ivf_centroid_update",
-    "snapshot_diff",
-    "prune_orphan_embeddings",
-    "needs_details_worklist",
-    "missing_images_worklist",
-    "needs_embeddings_worklist",
-    "latest_event_per_user",
-    "jobs_by_status",
-    "jobs_page",
-    "old_jobs",
-    "clear_gameplay",
-    "hll_daily_users",
-    "pq_recall_at_k",
-    "embedding_outliers",
-    "ingest_near_dedup",
-    "ingest_decision_report",
-    "hybrid_search",
-    "heavy_hitters",
-    "dsir_weights",
-    "mixture_plan",
-    "seeded_shuffle",
-    "shard_manifest",
-    "dedup_exact",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "embedding_lsh_verified",
-    "minhash_jaccard_estimates",
-    "simhash",
-    "simhash_near_dups",
-    "dedup_representatives",
-    "dedup_funnel_report",
-    "dup_graph_degrees",
-    "semantic_dedup",
-    "split_leakage",
-    "lsh_recall_report",
-    "source_overlap",
-    "minhash_band_sweep",
-    "bloom_decontaminate",
-    "generate_vectors",
-    "vocab_coverage",
-    "pack_efficiency_report",
-    "token_length_histogram",
-    "repeated_spans",
-    "sketch_event_profile",
-    "media_dedup",
-    "sliding_event_counts",
-    "bpe_pair_counts",
-    "knn_label_accuracy",
-    "ivf_label_purity",
-    "cross_lingual_near_dups",
-    "ann_lsh_topk",
-    "ann_lsh_recall_at_k",
-    "simhash_dropped_bands",
-    "ivf_upsert_assignments",
-    "event_value_quantiles_approx",
-    "merge_games_gather",
-    "merge_games_search",
-    "merge_games_rolimons",
-    "prune_games",
-    "prune_counts",
-    "pii_scrub",
-    "quality_filter",
-    "pmi_collocations",
-    "funnel_counts",
-    "user_retention",
-    "asof_next_action",
-    "retention_curve",
-    "event_anomalies",
-    "event_value_histogram",
-    "ann_recall_at_k",
-    "ingest_dedup",
-    "training_corpus",
-    "bm25_search",
-    "skew_profile",
-    "events_zorder",
-    "per_group_sample",
-    "exact_jaccard_verify",
-    "ngram_dropped_shingles",
-    "mixture_report",
-    "top_quality_per_source",
-    "corpus_profile",
-    "asof_attribution",
-    "interval_click_counts",
-    "event_rollup",
-    "event_props_rollup",
-    "frame_sample_plan",
-    "media_features",
-    "windowed_event_counts",
-    "sessionize",
-    "enriched_events",
-    "simhash_banded_near_dups",
-    "edit_distance_verify",
-    "ivf_pq_topk",
-    "dim_truncation_recall",
-    "compaction_plan",
-    "hard_negative_mining",
-    "rate_limited_events",
-    "scd2_user_state",
-    "doc_span_novelty",
-    "point_in_time_state",
-    "known_item_search_eval",
-    "column_cardinality_profile",
-    "event_minmax_downsample",
-    "temperature_mixture_plan",
-    "weighted_sample",
-    "embedding_norm_audit",
-    "dedup_clusters",
-    "embedding_lsh_near_dups",
-    "ngram_jaccard_pairs",
-    "embedding_near_dups",
-    "ann_topk",
-    "ivf_assignments",
     "ann_ivf_topk",
-    "knn_join",
-    "pq_codes",
-    "pq_adc_topk",
-    "pq_rerank_topk",
-    "lang_id",
-    "text_quality",
-    "token_counts",
-    "doc_fingerprints",
-    "top_terms",
+    "ann_topk",
+    "bpe_pair_counts",
+    "column_cardinality_profile",
+    "compaction_plan",
+    "count_games",
     "dataset_splits",
-    "repetition_stats",
-    "doc_chunks",
-    "stratified_sample",
     "decontaminate",
-    "pack_sequences",
-    "vector_search",
-    "similar_search",
-    "text_search",
+    "dedup_clusters",
+    "dim_truncation_recall",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_span_novelty",
+    "edit_distance_verify",
+    "embedding_lsh_near_dups",
+    "embedding_near_dups",
+    "embedding_norm_audit",
+    "event_minmax_downsample",
+    "hard_negative_mining",
+    "ivf_assignments",
+    "ivf_pq_topk",
+    "knn_join",
+    "known_item_search_eval",
+    "lang_id",
     "list_games",
     "list_games_unicode",
-    "count_games",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "point_in_time_state",
+    "pq_adc_topk",
+    "pq_codes",
+    "pq_rerank_topk",
+    "rate_limited_events",
+    "repetition_stats",
+    "scd2_user_state",
+    "simhash_banded_near_dups",
+    "similar_search",
     "stats",
+    "stratified_sample",
+    "temperature_mixture_plan",
+    "text_quality",
+    "text_search",
+    "token_counts",
+    "top_terms",
+    "vector_search",
+    "weighted_sample",
+    "bloom_decontaminate",
+    "dedup_funnel_report",
+    "dedup_representatives",
+    "dup_graph_degrees",
+    "generate_vectors",
+    "lsh_recall_report",
+    "media_dedup",
+    "minhash_band_sweep",
+    "pack_efficiency_report",
+    "repeated_spans",
+    "semantic_dedup",
+    "simhash",
+    "simhash_near_dups",
+    "sketch_event_profile",
+    "sliding_event_counts",
+    "source_overlap",
+    "split_leakage",
+    "token_length_histogram",
+    "vocab_coverage",
 )
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:

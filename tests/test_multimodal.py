@@ -443,3 +443,33 @@ def test_media_features_jpeg_real_arm_end_to_end(spark):
     assert out[0] == real  # png arm
     assert out[1] == real  # jpeg arm decodes the SAME luminance
     assert out[2] == mm._stub_pixels(opaque, 64, 64)
+
+
+def test_jpeg_malformed_segments_raise_valueerror():
+    """The documented contract (parity with decode_png_luminance) is
+    ValueError for ANY malformed-but-sniffed blob — a DHT whose counts
+    promise more symbols than the segment carries, short SOF/DRI/DQT/
+    SOS bodies that pass the seglen check — never IndexError or
+    struct.error escaping the parser."""
+    import pytest
+
+    from roblox_vector_search_datagen_spark.functions import jpeg
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    soi = b"\xff\xd8\xff\xe0\x00\x02"  # SOI + empty APP0
+    cases = {
+        "DHT counts exceed": soi + seg(0xC4, bytes([0x00] + [1] * 16)),  # 16 syms promised, 0 given
+        "short DHT": soi + seg(0xC4, b"\x00\x01"),
+        "short SOF": soi + seg(0xC0, b"\x08\x00"),
+        "short SOF comps": soi + seg(0xC0, b"\x08\x00\x10\x00\x10\x03\x01\x11"),
+        "short DRI": soi + seg(0xDD, b"\x07"),
+        "short DQT": soi + seg(0xDB, b"\x00" + b"\x01" * 10),
+        "short SOS": soi
+        + seg(0xC0, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+        + seg(0xDA, b"\x01\x01"),
+    }
+    for name, blob in cases.items():
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg_luminance(blob)

@@ -212,3 +212,40 @@ def test_embedding_dim_profile_bounds_and_counts(spark, sf_dir):
         assert r.std >= 0.0
         # quantization error bound: std can't exceed half the range + grid
         assert r.std <= (r.mx - r.mn) / 2 + 1e-5
+
+
+def test_argmax_centroid_null_cosine_falls_to_smallest_cent_id(spark):
+    """The max_by struct-ordering rewrite's NULL arm, pinned on literal
+    rows (the shipped embeddings fixture has no zero-norm vectors, so
+    without this a struct-field reorder regressing the semantics would
+    ship undetected — the batch twin of
+    test_nearest_centroid_expr_zero_norm_degrades_to_null):
+    - all-NULL cosines (zero-norm vector): smallest cent_id, NULL cos
+    - mixed NULLs: any non-NULL cosine beats every NULL
+    - exact ties: smallest cent_id wins."""
+    from roblox_vector_search_datagen_spark.operators.ann import _argmax_centroid
+
+    scored = spark.createDataFrame(
+        [
+            # vec 1: all cosines NULL -> (cent 2, NULL)
+            (1, 5, None),
+            (1, 2, None),
+            (1, 9, None),
+            # vec 2: NULL loses to a worse non-NULL -> (cent 7, -0.5)
+            (2, 3, None),
+            (2, 7, -0.5),
+            # vec 3: exact tie -> smallest cent_id -> (cent 4, 0.25)
+            (3, 8, 0.25),
+            (3, 4, 0.25),
+            (3, 6, -1.0),
+        ],
+        "vec_id long, cent_id long, cosine double",
+    )
+    got = {r.vec_id: (r.cent_id, r.cosine) for r in _argmax_centroid(scored).collect()}
+    assert got == {1: (2, None), 2: (7, -0.5), 3: (4, 0.25)}
+    # with_cosine=False drops the column but keeps the same argmax
+    got2 = {
+        r.vec_id: r.cent_id
+        for r in _argmax_centroid(scored, with_cosine=False).collect()
+    }
+    assert got2 == {1: 2, 2: 7, 3: 4}
