@@ -1603,6 +1603,7 @@ def ivf_upsert_assignments(
     k: int = IVF_K,
     hwm: int = IVF_UPSERT_HWM,
     index: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental IVF maintenance, assignment step: assign ONLY the
     vectors not yet in the index against the FROZEN centroids — the
@@ -1625,16 +1626,19 @@ def ivf_upsert_assignments(
     bulk assignment and filtering to the high-water mark, so that
     fixture stand-in pays one extra corpus pass the real deployment
     does not (`test_plans.py` pins the scan count of the
-    materialized-index path)."""
+    materialized-index path). `centroids` likewise routes the frozen
+    K x dim table through the stored warehouse copy
+    (`ivf_stored_centroids`, columns cent_id + cent) — with both
+    passed, the corpus is scanned exactly ONCE, for the delta."""
     e = tables.load_table(spark, sf_dir, "embeddings")
     if index is None:
         index = ivf_assignments(spark, sf_dir, k).filter(F.col("vec_id") < hwm)
     delta = e.join(index.select("vec_id"), "vec_id", "left_anti")
-    cents = F.broadcast(
-        e.filter(F.col("vec_id") < k).select(
+    if centroids is None:
+        centroids = e.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
         )
-    )
+    cents = F.broadcast(centroids.select("cent_id", "cent"))
     scored = delta.crossJoin(cents).select(
         "vec_id",
         "cent_id",
@@ -1859,6 +1863,14 @@ def ivf_index_store(
     audit, staleness) reads the narrow stored table instead of
     re-deriving the assignment set from the corpus.
 
+    The index is TWO tables under one directory: `assignments`
+    (vec_id, cent_id, cosine below the high-water mark — the narrow
+    membership table) and `centroids` (cent_id, cent — the frozen
+    K x dim quantizer). Storing the centroids too is what lets the
+    serve path touch the corpus only for the anti-joined delta: the
+    quantizer no longer needs the embeddings scan that the in-memory
+    `index=` harness still paid.
+
     Write-if-absent keyed by (sf tag, k, hwm): the content is a pure
     function of the fixture tables and the defaults, so rebuilding per
     call would only burn the bench. `rebuild=True` is the invalidation
@@ -1867,12 +1879,24 @@ def ivf_index_store(
     session memo."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(IVF_WAREHOUSE, f"ivf_index_{tag}_k{k}_hwm{hwm}")
-    if rebuild or not os.path.exists(os.path.join(path, "_SUCCESS")):
+    assign_path = os.path.join(path, "assignments")
+    cent_path = os.path.join(path, "centroids")
+    done = all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (assign_path, cent_path)
+    )
+    if rebuild or not done:
+        e = tables.load_table(spark, sf_dir, "embeddings")
+        (
+            e.filter(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+            .write.mode("overwrite")
+            .parquet(cent_path)
+        )
         (
             ivf_assignments(spark, sf_dir, k)
             .filter(F.col("vec_id") < hwm)
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(assign_path)
         )
     return path
 
@@ -1883,11 +1907,26 @@ def ivf_stored_index(
     k: int = IVF_K,
     hwm: int = IVF_UPSERT_HWM,
 ) -> DataFrame:
-    """LOAD step: the frozen index as a DataFrame backed by the stored
-    parquet table (writing it first if absent). Downstream plans that
-    take this as their `index=` input scan the narrow (vec_id,
-    cent_id, cosine) table — never the corpus — for the frozen side."""
-    return spark.read.parquet(ivf_index_store(spark, sf_dir, k, hwm))
+    """LOAD step: the frozen membership as a DataFrame backed by the
+    stored parquet table (writing it first if absent). Downstream
+    plans that take this as their `index=` input scan the narrow
+    (vec_id, cent_id, cosine) table — never the corpus — for the
+    frozen side."""
+    path = ivf_index_store(spark, sf_dir, k, hwm)
+    return spark.read.parquet(os.path.join(path, "assignments"))
+
+
+def ivf_stored_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    hwm: int = IVF_UPSERT_HWM,
+) -> DataFrame:
+    """LOAD step, quantizer half: the frozen K x dim centroid table
+    from the warehouse (cent_id, cent) — what the serve path
+    broadcasts instead of re-slicing the corpus."""
+    path = ivf_index_store(spark, sf_dir, k, hwm)
+    return spark.read.parquet(os.path.join(path, "centroids"))
 
 
 def index_lifecycle_report(
@@ -1905,21 +1944,27 @@ def index_lifecycle_report(
 
     This is the plan a production deployment runs per ingest batch,
     and its cost is LITERALLY the delta: the corpus (embeddings)
-    parquet is scanned exactly twice — once for the anti-joined delta,
-    once for the K-row frozen-centroid slice — and the frozen side is
-    the stored narrow table (`test_plans.py` pins the per-location
-    scan counts on this exact registry builder, closing the round-6
-    gap where the 2-scan plan existed only under a test harness).
+    parquet is scanned exactly ONCE — for the anti-joined delta —
+    because both halves of the frozen index come from the warehouse
+    (membership feeds the anti-join, centroids broadcast into the
+    scoring) (`test_plans.py` pins the per-location scan counts on
+    this exact registry builder, closing the round-6 gap where the
+    delta-cost plan existed only under a test harness).
 
     The oracle intentionally does NOT read the warehouse table: it
     re-derives the frozen index from the base tables
     (`ivf_index_merge_oracle`), so a hash-green row certifies the full
     build -> store -> load -> serve roundtrip preserved every value."""
     stored = ivf_stored_index(spark, sf_dir, k, hwm)
+    new = ivf_upsert_assignments(
+        spark,
+        sf_dir,
+        k,
+        hwm,
+        index=stored,
+        centroids=ivf_stored_centroids(spark, sf_dir, k, hwm),
+    ).select("cent_id", F.lit(1).alias("is_new"))
     kept = stored.select("cent_id", F.lit(0).alias("is_new"))
-    new = ivf_upsert_assignments(spark, sf_dir, k, hwm, index=stored).select(
-        "cent_id", F.lit(1).alias("is_new")
-    )
     return (
         kept.unionByName(new)
         .groupBy("cent_id")
@@ -1962,9 +2007,14 @@ def ivf_staleness_stored(
     stored = ivf_stored_index(spark, sf_dir, k, hwm)
     assign_full = persist_if(
         stored.select("vec_id", "cent_id").unionByName(
-            ivf_upsert_assignments(spark, sf_dir, k, hwm, index=stored).select(
-                "vec_id", "cent_id"
-            )
+            ivf_upsert_assignments(
+                spark,
+                sf_dir,
+                k,
+                hwm,
+                index=stored,
+                centroids=ivf_stored_centroids(spark, sf_dir, k, hwm),
+            ).select("vec_id", "cent_id")
         ),
         k == IVF_K and hwm == IVF_UPSERT_HWM,
     )

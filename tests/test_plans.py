@@ -625,18 +625,19 @@ def test_minhash_signature_subtree_materializes_once(spark, sf_dir):
 
 
 def test_index_lifecycle_report_is_delta_cost_on_registry_path(spark, sf_dir):
-    """The round-6 gap: the 2-corpus-scan stored-index plan existed
-    only under a test harness. `index_lifecycle_report` IS the
-    registry path now — pin that its plan reads the corpus
-    (embeddings) parquet exactly twice (anti-joined delta + K-row
-    frozen-centroid slice), reads the warehouse table for the frozen
-    side, anti-joins before scoring, and broadcasts the centroids."""
+    """The round-6 gap: the delta-cost stored-index plan existed only
+    under a test harness. `index_lifecycle_report` IS the registry
+    path now — pin that its plan reads the corpus (embeddings)
+    parquet exactly ONCE (the anti-joined delta; membership AND the
+    frozen centroids both come from the warehouse tables), anti-joins
+    before scoring, and broadcasts the centroids."""
     from roblox_vector_search_datagen_spark.operators import ann
 
     df = ann.index_lifecycle_report(spark, sf_dir)
     p = plan_of(df)
-    assert len(re.findall(r"embeddings\.parquet", p)) == 2, p
-    assert "ivf_index_" in p, p  # frozen side reads the stored table
+    assert len(re.findall(r"embeddings\.parquet", p)) == 1, p
+    # frozen membership (x2: anti-join + kept side) + centroids (x1)
+    assert len(re.findall(r"ivf_index_", p)) == 3, p
     assert "LeftAnti" in p and "BroadcastExchange" in p, p
     assert "EvalPython" not in p and "CartesianProduct" not in p
 
