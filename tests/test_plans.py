@@ -603,6 +603,15 @@ def test_minhash_signature_subtree_materializes_once(spark, sf_dir):
     def executed(df):
         return df._jdf.queryExecution().executedPlan().toString()
 
+    def n_sig_entries():
+        # the minhash LCG multiplier for component 0 appears only in
+        # signature-building plans (one cached entry per distinct
+        # corpus dir — other tests in the shared session may have
+        # cached OTHER dirs' signatures, so assert on the DELTA)
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(1 for i in infos if i.isCached() and "1103527590" in i.name())
+
+    before = n_sig_entries()
     family = [
         dedup.minhash_signatures(spark, sf_dir),
         dedup.lsh_candidate_pairs(spark, sf_dir),
@@ -615,13 +624,11 @@ def test_minhash_signature_subtree_materializes_once(spark, sf_dir):
     # every consumer substitutes the cached signature subtree
     for df in family:
         assert "InMemoryTableScan" in executed(df), executed(df)
-    # ...and the pool holds exactly one signature entry (the minhash
-    # LCG multiplier for component 0 is unique to the signature plan)
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    sig_entries = [
-        i for i in infos if i.isCached() and "1103527590" in i.name()
-    ]
-    assert len(sig_entries) == 1, [i.name()[:120] for i in sig_entries]
+    # ...and running the WHOLE family materialized at most one new
+    # signature entry (zero if an earlier test already cached this
+    # dir's signatures — the plan-level sharing working as designed)
+    assert n_sig_entries() - before <= 1, (before, n_sig_entries())
+    assert n_sig_entries() >= 1
 
 
 def test_index_lifecycle_report_is_delta_cost_on_registry_path(spark, sf_dir):
