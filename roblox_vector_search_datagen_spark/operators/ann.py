@@ -1956,14 +1956,9 @@ def index_lifecycle_report(
     (`ivf_index_merge_oracle`), so a hash-green row certifies the full
     build -> store -> load -> serve roundtrip preserved every value."""
     stored = ivf_stored_index(spark, sf_dir, k, hwm)
-    new = ivf_upsert_assignments(
-        spark,
-        sf_dir,
-        k,
-        hwm,
-        index=stored,
-        centroids=ivf_stored_centroids(spark, sf_dir, k, hwm),
-    ).select("cent_id", F.lit(1).alias("is_new"))
+    new = _stored_delta_assignments(spark, sf_dir, k, hwm).select(
+        "cent_id", F.lit(1).alias("is_new")
+    )
     kept = stored.select("cent_id", F.lit(0).alias("is_new"))
     return (
         kept.unionByName(new)
@@ -1982,6 +1977,31 @@ def index_lifecycle_report_oracle(k: int = IVF_K, hwm: int = IVF_UPSERT_HWM) -> 
     return ivf_index_merge_oracle(k, hwm)
 
 
+def _stored_delta_assignments(
+    spark: SparkSession, sf_dir: str, k: int, hwm: int
+) -> DataFrame:
+    """The stored-path DELTA assignment subtree — the one corpus-sized
+    computation on the serve path — shared by `index_lifecycle_report`
+    (merge audit) and `ivf_staleness_stored` (frozen-set union).
+    Persisted for the session-invariant defaults: the bulk twin's
+    frozen side rides the shared `ivf_assignments` cache, and without
+    this persist the stored path would re-score the delta per query
+    AND per reference while its twin reads memory — the stored path
+    must never bench slower than the rebuild it replaces."""
+    stored = ivf_stored_index(spark, sf_dir, k, hwm)
+    return persist_if(
+        ivf_upsert_assignments(
+            spark,
+            sf_dir,
+            k,
+            hwm,
+            index=stored,
+            centroids=ivf_stored_centroids(spark, sf_dir, k, hwm),
+        ),
+        k == IVF_K and hwm == IVF_UPSERT_HWM,
+    )
+
+
 def ivf_staleness_stored(
     spark: SparkSession,
     sf_dir: str,
@@ -1997,26 +2017,15 @@ def ivf_staleness_stored(
     certifies the stored path value-for-value.
 
     The merged set feeds BOTH the frozen compare and the Lloyd update
-    join; it is persisted for the default (session-invariant)
-    arguments so the delta anti-join scan runs once — the narrow
-    (vec_id, cent_id) table is index-sized, safely cacheable, and is
-    exactly what a production deployment would write back as the next
-    index generation. Corpus scans on this path: delta + centroid
-    slice + Lloyd join + re-score — never a scan to reconstruct what
-    the index already knows."""
+    join; its delta half is the shared persisted
+    `_stored_delta_assignments` subtree (one materialization serves
+    this query AND the merge audit), so each reference re-reads only
+    the narrow stored parquet plus the cache. Corpus scans on this
+    path: the (cached) delta + Lloyd join + re-score — never a scan
+    to reconstruct what the index already knows."""
     stored = ivf_stored_index(spark, sf_dir, k, hwm)
-    assign_full = persist_if(
-        stored.select("vec_id", "cent_id").unionByName(
-            ivf_upsert_assignments(
-                spark,
-                sf_dir,
-                k,
-                hwm,
-                index=stored,
-                centroids=ivf_stored_centroids(spark, sf_dir, k, hwm),
-            ).select("vec_id", "cent_id")
-        ),
-        k == IVF_K and hwm == IVF_UPSERT_HWM,
+    assign_full = stored.select("vec_id", "cent_id").unionByName(
+        _stored_delta_assignments(spark, sf_dir, k, hwm).select("vec_id", "cent_id")
     )
     return _staleness_core(spark, sf_dir, assign_full, k, threshold)
 

@@ -888,13 +888,32 @@ def bpe_encode_sample(
 def _bpe_encode(
     spark: SparkSession, sf_dir: str, m: int, doc_bound: int | None = None
 ) -> DataFrame:
-    """Shared encode plan: tokenize + fold the m learned merges as
-    literals (stateless projection), broadcast the vocabulary for ids,
-    rank token positions per document. `doc_bound` limits to the
-    sample prefix (`bpe_encode_sample`); None is the full-corpus
-    production encode (`token_shards`). Emits (doc_id, pos, token,
-    token_id)."""
+    """Shared encode plan: segment each DISTINCT word once, then join
+    occurrences to their segmentation. The m merge folds are
+    interpreted higher-order functions (CodegenFallback) — the
+    per-word fold is the expensive expression in the tokenizer family
+    — so the fold runs over the Heaps-law-bounded word histogram
+    (exactly the table `_bpe_train` aggregates), never once per
+    corpus occurrence: the first cut folded per occurrence and spent
+    ~50 s of executor time on the sf0.1 encode that the vocab-join
+    formulation does in ~2 s. The exploded (word, spos, token,
+    token_id) table is vocab-scale and BROADCASTS into the occurrence
+    stream — the corpus never shuffles to be tokenized; the only
+    corpus-sized exchange is the per-document position window (the
+    oracle uses the identical join formulation). `doc_bound` limits
+    to the sample prefix (`bpe_encode_sample`); None is the
+    full-corpus production encode (`token_shards`). Emits (doc_id,
+    pos, token, token_id)."""
     merges = _bpe_train(spark, sf_dir, m)
+    seg = F.array_join(F.split(F.col("w"), ""), " ")
+    for _, a, b, _t in merges:
+        seg = _bpe_apply_expr(seg, a, b)
+    ids = bpe_vocab(spark, sf_dir, m).select("token", "token_id")
+    word_tokens = (
+        _bpe_vocab(spark, sf_dir)
+        .select("w", F.posexplode(F.split(seg, " ")).alias("spos", "token"))
+        .join(ids, "token")
+    )
     d = tables.load_table(spark, sf_dir, "documents")
     if doc_bound is not None:
         d = d.filter(F.col("doc_id") < doc_bound)
@@ -902,15 +921,8 @@ def _bpe_encode(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), r"\s+")).alias("wpos", "w"),
     ).filter(F.col("w") != "")
-    seg = F.array_join(F.split(F.col("w"), ""), " ")
-    for _, a, b, _t in merges:
-        seg = _bpe_apply_expr(seg, a, b)
-    syms = words.select(
-        "doc_id", "wpos", F.posexplode(F.split(seg, " ")).alias("spos", "token")
-    )
-    ids = F.broadcast(bpe_vocab(spark, sf_dir, m).select("token", "token_id"))
     w_pos = Window.partitionBy("doc_id").orderBy("wpos", "spos")
-    return syms.join(ids, "token").select(
+    return words.join(F.broadcast(word_tokens), "w").select(
         "doc_id",
         F.row_number().over(w_pos).cast("int").alias("pos"),
         "token",
