@@ -1630,6 +1630,7 @@ def ivf_upsert_assignments(
     K x dim table through the stored warehouse copy
     (`ivf_stored_centroids`, columns cent_id + cent) — with both
     passed, the corpus is scanned exactly ONCE, for the delta."""
+    default_invocation = index is None and centroids is None
     e = tables.load_table(spark, sf_dir, "embeddings")
     if index is None:
         index = ivf_assignments(spark, sf_dir, k).filter(F.col("vec_id") < hwm)
@@ -1644,7 +1645,16 @@ def ivf_upsert_assignments(
         "cent_id",
         F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
     )
-    return _argmax_centroid(scored)
+    # the default (simulated-index) invocation is session-invariant and
+    # its delta scoring feeds three consumers (this registry query,
+    # ivf_index_merge's upsert side, the bulk staleness compare) —
+    # persist the narrow result like the stored path's
+    # _stored_delta_assignments twin; parameterized invocations and
+    # caller-supplied index/centroids skip the cache per the discipline
+    return persist_if(
+        _argmax_centroid(scored),
+        default_invocation and k == IVF_K and hwm == IVF_UPSERT_HWM,
+    )
 
 
 def ivf_upsert_assignments_oracle(k: int = IVF_K, hwm: int = IVF_UPSERT_HWM) -> str:
