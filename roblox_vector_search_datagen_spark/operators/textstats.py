@@ -1042,6 +1042,108 @@ FROM syms s JOIN ids i USING (token)
 """
 
 
+PACK_TOKEN_BUDGET = 256
+
+
+def pack_token_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    budget: int = PACK_TOKEN_BUDGET,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """Sequence packing over TRUE tokenizer counts — the step between
+    `token_shards` and the trainer. `textprep.pack_sequences` packs on
+    whitespace counts (the planning approximation); this consumes the
+    trained tokenizer's actual per-document token mass, so seq_id
+    boundaries land where the data loader will actually cut. Same
+    streaming-greedy fill, per `token_shards` shard key.
+
+    Scale shape: the per-doc count needs NO position window — each
+    word's token count is the size of its segmentation, so the count
+    is (occurrences join vocab-scale broadcast (w, n_sub)) + one
+    per-doc sum; the only corpus-wide exchange is the per-shard
+    running-total window, parallel in the shard count exactly like
+    `pack_sequences`. Emits (shard, doc_id, n_tokens, seq_id,
+    seq_offset)."""
+    from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    seed = SHUFFLE_SEED if seed is None else seed
+    shards = SHUFFLE_SHARDS if shards is None else shards
+    merges = _bpe_train(spark, sf_dir, m)
+    seg = F.array_join(F.split(F.col("w"), ""), " ")
+    for _, a, b, _t in merges:
+        seg = _bpe_apply_expr(seg, a, b)
+    word_n = _bpe_vocab(spark, sf_dir).select(
+        "w", F.size(F.split(seg, " ")).alias("n_sub")
+    )
+    d = tables.load_table(spark, sf_dir, "documents")
+    occurrences = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    shard = F.pmod(
+        H.h32_expr(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string"))),
+        F.lit(shards),
+    ).cast("int")
+    per_doc = (
+        occurrences.join(F.broadcast(word_n), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").cast("bigint").alias("n_tokens"))
+        .select(shard.alias("shard"), "doc_id", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return per_doc.select(
+        "shard",
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(prev / budget).cast("int").alias("seq_id"),
+        (prev % budget).cast("int").alias("seq_offset"),
+    )
+
+
+def pack_token_sequences_oracle(
+    m: int = BPE_MERGES,
+    budget: int = PACK_TOKEN_BUDGET,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> str:
+    from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    seed = SHUFFLE_SEED if seed is None else seed
+    shards = SHUFFLE_SHARDS if shards is None else shards
+    h = H.h32_sql(f"('{seed}' || ':' || CAST(doc_id AS VARCHAR))")
+    return rf"""
+WITH {_bpe_train_ctes(m)},
+word_n AS (SELECT w, len(string_split(seg, ' ')) AS n_sub FROM seg{m}),
+occurrences AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+),
+per_doc AS (
+  SELECT CAST({h} % {shards} AS INT) AS shard, doc_id,
+         CAST(sum(n_sub) AS BIGINT) AS n_tokens
+  FROM (SELECT o.doc_id, n.n_sub FROM occurrences o
+        JOIN word_n n USING (w) WHERE o.w <> '')
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM per_doc
+)
+SELECT shard, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor(prev / {budget}) AS INT) AS seq_id,
+       CAST(prev % {budget} AS INT) AS seq_offset
+FROM c
+"""
+
+
 def bpe_fertility_report(
     spark: SparkSession, sf_dir: str, m: int = BPE_MERGES
 ) -> DataFrame:

@@ -289,6 +289,13 @@ def _registry() -> dict[str, Query]:
         textstats.token_shards_oracle(),
         ("text", "tokenizer", "lifecycle"),
     )
+    # packing over TRUE tokenizer counts (pack_sequences packs on the
+    # whitespace approximation): tokenize -> shard -> pack, train-ready
+    r["pack_token_sequences"] = Query(
+        lambda spark, sf: textstats.pack_token_sequences(spark, sf),
+        textstats.pack_token_sequences_oracle(),
+        ("text", "tokenizer", "lifecycle"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(
