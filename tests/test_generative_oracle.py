@@ -56,6 +56,8 @@ GEN_QUERIES = [
     "bpe_fertility_report",
     "bpe_vocab",
     "bpe_encode_sample",
+    "token_shards",
+    "pack_token_sequences",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
