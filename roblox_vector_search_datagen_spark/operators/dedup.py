@@ -537,10 +537,15 @@ def simhash_banded_near_dups(
     the cap dropped. Mirrored exactly in the oracle."""
     bands = _simhash_bands(spark, sf_dir)
     wb = Window.partitionBy("band", "val")
-    kept = (
+    # the capped unpivot feeds BOTH self-join sides — persisted for the
+    # default cap so the window (a (band, val) exchange + sort over the
+    # 4x unpivot) runs once per session, not twice per query (the same
+    # fix lsh_candidate_pairs carries for its capped band table)
+    kept = persist_if(
         bands.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
         .filter(F.col("bucket_n") <= band_cap)
-        .drop("bucket_n")
+        .drop("bucket_n"),
+        band_cap == SIMHASH_BAND_CAP,
     )
     a = kept.select(
         "band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a")
@@ -1108,10 +1113,15 @@ def embedding_lsh_near_dups(
         V.norm_expr(F.col("embedding")).alias("nrm"),
     )
     wb = Window.partitionBy("bucket")
-    e = (
+    # the capped bucket table feeds BOTH self-join sides, and the
+    # sign-bucket + norm projection is interpreted HOF work — persisted
+    # for the default cap so it runs once per session, not twice per
+    # query (the lsh_candidate_pairs capped-unpivot fix)
+    e = persist_if(
         e.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
         .filter(F.col("bucket_n") <= bucket_cap)
-        .drop("bucket_n")
+        .drop("bucket_n"),
+        bucket_cap == EMB_LSH_BUCKET_CAP,
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
