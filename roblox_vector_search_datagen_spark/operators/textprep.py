@@ -712,11 +712,45 @@ def repeated_substring_spans(
     distinct spans' document frequencies, which the hash-green gate
     would surface — none on the fixtures. Emits (doc_id, start_pos,
     len_words, span_text), longest first."""
+    t, runs = _span_runs(spark, sf_dir, n, min_docs, min_words, k)
+    return (
+        runs.join(t.select("doc_id", "w"), "doc_id")
+        .select(
+            "doc_id",
+            "start_pos",
+            "len_words",
+            F.array_join(
+                F.slice(F.col("w"), F.col("start_pos").cast("int"), F.col("len_words").cast("int")),
+                " ",
+            ).alias("span_text"),
+        )
+        .orderBy(F.col("len_words").desc(), "doc_id", "start_pos")
+        .limit(k)
+    )
+
+
+def _span_runs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int,
+    min_docs: int,
+    min_words: int,
+    k: int,
+):
+    """Shared stages of the Lee et al. substring-dedup path: the
+    persisted (doc_id, words) table and the maximal repeated-run table
+    (doc_id, start_pos, len_words) — consumed by
+    `repeated_substring_spans` (top-k report) and `substring_scrub`
+    (the removal pass). Subtrees persist only for the shared default
+    arguments, so both consumers ride the same cache entries."""
+    invariant = (
+        n == SPAN_N and min_docs == SPAN_MIN_DOCS
+        and min_words == SPAN_CHAIN_MIN_WORDS and k == SPAN_CHAIN_TOPK
+    )
     d = tables.load_table(spark, sf_dir, "documents")
     t = persist_if(
         d.select("doc_id", _words(F.col("text")).alias("w")).withColumn("nw", F.size("w")),
-        n == SPAN_N and min_docs == SPAN_MIN_DOCS
-        and min_words == SPAN_CHAIN_MIN_WORDS and k == SPAN_CHAIN_TOPK,
+        invariant,
     )
     # persisted: both the document-frequency branch and the position
     # join re-reference this explode, and the per-position span strings
@@ -740,8 +774,7 @@ def repeated_substring_spans(
             ).alias("ps"),
         )
         .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.span_h").alias("span_h")),
-        n == SPAN_N and min_docs == SPAN_MIN_DOCS
-        and min_words == SPAN_CHAIN_MIN_WORDS and k == SPAN_CHAIN_TOPK,
+        invariant,
     )
     rep_spans = (
         pos_spans.select("span_h", "doc_id")
@@ -762,20 +795,7 @@ def repeated_substring_spans(
         )
         .filter(F.col("len_words") >= min_words)
     )
-    return (
-        runs.join(t.select("doc_id", "w"), "doc_id")
-        .select(
-            "doc_id",
-            "start_pos",
-            "len_words",
-            F.array_join(
-                F.slice(F.col("w"), F.col("start_pos").cast("int"), F.col("len_words").cast("int")),
-                " ",
-            ).alias("span_text"),
-        )
-        .orderBy(F.col("len_words").desc(), "doc_id", "start_pos")
-        .limit(k)
-    )
+    return t, runs
 
 def repeated_substring_spans_oracle(
     n: int = SPAN_N,
@@ -816,6 +836,122 @@ SELECT r.doc_id, r.start_pos, r.len_words,
 FROM runs r JOIN t USING (doc_id)
 ORDER BY len_words DESC, doc_id, start_pos LIMIT {k}
 """
+
+
+def substring_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    min_words: int = SPAN_CHAIN_MIN_WORDS,
+) -> DataFrame:
+    """The REMOVAL pass of Lee et al. 2022 substring dedup — the
+    terminal artifact `repeated_substring_spans` (the report) points
+    at: every word position covered by a maximal cross-document
+    repeated run (length >= min_words) is stripped, and the document
+    is re-assembled from the survivors. This is the boilerplate-strip
+    variant (every copy of the repeated span is removed — headers,
+    licence blocks, templated navigation); a keep-one-copy policy
+    composes from the same run table by anti-joining all but each
+    span's canonical occurrence. Output text is whitespace-normalized
+    (single spaces), the same convention every consumer of the word
+    split already uses.
+
+    Scale shape: rides the SAME persisted subtrees as the report
+    (`_span_runs`: word table + hashed position-spans), so running
+    report + scrub in one session pays the span discovery once. The
+    scrub itself is: runs exploded to covered (doc_id, pos) rows
+    (bounded by total word count), one anti-join against the word
+    positions, and a per-doc ordered re-assembly — every exchange is
+    keyed on doc_id. Emits (doc_id, n_words, n_removed,
+    scrubbed_text), one row per document."""
+    t, runs = _span_runs(spark, sf_dir, n, min_docs, min_words, SPAN_CHAIN_TOPK)
+    covered = runs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("start_pos"), F.col("start_pos") + F.col("len_words") - 1
+            )
+        ).alias("pos"),
+    )
+    words = t.select(
+        "doc_id", F.posexplode(F.col("w")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "word")
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("scrubbed"),
+    )
+    return (
+        t.select("doc_id", F.col("nw").cast("bigint").alias("n_words"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+        )
+    )
+
+
+def substring_scrub_oracle(
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    min_words: int = SPAN_CHAIN_MIN_WORDS,
+) -> str:
+    w = r"string_split_regex(text, '\s+')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {w} AS w, len({w}) AS nw FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + {n} - 1), ' ') AS span
+  FROM (SELECT doc_id, w, unnest(range(1, nw - {n} + 2)) AS i FROM t WHERE nw >= {n})
+),
+df AS (
+  SELECT span FROM (
+    SELECT span, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY span
+  ) WHERE n_docs >= {min_docs}
+),
+rep AS (SELECT s.doc_id, s.pos FROM s JOIN df USING (span)),
+runs AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+         CAST(max(pos) - min(pos) + {n} AS BIGINT) AS len_words
+  FROM (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM rep
+  )
+  GROUP BY doc_id, grp
+  HAVING max(pos) - min(pos) + {n} >= {min_words}
+),
+covered AS (
+  SELECT doc_id, CAST(unnest(range(start_pos, start_pos + len_words)) AS BIGINT) AS pos
+  FROM runs
+),
+words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS word
+  FROM t, unnest(range(1, len(w) + 1)) AS u(i)
+),
+kept AS (SELECT wd.* FROM words wd ANTI JOIN covered USING (doc_id, pos)),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS scrubbed
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.nw AS BIGINT) AS n_words,
+       CAST(t.nw - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.scrubbed, '') AS scrubbed_text
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
 
 # ---------------------------------------------------------------------------
 # Mixture planning (token-budget allocation across sources)

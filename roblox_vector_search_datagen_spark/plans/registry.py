@@ -296,6 +296,14 @@ def _registry() -> dict[str, Query]:
         textstats.pack_token_sequences_oracle(),
         ("text", "tokenizer", "lifecycle"),
     )
+    # the Lee et al. substring-dedup REMOVAL pass: strip every word
+    # position covered by a maximal cross-doc repeated run; rides the
+    # same persisted subtrees as repeated_substring_spans
+    r["substring_scrub"] = Query(
+        lambda spark, sf: textprep.substring_scrub(spark, sf),
+        textprep.substring_scrub_oracle(),
+        ("text", "dedup"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(

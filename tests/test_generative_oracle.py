@@ -37,6 +37,7 @@ GEN_QUERIES = [
     "repetition_stats",
     "per_group_sample",
     "repeated_substring_spans",
+    "substring_scrub",
     "stratified_sample",
     "top_quality_per_source",
     "vocab_coverage",

@@ -505,3 +505,30 @@ def test_token_shards_terminates_the_tokenizer_lifecycle(spark, sf_dir):
         assert r.seq_offset == run % budget, r
         by_shard[r.shard] = run + r.n_tokens
     ts.unpersist()
+
+
+def test_substring_scrub_removes_exactly_the_run_positions(spark, sf_dir):
+    """Scrub invariants against the run table it derives from: per doc
+    n_removed equals the total covered width of its maximal runs
+    (runs are disjoint islands, so widths just add), the scrubbed
+    word count closes the ledger, docs without runs come back
+    whitespace-normalized-identical, and no scrubbed doc still
+    contains any reported cross-doc span as a substring."""
+    runs_by_doc = {}
+    for r in textprep.repeated_substring_spans(
+        spark, sf_dir, k=10**9
+    ).collect():
+        runs_by_doc.setdefault(r.doc_id, []).append(r)
+    rows = textprep.substring_scrub(spark, sf_dir).collect()
+    d = tables.load_table(spark, sf_dir, "documents").collect()
+    norm = {r.doc_id: " ".join(__import__("re").split(r"\s+", r.text)) for r in d}
+    for row in rows:
+        expected_removed = sum(x.len_words for x in runs_by_doc.get(row.doc_id, []))
+        assert row.n_removed == expected_removed, row
+        n_kept_words = len(row.scrubbed_text.split(" ")) if row.scrubbed_text else 0
+        assert n_kept_words == row.n_words - row.n_removed, row
+        if row.doc_id not in runs_by_doc:
+            assert row.scrubbed_text == norm[row.doc_id]
+        else:
+            for x in runs_by_doc[row.doc_id]:
+                assert x.span_text not in row.scrubbed_text, (row.doc_id, x.span_text[:40])
