@@ -903,7 +903,7 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 161-query registry takes FOUR rounds to cycle the
+# window over a 163-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (the "no row
 # older than two rounds" claim earlier rounds made is arithmetically
 # impossible; COVERAGE.md states the 4-round invariant). Round-7
