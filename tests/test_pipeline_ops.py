@@ -532,3 +532,18 @@ def test_substring_scrub_removes_exactly_the_run_positions(spark, sf_dir):
         else:
             for x in runs_by_doc[row.doc_id]:
                 assert x.span_text not in row.scrubbed_text, (row.doc_id, x.span_text[:40])
+
+
+def test_clear_session_memos_empties_both_caches(spark, sf_dir):
+    """The invalidation hook for corpus-mutating sessions: after a
+    dedup_clusters and a BPE train populate their eager-result memos,
+    clear_session_memos() must empty BOTH, and the next call must
+    recompute (and repopulate) rather than serve pre-mutation
+    results."""
+    dedup.dedup_clusters(spark, sf_dir).count()
+    textstats._bpe_train(spark, sf_dir)
+    assert dedup._CLUSTERS_MEMO and textstats._BPE_MEMO
+    dedup.clear_session_memos()
+    assert not dedup._CLUSTERS_MEMO and not textstats._BPE_MEMO
+    dedup.dedup_clusters(spark, sf_dir).count()
+    assert dedup._CLUSTERS_MEMO  # repopulated by the recompute
