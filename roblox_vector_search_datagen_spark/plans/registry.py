@@ -967,6 +967,11 @@ _ADJUDICATE_FIRST = (
     "top_terms",
     "vector_search",
     "weighted_sample",
+    # -- behind the 50-slot window: first in line for the r08 rotation —
+    # the two round-7 additions with no driver row yet, then the r3
+    # cohort the round-6 judge re-simmed green
+    "pack_token_sequences",
+    "substring_scrub",
     "bloom_decontaminate",
     "dedup_funnel_report",
     "dedup_representatives",
