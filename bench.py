@@ -100,14 +100,28 @@ def main() -> None:
         n_cached, mem_mb = _storage_sample(spark)
         gc_ms, task_ms = _runtime_sample(spark)
         # per-query [cached-RDD count, cached MiB, gc-ms delta,
-        # task-ms delta] — deltas cover all 3 timed runs of the query
+        # task-ms delta, first-touch flag] — deltas cover all 3 timed
+        # runs of the query; first_touch=1 marks a query whose run grew
+        # the storage pool (it materialized a shared persisted subtree
+        # its family siblings will read from memory), so a
+        # round-over-round slowdown on a first-touch query paired with a
+        # sibling speedup is cache-attribution shift, not a regression
+        # (round 7's simhash +0.5 s / simhash_banded -0.7 s pattern)
+        first_touch = 1 if (mem_mb >= 0 and mem_mb > prev_mb + 1.0) else 0
         storage[name] = [
             n_cached,
             mem_mb,
             gc_ms - prev_gc if gc_ms >= 0 and prev_gc >= 0 else -1,
             task_ms - prev_task if task_ms >= 0 and prev_task >= 0 else -1,
+            first_touch,
         ]
-        prev_gc, prev_task = gc_ms, task_ms
+        # only advance the baselines on healthy samples: a transient
+        # sampling failure (-1) must poison ONE delta, not every
+        # remaining query's attribution data
+        if gc_ms >= 0:
+            prev_gc = gc_ms
+        if task_ms >= 0:
+            prev_task = task_ms
         # nothing in the registry unpersists, so cached MiB shrinking
         # between queries is an LRU eviction (1 MiB slack for block
         # accounting jitter)
@@ -142,11 +156,14 @@ def main() -> None:
         "queries": times,
         "sf": sf_val,
         # per-query [cached-RDD count, cached MiB, gc-ms delta,
-        # task-ms delta] + eviction count: the round-6 cache-pressure
-        # instrumentation (_storage_sample) plus the round-7
-        # driver-inflation attribution (_runtime_sample). peak/final
-        # answer "did the storage pool stay bounded" at a glance; the
-        # gc/task deltas attribute any driver-vs-solo per-query gap.
+        # task-ms delta, first-touch flag] + eviction count: the
+        # round-6 cache-pressure instrumentation (_storage_sample) plus
+        # the round-7 driver-inflation attribution (_runtime_sample)
+        # plus the round-8 first-touch marker (which query materialized
+        # a shared persisted subtree). peak/final answer "did the
+        # storage pool stay bounded" at a glance; the gc/task deltas
+        # attribute any driver-vs-solo per-query gap; first_touch
+        # self-explains family-internal timing shifts.
         "storage": {
             "driver_memory": spark.conf.get("spark.driver.memory", "?"),
             "evictions": evictions,

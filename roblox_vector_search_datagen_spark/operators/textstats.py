@@ -626,11 +626,15 @@ ORDER BY total DESC, pair LIMIT {k}
 
 BPE_MERGES = 6
 
-# learned merge lists per (application, sf_dir, m): training is an
-# eager driver loop (each round collects ONE row — the argmax pair), so
-# like dedup_clusters its result cannot be shared via the CacheManager;
-# deterministic, bounded entries (same discipline as functions/caching)
-_BPE_MEMO: dict[tuple[str, str, int], list[tuple[int, str, str, int]]] = {}
+# learned merge lists per (application, sf_dir, m, checkpoint_every):
+# training is an eager driver loop (each round collects ONE row — the
+# argmax pair), so like dedup_clusters its result cannot be shared via
+# the CacheManager; deterministic, bounded entries (same discipline as
+# functions/caching). checkpoint_every is part of the key even though
+# it cannot change the VALUES (checkpointing is a lineage cut, not a
+# semantic knob): a non-default cadence must actually train with that
+# cadence, not silently return the memoized default-cadence plan.
+_BPE_MEMO: dict[tuple[str, str, int, int], list[tuple[int, str, str, int]]] = {}
 
 
 def _bpe_apply_expr(seg, a: str, b: str) -> F.Column:
@@ -712,7 +716,7 @@ def _bpe_train(
     the 30-merge pytest pins merge-for-merge parity with the
     independent pure-Python trainer ACROSS checkpoint boundaries.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, m)
+    key = (spark.sparkContext.applicationId, sf_dir, m, checkpoint_every)
     if key in _BPE_MEMO:
         return _BPE_MEMO[key]
     vocab = persist_if(_bpe_vocab(spark, sf_dir), m == BPE_MERGES)

@@ -448,14 +448,12 @@ def test_bpe_train_checkpoint_cadence_preserves_merges(spark, sf_dir):
     a physical-lifecycle knob."""
     freq = {r.w: r.cnt for r in textstats._bpe_vocab(spark, sf_dir).collect()}
     expected, _segs = _py_bpe_reference(freq, 30)
-    memo_key = (spark.sparkContext.applicationId, sf_dir, 30)
-    textstats._BPE_MEMO.pop(memo_key, None)
     got = textstats._bpe_train(spark, sf_dir, 30)
     assert got == expected
     assert len(got) >= textstats.BPE_CHECKPOINT_EVERY * 3  # cadence crossed
-    # the memo would short-circuit the retrain — drop it so the
-    # no-checkpoint variant actually re-learns from scratch
-    textstats._BPE_MEMO.pop(memo_key, None)
+    # the memo keys on checkpoint_every, so the no-checkpoint variant
+    # actually re-learns from scratch — no hand-popping required (the
+    # old (app, sf, m) key silently served the default-cadence result)
     no_ckpt = textstats._bpe_train(spark, sf_dir, 30, checkpoint_every=0)
     assert no_ckpt == got
 
