@@ -673,6 +673,10 @@ ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT {k}
 
 SPAN_CHAIN_MIN_WORDS = SPAN_N + 2
 SPAN_CHAIN_TOPK = 100
+# seed-split salt for the second span hash: xxhash64((span, salt))
+# is independent of xxhash64(span), so the 128-bit pair key's
+# collision odds are the product of two 64-bit chances
+_SPAN_H2_SALT = 0x9E3779B9
 
 def repeated_substring_spans(
     spark: SparkSession,
@@ -701,16 +705,20 @@ def repeated_substring_spans(
     (doc_id, pos) pairs keyed by doc; the final text reconstruction
     joins the top-k-bounded run table back to the word arrays.
 
-    The span key is an 8-byte xxhash64 of the span text, NEVER the
+    The span key is a 16-byte pair of INDEPENDENT xxhash64 values of
+    the span text (seed-split: h2 hashes (span, salt)), NEVER the
     n-word string: the df aggregation and the position join exchange
     hashes, and the string exists only inside the per-position
-    projection (hashed immediately) and the final top-k
-    reconstruction (sliced from the word arrays). Key width dominates
-    shuffle volume at 100 TB — this is the same narrowing
-    `_ngram_buckets` applies to shingle keys. The oracle keeps exact
-    span strings; a 64-bit collision (odds ~m^2/2^65) would merge two
-    distinct spans' document frequencies, which the hash-green gate
-    would surface — none on the fixtures. Emits (doc_id, start_pos,
+    projection (hashed in the same codegen stage the explode emits it
+    — it reaches no exchange) and the final top-k reconstruction
+    (sliced from the word arrays). Key width dominates shuffle volume
+    at 100 TB — this is the same narrowing `_ngram_buckets` applies to
+    shingle keys — and the two-hash key pushes collision odds from
+    ~m^2/2^65 (real risk on a 10^9-span corpus: a collision silently
+    merges two distinct spans' document frequencies and can scrub
+    unrelated text) to ~m^2/2^129, past any corpus scale. The oracle
+    keeps exact span strings, so the hash-green gate would surface a
+    fixture-scale collision — none. Emits (doc_id, start_pos,
     len_words, span_text), longest first."""
     t, runs = _span_runs(spark, sf_dir, n, min_docs, min_words, k)
     return (
@@ -756,7 +764,14 @@ def _span_runs(
     # join re-reference this explode, and the per-position span strings
     # are built by interpreted HOFs (transform + array_join are
     # CodegenFallback) — the most expensive projection in the plan, so
-    # one materialization instead of two is the dominant cost lever
+    # one materialization instead of two is the dominant cost lever.
+    # The span string leaves the HOF but not the stage: the projection
+    # below it derives the two independent 64-bit hashes (second one
+    # seed-split by hashing (span, salt)) in the same codegen span and
+    # drops the string, so only the 16-byte key is ever exchanged —
+    # wide enough that a collision (which would merge two distinct
+    # spans' document frequencies and could scrub unrelated text) is
+    # out of reach at any corpus scale (~m^2/2^129).
     pos_spans = persist_if(
         t.filter(F.col("nw") >= n)
         .select(
@@ -766,25 +781,28 @@ def _span_runs(
                     F.sequence(F.lit(1), F.col("nw") - n + 1),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        F.xxhash64(
-                            F.array_join(F.slice(F.col("w"), i, n), " ")
-                        ).alias("span_h"),
+                        F.array_join(F.slice(F.col("w"), i, n), " ").alias("span"),
                     ),
                 )
             ).alias("ps"),
         )
-        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.span_h").alias("span_h")),
+        .select(
+            "doc_id",
+            F.col("ps.pos").alias("pos"),
+            F.xxhash64(F.col("ps.span")).alias("span_h"),
+            F.xxhash64(F.col("ps.span"), F.lit(_SPAN_H2_SALT)).alias("span_h2"),
+        ),
         invariant,
     )
     rep_spans = (
-        pos_spans.select("span_h", "doc_id")
+        pos_spans.select("span_h", "span_h2", "doc_id")
         .distinct()
-        .groupBy("span_h")
+        .groupBy("span_h", "span_h2")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("span_h")
+        .select("span_h", "span_h2")
     )
-    rep = pos_spans.join(rep_spans, "span_h").select("doc_id", "pos")
+    rep = pos_spans.join(rep_spans, ["span_h", "span_h2"]).select("doc_id", "pos")
     wgrp = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         rep.withColumn("grp", F.col("pos") - F.row_number().over(wgrp))

@@ -663,15 +663,17 @@ def test_index_lifecycle_report_is_delta_cost_on_registry_path(spark, sf_dir):
 
 
 def test_repeated_substring_spans_exchanges_hash_keys_only(spark, sf_dir):
-    """The span join/agg key is the 8-byte xxhash64 — the n-word span
-    STRING must never be a shuffle key (key width dominates exchange
-    volume at scale; the string exists only inside the hashed
-    projection and the final top-k reconstruction)."""
+    """The span join/agg key is the 16-byte pair of independent
+    xxhash64 values — the n-word span STRING must never be a shuffle
+    key (key width dominates exchange volume at scale; the string
+    exists only inside the hashing projection and the final top-k
+    reconstruction), and BOTH hashes must key the exchange (the
+    two-hash key is what pushes collision odds past corpus scale)."""
     from roblox_vector_search_datagen_spark.operators import textprep
 
     p = textprep.repeated_substring_spans(
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in p, p
-    assert re.search(r"hashpartitioning\(span_h", p), p
+    assert re.search(r"hashpartitioning\(span_h#\d+L?, span_h2", p), p
     assert not re.search(r"hashpartitioning\(span[,#]", p), p
