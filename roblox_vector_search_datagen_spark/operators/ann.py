@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions import warehouse
 from ..functions.caching import persist_if
 from ..functions.num import qmean6, qsum6
 from ..sources import tables
@@ -1852,8 +1853,7 @@ ORDER BY n_total DESC, cent_id
 # Stored-index lifecycle: build -> store -> load -> serve
 # ---------------------------------------------------------------------------
 
-IVF_WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "data", "warehouse")
+IVF_WAREHOUSE = warehouse.WAREHOUSE_DIR
 
 
 def ivf_index_store(
@@ -1881,19 +1881,21 @@ def ivf_index_store(
     quantizer no longer needs the embeddings scan that the in-memory
     `index=` harness still paid.
 
-    Write-if-absent keyed by (sf tag, k, hwm): the content is a pure
-    function of the fixture tables and the defaults, so rebuilding per
-    call would only burn the bench. `rebuild=True` is the invalidation
-    hook for sessions that mutate the corpus under `sf_dir` (the
-    continuous-ingestion regime) — same contract as the dedup-cluster
-    session memo."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    Write-if-absent keyed by (sf tag, k, hwm), where the tag is the
+    fixture basename PLUS a digest of its absolute path
+    (functions/warehouse.py: two roots with the same leaf name must
+    not share an index): the content is a pure function of the fixture
+    tables and the defaults, so rebuilding per call would only burn
+    the bench. `rebuild=True` is the invalidation hook for sessions
+    that mutate the corpus under `sf_dir` (the continuous-ingestion
+    regime) — `streaming.vectors.commit_ingest_batch` calls it, paired
+    with `dedup.clear_session_memos(spark)`, after every landed
+    batch."""
+    tag = warehouse.sf_tag(sf_dir)
     path = os.path.join(IVF_WAREHOUSE, f"ivf_index_{tag}_k{k}_hwm{hwm}")
     assign_path = os.path.join(path, "assignments")
     cent_path = os.path.join(path, "centroids")
-    done = all(
-        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (assign_path, cent_path)
-    )
+    done = warehouse.tables_ready(assign_path, cent_path)
     if rebuild or not done:
         e = tables.load_table(spark, sf_dir, "embeddings")
         (

@@ -908,20 +908,32 @@ _CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
 CLUSTERS_MAX_ITER = 25
 
 
-def clear_session_memos() -> None:
+def clear_session_memos(spark: SparkSession | None = None) -> None:
     """Invalidation hook for sessions that mutate data under a
     previously-read sf_dir (the continuous-ingestion regime): the
     eager-result memos (`_CLUSTERS_MEMO` here, `_BPE_MEMO` in
     textstats) key on (applicationId, sf_dir) and would otherwise
     serve pre-ingestion results forever. Call after a batch lands;
-    `streaming/ingest` pipelines that rewrite fixture dirs should do
-    this in their commit step. Persisted DECLARATIVE subtrees don't
-    need this — re-reading parquet picks up new files — it is only
-    the driver-side eager loops whose results are plan-opaque."""
+    `streaming.vectors.commit_ingest_batch` does this (plus the
+    stored-index rebuild) as the ingestion loop's commit step.
+
+    Pass the live SparkSession to ALSO invalidate every materialized
+    `persist_if` subtree: a persisted InMemoryRelation never re-reads
+    its parquet (the bytes live in the block store), so after a corpus
+    mutation the declarative caches — the minhash signature table, the
+    capped band/bucket unpivots, the stored-index delta assignments —
+    would keep serving pre-mutation data exactly like the eager memos.
+    `catalog.clearCache()` unpersists them all; the next query
+    re-materializes from fresh parquet (one warm-up cost per ingest
+    commit, the price of correctness). Without a session argument only
+    the driver-side memos clear — enough for read-only sessions that
+    just want the memory back."""
     from . import textstats as _ts
 
     _CLUSTERS_MEMO.clear()
     _ts._BPE_MEMO.clear()
+    if spark is not None:
+        spark.catalog.clearCache()
 
 
 def dedup_clusters(

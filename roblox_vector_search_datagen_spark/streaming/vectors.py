@@ -51,7 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
-from ..operators.ann import IVF_K, IVF_UPSERT_HWM
+from ..operators.ann import IVF_K, IVF_UPSERT_HWM, ivf_index_store
+from ..operators.dedup import clear_session_memos
 from ..sources import tables
 
 
@@ -152,3 +153,35 @@ def stream_ivf_upsert(
     return delta.select(
         "vec_id", cent_id.alias("cent_id"), cosine.alias("cosine")
     )
+
+
+def commit_ingest_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    hwm: int = IVF_UPSERT_HWM,
+) -> str:
+    """COMMIT step of the continuous-ingestion loop — call after a
+    drained microbatch's vectors have landed in the corpus under
+    `sf_dir` (the idempotent parquet sink + merge write). Three kinds
+    of session-lifetime state are now stale, and this hook retires all
+    of them in one place so no caller has to remember the list:
+
+    1. eager driver memos (dedup clusters, BPE merges) — plan-opaque
+       results keyed on sf_dir;
+    2. every materialized `persist_if` InMemoryRelation — a persisted
+       subtree never re-reads its parquet, so it would keep serving
+       pre-ingestion data (both via `clear_session_memos(spark)`);
+    3. the warehouse-stored IVF index — `ivf_index_store`'s
+       write-if-absent guard would otherwise serve the pre-ingestion
+       index silently (`rebuild=True` forces the re-derivation).
+
+    Returns the rebuilt index path, so the caller can log/serve it.
+    Cost model at 100 TB: the memo/cache clear is free; the index
+    rebuild is one corpus pass per COMMIT (not per query), and a
+    deployment ingesting continuously would amortize further by
+    versioning the index path per batch id and rebuilding on a
+    schedule — the invalidation contract is the part that must never
+    be skipped."""
+    clear_session_memos(spark)
+    return ivf_index_store(spark, sf_dir, k, hwm, rebuild=True)

@@ -150,3 +150,65 @@ def test_stream_ivf_upsert_through_idempotent_sink_feeds_merge(spark, sf_dir, tm
     }
     merge_hist = {r.cent_id: r.n_upserted for r in merge if r.n_upserted > 0}
     assert merge_hist == landed_hist
+
+
+def test_warehouse_tag_distinguishes_same_leaf_roots():
+    """Two fixture roots with the same leaf name must map to distinct
+    warehouse entries — basename-only keying silently served the first
+    corpus's stored index to the second session."""
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+
+    a, b = W.sf_tag("/a/sf0.1"), W.sf_tag("/b/sf0.1")
+    assert a != b
+    assert a.startswith("sf0.1_") and b.startswith("sf0.1_")
+    assert W.sf_tag("/a/sf0.1/") == a  # trailing-slash insensitive
+
+
+def test_commit_ingest_batch_serves_fresh_index(spark, sf_dir, tmp_path):
+    """The ingestion loop's commit step: after new vectors land in the
+    corpus dir, `commit_ingest_batch` must retire ALL session-lifetime
+    state keyed on it — the eager memos, every persisted subtree
+    (a materialized InMemoryRelation never re-reads parquet), and the
+    warehouse-stored index (whose write-if-absent guard would serve
+    the pre-ingestion build silently). After the commit,
+    index_lifecycle_report serves the fresh index: the landed vectors
+    appear in its upsert column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf2 = str(tmp_path / "sfmut")
+    shutil.copytree(sf_dir, sf2)
+    idx_path = None
+    try:
+        before = ann.index_lifecycle_report(spark, sf2).collect()
+        n_up_before = sum(r.n_upserted for r in before)
+        n_total_before = sum(r.n_total for r in before)
+
+        # an ingest batch lands: three new vectors above the HWM
+        t = pq.read_table(f"{sf2}/embeddings.parquet")
+        mx = max(t.column("vec_id").to_pylist())
+        dim = len(t.column("embedding")[0].as_py())
+        new = pa.table(
+            {
+                "vec_id": pa.array([mx + 1, mx + 2, mx + 3], pa.int64()),
+                "embedding": pa.array(
+                    [[float((i + j) % 5 - 2) for j in range(dim)] for i in range(3)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 1, 2], pa.int32()),
+            }
+        ).cast(t.schema)
+        pq.write_table(pa.concat_tables([t, new]), f"{sf2}/embeddings.parquet")
+
+        # WITHOUT the commit the stale persisted delta + stored index
+        # would keep answering; the commit invalidates and rebuilds
+        idx_path = SV.commit_ingest_batch(spark, sf2)
+        assert os.path.exists(os.path.join(idx_path, "assignments", "_SUCCESS"))
+        after = ann.index_lifecycle_report(spark, sf2).collect()
+        assert sum(r.n_upserted for r in after) == n_up_before + 3
+        assert sum(r.n_total for r in after) == n_total_before + 3
+        # the frozen membership is unchanged — only the delta grew
+        assert sum(r.n_kept for r in after) == sum(r.n_kept for r in before)
+    finally:
+        if idx_path and os.path.exists(idx_path):
+            shutil.rmtree(idx_path)
