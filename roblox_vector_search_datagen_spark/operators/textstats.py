@@ -867,6 +867,37 @@ FROM syms
 
 BPE_ENCODE_DOCS = 10
 
+# Broadcast ceiling for the exploded distinct-word segmentation table
+# the encode joins into the occurrence stream. Heaps' law keeps the
+# distinct-word vocabulary sublinear in corpus bytes, but a true
+# web-scale corpus (typos, URLs, numerals) can push it past what a
+# driver/executor comfortably broadcasts — a few subword rows per
+# word, so 2M words is roughly low hundreds of MB. At or below the
+# ceiling the corpus never shuffles to be tokenized; above it the
+# encode falls back to a plain shuffle join on `w` (one extra
+# corpus-sized exchange, unavoidable once the vocab side outgrows
+# memory) — same values either way, pinned by test.
+BPE_BROADCAST_MAX_WORDS = 2_000_000
+
+# distinct-word counts per (application, sf_dir): one count decides the
+# join strategy for every encode-family consumer in the session; rides
+# the persisted vocab subtree so it is a cache-scan at default args.
+# Cleared by dedup.clear_session_memos alongside the other memos.
+_VOCAB_COUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def _vocab_join_side(spark: SparkSession, sf_dir: str, vocab_side: DataFrame, broadcast_max: int):
+    """The vocab-derived join side, broadcast only below the ceiling —
+    see BPE_BROADCAST_MAX_WORDS. The count memoizes per (application,
+    sf_dir); `broadcast_max <= 0` forces the shuffle path (tests pin
+    both paths hash-identical)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VOCAB_COUNT_MEMO:
+        _VOCAB_COUNT_MEMO[key] = _bpe_vocab(spark, sf_dir).count()
+    if broadcast_max > 0 and _VOCAB_COUNT_MEMO[key] <= broadcast_max:
+        return F.broadcast(vocab_side)
+    return vocab_side
+
 
 def bpe_encode_sample(
     spark: SparkSession, sf_dir: str, m: int = BPE_MERGES, n_docs: int = BPE_ENCODE_DOCS
@@ -890,7 +921,11 @@ def bpe_encode_sample(
 
 
 def _bpe_encode(
-    spark: SparkSession, sf_dir: str, m: int, doc_bound: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    m: int,
+    doc_bound: int | None = None,
+    broadcast_max: int = BPE_BROADCAST_MAX_WORDS,
 ) -> DataFrame:
     """Shared encode plan: segment each DISTINCT word once, then join
     occurrences to their segmentation. The m merge folds are
@@ -901,13 +936,17 @@ def _bpe_encode(
     corpus occurrence: the first cut folded per occurrence and spent
     ~50 s of executor time on the sf0.1 encode that the vocab-join
     formulation does in ~2 s. The exploded (word, spos, token,
-    token_id) table is vocab-scale and BROADCASTS into the occurrence
-    stream — the corpus never shuffles to be tokenized; the only
-    corpus-sized exchange is the per-document position window (the
-    oracle uses the identical join formulation). `doc_bound` limits
-    to the sample prefix (`bpe_encode_sample`); None is the
-    full-corpus production encode (`token_shards`). Emits (doc_id,
-    pos, token, token_id)."""
+    token_id) table is vocab-scale and broadcasts into the occurrence
+    stream WHILE the distinct-word count stays under
+    BPE_BROADCAST_MAX_WORDS — under the ceiling the corpus never
+    shuffles to be tokenized; past it (web-scale vocab: typos, URLs,
+    numerals) the encode degrades honestly to a shuffle join on `w`
+    rather than blowing the broadcast (same values, pinned by test).
+    The remaining corpus-sized exchange is the per-document position
+    window (the oracle uses the identical join formulation).
+    `doc_bound` limits to the sample prefix (`bpe_encode_sample`);
+    None is the full-corpus production encode (`token_shards`). Emits
+    (doc_id, pos, token, token_id)."""
     merges = _bpe_train(spark, sf_dir, m)
     seg = F.array_join(F.split(F.col("w"), ""), " ")
     for _, a, b, _t in merges:
@@ -926,7 +965,9 @@ def _bpe_encode(
         F.posexplode(F.split(F.lower("text"), r"\s+")).alias("wpos", "w"),
     ).filter(F.col("w") != "")
     w_pos = Window.partitionBy("doc_id").orderBy("wpos", "spos")
-    return words.join(F.broadcast(word_tokens), "w").select(
+    return words.join(
+        _vocab_join_side(spark, sf_dir, word_tokens, broadcast_max), "w"
+    ).select(
         "doc_id",
         F.row_number().over(w_pos).cast("int").alias("pos"),
         "token",
@@ -986,9 +1027,11 @@ def token_shards(
 
     Scale shape: identical to the sample encode with the doc_id bound
     dropped — the m merge folds are literals in one stateless
-    projection, the vocabulary broadcasts, and the only shuffle is the
-    per-document position window (bounded by document length); the
-    shard key is a pure per-row hash, no extra exchange. Emits
+    projection, the vocabulary broadcasts below the
+    BPE_BROADCAST_MAX_WORDS ceiling (shuffle-join fallback above it),
+    and the only other shuffle is the per-document position window
+    (bounded by document length); the shard key is a pure per-row
+    hash, no extra exchange. Emits
     (shard, doc_id, pos, token_id) — the token string stays out so
     the artifact is as narrow as what a trainer actually stores."""
     from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
@@ -1091,7 +1134,12 @@ def pack_token_sequences(
         F.lit(shards),
     ).cast("int")
     per_doc = (
-        occurrences.join(F.broadcast(word_n), "w")
+        # same broadcast ceiling as _bpe_encode — the (w, n_sub) side
+        # is vocab-scale and narrower still, but the honest-conditional
+        # discipline applies family-wide
+        occurrences.join(
+            _vocab_join_side(spark, sf_dir, word_n, BPE_BROADCAST_MAX_WORDS), "w"
+        )
         .groupBy("doc_id")
         .agg(F.sum("n_sub").cast("bigint").alias("n_tokens"))
         .select(shard.alias("shard"), "doc_id", "n_tokens")

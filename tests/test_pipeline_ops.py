@@ -545,3 +545,35 @@ def test_clear_session_memos_empties_both_caches(spark, sf_dir):
     assert not dedup._CLUSTERS_MEMO and not textstats._BPE_MEMO
     dedup.dedup_clusters(spark, sf_dir).count()
     assert dedup._CLUSTERS_MEMO  # repopulated by the recompute
+
+
+def test_bpe_encode_broadcast_gate_paths_are_identical(spark, sf_dir):
+    """The encode's vocab join broadcasts only below
+    BPE_BROADCAST_MAX_WORDS; past the ceiling (web-scale distinct-word
+    tables) it degrades to a shuffle join rather than blowing the
+    broadcast. Pin: (1) the default path carries the broadcast hint,
+    (2) broadcast_max=0 forces a real shuffle join on `w` (no
+    BroadcastHashJoin for the vocab side under autoBroadcast=-1), and
+    (3) both paths emit identical rows — the gate is physical only."""
+    n = textstats.BPE_ENCODE_DOCS
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    bcast = textstats._bpe_encode(spark, sf_dir, textstats.BPE_MERGES, doc_bound=n)
+    assert "BroadcastHashJoin" in plan(bcast), plan(bcast)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = textstats._bpe_encode(
+            spark, sf_dir, textstats.BPE_MERGES, doc_bound=n, broadcast_max=0
+        )
+        p = plan(shuf)
+        assert "BroadcastHashJoin" not in p, p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+        rows_shuf = sorted(map(tuple, shuf.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    rows_bcast = sorted(map(tuple, bcast.collect()))
+    assert rows_bcast == rows_shuf
+    assert len(rows_bcast) > 0
