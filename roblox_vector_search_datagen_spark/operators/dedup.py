@@ -1653,6 +1653,22 @@ FROM j
 LSH_RECALL_TRUTH_THRESHOLD = 0.3
 
 
+def _truth_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """The exact n-gram-Jaccard ground-truth pair set (doc_a, doc_b,
+    t=1) — the expensive bucket-join-built side of the blocking-quality
+    evaluations, persisted for the default threshold and SHARED by
+    `lsh_recall_report` and `minhash_band_sweep` (the same persist_if
+    discipline every other family subtree follows; before this the
+    recall report recomputed the truth its sibling had just built —
+    the round-7 bench's #2 query at 2.49 s, ~1 s of it this overlap)."""
+    return persist_if(
+        ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+            "doc_a", "doc_b", F.lit(1).alias("t")
+        ),
+        threshold == LSH_RECALL_TRUTH_THRESHOLD,
+    )
+
+
 def lsh_recall_report(
     spark: SparkSession, sf_dir: str, threshold: float = LSH_RECALL_TRUTH_THRESHOLD
 ) -> DataFrame:
@@ -1671,12 +1687,12 @@ def lsh_recall_report(
     Plan: both pair sets key on (doc_a, doc_b) — a full outer join on
     the narrow id pair, then a single global count aggregation over
     marker columns (map-side combined; the all-to-one exchange carries
-    one row per partition). Ratios divide two identical BIGINTs in both
+    one row per partition). The truth side is the shared persisted
+    `_truth_pairs` subtree (one materialization serves this report AND
+    the band sweep). Ratios divide two identical BIGINTs in both
     engines, so no quantization is needed. Emits one row:
     (n_truth, n_candidates, n_hits, recall, precision)."""
-    truth = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
-        "doc_a", "doc_b", F.lit(1).alias("t")
-    )
+    truth = _truth_pairs(spark, sf_dir, threshold)
     cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("c"))
     both = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
     return both.agg(
@@ -1782,16 +1798,12 @@ def minhash_band_sweep(
         .groupBy("doc_a", "doc_b")
         .agg(F.collect_set("band").alias("fbs"))
     )
-    # persisted: the plan references the (expensive, bucket-join-built)
-    # truth set twice — the scalar count and the marked left-join — and
-    # Catalyst instantiates the subtree separately for each reference;
-    # only the bucket stage inside it was cached before
-    truth = persist_if(
-        ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
-            "doc_a", "doc_b", F.lit(1).alias("t")
-        ),
-        threshold == LSH_RECALL_TRUTH_THRESHOLD,
-    )
+    # persisted (shared `_truth_pairs` subtree): the plan references
+    # the expensive bucket-join-built truth set twice — the scalar
+    # count and the marked left-join — and Catalyst instantiates the
+    # subtree separately for each reference; the same cache entry also
+    # serves lsh_recall_report's truth side
+    truth = _truth_pairs(spark, sf_dir, threshold)
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     marked = per_pair.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
     aggs = []
