@@ -10,10 +10,13 @@ aggregation-free ones are embarrassingly parallel.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions import warehouse
 from ..functions.caching import persist_if
 from ..functions import vector as V
 from ..sources import tables
@@ -1089,7 +1092,152 @@ FROM syms s JOIN ids i USING (token)
 """
 
 
+def token_shards_store(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    seed: int | None = None,
+    shards: int | None = None,
+    rebuild: bool = False,
+) -> str:
+    """STORE step of the tokenizer lifecycle — the same treatment the
+    IVF index got in `ann.ivf_index_store`: materialize the full-corpus
+    encode (shard, doc_id, pos, token_id) as a parquet warehouse table
+    PARTITIONED BY `shard` and return its path. Partitioning by shard
+    is the operational point the `token_shards` docstring promised:
+    each data-loader split opens exactly its own `shard=N` directory —
+    partition pruning at the file listing, no filter, no shuffle, no
+    other split's bytes read.
+
+    Write-if-absent keyed by (path-digested sf tag, m, seed, shards) —
+    functions/warehouse.py's discipline: same-leaf fixture roots get
+    distinct entries, `_SUCCESS` is the commit marker, and a fixture
+    regenerated in place needs `rebuild=True` (the
+    `streaming.vectors.commit_ingest_batch` contract covers the
+    ingestion loop's half of that)."""
+    from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    seed = SHUFFLE_SEED if seed is None else seed
+    shards = SHUFFLE_SHARDS if shards is None else shards
+    tag = warehouse.sf_tag(sf_dir)
+    path = os.path.join(
+        warehouse.WAREHOUSE_DIR, f"token_shards_{tag}_m{m}_s{seed}_n{shards}"
+    )
+    if rebuild or not warehouse.tables_ready(path):
+        (
+            token_shards(spark, sf_dir, m, seed, shards)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+    return path
+
+
+def stored_token_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """LOAD step: the model-ready token table as a DataFrame backed by
+    the stored warehouse parquet (writing it first if absent). Column
+    order re-normalized (partition column `shard` reads back last)."""
+    path = token_shards_store(spark, sf_dir, m, seed, shards)
+    return spark.read.parquet(path).select(
+        F.col("shard").cast("int").alias("shard"), "doc_id", "pos", "token_id"
+    )
+
+
 PACK_TOKEN_BUDGET = 256
+
+
+def stored_shard_report(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    budget: int | None = None,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """SERVE step — the registry's end-to-end stored-shards path: load
+    the warehouse table (building it first if absent), derive each
+    document's token mass from the STORED rows (count per (shard,
+    doc_id) — no re-encode, the documents table is never scanned on
+    this path, plan-pinned), run the same greedy running-total pack as
+    `pack_token_sequences` over those stored counts, and roll up the
+    per-shard manifest a training job's loader reads before it opens a
+    split: document count, token mass, packed-sequence count, and the
+    largest single document (the sequence-length hazard).
+
+    The oracle intentionally does NOT read the warehouse table: it
+    re-derives the same manifest from the base tables (the
+    `pack_token_sequences` CTEs + a shard rollup), so a hash-green row
+    certifies the encode -> store -> load -> pack roundtrip preserved
+    every value — exactly how `index_lifecycle_report` certified the
+    IVF store. Emits (shard, n_docs, n_tokens, n_seqs,
+    max_doc_tokens)."""
+    budget = PACK_TOKEN_BUDGET if budget is None else budget
+    stored = stored_token_shards(spark, sf_dir, m, seed, shards)
+    per_doc = stored.groupBy("shard", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = per_doc.select(
+        "shard", "n_tokens", F.floor(prev / budget).alias("seq_id")
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+        F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+    )
+
+
+def stored_shard_report_oracle(
+    m: int = BPE_MERGES,
+    budget: int | None = None,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> str:
+    budget = PACK_TOKEN_BUDGET if budget is None else budget
+    from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    seed = SHUFFLE_SEED if seed is None else seed
+    shards = SHUFFLE_SHARDS if shards is None else shards
+    h = H.h32_sql(f"('{seed}' || ':' || CAST(doc_id AS VARCHAR))")
+    return rf"""
+WITH {_bpe_train_ctes(m)},
+word_n AS (SELECT w, len(string_split(seg, ' ')) AS n_sub FROM seg{m}),
+occurrences AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+),
+per_doc AS (
+  SELECT CAST({h} % {shards} AS INT) AS shard, doc_id,
+         CAST(sum(n_sub) AS BIGINT) AS n_tokens
+  FROM (SELECT o.doc_id, n.n_sub FROM occurrences o
+        JOIN word_n n USING (w) WHERE o.w <> '')
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT shard, n_tokens,
+         floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget})
+           AS seq_id
+  FROM per_doc
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+FROM c GROUP BY shard
+"""
 
 
 def pack_token_sequences(

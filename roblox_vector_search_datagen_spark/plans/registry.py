@@ -296,6 +296,16 @@ def _registry() -> dict[str, Query]:
         textstats.pack_token_sequences_oracle(),
         ("text", "tokenizer", "lifecycle"),
     )
+    # the stored-shards lifecycle end to end: encode -> store
+    # (warehouse parquet, partitioned by shard) -> load -> pack + serve
+    # the per-shard loader manifest from the STORED rows only; the
+    # oracle re-derives from base tables so a green row certifies the
+    # storage roundtrip value-for-value (the ivf_index_store pattern)
+    r["token_shards_stored"] = Query(
+        lambda spark, sf: textstats.stored_shard_report(spark, sf),
+        textstats.stored_shard_report_oracle(),
+        ("text", "tokenizer", "lifecycle"),
+    )
     # the Lee et al. substring-dedup REMOVAL pass: strip every word
     # position covered by a maximal cross-doc repeated run; rides the
     # same persisted subtrees as repeated_substring_spans

@@ -706,3 +706,40 @@ def test_truth_pair_subtree_materializes_once_for_recall_family(spark, sf_dir):
     report.collect()
     assert n_entries() == before, (before, n_entries())
     assert "InMemoryTableScan" in executed(report), executed(report)
+
+
+def test_stored_shard_report_reads_only_the_warehouse(spark, sf_dir):
+    """The round-7 gap: token_shards' docstring promised a
+    partitioned-by-shard stored artifact nothing actually wrote. The
+    serve path (`stored_shard_report`, the registry builder) must read
+    ONLY the warehouse parquet — no documents scan, no re-encode (no
+    interpreted merge folds), and the values must equal a pack over
+    the live encode's per-doc counts."""
+    from roblox_vector_search_datagen_spark.operators import textstats
+
+    df = textstats.stored_shard_report(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "token_shards_" in p, p
+    assert "documents" not in p, p
+    # the stored table is partitioned by shard: the scan's partition
+    # schema carries the shard key (pruning unit for a loader split)
+    assert re.search(r"PartitionFilters|shard", p), p
+
+    got = {r.shard: (r.n_docs, r.n_tokens, r.n_seqs, r.max_doc_tokens) for r in df.collect()}
+    live = textstats.token_shards(spark, sf_dir).groupBy("shard", "doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_shard = {
+        r.shard: (r.nd, r.nt, r.mx)
+        for r in live.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n").alias("nt"),
+            F.max("n").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(per_shard)
+    for s, (nd, nt, ns, mx) in got.items():
+        assert (nd, nt, mx) == per_shard[s]
+        assert 1 <= ns <= nd  # packing can only merge docs into seqs
