@@ -971,6 +971,56 @@ FROM t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def scrubbed_token_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    min_words: int = SPAN_CHAIN_MIN_WORDS,
+) -> DataFrame:
+    """The substring-dedup funnel composed END TO END: a downstream
+    pipeline stage consuming the removal pass's output as its input
+    corpus — `textstats.token_counts`' unit-economics columns
+    recomputed over `scrubbed_text`. This is what certifies
+    `substring_scrub` as an input-PRODUCING transform rather than a
+    terminal report: the next stage's numbers (the token budget the
+    scrubbed corpus actually contributes to a training mix) are
+    oracle-pinned through the scrub.
+
+    Scale shape: one projection over the scrub output — rides the same
+    persisted `_span_runs` subtrees as the report and the scrub, adds
+    no exchange of its own (the per-doc reassembly already keyed
+    everything on doc_id). The whitespace-split convention matches
+    `token_counts` (an all-removed document's empty string counts as
+    one ws token in both engines — the split convention, pinned
+    green). Emits (doc_id, n_removed, ws_tokens, re_tokens,
+    approx_bpe_tokens)."""
+    s = substring_scrub(spark, sf_dir, n, min_docs, min_words)
+    return s.select(
+        "doc_id",
+        "n_removed",
+        F.size(F.split(F.col("scrubbed_text"), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(scrubbed_text, '\\w+|[^\\w\\s]', 0)")
+        ).alias("re_tokens"),
+        F.ceil(F.length("scrubbed_text") / 4).cast("int").alias("approx_bpe_tokens"),
+    )
+
+
+def scrubbed_token_counts_oracle(
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    min_words: int = SPAN_CHAIN_MIN_WORDS,
+) -> str:
+    return rf"""
+SELECT doc_id, n_removed,
+       CAST(len(string_split_regex(scrubbed_text, '\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(scrubbed_text, '\w+|[^\w\s]')) AS INT) AS re_tokens,
+       CAST(ceil(length(scrubbed_text) / 4.0) AS INT) AS approx_bpe_tokens
+FROM ({substring_scrub_oracle(n, min_docs, min_words)}) scrub
+"""
+
+
 # ---------------------------------------------------------------------------
 # Mixture planning (token-budget allocation across sources)
 # ---------------------------------------------------------------------------

@@ -314,6 +314,14 @@ def _registry() -> dict[str, Query]:
         textprep.substring_scrub_oracle(),
         ("text", "dedup"),
     )
+    # the funnel composed end-to-end: token_counts' unit-economics
+    # columns recomputed OVER the scrub output — certifies the removal
+    # pass as an input-producing transform, not a terminal report
+    r["scrubbed_token_counts"] = Query(
+        lambda spark, sf: textprep.scrubbed_token_counts(spark, sf),
+        textprep.scrubbed_token_counts_oracle(),
+        ("text", "dedup", "pipeline"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(
