@@ -921,75 +921,33 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 163-query registry takes FOUR rounds to cycle the
+# window over a 165-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (the "no row
 # older than two rounds" claim earlier rounds made is arithmetically
-# impossible; COVERAGE.md states the 4-round invariant). Round-7
-# ordering, weakest evidence first: (1) the three queries NEW this
-# round (the stored-index lifecycle pair + token_shards), (2)
-# repeated_substring_spans, whose span join was re-keyed to an 8-byte
-# hash this round — changed plans need fresh driver evidence, (3) the
-# 46-query cohort whose newest green row is round 4 (the oldest bulk
-# cohort; the 19-query r3 cohort was re-verified by the round-6
-# judge's full-registry sim and rotates in right behind the window,
-# filling the r08 slots). Every query is self-contained, so order
-# carries no semantics.
+# impossible; COVERAGE.md states the 4-round invariant). Round-8
+# ordering, weakest evidence first: (1) the two queries NEW this round
+# (the stored-token-shards serve path and the scrub-consumer stage —
+# zero driver rows), (2) the two round-7 additions that have never
+# appeared in a driver window (pack_token_sequences, substring_scrub
+# — the r7 judge's own sim is their only independent evidence so
+# far), (3) repeated_substring_spans, whose span key widened to the
+# two-hash pair this round — changed plans need fresh driver
+# evidence, (4) the full 19-query cohort whose newest driver row is
+# round 3 (four rounds stale), (5) 26 of the 43-query r5 cohort
+# (alphabetical; the remaining 17 queue immediately behind the window
+# for r09). After r08 lands green, no query's newest driver row
+# predates round 5. Every query is self-contained, so order carries
+# no semantics.
 _ADJUDICATE_FIRST = (
-    "index_lifecycle_report",
-    "ivf_staleness_stored",
-    "token_shards",
-    "repeated_substring_spans",
-    "ann_ivf_topk",
-    "ann_topk",
-    "bpe_pair_counts",
-    "column_cardinality_profile",
-    "compaction_plan",
-    "count_games",
-    "dataset_splits",
-    "decontaminate",
-    "dedup_clusters",
-    "dim_truncation_recall",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_span_novelty",
-    "edit_distance_verify",
-    "embedding_lsh_near_dups",
-    "embedding_near_dups",
-    "embedding_norm_audit",
-    "event_minmax_downsample",
-    "hard_negative_mining",
-    "ivf_assignments",
-    "ivf_pq_topk",
-    "knn_join",
-    "known_item_search_eval",
-    "lang_id",
-    "list_games",
-    "list_games_unicode",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-    "point_in_time_state",
-    "pq_adc_topk",
-    "pq_codes",
-    "pq_rerank_topk",
-    "rate_limited_events",
-    "repetition_stats",
-    "scd2_user_state",
-    "simhash_banded_near_dups",
-    "similar_search",
-    "stats",
-    "stratified_sample",
-    "temperature_mixture_plan",
-    "text_quality",
-    "text_search",
-    "token_counts",
-    "top_terms",
-    "vector_search",
-    "weighted_sample",
-    # -- behind the 50-slot window: first in line for the r08 rotation —
-    # the two round-7 additions with no driver row yet, then the r3
-    # cohort the round-6 judge re-simmed green
+    # new this round
+    "token_shards_stored",
+    "scrubbed_token_counts",
+    # never driver-adjudicated (added r7)
     "pack_token_sequences",
     "substring_scrub",
+    # plan re-keyed this round (span_h -> span_h + span_h2)
+    "repeated_substring_spans",
+    # r3-stale cohort (newest driver row: round 3) — all 19
     "bloom_decontaminate",
     "dedup_funnel_report",
     "dedup_representatives",
@@ -1009,6 +967,52 @@ _ADJUDICATE_FIRST = (
     "split_leakage",
     "token_length_histogram",
     "vocab_coverage",
+    # r5 cohort, first 26 alphabetically — fills the window to 50
+    "ann_lsh_recall_at_k",
+    "ann_lsh_topk",
+    "ann_recall_at_k",
+    "asof_attribution",
+    "asof_next_action",
+    "bm25_search",
+    "corpus_profile",
+    "cross_lingual_near_dups",
+    "enriched_events",
+    "event_anomalies",
+    "event_props_rollup",
+    "event_rollup",
+    "event_value_histogram",
+    "event_value_quantiles_approx",
+    "events_zorder",
+    "exact_jaccard_verify",
+    "frame_sample_plan",
+    "funnel_counts",
+    "ingest_dedup",
+    "interval_click_counts",
+    "ivf_label_purity",
+    "ivf_upsert_assignments",
+    "knn_label_accuracy",
+    "media_features",
+    "merge_games_gather",
+    "merge_games_rolimons",
+    # -- behind the 50-slot window: the remaining 17 r5-cohort queries,
+    # first in line for the r09 rotation
+    "merge_games_search",
+    "mixture_report",
+    "ngram_dropped_shingles",
+    "per_group_sample",
+    "pii_scrub",
+    "pmi_collocations",
+    "prune_counts",
+    "prune_games",
+    "quality_filter",
+    "retention_curve",
+    "sessionize",
+    "simhash_dropped_bands",
+    "skew_profile",
+    "top_quality_per_source",
+    "training_corpus",
+    "user_retention",
+    "windowed_event_counts",
 )
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:
