@@ -10,12 +10,19 @@ rules, both learned the hard way:
   (`/a/sf0.1` and `/b/sf0.1`) must get distinct warehouse entries —
   with basename-only keying the second session silently serves the
   first corpus's stored artifact.
+* The tag is also CONTENT-ADDRESSED on the source table(s) the
+  artifact derives from — their (size, mtime_ns) fold into the
+  digest — so a fixture dir regenerated or mutated IN PLACE can never
+  be served a stale artifact: the new bytes produce a new tag and the
+  write-if-absent guard rebuilds. This closes the failure mode where
+  a `_SUCCESS`-guarded store outlives the data it was built from
+  (e.g. the test harness regenerating fixtures between rounds).
 * Write-if-absent is a driver-side `_SUCCESS` check — correct for the
   single-driver deployments this repo targets (a multi-writer cluster
-  would use a transactional catalog commit instead), and it means a
-  fixture dir REGENERATED IN PLACE serves stale data until a caller
-  passes `rebuild=True`; `streaming.vectors.commit_ingest_batch` is
-  the ingestion-loop hook that does exactly that.
+  would use a transactional catalog commit instead). `rebuild=True`
+  remains the explicit invalidation hook
+  (`streaming.vectors.commit_ingest_batch` pairs it with the
+  in-memory cache clear, which content-addressing cannot cover).
 """
 
 from __future__ import annotations
@@ -31,11 +38,21 @@ WAREHOUSE_DIR = os.path.join(
 )
 
 
-def sf_tag(sf_dir: str) -> str:
-    """`<basename>_<8-hex sha1 of the absolute path>` — human-readable
-    leaf name for operators, path digest for collision safety."""
+def sf_tag(sf_dir: str, *source_tables: str) -> str:
+    """`<basename>_<8-hex sha1>` over the absolute fixture path plus
+    each named source table's (size, mtime_ns): human-readable leaf
+    name for operators; path digest for same-leaf collision safety;
+    content address so regenerated fixtures rebuild instead of serving
+    stale stored artifacts."""
     p = os.path.abspath(sf_dir.rstrip("/"))
-    return f"{os.path.basename(p)}_{hashlib.sha1(p.encode()).hexdigest()[:8]}"
+    h = hashlib.sha1(p.encode())
+    for name in source_tables:
+        try:
+            st = os.stat(os.path.join(p, f"{name}.parquet"))
+            h.update(f":{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(f":{name}:absent".encode())
+    return f"{os.path.basename(p)}_{h.hexdigest()[:8]}"
 
 
 def tables_ready(*paths: str) -> bool:

@@ -1881,17 +1881,18 @@ def ivf_index_store(
     quantizer no longer needs the embeddings scan that the in-memory
     `index=` harness still paid.
 
-    Write-if-absent keyed by (sf tag, k, hwm), where the tag is the
-    fixture basename PLUS a digest of its absolute path
-    (functions/warehouse.py: two roots with the same leaf name must
-    not share an index): the content is a pure function of the fixture
-    tables and the defaults, so rebuilding per call would only burn
-    the bench. `rebuild=True` is the invalidation hook for sessions
-    that mutate the corpus under `sf_dir` (the continuous-ingestion
-    regime) — `streaming.vectors.commit_ingest_batch` calls it, paired
-    with `dedup.clear_session_memos(spark)`, after every landed
-    batch."""
-    tag = warehouse.sf_tag(sf_dir)
+    Write-if-absent keyed by (sf tag, k, hwm), where the tag digests
+    the fixture's absolute path AND the embeddings table's
+    (size, mtime) (functions/warehouse.py: same-leaf roots must not
+    share an index, and a regenerated/mutated fixture must rebuild
+    rather than serve the stale store): the content is a pure function
+    of the fixture tables and the defaults, so rebuilding per call
+    would only burn the bench. `rebuild=True` is the explicit
+    invalidation hook — `streaming.vectors.commit_ingest_batch` calls
+    it, paired with `dedup.clear_session_memos(spark)` (which retires
+    the in-memory caches content-addressing cannot cover), after every
+    landed batch."""
+    tag = warehouse.sf_tag(sf_dir, "embeddings")
     path = os.path.join(IVF_WAREHOUSE, f"ivf_index_{tag}_k{k}_hwm{hwm}")
     assign_path = os.path.join(path, "assignments")
     cent_path = os.path.join(path, "centroids")

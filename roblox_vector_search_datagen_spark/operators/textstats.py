@@ -1109,17 +1109,17 @@ def token_shards_store(
     partition pruning at the file listing, no filter, no shuffle, no
     other split's bytes read.
 
-    Write-if-absent keyed by (path-digested sf tag, m, seed, shards) —
-    functions/warehouse.py's discipline: same-leaf fixture roots get
-    distinct entries, `_SUCCESS` is the commit marker, and a fixture
-    regenerated in place needs `rebuild=True` (the
-    `streaming.vectors.commit_ingest_batch` contract covers the
-    ingestion loop's half of that)."""
+    Write-if-absent keyed by (sf tag, m, seed, shards) —
+    functions/warehouse.py's discipline: the tag digests the absolute
+    path (same-leaf fixture roots get distinct entries) and the
+    documents table's (size, mtime) (a regenerated/mutated corpus
+    rebuilds instead of serving the stale encode); `_SUCCESS` is the
+    commit marker and `rebuild=True` the explicit invalidation hook."""
     from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
 
     seed = SHUFFLE_SEED if seed is None else seed
     shards = SHUFFLE_SHARDS if shards is None else shards
-    tag = warehouse.sf_tag(sf_dir)
+    tag = warehouse.sf_tag(sf_dir, "documents")
     path = os.path.join(
         warehouse.WAREHOUSE_DIR, f"token_shards_{tag}_m{m}_s{seed}_n{shards}"
     )

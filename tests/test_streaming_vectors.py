@@ -152,16 +152,29 @@ def test_stream_ivf_upsert_through_idempotent_sink_feeds_merge(spark, sf_dir, tm
     assert merge_hist == landed_hist
 
 
-def test_warehouse_tag_distinguishes_same_leaf_roots():
+def test_warehouse_tag_distinguishes_same_leaf_roots(sf_dir, tmp_path):
     """Two fixture roots with the same leaf name must map to distinct
     warehouse entries — basename-only keying silently served the first
-    corpus's stored index to the second session."""
+    corpus's stored index to the second session. And the tag is
+    content-addressed: rewriting a source table (regenerated fixture,
+    in-place mutation) must change the tag so write-if-absent rebuilds
+    instead of serving the stale store."""
     from roblox_vector_search_datagen_spark.functions import warehouse as W
 
     a, b = W.sf_tag("/a/sf0.1"), W.sf_tag("/b/sf0.1")
     assert a != b
     assert a.startswith("sf0.1_") and b.startswith("sf0.1_")
     assert W.sf_tag("/a/sf0.1/") == a  # trailing-slash insensitive
+
+    # content address: same path, touched source table -> new tag
+    sf2 = str(tmp_path / "sfcontent")
+    shutil.copytree(sf_dir, sf2)
+    t0 = W.sf_tag(sf2, "embeddings")
+    assert t0 != W.sf_tag(sf2)  # the source stat participates
+    os.utime(os.path.join(sf2, "embeddings.parquet"))
+    assert W.sf_tag(sf2, "embeddings") != t0
+    # tables the artifact does not derive from do not disturb its tag
+    assert W.sf_tag(sf2, "documents") == W.sf_tag(sf2, "documents")
 
 
 def test_commit_ingest_batch_serves_fresh_index(spark, sf_dir, tmp_path):
@@ -178,8 +191,9 @@ def test_commit_ingest_batch_serves_fresh_index(spark, sf_dir, tmp_path):
 
     sf2 = str(tmp_path / "sfmut")
     shutil.copytree(sf_dir, sf2)
-    idx_path = None
+    paths = []
     try:
+        paths.append(ann.ivf_index_store(spark, sf2))
         before = ann.index_lifecycle_report(spark, sf2).collect()
         n_up_before = sum(r.n_upserted for r in before)
         n_total_before = sum(r.n_total for r in before)
@@ -200,9 +214,11 @@ def test_commit_ingest_batch_serves_fresh_index(spark, sf_dir, tmp_path):
         ).cast(t.schema)
         pq.write_table(pa.concat_tables([t, new]), f"{sf2}/embeddings.parquet")
 
-        # WITHOUT the commit the stale persisted delta + stored index
-        # would keep answering; the commit invalidates and rebuilds
+        # WITHOUT the commit the stale persisted delta (a materialized
+        # InMemoryRelation never re-reads parquet) would keep
+        # answering; the commit invalidates caches and rebuilds
         idx_path = SV.commit_ingest_batch(spark, sf2)
+        paths.append(idx_path)
         assert os.path.exists(os.path.join(idx_path, "assignments", "_SUCCESS"))
         after = ann.index_lifecycle_report(spark, sf2).collect()
         assert sum(r.n_upserted for r in after) == n_up_before + 3
@@ -210,5 +226,6 @@ def test_commit_ingest_batch_serves_fresh_index(spark, sf_dir, tmp_path):
         # the frozen membership is unchanged — only the delta grew
         assert sum(r.n_kept for r in after) == sum(r.n_kept for r in before)
     finally:
-        if idx_path and os.path.exists(idx_path):
-            shutil.rmtree(idx_path)
+        for p in paths:
+            if os.path.exists(p):
+                shutil.rmtree(p)
