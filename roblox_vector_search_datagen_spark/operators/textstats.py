@@ -1199,6 +1199,89 @@ def stored_shard_report(
     )
 
 
+def stored_roundtrip_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """Lifecycle-CLOSURE audit: DECODE the stored shards back to text.
+    Loads the warehouse token table, maps token_id -> token through
+    the broadcast vocab artifact (`bpe_vocab` — the same table a
+    trainer ships beside the shards), reassembles each document's
+    token stream in position order, and compares it against the
+    whitespace-stripped lowercased source text. `matches = TRUE` on
+    every row is the information-completeness certificate for the
+    stored artifact: encode -> store -> load -> decode lost nothing a
+    trainer needs. (The encode is lossy only in whitespace, by the
+    tokenizer's own convention — hence the stripped comparison.)
+
+    Scale shape: one stored-table scan, the vocab broadcast (id ->
+    token is vocab-sized), one per-doc aggregation whose reassembly is
+    the same sort_array-of-structs idiom `substring_scrub` uses, and a
+    doc_id-keyed join to the narrow (doc_id, stripped-text) projection
+    — every exchange is keyed on doc_id. The oracle re-derives both
+    sides from base tables, so a hash-green row certifies the STORED
+    bytes decode correctly, not merely that two engines agree on live
+    plans. Emits (doc_id, n_tokens, matches)."""
+    stored = stored_token_shards(spark, sf_dir, m, seed, shards)
+    vocab = bpe_vocab(spark, sf_dir, m).select("token_id", "token")
+    decoded = (
+        stored.join(F.broadcast(vocab), "token_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                "",
+            ).alias("decoded"),
+        )
+    )
+    d = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.lower("text"), r"\s+", "").alias("expected")
+    )
+    return d.join(decoded, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        (F.coalesce(F.col("decoded"), F.lit("")) == F.col("expected")).alias("matches"),
+    )
+
+
+def stored_roundtrip_audit_oracle(m: int = BPE_MERGES) -> str:
+    return rf"""
+WITH {_bpe_train_ctes(m)},
+words AS (
+  SELECT doc_id, i AS wpos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+  WHERE ws[i] <> ''
+),
+syms AS (
+  SELECT doc_id, wpos, j AS spos, ss[j] AS token
+  FROM (SELECT wd.doc_id, wd.wpos, string_split(g.seg, ' ') AS ss
+        FROM words wd JOIN seg{m} g USING (w)),
+       unnest(range(1, len(ss) + 1)) AS v(j)
+),
+decoded AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         string_agg(token, '' ORDER BY wpos, spos) AS decoded
+  FROM syms GROUP BY doc_id
+),
+expected AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', '', 'g') AS expected
+  FROM documents
+)
+SELECT e.doc_id,
+       CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+       (COALESCE(d.decoded, '') = e.expected) AS matches
+FROM expected e LEFT JOIN decoded d USING (doc_id)
+"""
+
+
 def stored_shard_report_oracle(
     m: int = BPE_MERGES,
     budget: int | None = None,

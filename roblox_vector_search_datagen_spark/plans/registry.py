@@ -306,6 +306,15 @@ def _registry() -> dict[str, Query]:
         textstats.stored_shard_report_oracle(),
         ("text", "tokenizer", "lifecycle"),
     )
+    # lifecycle CLOSURE: decode the STORED shards back through the
+    # vocab and certify every document reassembles to its source text
+    # (whitespace-stripped, the tokenizer's own lossiness) — the
+    # information-completeness audit of the stored artifact
+    r["stored_roundtrip_audit"] = Query(
+        lambda spark, sf: textstats.stored_roundtrip_audit(spark, sf),
+        textstats.stored_roundtrip_audit_oracle(),
+        ("text", "tokenizer", "lifecycle", "eval"),
+    )
     # the Lee et al. substring-dedup REMOVAL pass: strip every word
     # position covered by a maximal cross-doc repeated run; rides the
     # same persisted subtrees as repeated_substring_spans
@@ -921,26 +930,29 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 165-query registry takes FOUR rounds to cycle the
+# window over a 166-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (the "no row
 # older than two rounds" claim earlier rounds made is arithmetically
 # impossible; COVERAGE.md states the 4-round invariant). Round-8
-# ordering, weakest evidence first: (1) the two queries NEW this round
-# (the stored-token-shards serve path and the scrub-consumer stage —
-# zero driver rows), (2) the two round-7 additions that have never
+# ordering, weakest evidence first: (1) the three queries NEW this
+# round (the stored-token-shards serve path, its decode-roundtrip
+# closure audit, and the scrub-consumer stage — zero driver rows),
+# (2) the two round-7 additions that have never
 # appeared in a driver window (pack_token_sequences, substring_scrub
 # — the r7 judge's own sim is their only independent evidence so
 # far), (3) repeated_substring_spans, whose span key widened to the
 # two-hash pair this round — changed plans need fresh driver
 # evidence, (4) the full 19-query cohort whose newest driver row is
-# round 3 (four rounds stale), (5) 26 of the 43-query r5 cohort
-# (alphabetical; the remaining 17 queue immediately behind the window
+# round 3 (four rounds stale), (5) 25 of the 43-query r5 cohort
+# (alphabetical; the remaining 18 queue immediately behind the window
 # for r09). After r08 lands green, no query's newest driver row
 # predates round 5. Every query is self-contained, so order carries
-# no semantics.
+# no semantics. The registry counts 166 queries, 50 adjudicated per
+# round.
 _ADJUDICATE_FIRST = (
     # new this round
     "token_shards_stored",
+    "stored_roundtrip_audit",
     "scrubbed_token_counts",
     # never driver-adjudicated (added r7)
     "pack_token_sequences",
@@ -993,9 +1005,9 @@ _ADJUDICATE_FIRST = (
     "knn_label_accuracy",
     "media_features",
     "merge_games_gather",
-    "merge_games_rolimons",
-    # -- behind the 50-slot window: the remaining 17 r5-cohort queries,
+    # -- behind the 50-slot window: the remaining 18 r5-cohort queries,
     # first in line for the r09 rotation
+    "merge_games_rolimons",
     "merge_games_search",
     "mixture_report",
     "ngram_dropped_shingles",

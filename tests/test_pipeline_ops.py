@@ -577,3 +577,15 @@ def test_bpe_encode_broadcast_gate_paths_are_identical(spark, sf_dir):
     rows_bcast = sorted(map(tuple, bcast.collect()))
     assert rows_bcast == rows_shuf
     assert len(rows_bcast) > 0
+
+
+def test_stored_roundtrip_audit_decodes_every_document(spark, sf_dir):
+    """The oracle pins engine agreement; this pins the VALUE the audit
+    exists for: every document decodes from the STORED shards back to
+    its whitespace-stripped source text, and the token mass equals the
+    stored table's row count."""
+    rows = textstats.stored_roundtrip_audit(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.matches for r in rows)
+    total = sum(r.n_tokens for r in rows)
+    assert total == textstats.stored_token_shards(spark, sf_dir).count()
