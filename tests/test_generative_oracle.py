@@ -59,6 +59,9 @@ GEN_QUERIES = [
     "bpe_encode_sample",
     "token_shards",
     "pack_token_sequences",
+    "scrubbed_token_counts",
+    "token_shards_stored",
+    "stored_roundtrip_audit",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
@@ -105,6 +108,23 @@ def _rand_vec(rng):
     return [rng.uniform(-1, 1) for _ in range(64)]
 
 
+def _cleanup_warehouse(sf_dir):
+    """Stored-artifact queries (token_shards_stored,
+    stored_roundtrip_audit) write warehouse tables tagged by the
+    corpus dir; the generative corpora are tmp dirs with fresh tags
+    every run, so their entries must not accumulate in
+    data/warehouse."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    for path in _glob.glob(_os.path.join(W.WAREHOUSE_DIR, f"*_{base}_*")):
+        _shutil.rmtree(path, ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def organic_dir(spark, tmp_path_factory):
     """Plausible corpus: word soup across langs/sources with one exact
@@ -144,7 +164,8 @@ def organic_dir(spark, tmp_path_factory):
         embs.append((i, v, i % 10))
     d = str(tmp_path_factory.mktemp("organic"))
     _write(spark, d, docs, embs)
-    return d
+    yield d
+    _cleanup_warehouse(d)
 
 
 @pytest.fixture(scope="module")
@@ -186,7 +207,8 @@ def adversarial_dir(spark, tmp_path_factory):
         embs.append((i, v, i % 10))
     d = str(tmp_path_factory.mktemp("adversarial"))
     _write(spark, d, docs, embs)
-    return d
+    yield d
+    _cleanup_warehouse(d)
 
 
 @pytest.mark.parametrize("name", GEN_QUERIES)
