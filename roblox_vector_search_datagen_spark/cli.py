@@ -399,6 +399,9 @@ COMMANDS = (
     "auditEmbeddings",
     "exportJobsDb",
     "importJobsDb",
+    "storeIndex",
+    "storeTokenShards",
+    "commitIngest",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -655,6 +658,56 @@ def main(argv: list[str] | None = None) -> int:
                 sort_keys=True,
             )
         )
+    elif cmd == "storeIndex":
+        # warehouse half of the index lifecycle: materialize/refresh
+        # the content-addressed stored IVF index the serve queries
+        # (index_lifecycle_report, ivf_staleness_stored) read
+        # (usage: storeIndex [sf_dir] [--rebuild])
+        from .operators import ann as ann_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        path = ann_ops.ivf_index_store(spark, sf_dir, rebuild="--rebuild" in args)
+        print(
+            json.dumps(
+                {
+                    "path": path,
+                    "assignments": spark.read.parquet(
+                        os.path.join(path, "assignments")
+                    ).count(),
+                    "centroids": spark.read.parquet(
+                        os.path.join(path, "centroids")
+                    ).count(),
+                }
+            )
+        )
+    elif cmd == "storeTokenShards":
+        # warehouse half of the tokenizer lifecycle: materialize/refresh
+        # the shard-partitioned stored encode and print the per-shard
+        # loader manifest served FROM the stored rows
+        # (usage: storeTokenShards [sf_dir] [--rebuild])
+        from .operators import textstats as ts_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        path = ts_ops.token_shards_store(spark, sf_dir, rebuild="--rebuild" in args)
+        manifest = [
+            {k: int(v) for k, v in r.asDict().items()}
+            for r in ts_ops.stored_shard_report(spark, sf_dir).orderBy("shard").collect()
+        ]
+        print(json.dumps({"path": path, "shards": manifest}))
+    elif cmd == "commitIngest":
+        # the continuous-ingestion commit step as an operational
+        # command: clear every sf_dir-keyed memo and persisted cache,
+        # rebuild the stored index (usage: commitIngest [sf_dir])
+        from .streaming.vectors import commit_ingest_batch
+
+        sf_dir = args[0] if args else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        print(json.dumps({"rebuilt_index": commit_ingest_batch(spark, sf_dir)}))
     elif cmd == "processGamesFromSearch":
         print(
             json.dumps(

@@ -6,6 +6,7 @@ composite processGamesFromSearch pipeline."""
 from __future__ import annotations
 
 import json
+import os
 from urllib.parse import parse_qs, urlparse
 
 import pytest
@@ -394,3 +395,27 @@ def test_audit_embeddings_command(spark, sf_dir, capsys):
     assert res["ivf_cell_min"] <= res["ivf_cell_max"]
     assert len(res["split_centroid_l2sq"]) == 3
     assert all(v >= 0 for v in res["split_centroid_l2sq"].values())
+
+
+def test_store_index_and_token_shards_commands(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The warehouse lifecycle is operable from the CLI: storeIndex
+    and storeTokenShards materialize (idempotently) and report the
+    stored artifacts; commitIngest retires session caches and rebuilds
+    the index."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+    from roblox_vector_search_datagen_spark.operators import ann as ann_ops
+
+    assert cli.main(["storeIndex", sf_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["assignments"] == ann_ops.IVF_UPSERT_HWM
+    assert res["centroids"] == ann_ops.IVF_K
+    assert os.path.exists(os.path.join(res["path"], "assignments", "_SUCCESS"))
+
+    assert cli.main(["storeTokenShards", sf_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["shards"] and all(s["n_docs"] >= s["n_seqs"] >= 1 for s in res["shards"])
+    assert os.path.exists(os.path.join(res["path"], "_SUCCESS"))
+
+    assert cli.main(["commitIngest", sf_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(os.path.join(res["rebuilt_index"], "assignments", "_SUCCESS"))

@@ -743,3 +743,22 @@ def test_stored_shard_report_reads_only_the_warehouse(spark, sf_dir):
     for s, (nd, nt, ns, mx) in got.items():
         assert (nd, nt, mx) == per_shard[s]
         assert 1 <= ns <= nd  # packing can only merge docs into seqs
+
+
+def test_stored_token_shards_loader_path_is_partition_pruned(spark, sf_dir):
+    """The stored table is partitioned by `shard` so a loader split
+    reading one shard must be PARTITION pruning at the file listing —
+    the shard predicate appears as a PartitionFilter (never a
+    post-scan filter) and the rows match the unpartitioned filter."""
+    from roblox_vector_search_datagen_spark.operators import textstats
+
+    stored = textstats.stored_token_shards(spark, sf_dir)
+    one = stored.filter(F.col("shard") == 3)
+    p = plan_of(one)
+    pf = " ".join(re.findall(r"PartitionFilters: (.*)", p))
+    assert "shard" in pf, p
+    pushed = " ".join(re.findall(r"PushedFilters: (.*)", p))
+    assert "shard" not in pushed  # partition column, not a data filter
+    n_one = one.count()
+    assert n_one > 0
+    assert n_one == textstats.token_shards(spark, sf_dir).filter(F.col("shard") == 3).count()
