@@ -1126,6 +1126,17 @@ def token_shards_store(
     if rebuild or not warehouse.tables_ready(path):
         (
             token_shards(spark, sf_dir, m, seed, shards)
+            # loader-friendly physical layout, paid once at build time:
+            # repartition on the shard key collapses the write from
+            # (shuffle partitions x shards) small files to one file per
+            # shard (the encode upstream of this exchange keeps its full
+            # parallelism), and sorting within each shard by (doc_id,
+            # pos) stores every document contiguously in stream order —
+            # sequential reads for the loader, long run-lengths for the
+            # encoder. At 100 TB the repartition width would be a
+            # multiple of the shard count; 1:1 is right at fixture scale.
+            .repartition(shards, "shard")
+            .sortWithinPartitions("doc_id", "pos")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(path)

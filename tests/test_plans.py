@@ -762,3 +762,25 @@ def test_stored_token_shards_loader_path_is_partition_pruned(spark, sf_dir):
     n_one = one.count()
     assert n_one > 0
     assert n_one == textstats.token_shards(spark, sf_dir).filter(F.col("shard") == 3).count()
+
+
+def test_stored_token_shards_layout_is_one_file_per_shard(spark, sf_dir):
+    """The warehouse write pays one repartition at build time so each
+    shard directory holds ONE parquet file with (doc_id, pos)-sorted
+    rows — a loader split is a single sequential read, not a pile of
+    shuffle-partition fragments."""
+    import glob
+    import os
+
+    from roblox_vector_search_datagen_spark.operators import textstats
+
+    path = textstats.token_shards_store(spark, sf_dir)
+    shard_dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    assert shard_dirs
+    for d in shard_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+    # rows inside a shard file are laid out doc-contiguous in pos order
+    one = spark.read.parquet(shard_dirs[0]).collect()
+    keys = [(r.doc_id, r.pos) for r in one]
+    assert keys == sorted(keys)
