@@ -1899,15 +1899,24 @@ def ivf_index_store(
     done = warehouse.tables_ready(assign_path, cent_path)
     if rebuild or not done:
         e = tables.load_table(spark, sf_dir, "embeddings")
+        # both tables are coalesced at write time: the K-row quantizer
+        # and the hwm-row membership otherwise fragment into one file
+        # per shuffle partition, and every serve query pays the file
+        # listing. At 100 TB the membership write would instead
+        # repartition to a width sized by row count (it is read WHOLE
+        # by the anti-join, so partition pruning buys nothing — file
+        # count is the only layout lever here).
         (
             e.filter(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+            .coalesce(1)
             .write.mode("overwrite")
             .parquet(cent_path)
         )
         (
             ivf_assignments(spark, sf_dir, k)
             .filter(F.col("vec_id") < hwm)
+            .coalesce(1)
             .write.mode("overwrite")
             .parquet(assign_path)
         )
