@@ -237,6 +237,123 @@ SELECT doc_id, media_type, CAST(n_bytes AS INT) AS n_bytes, CAST(i AS INT) AS po
 FROM m, (SELECT unnest(range(4)) AS i)
 """
 
+RESIZE_MAX_EDGE = 256
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("scale", T.DoubleType(), False),
+        T.StructField("resized_digest", T.StringType(), False),
+    ]
+)
+
+
+def media_resized(
+    spark: SparkSession,
+    sf_dir: str,
+    max_edge: int = RESIZE_MAX_EDGE,
+    media_df: DataFrame | None = None,
+) -> DataFrame:
+    """The RESIZE stage of the multimodal pipeline: cap every asset at
+    `max_edge` on its longest side, preserving aspect ratio — the
+    normalization pass a vision-training pipeline runs before
+    feature extraction (decode -> RESIZE -> encode). Arrow-batched
+    mapInPandas with the same plumbing contract as the decode stage
+    (schema, batch shape, partition parallelism, zero shuffles); the
+    pixel resample itself is the documented deterministic STUB (no
+    codec in this container): output bytes are stood in for by
+    md5(source digest : out dims), so the stage is total, byte-stable
+    across environments, and fully DuckDB-oracle-checkable. A real
+    deployment swaps `_stub_resize_digest` for decode + PIL
+    Image.resize + re-encode — one function, same plan. The dimension
+    arithmetic (the part the plan actually schedules) is real:
+    scale = min(1, max_edge / longest side), floor-scaled dims with a
+    1px floor. Emits (doc_id, media_type, width, height, out_width,
+    out_height, scale, resized_digest)."""
+    import math
+
+    import pandas as pd
+
+    m = media(spark, sf_dir) if media_df is None else media_df
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w, out_h, scales, digs = [], [], [], []
+            for c, w, h in zip(
+                pdf["content"], pdf["meta"].str["width"], pdf["meta"].str["height"]
+            ):
+                w, h = int(w), int(h)
+                edge = max(w, h)
+                scale = 1.0 if edge <= max_edge else max_edge / float(edge)
+                ow = max(1, math.floor(w * scale))
+                oh = max(1, math.floor(h * scale))
+                out_w.append(ow)
+                out_h.append(oh)
+                scales.append(round(scale, 6))
+                digs.append(_stub_resize_digest(bytes(c), ow, oh))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pdf["meta"].str["width"],
+                    "height": pdf["meta"].str["height"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "scale": scales,
+                    "resized_digest": digs,
+                }
+            )
+
+    return m.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def _stub_resize_digest(content: bytes, out_w: int, out_h: int) -> str:
+    """STUB resample: the resized blob's identity is the digest of
+    (source digest, target dims) — deterministic, engine-reproducible
+    (DuckDB re-derives it in the oracle), NOT real pixels (documented;
+    the real arm replaces exactly this function)."""
+    src = hashlib.md5(content).hexdigest()
+    return hashlib.md5(f"{src}:{out_w}x{out_h}".encode()).hexdigest()
+
+
+def media_resized_oracle(max_edge: int = RESIZE_MAX_EDGE) -> str:
+    """Dims re-derived from the media projection's arithmetic, the
+    digest from md5 chains over the same strings — the whole
+    mapInPandas stage is value-pinned like media_features'."""
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
+         CAST((doc_id % 4 + 1) * 64 AS INT) AS height,
+         md5(text) AS h
+  FROM documents
+),
+s AS (
+  SELECT *,
+         CASE WHEN greatest(width, height) <= {max_edge} THEN 1.0
+              ELSE {max_edge} / CAST(greatest(width, height) AS DOUBLE) END AS raw_scale
+  FROM m
+),
+o AS (
+  SELECT *,
+         CAST(greatest(1, floor(width * raw_scale)) AS INT) AS out_width,
+         CAST(greatest(1, floor(height * raw_scale)) AS INT) AS out_height
+  FROM s
+)
+SELECT doc_id, media_type, width, height, out_width, out_height,
+       round(raw_scale, 6) AS scale,
+       md5(h || ':' || CAST(out_width AS VARCHAR) || 'x' || CAST(out_height AS VARCHAR))
+         AS resized_digest
+FROM o
+"""
+
+
 def frame_sample_plan(spark: SparkSession, sf_dir: str, every_ms: int = 5000) -> DataFrame:
     """Video frame-sampling plan: explode each video into the frame
     timestamps a decoder would extract (the decode itself is the

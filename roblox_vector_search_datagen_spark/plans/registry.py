@@ -904,6 +904,14 @@ def _registry() -> dict[str, Query]:
     r["media_dedup"] = Query(
         multimodal.media_dedup, multimodal.media_dedup_oracle(), ("multimodal", "dedup")
     )
+    # the RESIZE stage (decode -> resize -> encode normalization pass):
+    # Arrow-batched mapInPandas with real dimension arithmetic and the
+    # documented deterministic stub standing in for the pixel resample
+    r["media_resize"] = Query(
+        lambda spark, sf: multimodal.media_resized(spark, sf),
+        multimodal.media_resized_oracle(),
+        ("multimodal", "udf"),
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(
@@ -934,26 +942,28 @@ def _registry() -> dict[str, Query]:
 # whole registry — that is the honest staleness ceiling (the "no row
 # older than two rounds" claim earlier rounds made is arithmetically
 # impossible; COVERAGE.md states the 4-round invariant). Round-8
-# ordering, weakest evidence first: (1) the three queries NEW this
+# ordering, weakest evidence first: (1) the four queries NEW this
 # round (the stored-token-shards serve path, its decode-roundtrip
-# closure audit, and the scrub-consumer stage — zero driver rows),
-# (2) the two round-7 additions that have never
+# closure audit, the scrub-consumer stage, and the multimodal resize
+# stage — zero driver rows), (2) the two round-7 additions that have
+# never
 # appeared in a driver window (pack_token_sequences, substring_scrub
 # — the r7 judge's own sim is their only independent evidence so
 # far), (3) repeated_substring_spans, whose span key widened to the
 # two-hash pair this round — changed plans need fresh driver
 # evidence, (4) the full 19-query cohort whose newest driver row is
-# round 3 (four rounds stale), (5) 25 of the 43-query r5 cohort
-# (alphabetical; the remaining 18 queue immediately behind the window
+# round 3 (four rounds stale), (5) 24 of the 43-query r5 cohort
+# (alphabetical; the remaining 19 queue immediately behind the window
 # for r09). After r08 lands green, no query's newest driver row
 # predates round 5. Every query is self-contained, so order carries
-# no semantics. The registry counts 166 queries, 50 adjudicated per
+# no semantics. The registry counts 167 queries, 50 adjudicated per
 # round.
 _ADJUDICATE_FIRST = (
     # new this round
     "token_shards_stored",
     "stored_roundtrip_audit",
     "scrubbed_token_counts",
+    "media_resize",
     # never driver-adjudicated (added r7)
     "pack_token_sequences",
     "substring_scrub",
@@ -1004,9 +1014,9 @@ _ADJUDICATE_FIRST = (
     "ivf_upsert_assignments",
     "knn_label_accuracy",
     "media_features",
-    "merge_games_gather",
-    # -- behind the 50-slot window: the remaining 18 r5-cohort queries,
+    # -- behind the 50-slot window: the remaining 19 r5-cohort queries,
     # first in line for the r09 rotation
+    "merge_games_gather",
     "merge_games_rolimons",
     "merge_games_search",
     "mixture_report",

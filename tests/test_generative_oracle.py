@@ -62,6 +62,7 @@ GEN_QUERIES = [
     "scrubbed_token_counts",
     "token_shards_stored",
     "stored_roundtrip_audit",
+    "media_resize",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]

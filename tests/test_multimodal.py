@@ -473,3 +473,39 @@ def test_jpeg_malformed_segments_raise_valueerror():
     for name, blob in cases.items():
         with pytest.raises(ValueError):
             jpeg.decode_jpeg_luminance(blob)
+
+
+def test_media_resized_is_arrow_batched_and_dims_correct(spark, sf_dir):
+    """The resize stage is the Arrow mapInPandas operator with no
+    shuffle, and the dimension arithmetic honors the contract: longest
+    edge capped at max_edge, aspect preserved (floor), never below
+    1px, scale=1 exactly when nothing exceeds the cap."""
+    from roblox_vector_search_datagen_spark.operators import multimodal
+
+    df = multimodal.media_resized(spark, sf_dir)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "MapInPandas" in p and "BatchEvalPython" not in p
+    assert "Exchange" not in p
+
+    cap = multimodal.RESIZE_MAX_EDGE
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert max(r.out_width, r.out_height) <= cap
+        assert r.out_width >= 1 and r.out_height >= 1
+        if max(r.width, r.height) <= cap:
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+            assert r.scale == 1.0
+        else:
+            assert r.scale < 1.0
+            # aspect preserved within the floor's 1px quantization
+            assert abs(r.out_width / r.width - r.out_height / r.height) <= max(
+                1.0 / r.width, 1.0 / r.height
+            )
+        assert len(r.resized_digest) == 32
