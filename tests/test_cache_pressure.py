@@ -14,6 +14,7 @@ is fixed at JVM launch — the suite's shared session can't be shrunk.
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -60,14 +61,42 @@ def _run(sf_dir: str, extra_env: dict) -> subprocess.CompletedProcess:
         # 64 MiB total (reserved memory zeroed): the ~38 MiB unified
         # pool is shared by 16 execution threads AND every persisted
         # subtree, so storage sits permanently below its protected
-        # share and cached blocks face real eviction. (At 32 MiB the
-        # run fails LOUDLY with task memory-acquisition errors — also
-        # acceptable-by-design: never a silent wrong answer.)
+        # share and cached blocks face real eviction. This squeeze
+        # sits ON the eviction/abort boundary: which side a given run
+        # lands on depends on query execution order (the registry's
+        # adjudication ordering, which rotates every round) and block
+        # layout. BOTH sides are design-acceptable — recompute-and-
+        # match, or a LOUD task memory-acquisition abort; what the
+        # design forbids, and this test pins, is the third outcome:
+        # a silently WRONG answer served from a corrupted cache.
         ("constrained", {"DRIVER_SIM_TESTING_MEMORY": str(64 * 1024 * 1024)}),
     ],
 )
 def test_cache_heavy_cohort_correct_under_memory_pressure(label, env, sf_dir):
     res = _run(sf_dir, env)
     tail = "\n".join(res.stdout.splitlines()[-3:])
-    assert res.returncode == 0, f"{label}: exit {res.returncode}\n{tail}\n{res.stderr[-2000:]}"
-    assert '"failures": []' in res.stdout, f"{label}: {tail}"
+    rows = [json.loads(ln) for ln in res.stdout.splitlines() if ln.startswith("{")]
+    # NEVER a silent wrong answer, under any memory regime: no query
+    # may complete with mismatched rows/schema/values
+    silent_wrong = [
+        r["q"]
+        for r in rows
+        if r.get("rows_match") is False
+        or r.get("schema_match") is False
+        or r.get("hash_match") is False
+    ]
+    assert not silent_wrong, f"{label}: SILENT WRONG ANSWERS {silent_wrong}\n{tail}"
+    if label == "ample" or res.returncode == 0:
+        assert res.returncode == 0, f"{label}: exit {res.returncode}\n{tail}\n{res.stderr[-2000:]}"
+        assert '"failures": []' in res.stdout, f"{label}: {tail}"
+    else:
+        # constrained non-zero exit: acceptable ONLY as the loud
+        # memory-acquisition abort — the failing queries must have
+        # errored (no result emitted), with an OOM signature in the
+        # subprocess output
+        errored = [r["q"] for r in rows if "err" in r and "hash_match" not in r]
+        assert errored, f"{label}: exit {res.returncode} but no errored query\n{tail}"
+        blob = (res.stdout + res.stderr).lower()
+        assert "memory" in blob or "bytestobytesmap" in blob, (
+            f"{label}: abort without a memory signature\n{res.stderr[-2000:]}"
+        )
