@@ -1210,6 +1210,128 @@ def stored_shard_report(
     )
 
 
+TOKEN_DOC_HWM = 400  # doc_id high-water mark of the stored corpus
+
+
+def token_shards_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    hwm: int = TOKEN_DOC_HWM,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """Incremental maintenance of the stored token shards — the
+    tokenizer-side twin of the IVF lifecycle's `index_lifecycle_report`:
+    documents already present in the stored table are ANTI-JOINED out,
+    only the delta is encoded (with the frozen tokenizer), and the
+    per-shard merge audit is served. The corpus is never re-encoded to
+    admit a batch: the stored side contributes its per-document token
+    profile from the narrow warehouse parquet, and the delta's token
+    mass needs NO position window (each word's count is its
+    segmentation size — the `pack_token_sequences` observation), so
+    delta cost is a delta-sized scan + the vocab-broadcast join + one
+    aggregation.
+
+    The high-water mark simulates the stored corpus on the static
+    fixture exactly as `IVF_UPSERT_HWM` does for vectors: the frozen
+    side is the stored table below `hwm`, and re-delivered documents
+    below the mark drop out in whichever batch they arrive (the
+    at-least-once contract). Documents that encode to zero tokens
+    (empty/whitespace text) have no stored rows, so they re-enter the
+    delta harmlessly — they encode to nothing and appear in neither
+    side of the audit, in both engines.
+
+    The oracle re-derives both sides from the base tables, so a
+    hash-green row certifies the stored profile equals the from-scratch
+    derivation document for document. Emits (shard, n_kept_docs,
+    n_new_docs, n_kept_tokens, n_new_tokens, new_share)."""
+    stored = stored_token_shards(spark, sf_dir, m, seed, shards)
+    frozen = stored.filter(F.col("doc_id") < hwm)
+    kept = (
+        frozen.groupBy("shard", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .withColumn("is_new", F.lit(0))
+    )
+    merges = _bpe_train(spark, sf_dir, m)
+    seg = F.array_join(F.split(F.col("w"), ""), " ")
+    for _, a, b, _t in merges:
+        seg = _bpe_apply_expr(seg, a, b)
+    word_n = _bpe_vocab(spark, sf_dir).select(
+        "w", F.size(F.split(seg, " ")).alias("n_sub")
+    )
+    from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    seed_v = SHUFFLE_SEED if seed is None else seed
+    shards_v = SHUFFLE_SHARDS if shards is None else shards
+    d = tables.load_table(spark, sf_dir, "documents")
+    delta_docs = d.join(
+        frozen.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    occurrences = delta_docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    shard = F.pmod(
+        H.h32_expr(F.concat_ws(":", F.lit(str(seed_v)), F.col("doc_id").cast("string"))),
+        F.lit(shards_v),
+    ).cast("int")
+    new = (
+        occurrences.join(
+            _vocab_join_side(spark, sf_dir, word_n, BPE_BROADCAST_MAX_WORDS), "w"
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").cast("bigint").alias("n_tokens"))
+        .select(shard.alias("shard"), "doc_id", "n_tokens")
+        .withColumn("is_new", F.lit(1))
+    )
+    return (
+        kept.unionByName(new)
+        .groupBy("shard")
+        .agg(
+            F.sum(1 - F.col("is_new")).cast("bigint").alias("n_kept_docs"),
+            F.sum("is_new").cast("bigint").alias("n_new_docs"),
+            F.sum((1 - F.col("is_new")) * F.col("n_tokens")).cast("bigint").alias("n_kept_tokens"),
+            F.sum(F.col("is_new") * F.col("n_tokens")).cast("bigint").alias("n_new_tokens"),
+            F.round(F.sum("is_new") / F.count(F.lit(1)), 6).alias("new_share"),
+        )
+    )
+
+
+def token_shards_upsert_oracle(
+    m: int = BPE_MERGES,
+    hwm: int = TOKEN_DOC_HWM,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> str:
+    from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    seed = SHUFFLE_SEED if seed is None else seed
+    shards = SHUFFLE_SHARDS if shards is None else shards
+    h = H.h32_sql(f"('{seed}' || ':' || CAST(doc_id AS VARCHAR))")
+    return rf"""
+WITH {_bpe_train_ctes(m)},
+word_n AS (SELECT w, len(string_split(seg, ' ')) AS n_sub FROM seg{m}),
+occurrences AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+),
+per_doc AS (
+  SELECT CAST({h} % {shards} AS INT) AS shard, doc_id,
+         CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+         CASE WHEN doc_id < {hwm} THEN 0 ELSE 1 END AS is_new
+  FROM (SELECT o.doc_id, n.n_sub FROM occurrences o
+        JOIN word_n n USING (w) WHERE o.w <> '')
+  GROUP BY 1, 2
+)
+SELECT shard,
+       CAST(sum(1 - is_new) AS BIGINT) AS n_kept_docs,
+       CAST(sum(is_new) AS BIGINT) AS n_new_docs,
+       CAST(sum((1 - is_new) * n_tokens) AS BIGINT) AS n_kept_tokens,
+       CAST(sum(is_new * n_tokens) AS BIGINT) AS n_new_tokens,
+       round(sum(is_new) / CAST(count(*) AS DOUBLE), 6) AS new_share
+FROM per_doc GROUP BY shard
+"""
+
+
 def stored_roundtrip_audit(
     spark: SparkSession,
     sf_dir: str,

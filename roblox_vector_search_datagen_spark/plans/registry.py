@@ -315,6 +315,14 @@ def _registry() -> dict[str, Query]:
         textstats.stored_roundtrip_audit_oracle(),
         ("text", "tokenizer", "lifecycle", "eval"),
     )
+    # incremental maintenance: the tokenizer-side twin of the IVF
+    # delta path — stored docs anti-joined out, only the delta encoded
+    # (frozen tokenizer, no position window), per-shard merge audit
+    r["token_shards_upsert"] = Query(
+        lambda spark, sf: textstats.token_shards_upsert(spark, sf),
+        textstats.token_shards_upsert_oracle(),
+        ("text", "tokenizer", "lifecycle", "worklist"),
+    )
     # the Lee et al. substring-dedup REMOVAL pass: strip every word
     # position covered by a maximal cross-doc repeated run; rides the
     # same persisted subtrees as repeated_substring_spans
@@ -942,26 +950,27 @@ def _registry() -> dict[str, Query]:
 # whole registry — that is the honest staleness ceiling (the "no row
 # older than two rounds" claim earlier rounds made is arithmetically
 # impossible; COVERAGE.md states the 4-round invariant). Round-8
-# ordering, weakest evidence first: (1) the four queries NEW this
+# ordering, weakest evidence first: (1) the five queries NEW this
 # round (the stored-token-shards serve path, its decode-roundtrip
-# closure audit, the scrub-consumer stage, and the multimodal resize
-# stage — zero driver rows), (2) the two round-7 additions that have
-# never
+# closure audit, the incremental shard upsert, the scrub-consumer
+# stage, and the multimodal resize stage — zero driver rows), (2) the
+# two round-7 additions that have never
 # appeared in a driver window (pack_token_sequences, substring_scrub
 # — the r7 judge's own sim is their only independent evidence so
 # far), (3) repeated_substring_spans, whose span key widened to the
 # two-hash pair this round — changed plans need fresh driver
 # evidence, (4) the full 19-query cohort whose newest driver row is
-# round 3 (four rounds stale), (5) 24 of the 43-query r5 cohort
-# (alphabetical; the remaining 19 queue immediately behind the window
+# round 3 (four rounds stale), (5) 23 of the 43-query r5 cohort
+# (alphabetical; the remaining 20 queue immediately behind the window
 # for r09). After r08 lands green, no query's newest driver row
 # predates round 5. Every query is self-contained, so order carries
-# no semantics. The registry counts 167 queries, 50 adjudicated per
+# no semantics. The registry counts 168 queries, 50 adjudicated per
 # round.
 _ADJUDICATE_FIRST = (
     # new this round
     "token_shards_stored",
     "stored_roundtrip_audit",
+    "token_shards_upsert",
     "scrubbed_token_counts",
     "media_resize",
     # never driver-adjudicated (added r7)
@@ -1013,9 +1022,9 @@ _ADJUDICATE_FIRST = (
     "ivf_label_purity",
     "ivf_upsert_assignments",
     "knn_label_accuracy",
-    "media_features",
-    # -- behind the 50-slot window: the remaining 19 r5-cohort queries,
+    # -- behind the 50-slot window: the remaining 20 r5-cohort queries,
     # first in line for the r09 rotation
+    "media_features",
     "merge_games_gather",
     "merge_games_rolimons",
     "merge_games_search",

@@ -62,6 +62,7 @@ GEN_QUERIES = [
     "scrubbed_token_counts",
     "token_shards_stored",
     "stored_roundtrip_audit",
+    "token_shards_upsert",
     "media_resize",
 ]
 

@@ -589,3 +589,26 @@ def test_stored_roundtrip_audit_decodes_every_document(spark, sf_dir):
     assert all(r.matches for r in rows)
     total = sum(r.n_tokens for r in rows)
     assert total == textstats.stored_token_shards(spark, sf_dir).count()
+
+
+def test_token_shards_upsert_conserves_mass_and_is_delta_shaped(spark, sf_dir):
+    """The incremental path must (a) anti-join the stored membership
+    (LeftAnti in the plan) and read the warehouse table, and (b)
+    conserve mass: kept+new docs and tokens per shard must equal the
+    stored-report totals, with the kept side exactly the sub-hwm
+    stored profile."""
+    up = textstats.token_shards_upsert(spark, sf_dir)
+    p = up._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p, p
+    assert "token_shards_" in p, p
+    rows = {r.shard: r for r in up.collect()}
+    report = {r.shard: r for r in textstats.stored_shard_report(spark, sf_dir).collect()}
+    assert set(rows) == set(report)
+    hwm = textstats.TOKEN_DOC_HWM
+    stored = textstats.stored_token_shards(spark, sf_dir)
+    kept_docs = stored.filter(F.col("doc_id") < hwm).select("doc_id").distinct().count()
+    assert sum(r.n_kept_docs for r in rows.values()) == kept_docs
+    for s, r in rows.items():
+        assert r.n_kept_docs + r.n_new_docs == report[s].n_docs
+        assert r.n_kept_tokens + r.n_new_tokens == report[s].n_tokens
+        assert 0.0 <= r.new_share <= 1.0
