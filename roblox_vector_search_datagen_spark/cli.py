@@ -401,6 +401,7 @@ COMMANDS = (
     "importJobsDb",
     "storeIndex",
     "storeTokenShards",
+    "storeTokenizer",
     "commitIngest",
 )
 
@@ -698,6 +699,28 @@ def main(argv: list[str] | None = None) -> int:
             for r in ts_ops.stored_shard_report(spark, sf_dir).orderBy("shard").collect()
         ]
         print(json.dumps({"path": path, "shards": manifest}))
+    elif cmd == "storeTokenizer":
+        # warehouse half of the tokenizer build: train (if absent) and
+        # store the merge list + vocabulary — the artifact every later
+        # session's encode/upsert serves from without retraining
+        # (usage: storeTokenizer [sf_dir] [--rebuild])
+        from .operators import textstats as ts_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        path = ts_ops.bpe_tokenizer_store(spark, sf_dir, rebuild="--rebuild" in args)
+        print(
+            json.dumps(
+                {
+                    "path": path,
+                    "n_merges": len(ts_ops.stored_bpe_merges(spark, sf_dir)),
+                    "vocab_size": spark.read.parquet(
+                        os.path.join(path, "vocab")
+                    ).count(),
+                }
+            )
+        )
     elif cmd == "commitIngest":
         # the continuous-ingestion commit step as an operational
         # command: clear every sf_dir-keyed memo and persisted cache,

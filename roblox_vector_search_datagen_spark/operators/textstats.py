@@ -1210,6 +1210,108 @@ def stored_shard_report(
     )
 
 
+def bpe_tokenizer_store(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    rebuild: bool = False,
+) -> str:
+    """STORE step for the TOKENIZER ITSELF — the artifact a model build
+    actually ships (tokenizer.json's relational shape): the ordered
+    merge list and the frequency-ranked vocabulary as two parquet
+    tables under the warehouse. Training is the expensive eager driver
+    loop (`_bpe_train`); its session memo dies with the process, so
+    before this every new session (driver run, bench run, service
+    restart) retrained from the corpus. The stored tokenizer makes the
+    train cost once-per-corpus instead of once-per-session, and it is
+    the FROZEN quantizer of the incremental encode paths — the exact
+    role the stored centroids play for the IVF index.
+
+    Same warehouse discipline as the other stores: content-addressed
+    tag (path digest + documents (size, mtime)), `_SUCCESS`
+    write-if-absent, `rebuild=True` the explicit hook. Both tables are
+    tokenizer-sized (m rows; |vocab| rows) — coalesced single files."""
+    tag = warehouse.sf_tag(sf_dir, "documents")
+    path = os.path.join(warehouse.WAREHOUSE_DIR, f"bpe_tokenizer_{tag}_m{m}")
+    merges_path = os.path.join(path, "merges")
+    vocab_path = os.path.join(path, "vocab")
+    if rebuild or not warehouse.tables_ready(merges_path, vocab_path):
+        bpe_merges(spark, sf_dir, m).coalesce(1).write.mode("overwrite").parquet(
+            merges_path
+        )
+        bpe_vocab(spark, sf_dir, m).coalesce(1).write.mode("overwrite").parquet(
+            vocab_path
+        )
+    return path
+
+
+def stored_bpe_merges(
+    spark: SparkSession, sf_dir: str, m: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """LOAD step, merge-list half: the frozen merge sequence from the
+    warehouse (writing it first if absent), as the same [(round, a, b,
+    total)] structure `_bpe_train` returns — an O(m) driver collect of
+    a tokenizer-sized table, the documented driver-table pattern."""
+    path = bpe_tokenizer_store(spark, sf_dir, m)
+    rows = (
+        spark.read.parquet(os.path.join(path, "merges"))
+        .orderBy("round")
+        .collect()
+    )
+    return [(int(r.round), r.a, r.b, int(r.total)) for r in rows]
+
+
+def tokenizer_lifecycle_report(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    n_docs: int = BPE_ENCODE_DOCS,
+) -> DataFrame:
+    """SERVE step — the registry's end-to-end stored-TOKENIZER path:
+    load the frozen merge list and vocabulary from the warehouse
+    (training only if the artifact is absent), fold the STORED merges
+    as plan literals over the sample documents, and id-map through the
+    STORED vocabulary (broadcast — it never re-derives from the
+    corpus; the plan pin holds the vocab branch to the warehouse
+    scan). Output is the model-ready encode of `bpe_encode_sample`,
+    and the oracle IS `bpe_encode_sample_oracle` — re-deriving
+    training, vocabulary and encode from the base tables — so a
+    hash-green row certifies the stored tokenizer reproduces the
+    from-scratch tokenizer merge-for-merge, id-for-id, byte-for-byte.
+    Emits (doc_id, pos, token, token_id)."""
+    merges = stored_bpe_merges(spark, sf_dir, m)
+    path = bpe_tokenizer_store(spark, sf_dir, m)
+    ids = spark.read.parquet(os.path.join(path, "vocab")).select("token", "token_id")
+    seg = F.array_join(F.split(F.col("w"), ""), " ")
+    for _, a, b, _t in merges:
+        seg = _bpe_apply_expr(seg, a, b)
+    word_tokens = (
+        _bpe_vocab(spark, sf_dir)
+        .select("w", F.posexplode(F.split(seg, " ")).alias("spos", "token"))
+        .join(ids, "token")
+    )
+    d = tables.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n_docs)
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("wpos", "w"),
+    ).filter(F.col("w") != "")
+    w_pos = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+    return words.join(
+        _vocab_join_side(spark, sf_dir, word_tokens, BPE_BROADCAST_MAX_WORDS), "w"
+    ).select(
+        "doc_id",
+        F.row_number().over(w_pos).cast("int").alias("pos"),
+        "token",
+        "token_id",
+    )
+
+
+def tokenizer_lifecycle_report_oracle(
+    m: int = BPE_MERGES, n_docs: int = BPE_ENCODE_DOCS
+) -> str:
+    return bpe_encode_sample_oracle(m, n_docs)
+
+
 TOKEN_DOC_HWM = 400  # doc_id high-water mark of the stored corpus
 
 

@@ -323,6 +323,15 @@ def _registry() -> dict[str, Query]:
         textstats.token_shards_upsert_oracle(),
         ("text", "tokenizer", "lifecycle", "worklist"),
     )
+    # the TOKENIZER as a stored artifact: merges + vocab from the
+    # warehouse, encode served with the stored merge list as literals
+    # and the stored id map broadcast; oracle re-derives training +
+    # encode from base tables, certifying the roundtrip byte-for-byte
+    r["tokenizer_lifecycle_report"] = Query(
+        lambda spark, sf: textstats.tokenizer_lifecycle_report(spark, sf),
+        textstats.tokenizer_lifecycle_report_oracle(),
+        ("text", "tokenizer", "lifecycle"),
+    )
     # the Lee et al. substring-dedup REMOVAL pass: strip every word
     # position covered by a maximal cross-doc repeated run; rides the
     # same persisted subtrees as repeated_substring_spans
@@ -950,27 +959,29 @@ def _registry() -> dict[str, Query]:
 # whole registry — that is the honest staleness ceiling (the "no row
 # older than two rounds" claim earlier rounds made is arithmetically
 # impossible; COVERAGE.md states the 4-round invariant). Round-8
-# ordering, weakest evidence first: (1) the five queries NEW this
+# ordering, weakest evidence first: (1) the six queries NEW this
 # round (the stored-token-shards serve path, its decode-roundtrip
-# closure audit, the incremental shard upsert, the scrub-consumer
-# stage, and the multimodal resize stage — zero driver rows), (2) the
-# two round-7 additions that have never
+# closure audit, the incremental shard upsert, the stored-tokenizer
+# serve path, the scrub-consumer stage, and the multimodal resize
+# stage — zero driver rows), (2) the two round-7 additions that have
+# never
 # appeared in a driver window (pack_token_sequences, substring_scrub
 # — the r7 judge's own sim is their only independent evidence so
 # far), (3) repeated_substring_spans, whose span key widened to the
 # two-hash pair this round — changed plans need fresh driver
 # evidence, (4) the full 19-query cohort whose newest driver row is
-# round 3 (four rounds stale), (5) 23 of the 43-query r5 cohort
-# (alphabetical; the remaining 20 queue immediately behind the window
+# round 3 (four rounds stale), (5) 22 of the 43-query r5 cohort
+# (alphabetical; the remaining 21 queue immediately behind the window
 # for r09). After r08 lands green, no query's newest driver row
 # predates round 5. Every query is self-contained, so order carries
-# no semantics. The registry counts 168 queries, 50 adjudicated per
+# no semantics. The registry counts 169 queries, 50 adjudicated per
 # round.
 _ADJUDICATE_FIRST = (
     # new this round
     "token_shards_stored",
     "stored_roundtrip_audit",
     "token_shards_upsert",
+    "tokenizer_lifecycle_report",
     "scrubbed_token_counts",
     "media_resize",
     # never driver-adjudicated (added r7)
@@ -1021,9 +1032,9 @@ _ADJUDICATE_FIRST = (
     "interval_click_counts",
     "ivf_label_purity",
     "ivf_upsert_assignments",
-    "knn_label_accuracy",
-    # -- behind the 50-slot window: the remaining 20 r5-cohort queries,
+    # -- behind the 50-slot window: the remaining 21 r5-cohort queries,
     # first in line for the r09 rotation
+    "knn_label_accuracy",
     "media_features",
     "merge_games_gather",
     "merge_games_rolimons",

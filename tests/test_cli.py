@@ -416,6 +416,14 @@ def test_store_index_and_token_shards_commands(spark, sf_dir, tmp_path, monkeypa
     assert res["shards"] and all(s["n_docs"] >= s["n_seqs"] >= 1 for s in res["shards"])
     assert os.path.exists(os.path.join(res["path"], "_SUCCESS"))
 
+    assert cli.main(["storeTokenizer", sf_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    from roblox_vector_search_datagen_spark.operators import textstats as ts_ops
+
+    assert res["n_merges"] == ts_ops.BPE_MERGES
+    assert res["vocab_size"] > 0
+    assert os.path.exists(os.path.join(res["path"], "merges", "_SUCCESS"))
+
     assert cli.main(["commitIngest", sf_dir]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert os.path.exists(os.path.join(res["rebuilt_index"], "assignments", "_SUCCESS"))

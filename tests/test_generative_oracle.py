@@ -63,6 +63,7 @@ GEN_QUERIES = [
     "token_shards_stored",
     "stored_roundtrip_audit",
     "token_shards_upsert",
+    "tokenizer_lifecycle_report",
     "media_resize",
 ]
 

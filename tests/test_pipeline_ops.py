@@ -612,3 +612,25 @@ def test_token_shards_upsert_conserves_mass_and_is_delta_shaped(spark, sf_dir):
         assert r.n_kept_docs + r.n_new_docs == report[s].n_docs
         assert r.n_kept_tokens + r.n_new_tokens == report[s].n_tokens
         assert 0.0 <= r.new_share <= 1.0
+
+
+def test_stored_tokenizer_roundtrips_and_serves_from_warehouse(spark, sf_dir):
+    """The stored tokenizer must reproduce the session-trained one
+    merge-for-merge (the artifact, not a re-train, is what the serve
+    path folds), and the serve plan's id map must read the warehouse
+    vocab table — never re-derive ids from the corpus."""
+    import os
+
+    stored = textstats.stored_bpe_merges(spark, sf_dir)
+    assert stored == textstats._bpe_train(spark, sf_dir)
+    path = textstats.bpe_tokenizer_store(spark, sf_dir)
+    assert os.path.exists(os.path.join(path, "merges", "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "vocab", "_SUCCESS"))
+
+    df = textstats.tokenizer_lifecycle_report(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "bpe_tokenizer_" in p, p
+    # value parity with the live-encode twin
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, textstats.bpe_encode_sample(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
