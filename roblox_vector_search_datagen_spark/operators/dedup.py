@@ -933,6 +933,7 @@ def clear_session_memos(spark: SparkSession | None = None) -> None:
     _CLUSTERS_MEMO.clear()
     _ts._BPE_MEMO.clear()
     _ts._VOCAB_COUNT_MEMO.clear()
+    _ts._STORED_WORDS_MEMO.clear()
     if spark is not None:
         spark.catalog.clearCache()
 

@@ -673,9 +673,14 @@ ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT {k}
 
 SPAN_CHAIN_MIN_WORDS = SPAN_N + 2
 SPAN_CHAIN_TOPK = 100
-# seed-split salt for the second span hash: xxhash64((span, salt))
-# is independent of xxhash64(span), so the 128-bit pair key's
-# collision odds are the product of two 64-bit chances
+# seed-split salt for the second span hash. Order matters: Spark's
+# multi-arg xxhash64 seed-chains left-to-right
+# (xxhash64(a, b) == XXH64(b, seed=XXH64(a, 42))), so the salt must be
+# the FIRST argument — xxhash64(salt, span) = XXH64(span,
+# seed=XXH64(salt, 42)), a genuinely different seed from the default
+# 42, making h2 independent of h1. With the salt second, h2 would be a
+# pure function of h1 (any h1 collision collides h2 too) and the pair
+# key would be no stronger than a single 64-bit hash.
 _SPAN_H2_SALT = 0x9E3779B9
 
 def repeated_substring_spans(
@@ -706,7 +711,8 @@ def repeated_substring_spans(
     joins the top-k-bounded run table back to the word arrays.
 
     The span key is a 16-byte pair of INDEPENDENT xxhash64 values of
-    the span text (seed-split: h2 hashes (span, salt)), NEVER the
+    the span text (seed-split: h2 hashes (salt, span) — salt first, so
+    the chained seed XXH64(salt, 42) differs from h1's 42), NEVER the
     n-word string: the df aggregation and the position join exchange
     hashes, and the string exists only inside the per-position
     projection (hashed in the same codegen stage the explode emits it
@@ -767,7 +773,7 @@ def _span_runs(
     # one materialization instead of two is the dominant cost lever.
     # The span string leaves the HOF but not the stage: the projection
     # below it derives the two independent 64-bit hashes (second one
-    # seed-split by hashing (span, salt)) in the same codegen span and
+    # seed-split by hashing (salt, span) — salt first) in the same codegen span and
     # drops the string, so only the 16-byte key is ever exchanged —
     # wide enough that a collision (which would merge two distinct
     # spans' document frequencies and could scrub unrelated text) is
@@ -790,7 +796,9 @@ def _span_runs(
             "doc_id",
             F.col("ps.pos").alias("pos"),
             F.xxhash64(F.col("ps.span")).alias("span_h"),
-            F.xxhash64(F.col("ps.span"), F.lit(_SPAN_H2_SALT)).alias("span_h2"),
+            # salt FIRST: see _SPAN_H2_SALT — salt-second would
+            # seed-chain h2 off h1 and collapse the pair to 64 bits.
+            F.xxhash64(F.lit(_SPAN_H2_SALT), F.col("ps.span")).alias("span_h2"),
         ),
         invariant,
     )

@@ -894,10 +894,14 @@ def _vocab_join_side(spark: SparkSession, sf_dir: str, vocab_side: DataFrame, br
     see BPE_BROADCAST_MAX_WORDS. The count memoizes per (application,
     sf_dir); `broadcast_max <= 0` forces the shuffle path (tests pin
     both paths hash-identical)."""
+    if broadcast_max <= 0:
+        # forced-shuffle arm: the broadcast decision is already made, so
+        # never pay (or memoize) the distinct-word count corpus scan
+        return vocab_side
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _VOCAB_COUNT_MEMO:
         _VOCAB_COUNT_MEMO[key] = _bpe_vocab(spark, sf_dir).count()
-    if broadcast_max > 0 and _VOCAB_COUNT_MEMO[key] <= broadcast_max:
+    if _VOCAB_COUNT_MEMO[key] <= broadcast_max:
         return F.broadcast(vocab_side)
     return vocab_side
 
@@ -1114,7 +1118,16 @@ def token_shards_store(
     path (same-leaf fixture roots get distinct entries) and the
     documents table's (size, mtime) (a regenerated/mutated corpus
     rebuilds instead of serving the stale encode); `_SUCCESS` is the
-    commit marker and `rebuild=True` the explicit invalidation hook."""
+    commit marker and `rebuild=True` the explicit invalidation hook.
+
+    A sibling MANIFEST table (shard, doc_id, n_tokens) is written in
+    the same commit from the same encode: the per-document token
+    profile every serve-path consumer (`stored_shard_report`'s pack
+    rollup, `token_shards_upsert`'s frozen side) needs — precomputed
+    once at write time instead of re-aggregated from the token rows on
+    every serve. At 100 TB the manifest is ~corpus-doc-count rows vs
+    the token table's ~corpus-token-count: the difference between a
+    loader reading megabytes and re-scanning terabytes per plan."""
     from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
 
     seed = SHUFFLE_SEED if seed is None else seed
@@ -1123,9 +1136,11 @@ def token_shards_store(
     path = os.path.join(
         warehouse.WAREHOUSE_DIR, f"token_shards_{tag}_m{m}_s{seed}_n{shards}"
     )
-    if rebuild or not warehouse.tables_ready(path):
+    manifest = _token_manifest_path(path)
+    if rebuild or not warehouse.tables_ready(path, manifest):
+        enc = token_shards(spark, sf_dir, m, seed, shards)
         (
-            token_shards(spark, sf_dir, m, seed, shards)
+            enc
             # loader-friendly physical layout, paid once at build time:
             # repartition on the shard key collapses the write from
             # (shuffle partitions x shards) small files to one file per
@@ -1141,7 +1156,38 @@ def token_shards_store(
             .partitionBy("shard")
             .parquet(path)
         )
+        (
+            # manifest from the just-committed token table (a narrow
+            # warehouse scan, not a second encode): one row per (shard,
+            # doc_id) with its token mass.
+            spark.read.parquet(path)
+            .groupBy(F.col("shard").cast("int").alias("shard"), F.col("doc_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(manifest)
+        )
     return path
+
+
+def _token_manifest_path(shards_path: str) -> str:
+    # sibling, not a subdirectory: the token table is partitioned
+    # parquet and a non-`shard=` child would break partition discovery
+    return shards_path + "_manifest"
+
+
+def stored_token_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BPE_MERGES,
+    seed: int | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """LOAD step, manifest half: the per-document token profile
+    (shard, doc_id, n_tokens) written beside the shards at store time
+    (writing both first if absent)."""
+    path = token_shards_store(spark, sf_dir, m, seed, shards)
+    return spark.read.parquet(_token_manifest_path(path))
 
 
 def stored_token_shards(
@@ -1171,28 +1217,25 @@ def stored_shard_report(
     seed: int | None = None,
     shards: int | None = None,
 ) -> DataFrame:
-    """SERVE step — the registry's end-to-end stored-shards path: load
-    the warehouse table (building it first if absent), derive each
-    document's token mass from the STORED rows (count per (shard,
-    doc_id) — no re-encode, the documents table is never scanned on
-    this path, plan-pinned), run the same greedy running-total pack as
+    """SERVE step — the registry's end-to-end stored-shards path: read
+    each document's token mass from the MANIFEST table written beside
+    the shards at store time (no re-encode, no re-aggregation of the
+    token rows, and the documents table is never scanned — plan-pinned
+    to the manifest scan), run the same greedy running-total pack as
     `pack_token_sequences` over those stored counts, and roll up the
-    per-shard manifest a training job's loader reads before it opens a
+    per-shard report a training job's loader reads before it opens a
     split: document count, token mass, packed-sequence count, and the
     largest single document (the sequence-length hazard).
 
     The oracle intentionally does NOT read the warehouse table: it
-    re-derives the same manifest from the base tables (the
+    re-derives the same report from the base tables (the
     `pack_token_sequences` CTEs + a shard rollup), so a hash-green row
-    certifies the encode -> store -> load -> pack roundtrip preserved
-    every value — exactly how `index_lifecycle_report` certified the
-    IVF store. Emits (shard, n_docs, n_tokens, n_seqs,
+    certifies the encode -> store -> manifest -> pack roundtrip
+    preserved every value — exactly how `index_lifecycle_report`
+    certified the IVF store. Emits (shard, n_docs, n_tokens, n_seqs,
     max_doc_tokens)."""
     budget = PACK_TOKEN_BUDGET if budget is None else budget
-    stored = stored_token_shards(spark, sf_dir, m, seed, shards)
-    per_doc = stored.groupBy("shard", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens")
-    )
+    per_doc = stored_token_manifest(spark, sf_dir, m, seed, shards)
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -1229,18 +1272,41 @@ def bpe_tokenizer_store(
 
     Same warehouse discipline as the other stores: content-addressed
     tag (path digest + documents (size, mtime)), `_SUCCESS`
-    write-if-absent, `rebuild=True` the explicit hook. Both tables are
-    tokenizer-sized (m rows; |vocab| rows) — coalesced single files."""
+    write-if-absent, `rebuild=True` the explicit hook. Three tables:
+    the ordered merge list (m rows), the frequency-ranked vocabulary
+    (|vocab| rows), and the SEGMENTS table — every distinct corpus
+    word exploded to its (w, spos, token, token_id) subword rows, i.e.
+    the tokenizer's frozen word->subwords map fully applied. Storing
+    the segmentation is what lets every serve-path encode (the
+    lifecycle report, the shard upsert's delta) run WITHOUT touching
+    the documents table or re-folding the merges: encode = join
+    occurrences to the stored segments. All three are tokenizer/
+    vocab-sized (Heaps' law) — coalesced single files."""
     tag = warehouse.sf_tag(sf_dir, "documents")
     path = os.path.join(warehouse.WAREHOUSE_DIR, f"bpe_tokenizer_{tag}_m{m}")
     merges_path = os.path.join(path, "merges")
     vocab_path = os.path.join(path, "vocab")
-    if rebuild or not warehouse.tables_ready(merges_path, vocab_path):
+    segments_path = os.path.join(path, "segments")
+    if rebuild or not warehouse.tables_ready(merges_path, vocab_path, segments_path):
         bpe_merges(spark, sf_dir, m).coalesce(1).write.mode("overwrite").parquet(
             merges_path
         )
         bpe_vocab(spark, sf_dir, m).coalesce(1).write.mode("overwrite").parquet(
             vocab_path
+        )
+        merges = _bpe_train(spark, sf_dir, m)
+        seg = F.array_join(F.split(F.col("w"), ""), " ")
+        for _, a, b, _t in merges:
+            seg = _bpe_apply_expr(seg, a, b)
+        ids = bpe_vocab(spark, sf_dir, m).select("token", "token_id")
+        (
+            _bpe_vocab(spark, sf_dir)
+            .select("w", F.posexplode(F.split(seg, " ")).alias("spos", "token"))
+            .join(F.broadcast(ids), "token")
+            .select("w", "spos", "token", "token_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(segments_path)
         )
     return path
 
@@ -1261,6 +1327,48 @@ def stored_bpe_merges(
     return [(int(r.round), r.a, r.b, int(r.total)) for r in rows]
 
 
+# stored-segments word counts per (application, store path): decides the
+# broadcast-vs-shuffle join strategy for the warehouse-served encode
+# paths. Counting the STORED table is a warehouse scan (vocab-sized),
+# never a corpus pass — the distinction that lets the serve paths stay
+# documents-scan-free. Cleared alongside the other session memos.
+_STORED_WORDS_MEMO: dict[tuple[str, str], int] = {}
+
+
+def stored_bpe_segments(
+    spark: SparkSession, sf_dir: str, m: int = BPE_MERGES
+) -> DataFrame:
+    """LOAD step, segmentation half: the frozen word->subwords map
+    (w, spos, token, token_id) from the warehouse (writing it first if
+    absent). This is the table every warehouse-served encode joins the
+    occurrence stream into — the corpus never needs re-segmenting."""
+    path = bpe_tokenizer_store(spark, sf_dir, m)
+    return spark.read.parquet(os.path.join(path, "segments"))
+
+
+def _stored_segments_join_side(
+    spark: SparkSession,
+    sf_dir: str,
+    side: DataFrame,
+    m: int = BPE_MERGES,
+    broadcast_max: int = BPE_BROADCAST_MAX_WORDS,
+) -> DataFrame:
+    """Broadcast gate for stored-segments-derived join sides: same
+    ceiling semantics as `_vocab_join_side`, but the deciding count is
+    a distinct-w count over the WAREHOUSE segments table (vocab-sized
+    scan), so forcing or taking either arm never touches documents."""
+    if broadcast_max <= 0:
+        return side
+    key = (spark.sparkContext.applicationId, bpe_tokenizer_store(spark, sf_dir, m))
+    if key not in _STORED_WORDS_MEMO:
+        _STORED_WORDS_MEMO[key] = (
+            stored_bpe_segments(spark, sf_dir, m).select("w").distinct().count()
+        )
+    if _STORED_WORDS_MEMO[key] <= broadcast_max:
+        return F.broadcast(side)
+    return side
+
+
 def tokenizer_lifecycle_report(
     spark: SparkSession,
     sf_dir: str,
@@ -1268,28 +1376,21 @@ def tokenizer_lifecycle_report(
     n_docs: int = BPE_ENCODE_DOCS,
 ) -> DataFrame:
     """SERVE step — the registry's end-to-end stored-TOKENIZER path:
-    load the frozen merge list and vocabulary from the warehouse
-    (training only if the artifact is absent), fold the STORED merges
-    as plan literals over the sample documents, and id-map through the
-    STORED vocabulary (broadcast — it never re-derives from the
-    corpus; the plan pin holds the vocab branch to the warehouse
-    scan). Output is the model-ready encode of `bpe_encode_sample`,
-    and the oracle IS `bpe_encode_sample_oracle` — re-deriving
-    training, vocabulary and encode from the base tables — so a
-    hash-green row certifies the stored tokenizer reproduces the
-    from-scratch tokenizer merge-for-merge, id-for-id, byte-for-byte.
+    the sample documents are encoded by joining their occurrence
+    stream into the STORED segments table — the warehouse's frozen
+    (w, spos, token, token_id) map — so the serve path never scans the
+    full documents table, never re-folds the merges, and never
+    re-derives ids from the corpus: the only corpus touch is the
+    n_docs-bounded sample being encoded, and the tokenizer branch of
+    the plan is held to warehouse scans (plan-pinned, including the
+    broadcast-gate count, which reads the stored table). Output is the
+    model-ready encode of `bpe_encode_sample`, and the oracle IS
+    `bpe_encode_sample_oracle` — re-deriving training, vocabulary and
+    encode from the base tables — so a hash-green row certifies the
+    stored tokenizer reproduces the from-scratch tokenizer
+    merge-for-merge, id-for-id, byte-for-byte.
     Emits (doc_id, pos, token, token_id)."""
-    merges = stored_bpe_merges(spark, sf_dir, m)
-    path = bpe_tokenizer_store(spark, sf_dir, m)
-    ids = spark.read.parquet(os.path.join(path, "vocab")).select("token", "token_id")
-    seg = F.array_join(F.split(F.col("w"), ""), " ")
-    for _, a, b, _t in merges:
-        seg = _bpe_apply_expr(seg, a, b)
-    word_tokens = (
-        _bpe_vocab(spark, sf_dir)
-        .select("w", F.posexplode(F.split(seg, " ")).alias("spos", "token"))
-        .join(ids, "token")
-    )
+    word_tokens = stored_bpe_segments(spark, sf_dir, m)
     d = tables.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n_docs)
     words = d.select(
         "doc_id",
@@ -1297,7 +1398,7 @@ def tokenizer_lifecycle_report(
     ).filter(F.col("w") != "")
     w_pos = Window.partitionBy("doc_id").orderBy("wpos", "spos")
     return words.join(
-        _vocab_join_side(spark, sf_dir, word_tokens, BPE_BROADCAST_MAX_WORDS), "w"
+        _stored_segments_join_side(spark, sf_dir, word_tokens, m), "w"
     ).select(
         "doc_id",
         F.row_number().over(w_pos).cast("int").alias("pos"),
@@ -1328,12 +1429,14 @@ def token_shards_upsert(
     documents already present in the stored table are ANTI-JOINED out,
     only the delta is encoded (with the frozen tokenizer), and the
     per-shard merge audit is served. The corpus is never re-encoded to
-    admit a batch: the stored side contributes its per-document token
-    profile from the narrow warehouse parquet, and the delta's token
-    mass needs NO position window (each word's count is its
-    segmentation size — the `pack_token_sequences` observation), so
-    delta cost is a delta-sized scan + the vocab-broadcast join + one
-    aggregation.
+    admit a batch: the stored side IS the manifest table written at
+    store time (one narrow warehouse scan, no re-aggregation of token
+    rows), the delta's segmentation comes from the stored SEGMENTS
+    table (no merge re-fold, no distinct-word corpus pass), and the
+    delta's token mass needs NO position window (each word's count is
+    its segmentation size — the `pack_token_sequences` observation),
+    so delta cost is a delta-sized scan + the segments-broadcast join
+    + one aggregation.
 
     The high-water mark simulates the stored corpus on the static
     fixture exactly as `IVF_UPSERT_HWM` does for vectors: the frozen
@@ -1348,28 +1451,22 @@ def token_shards_upsert(
     hash-green row certifies the stored profile equals the from-scratch
     derivation document for document. Emits (shard, n_kept_docs,
     n_new_docs, n_kept_tokens, n_new_tokens, new_share)."""
-    stored = stored_token_shards(spark, sf_dir, m, seed, shards)
-    frozen = stored.filter(F.col("doc_id") < hwm)
-    kept = (
-        frozen.groupBy("shard", "doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"))
-        .withColumn("is_new", F.lit(0))
+    manifest = stored_token_manifest(spark, sf_dir, m, seed, shards)
+    frozen = manifest.filter(F.col("doc_id") < hwm)
+    kept = frozen.select("shard", "doc_id", "n_tokens").withColumn(
+        "is_new", F.lit(0)
     )
-    merges = _bpe_train(spark, sf_dir, m)
-    seg = F.array_join(F.split(F.col("w"), ""), " ")
-    for _, a, b, _t in merges:
-        seg = _bpe_apply_expr(seg, a, b)
-    word_n = _bpe_vocab(spark, sf_dir).select(
-        "w", F.size(F.split(seg, " ")).alias("n_sub")
+    word_n = (
+        stored_bpe_segments(spark, sf_dir, m)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_sub"))
     )
     from .layout import SHUFFLE_SEED, SHUFFLE_SHARDS
 
     seed_v = SHUFFLE_SEED if seed is None else seed
     shards_v = SHUFFLE_SHARDS if shards is None else shards
     d = tables.load_table(spark, sf_dir, "documents")
-    delta_docs = d.join(
-        frozen.select("doc_id").distinct(), "doc_id", "left_anti"
-    )
+    delta_docs = d.join(frozen.select("doc_id"), "doc_id", "left_anti")
     occurrences = delta_docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
@@ -1378,9 +1475,7 @@ def token_shards_upsert(
         F.lit(shards_v),
     ).cast("int")
     new = (
-        occurrences.join(
-            _vocab_join_side(spark, sf_dir, word_n, BPE_BROADCAST_MAX_WORDS), "w"
-        )
+        occurrences.join(_stored_segments_join_side(spark, sf_dir, word_n, m), "w")
         .groupBy("doc_id")
         .agg(F.sum("n_sub").cast("bigint").alias("n_tokens"))
         .select(shard.alias("shard"), "doc_id", "n_tokens")

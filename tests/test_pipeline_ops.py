@@ -617,8 +617,11 @@ def test_token_shards_upsert_conserves_mass_and_is_delta_shaped(spark, sf_dir):
 def test_stored_tokenizer_roundtrips_and_serves_from_warehouse(spark, sf_dir):
     """The stored tokenizer must reproduce the session-trained one
     merge-for-merge (the artifact, not a re-train, is what the serve
-    path folds), and the serve plan's id map must read the warehouse
-    vocab table — never re-derive ids from the corpus."""
+    path reads), and the serve plan's tokenizer branch — segmentation
+    AND id map — must come from the warehouse segments table: the only
+    documents scan left in the plan is the n_docs sample being
+    encoded (r8's serve re-derived the segmentation via a second
+    corpus scan; the advisor flagged the docstring overclaim)."""
     import os
 
     stored = textstats.stored_bpe_merges(spark, sf_dir)
@@ -626,10 +629,15 @@ def test_stored_tokenizer_roundtrips_and_serves_from_warehouse(spark, sf_dir):
     path = textstats.bpe_tokenizer_store(spark, sf_dir)
     assert os.path.exists(os.path.join(path, "merges", "_SUCCESS"))
     assert os.path.exists(os.path.join(path, "vocab", "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "segments", "_SUCCESS"))
 
     df = textstats.tokenizer_lifecycle_report(spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "bpe_tokenizer_" in p, p
+    # the segments scan (path may be truncated in the plan string, so
+    # key on its unique read schema)
+    assert "w:string,spos:int,token:string,token_id:int" in p, p
+    assert p.count("documents.parquet") == 1, p  # the sample scan only
     # value parity with the live-encode twin
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, textstats.bpe_encode_sample(spark, sf_dir).collect()))

@@ -668,7 +668,10 @@ def test_repeated_substring_spans_exchanges_hash_keys_only(spark, sf_dir):
     key (key width dominates exchange volume at scale; the string
     exists only inside the hashing projection and the final top-k
     reconstruction), and BOTH hashes must key the exchange (the
-    two-hash key is what pushes collision odds past corpus scale)."""
+    two-hash key is what pushes collision odds past corpus scale —
+    h2 hashes (salt, span) salt-FIRST, because Spark's multi-arg
+    xxhash64 seed-chains and a salt-second h2 would be a pure
+    function of h1)."""
     from roblox_vector_search_datagen_spark.operators import textprep
 
     p = textprep.repeated_substring_spans(
@@ -721,9 +724,12 @@ def test_stored_shard_report_reads_only_the_warehouse(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "token_shards_" in p, p
     assert "documents" not in p, p
-    # the stored table is partitioned by shard: the scan's partition
-    # schema carries the shard key (pruning unit for a loader split)
-    assert re.search(r"PartitionFilters|shard", p), p
+    # r9: the per-doc counts come from the MANIFEST written at store
+    # time — the serve plan scans the narrow (shard, doc_id, n_tokens)
+    # sibling (keyed on its unique read schema; the path string is
+    # truncated in plan output), never re-aggregates the token rows
+    assert "struct<shard:int,doc_id:bigint,n_tokens:bigint>" in p, p
+    assert "token_id" not in p, p
 
     got = {r.shard: (r.n_docs, r.n_tokens, r.n_seqs, r.max_doc_tokens) for r in df.collect()}
     live = textstats.token_shards(spark, sf_dir).groupBy("shard", "doc_id").agg(

@@ -170,11 +170,13 @@ def test_warehouse_tag_distinguishes_same_leaf_roots(sf_dir, tmp_path):
     sf2 = str(tmp_path / "sfcontent")
     shutil.copytree(sf_dir, sf2)
     t0 = W.sf_tag(sf2, "embeddings")
+    t_doc = W.sf_tag(sf2, "documents")
     assert t0 != W.sf_tag(sf2)  # the source stat participates
     os.utime(os.path.join(sf2, "embeddings.parquet"))
     assert W.sf_tag(sf2, "embeddings") != t0
-    # tables the artifact does not derive from do not disturb its tag
-    assert W.sf_tag(sf2, "documents") == W.sf_tag(sf2, "documents")
+    # tables the artifact does not derive from do not disturb its tag:
+    # touching embeddings.parquet leaves a documents-keyed tag unchanged
+    assert W.sf_tag(sf2, "documents") == t_doc
 
 
 def test_commit_ingest_batch_serves_fresh_index(spark, sf_dir, tmp_path):
