@@ -248,6 +248,7 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("out_width", T.IntegerType(), False),
         T.StructField("out_height", T.IntegerType(), False),
         T.StructField("scale", T.DoubleType(), False),
+        T.StructField("resample", T.StringType(), False),
         T.StructField("resized_digest", T.StringType(), False),
     ]
 )
@@ -264,17 +265,26 @@ def media_resized(
     normalization pass a vision-training pipeline runs before
     feature extraction (decode -> RESIZE -> encode). Arrow-batched
     mapInPandas with the same plumbing contract as the decode stage
-    (schema, batch shape, partition parallelism, zero shuffles); the
-    pixel resample itself is the documented deterministic STUB (no
-    codec in this container): output bytes are stood in for by
-    md5(source digest : out dims), so the stage is total, byte-stable
-    across environments, and fully DuckDB-oracle-checkable. A real
-    deployment swaps `_stub_resize_digest` for decode + PIL
-    Image.resize + re-encode — one function, same plan. The dimension
-    arithmetic (the part the plan actually schedules) is real:
+    (schema, batch shape, partition parallelism, zero shuffles).
+
+    The pixel resample is REAL for every blob the decode stage can
+    read (r9; previously a digest stub for all blobs): decodable
+    png/jpeg content (magic-bytes sniff, same gate as
+    `media_features`) is decoded to luminance (PIL or the vendored
+    pure-stdlib readers), area-weighted box-resampled
+    (functions/resample.py) to the emitted (out_width, out_height),
+    re-encoded with the vendored PNG encoder (functions/png.py —
+    always the vendored encoder, so the resized bytes are
+    backend-invariant), and `resized_digest` is the md5 of those real
+    resized bytes. Undecodable blobs (sniffed 'other', or corrupt
+    despite the sniff) take the documented deterministic stub digest —
+    and the `resample` column ('real'/'stub') is the per-row
+    observability twin of `media_inventory`'s sniff counters, so a
+    corpus that silently falls back to 100% stub is visible. The
+    dimension arithmetic is the same for both arms:
     scale = min(1, max_edge / longest side), floor-scaled dims with a
     1px floor. Emits (doc_id, media_type, width, height, out_width,
-    out_height, scale, resized_digest)."""
+    out_height, scale, resample, resized_digest)."""
     import math
 
     import pandas as pd
@@ -282,8 +292,9 @@ def media_resized(
     m = media(spark, sf_dir) if media_df is None else media_df
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = _try_real_decoder()
         for pdf in batches:
-            out_w, out_h, scales, digs = [], [], [], []
+            out_w, out_h, scales, arms, digs = [], [], [], [], []
             for c, w, h in zip(
                 pdf["content"], pdf["meta"].str["width"], pdf["meta"].str["height"]
             ):
@@ -295,7 +306,11 @@ def media_resized(
                 out_w.append(ow)
                 out_h.append(oh)
                 scales.append(round(scale, 6))
-                digs.append(_stub_resize_digest(bytes(c), ow, oh))
+                real = _real_resize_digest(backend, bytes(c), ow, oh)
+                arms.append("real" if real is not None else "stub")
+                digs.append(
+                    real if real is not None else _stub_resize_digest(bytes(c), ow, oh)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -305,6 +320,7 @@ def media_resized(
                     "out_width": out_w,
                     "out_height": out_h,
                     "scale": scales,
+                    "resample": arms,
                     "resized_digest": digs,
                 }
             )
@@ -312,26 +328,76 @@ def media_resized(
     return m.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def _real_resize_digest(
+    backend, content: bytes, out_w: int, out_h: int
+) -> str | None:
+    """REAL resample arm: decode luminance (PIL or vendored readers —
+    the same dispatch as `_real_pixels`), box-resample to the target
+    dims (functions/resample.py), re-encode with the VENDORED PNG
+    encoder (even when PIL decoded — one encoder, so the output bytes
+    and digest are identical in every environment), return md5 of the
+    real resized bytes. None = not decodable (sniffed 'other', or
+    corrupt despite the sniff) — caller falls back to the documented
+    stub and marks the row."""
+    import io
+
+    from ..functions import png as _pngmod
+    from ..functions import resample as _resample
+
+    kind, mod = backend
+    fmt = _sniff_format(content)
+    if fmt == "other":
+        return None
+    try:
+        if kind == "pil":
+            img = mod.open(io.BytesIO(content)).convert("L")
+            rows = [list(r) for r in _np_rows(img)]
+        elif fmt == "png":
+            _w, _h, rows = mod["png"].decode_png_luminance(content)
+        else:
+            _w, _h, rows = mod["jpeg"].decode_jpeg_luminance(content)
+        resized = _resample.resample_gray_box(rows, out_w, out_h)
+        return hashlib.md5(_pngmod.encode_png_gray(resized)).hexdigest()
+    except Exception:  # noqa: BLE001 — corrupt-but-sniffed blob -> documented stub
+        return None
+
+
+def _np_rows(img):  # pragma: no cover - PIL not installed here
+    import numpy as np
+
+    return np.asarray(img, dtype="int64").tolist()
+
+
 def _stub_resize_digest(content: bytes, out_w: int, out_h: int) -> str:
-    """STUB resample: the resized blob's identity is the digest of
-    (source digest, target dims) — deterministic, engine-reproducible
-    (DuckDB re-derives it in the oracle), NOT real pixels (documented;
-    the real arm replaces exactly this function)."""
+    """STUB resample for blobs no decoder can read: the resized blob's
+    identity is the digest of (source digest, target dims) —
+    deterministic, engine-reproducible (DuckDB re-derives it in the
+    oracle), NOT real pixels (documented; decodable blobs take
+    `_real_resize_digest`)."""
     src = hashlib.md5(content).hexdigest()
     return hashlib.md5(f"{src}:{out_w}x{out_h}".encode()).hexdigest()
 
 
 def media_resized_oracle(max_edge: int = RESIZE_MAX_EDGE) -> str:
-    """Dims re-derived from the media projection's arithmetic, the
-    digest from md5 chains over the same strings — the whole
-    mapInPandas stage is value-pinned like media_features'."""
+    """Dims re-derived from the media projection's arithmetic, the arm
+    from the same magic-bytes sniff `media_inventory`'s oracle uses,
+    the stub digest from md5 chains over the same strings — the whole
+    mapInPandas stage is value-pinned like media_features'. The oracle
+    expresses the STUB arm's digest (fixture blobs are text bytes, so
+    every row sniffs 'other'); a corpus with genuinely decodable blobs
+    would surface as a red row here by design — the real arm's bytes
+    are pinned by the pytest roundtrip against an independent resample
+    (test_multimodal.py), not by SQL."""
     return f"""
 WITH m AS (
   SELECT doc_id,
          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
          CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
          CAST((doc_id % 4 + 1) * 64 AS INT) AS height,
-         md5(text) AS h
+         md5(text) AS h,
+         CASE WHEN substr(hex(encode(text)), 1, 16) = '89504E470D0A1A0A'
+                OR substr(hex(encode(text)), 1, 6) = 'FFD8FF'
+              THEN 'real' ELSE 'stub' END AS resample
   FROM documents
 ),
 s AS (
@@ -348,6 +414,7 @@ o AS (
 )
 SELECT doc_id, media_type, width, height, out_width, out_height,
        round(raw_scale, 6) AS scale,
+       resample,
        md5(h || ':' || CAST(out_width AS VARCHAR) || 'x' || CAST(out_height AS VARCHAR))
          AS resized_digest
 FROM o

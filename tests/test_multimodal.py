@@ -475,6 +475,106 @@ def test_jpeg_malformed_segments_raise_valueerror():
             jpeg.decode_jpeg_luminance(blob)
 
 
+def test_resample_gray_box_kernel_matches_independent_block_mean():
+    """The box-filter kernel at an integer ratio IS the block mean —
+    verified against an independent numpy implementation (reshape +
+    mean + round-half-up), plus the upscale/flat/floor edge cases."""
+    import numpy as np
+
+    from roblox_vector_search_datagen_spark.functions import resample
+
+    rows = _blocky_rows()  # 16x16
+    got = resample.resample_gray_box(rows, 8, 8)
+    arr = np.asarray(rows, dtype="float64")
+    expected = np.floor(arr.reshape(8, 2, 8, 2).mean(axis=(1, 3)) + 0.5).astype(int)
+    assert got == expected.tolist()
+
+    # flat stays flat at any (including non-integer) ratio
+    flat = [[77] * 10 for _ in range(7)]
+    for ow, oh in [(3, 3), (10, 7), (4, 5), (20, 14)]:
+        out = resample.resample_gray_box(flat, ow, oh)
+        assert len(out) == oh and len(out[0]) == ow
+        assert all(v == 77 for r in out for v in r)
+
+    # upscale degrades to nearest: a sub-pixel box lands in one pixel
+    tiny = [[0, 255], [255, 0]]
+    up = resample.resample_gray_box(tiny, 4, 4)
+    assert up == [
+        [0, 0, 255, 255],
+        [0, 0, 255, 255],
+        [255, 255, 0, 0],
+        [255, 255, 0, 0],
+    ]
+
+    # non-integer ratio: dims honored, values in range, global mean
+    # preserved within rounding (the box filter's defining property)
+    out = resample.resample_gray_box(rows, 5, 3)
+    assert len(out) == 3 and all(len(r) == 5 for r in out)
+    assert all(0 <= v <= 255 for r in out for v in r)
+    assert abs(
+        np.mean(out) - np.asarray(rows, dtype="float64").mean()
+    ) <= 2.0
+
+
+def test_media_resized_real_arm_end_to_end(spark):
+    """A decodable PNG and JPEG must take the REAL resample arm through
+    the Arrow mapInPandas stage: resized_digest is the md5 of actual
+    box-resampled re-encoded PNG bytes (checked against an independent
+    numpy block-mean + the vendored encoder), and a regression to the
+    stub digest on a decodable blob fails here. Opaque bytes keep the
+    documented stub arm."""
+    import hashlib
+
+    import numpy as np
+
+    from roblox_vector_search_datagen_spark.functions import jpeg, png
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    rows = _blocky_rows()  # 16x16
+    png_blob = png.encode_png_gray(rows)
+    jpeg_blob = jpeg.encode_jpeg_gray(rows)
+    opaque = b"audio bytes, no codec"
+    media_df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(png_blob), (16, 16, None)),
+            (1, "image", bytearray(jpeg_blob), (16, 16, None)),
+            (2, "audio", bytearray(opaque), (64, 64, 900)),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    # max_edge=8 forces a real 16x16 -> 8x8 downscale
+    out = {
+        r.doc_id: r
+        for r in mm.media_resized(spark, None, max_edge=8, media_df=media_df).collect()
+    }
+    assert out[0].resample == "real" and out[1].resample == "real"
+    assert out[2].resample == "stub"
+    assert (out[0].out_width, out[0].out_height) == (8, 8)
+
+    # independent expectation for the PNG arm: numpy block mean,
+    # round-half-up, vendored encoder
+    arr = np.asarray(rows, dtype="float64")
+    block = np.floor(arr.reshape(8, 2, 8, 2).mean(axis=(1, 3)) + 0.5).astype(int)
+    expected = hashlib.md5(png.encode_png_gray(block.tolist())).hexdigest()
+    assert out[0].resized_digest == expected
+    # regression-to-stub canary: the real digest is NOT the stub chain
+    assert out[0].resized_digest != mm._stub_resize_digest(png_blob, 8, 8)
+    assert out[1].resized_digest != mm._stub_resize_digest(jpeg_blob, 8, 8)
+    # jpeg arm: same pipeline over the lossy-decoded luminance
+    _w, _h, jrows = jpeg.decode_jpeg_luminance(jpeg_blob)
+    jarr = np.asarray(jrows, dtype="float64")
+    jblock = np.floor(jarr.reshape(8, 2, 8, 2).mean(axis=(1, 3)) + 0.5).astype(int)
+    assert out[1].resized_digest == hashlib.md5(
+        png.encode_png_gray(jblock.tolist())
+    ).hexdigest()
+    # stub arm unchanged for undecodable blobs
+    assert out[2].resized_digest == mm._stub_resize_digest(opaque, 8, 8)
+
+    # the real resized artifact itself roundtrips through the decoder
+    w2, h2, back = png.decode_png_luminance(png.encode_png_gray(block.tolist()))
+    assert (w2, h2) == (8, 8) and back == block.tolist()
+
+
 def test_media_resized_is_arrow_batched_and_dims_correct(spark, sf_dir):
     """The resize stage is the Arrow mapInPandas operator with no
     shuffle, and the dimension arithmetic honors the contract: longest
