@@ -403,6 +403,7 @@ COMMANDS = (
     "storeTokenShards",
     "storeTokenizer",
     "commitIngest",
+    "gcWarehouse",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -731,6 +732,37 @@ def main(argv: list[str] | None = None) -> int:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
         )
         print(json.dumps({"rebuilt_index": commit_ingest_batch(spark, sf_dir)}))
+    elif cmd == "gcWarehouse":
+        # warehouse janitor: list every stored entry (family, tag,
+        # params, version, size, mtime) and collect the ones no live
+        # fixture root can be served from — regenerated fixtures mint a
+        # new content tag per round, so superseded entries and
+        # non-CURRENT index versions accumulate until this runs
+        # (usage: gcWarehouse [--collect] [live_root ...]; default is a
+        # dry-run listing over SPARK_GRAFT_SF_DIR's parent's sf* dirs)
+        import glob as _glob
+
+        from .functions import warehouse as wh
+
+        collect = "--collect" in args
+        roots = [a for a in args if not a.startswith("--")]
+        if not roots:
+            anchor = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+            roots = sorted(_glob.glob(os.path.join(os.path.dirname(anchor), "sf*")))
+        report = wh.gc_warehouse(roots, dry_run=not collect)
+        print(
+            json.dumps(
+                {
+                    "live_roots": roots,
+                    "dry_run": not collect,
+                    **report,
+                    "entries": [
+                        {k: v for k, v in e.items() if k != "path"}
+                        for e in wh.list_entries()
+                    ],
+                }
+            )
+        )
     elif cmd == "processGamesFromSearch":
         print(
             json.dumps(

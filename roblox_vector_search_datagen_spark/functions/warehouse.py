@@ -29,6 +29,9 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
+import shutil
+from typing import Iterable
 
 # <repo>/data/warehouse — sibling of the package directory
 WAREHOUSE_DIR = os.path.join(
@@ -36,6 +39,18 @@ WAREHOUSE_DIR = os.path.join(
     "data",
     "warehouse",
 )
+
+# Every store family and the source table(s) its content tag digests —
+# the registry GC needs to recompute a live fixture root's CURRENT tag
+# per family to decide which stored entries are still reachable.
+# Adding a store family means adding a row here (the GC test fails on
+# an unlisted directory, so a new family cannot silently become
+# uncollectable garbage).
+FAMILY_SOURCES: dict[str, tuple[str, ...]] = {
+    "ivf_index": ("embeddings",),
+    "token_shards": ("documents",),
+    "bpe_tokenizer": ("documents",),
+}
 
 
 def sf_tag(sf_dir: str, *source_tables: str) -> str:
@@ -58,3 +73,200 @@ def sf_tag(sf_dir: str, *source_tables: str) -> str:
 def tables_ready(*paths: str) -> bool:
     """True iff every directory carries the parquet commit marker."""
     return all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths)
+
+
+# ---------------------------------------------------------------------------
+# Versioned commits: <base>_v<N> directories + an atomically-repointed
+# CURRENT marker file (<base>.CURRENT naming the live version dir).
+# A committer builds the next version OUT OF PLACE and repoints the
+# marker with os.replace — readers racing a commit see either the old
+# complete version or the new complete version, never a half-written
+# table (the in-place rebuild's documented hazard).
+# ---------------------------------------------------------------------------
+
+def current_marker_path(base: str) -> str:
+    return base + ".CURRENT"
+
+
+def read_current(base: str) -> str | None:
+    """The version directory the CURRENT marker points at, or None if
+    there is no marker / the pointed-at version is gone or uncommitted
+    (readers then fall back to the unversioned base)."""
+    try:
+        with open(current_marker_path(base), encoding="utf-8") as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    path = os.path.join(os.path.dirname(base), name)
+    return path if os.path.isdir(path) else None
+
+
+def next_version_path(base: str) -> str:
+    """The next unused `<base>_v<N>` directory (N = max existing + 1)."""
+    parent = os.path.dirname(base)
+    leaf = os.path.basename(base)
+    n = 0
+    if os.path.isdir(parent):
+        pat = re.compile(re.escape(leaf) + r"_v(\d+)$")
+        for d in os.listdir(parent):
+            m = pat.match(d)
+            if m:
+                n = max(n, int(m.group(1)))
+    return f"{base}_v{n + 1}"
+
+
+def repoint_current(base: str, version_path: str) -> None:
+    """Atomically repoint the CURRENT marker at a committed version:
+    write-to-temp + os.replace, the POSIX atomic-publish idiom. After
+    this returns, every new reader resolves the new version; in-flight
+    readers keep scanning the old one (which GC, not the committer,
+    later collects)."""
+    marker = current_marker_path(base)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(os.path.basename(version_path))
+    os.replace(tmp, marker)
+
+
+# ---------------------------------------------------------------------------
+# Registry listing + garbage collection
+# ---------------------------------------------------------------------------
+
+_TAG_PARAMS = re.compile(r"^(?P<tag>.+?_[0-9a-f]{8})(?:_(?P<params>.*))?$")
+
+
+def _parse_entry(name: str) -> tuple[str, str, str] | None:
+    """(family, tag, params) for a warehouse directory/marker name, or
+    None when no known family prefix matches (the GC skip list).
+    Family is matched by literal prefix against FAMILY_SOURCES (longest
+    first, so 'token_shards' wins over any shorter overlap), then the
+    tag is the shortest leading run ending in the 8-hex content digest
+    — suffix tables like the token-shard manifest parse under their
+    parent family with the suffix in params."""
+    for family in sorted(FAMILY_SOURCES, key=len, reverse=True):
+        if name.startswith(family + "_"):
+            m = _TAG_PARAMS.match(name[len(family) + 1 :])
+            if m:
+                return family, m.group("tag"), m.group("params") or ""
+            return None
+    return None
+
+
+def _dir_stats(path: str) -> tuple[int, float]:
+    n_bytes, mtime = 0, 0.0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                st = os.stat(os.path.join(root, fn))
+            except OSError:
+                continue
+            n_bytes += st.st_size
+            mtime = max(mtime, st.st_mtime)
+    return n_bytes, mtime
+
+
+def list_entries(warehouse_dir: str | None = None) -> list[dict]:
+    """Inventory of every stored entry: family, content tag, build
+    params, version (if a versioned commit), total bytes, newest file
+    mtime, path. Marker files are listed with family 'marker'. Entries
+    whose name matches no known family parse get family 'unknown' —
+    the GC refuses to touch those (and the GC test refuses to pass)."""
+    wdir = WAREHOUSE_DIR if warehouse_dir is None else warehouse_dir
+    out: list[dict] = []
+    if not os.path.isdir(wdir):
+        return out
+    for name in sorted(os.listdir(wdir)):
+        path = os.path.join(wdir, name)
+        if name.endswith(".CURRENT"):
+            with open(path, encoding="utf-8") as f:
+                out.append(
+                    {"family": "marker", "name": name, "points_at": f.read().strip(),
+                     "path": path}
+                )
+            continue
+        if not os.path.isdir(path):
+            continue
+        parsed = _parse_entry(name)
+        family, tag, params = parsed if parsed else ("unknown", "", "")
+        vm = re.search(r"_v(\d+)$", name)
+        n_bytes, mtime = _dir_stats(path)
+        out.append(
+            {
+                "family": family,
+                "name": name,
+                "tag": tag,
+                "params": params,
+                "version": int(vm.group(1)) if vm else None,
+                "n_bytes": n_bytes,
+                "mtime": mtime,
+                "path": path,
+            }
+        )
+    return out
+
+
+def gc_warehouse(
+    live_roots: Iterable[str],
+    warehouse_dir: str | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Collect stored entries no live fixture can ever be served from.
+
+    An entry is LIVE iff (a) its content tag equals the CURRENT tag of
+    one of `live_roots` for its family's source tables — a regenerated
+    or deleted fixture changes/retires the tag, so its old entries are
+    unreachable by construction (write-if-absent keys every read by
+    the current tag) — and (b) if it is a versioned commit, it is the
+    version its family's CURRENT marker points at (superseded versions
+    are unreachable once the marker moved). Markers whose base tag is
+    dead are collected with their versions. Unknown directory names
+    are never touched (listed under 'skipped').
+
+    Returns {"removed": [...], "kept": [...], "skipped": [...],
+    "reclaimed_bytes": N}; `dry_run=True` reports without deleting."""
+    wdir = WAREHOUSE_DIR if warehouse_dir is None else warehouse_dir
+    live_tags: dict[str, set[str]] = {f: set() for f in FAMILY_SOURCES}
+    for root in live_roots:
+        if not os.path.isdir(root):
+            continue
+        for family, sources in FAMILY_SOURCES.items():
+            live_tags[family].add(sf_tag(root, *sources))
+    entries = list_entries(wdir)
+    current_of: dict[str, str] = {}
+    for e in entries:
+        if e["family"] == "marker":
+            current_of[e["name"][: -len(".CURRENT")]] = e["points_at"]
+    removed, kept, skipped = [], [], []
+    reclaimed = 0
+    for e in entries:
+        if e["family"] == "marker":
+            base = e["name"][: -len(".CURRENT")]
+            parsed = _parse_entry(base)
+            alive = bool(parsed and parsed[1] in live_tags.get(parsed[0], set()))
+            if alive:
+                kept.append(e["name"])
+            else:
+                removed.append(e["name"])
+                if not dry_run:
+                    os.remove(e["path"])
+            continue
+        if e["family"] == "unknown":
+            skipped.append(e["name"])
+            continue
+        alive = e["tag"] in live_tags[e["family"]]
+        if alive and e["version"] is not None:
+            base = re.sub(r"_v\d+$", "", e["name"])
+            alive = current_of.get(base) == e["name"]
+        if alive:
+            kept.append(e["name"])
+        else:
+            removed.append(e["name"])
+            reclaimed += e["n_bytes"]
+            if not dry_run:
+                shutil.rmtree(e["path"], ignore_errors=True)
+    return {
+        "removed": removed,
+        "kept": kept,
+        "skipped": skipped,
+        "reclaimed_bytes": reclaimed,
+    }

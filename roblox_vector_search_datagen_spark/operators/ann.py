@@ -1887,40 +1887,67 @@ def ivf_index_store(
     share an index, and a regenerated/mutated fixture must rebuild
     rather than serve the stale store): the content is a pure function
     of the fixture tables and the defaults, so rebuilding per call
-    would only burn the bench. `rebuild=True` is the explicit
-    invalidation hook — `streaming.vectors.commit_ingest_batch` calls
-    it, paired with `dedup.clear_session_memos(spark)` (which retires
-    the in-memory caches content-addressing cannot cover), after every
-    landed batch."""
+    would only burn the bench.
+
+    `rebuild=True` (the explicit invalidation hook —
+    `streaming.vectors.commit_ingest_batch` calls it, paired with
+    `dedup.clear_session_memos(spark)`) is a VERSIONED commit since
+    r9: the fresh index is built OUT OF PLACE into `<base>_v<N>` and a
+    `<base>.CURRENT` marker is atomically repointed (os.replace), so a
+    reader racing a commit sees either the old complete version or the
+    new complete version — never the half-written table the old
+    rebuild-in-place could expose. Resolution order for readers: the
+    CURRENT-marked version if one exists, else the unversioned base
+    (built if absent). Superseded versions stay on disk until
+    `gcWarehouse` collects them (they are unreachable once the marker
+    moves)."""
     tag = warehouse.sf_tag(sf_dir, "embeddings")
-    path = os.path.join(IVF_WAREHOUSE, f"ivf_index_{tag}_k{k}_hwm{hwm}")
+    base = os.path.join(IVF_WAREHOUSE, f"ivf_index_{tag}_k{k}_hwm{hwm}")
+    if rebuild:
+        vpath = warehouse.next_version_path(base)
+        _ivf_index_build(spark, sf_dir, k, hwm, vpath)
+        warehouse.repoint_current(base, vpath)
+        return vpath
+    cur = warehouse.read_current(base)
+    if cur is not None and warehouse.tables_ready(
+        os.path.join(cur, "assignments"), os.path.join(cur, "centroids")
+    ):
+        return cur
+    if not warehouse.tables_ready(
+        os.path.join(base, "assignments"), os.path.join(base, "centroids")
+    ):
+        _ivf_index_build(spark, sf_dir, k, hwm, base)
+    return base
+
+
+def _ivf_index_build(
+    spark: SparkSession, sf_dir: str, k: int, hwm: int, path: str
+) -> None:
+    """One full index build into `path` (centroids + assignments)."""
     assign_path = os.path.join(path, "assignments")
     cent_path = os.path.join(path, "centroids")
-    done = warehouse.tables_ready(assign_path, cent_path)
-    if rebuild or not done:
-        e = tables.load_table(spark, sf_dir, "embeddings")
-        # both tables are coalesced at write time: the K-row quantizer
-        # and the hwm-row membership otherwise fragment into one file
-        # per shuffle partition, and every serve query pays the file
-        # listing. At 100 TB the membership write would instead
-        # repartition to a width sized by row count (it is read WHOLE
-        # by the anti-join, so partition pruning buys nothing — file
-        # count is the only layout lever here).
-        (
-            e.filter(F.col("vec_id") < k)
-            .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(cent_path)
-        )
-        (
-            ivf_assignments(spark, sf_dir, k)
-            .filter(F.col("vec_id") < hwm)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(assign_path)
-        )
-    return path
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    # both tables are coalesced at write time: the K-row quantizer
+    # and the hwm-row membership otherwise fragment into one file
+    # per shuffle partition, and every serve query pays the file
+    # listing. At 100 TB the membership write would instead
+    # repartition to a width sized by row count (it is read WHOLE
+    # by the anti-join, so partition pruning buys nothing — file
+    # count is the only layout lever here).
+    (
+        e.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(cent_path)
+    )
+    (
+        ivf_assignments(spark, sf_dir, k)
+        .filter(F.col("vec_id") < hwm)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(assign_path)
+    )
 
 
 def ivf_stored_index(

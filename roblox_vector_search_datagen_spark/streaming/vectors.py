@@ -176,12 +176,18 @@ def commit_ingest_batch(
        write-if-absent guard would otherwise serve the pre-ingestion
        index silently (`rebuild=True` forces the re-derivation).
 
-    Returns the rebuilt index path, so the caller can log/serve it.
-    Cost model at 100 TB: the memo/cache clear is free; the index
-    rebuild is one corpus pass per COMMIT (not per query), and a
-    deployment ingesting continuously would amortize further by
-    versioning the index path per batch id and rebuilding on a
-    schedule — the invalidation contract is the part that must never
-    be skipped."""
+    The rebuild is a VERSIONED commit (r9): `ivf_index_store` builds
+    the fresh index out of place into `<base>_v<N>` and atomically
+    repoints the `<base>.CURRENT` marker, so a reader racing this
+    commit serves either the old complete version or the new one —
+    never a half-written table. Superseded versions are collected by
+    `gcWarehouse`, not by the committer (in-flight readers may still
+    be scanning them).
+
+    Returns the committed version's path, so the caller can log/serve
+    it. Cost model at 100 TB: the memo/cache clear is free; the index
+    rebuild is one corpus pass per COMMIT (not per query), amortizable
+    by committing on a schedule — the invalidation contract is the
+    part that must never be skipped."""
     clear_session_memos(spark)
     return ivf_index_store(spark, sf_dir, k, hwm, rebuild=True)

@@ -231,3 +231,99 @@ def test_commit_ingest_batch_serves_fresh_index(spark, sf_dir, tmp_path):
         for p in paths:
             if os.path.exists(p):
                 shutil.rmtree(p)
+
+
+def test_versioned_index_commit_repoints_current_atomically(spark, sf_dir, tmp_path):
+    """rebuild=True is a versioned commit (r9): each commit builds
+    <base>_v<N> OUT OF PLACE and atomically repoints the .CURRENT
+    marker — two commits yield two versions, readers resolve the
+    newest, the stored values match the live derivation, and the
+    superseded version becomes gcWarehouse-collectable while the
+    current one is kept."""
+    import re
+
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+
+    sf2 = str(tmp_path / "sfver")
+    shutil.copytree(sf_dir, sf2)
+    base_build = ann.ivf_index_store(spark, sf2)  # unversioned first build
+    assert not re.search(r"_v\d+$", base_build)
+
+    v1 = ann.ivf_index_store(spark, sf2, rebuild=True)
+    v2 = ann.ivf_index_store(spark, sf2, rebuild=True)
+    assert v1.endswith("_v1") and v2.endswith("_v2")
+    base = re.sub(r"_v\d+$", "", v2)
+    assert base == base_build
+    # readers resolve the marker -> newest committed version
+    assert W.read_current(base) == v2
+    assert ann.ivf_index_store(spark, sf2) == v2
+    # the served version's values equal the live derivation
+    stored = {
+        (r.vec_id, r.cent_id) for r in ann.ivf_stored_index(spark, sf2).collect()
+    }
+    live = {
+        (r.vec_id, r.cent_id)
+        for r in ann.ivf_assignments(spark, sf2)
+        .filter(F.col("vec_id") < ann.IVF_UPSERT_HWM)
+        .collect()
+    }
+    assert stored == live and len(stored) > 0
+
+    # GC with this root live: v1 (superseded) collected; v2, the
+    # marker, and the unversioned base (same live tag) kept
+    live_roots = [sf2] + sorted(glob.glob(os.path.join(os.path.dirname(sf_dir), "sf*")))
+    rep = W.gc_warehouse(live_roots, dry_run=True)
+    assert os.path.basename(v1) in rep["removed"]
+    assert os.path.basename(v2) in rep["kept"]
+    assert os.path.basename(base) in rep["kept"]
+    assert os.path.basename(W.current_marker_path(base)) in rep["kept"]
+
+
+def test_gc_warehouse_collects_stale_tags_keeps_live_and_rebuilds(
+    spark, sf_dir, tmp_path
+):
+    """The round-lifecycle leak the r8 verdict flagged: fixtures are
+    regenerated every round, each regeneration mints a new content tag,
+    and the old tags' entries were never removed. gcWarehouse must
+    collect entries whose tag matches no live fixture root, keep the
+    live ones untouched (byte-identical), never touch unknown names,
+    and a store call after a collection must rebuild cleanly."""
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+
+    sf2 = str(tmp_path / "sfgcroot")
+    shutil.copytree(sf_dir, sf2)
+    old_path = ann.ivf_index_store(spark, sf2)
+    old_name = os.path.basename(old_path)
+
+    # "regenerate" the fixture in place: content tag changes, the old
+    # entry becomes unreachable garbage
+    os.utime(os.path.join(sf2, "embeddings.parquet"))
+    assert os.path.basename(ann.ivf_index_store(spark, sf2)) != old_name
+    new_path = ann.ivf_index_store(spark, sf2)
+
+    # an unknown directory must never be touched
+    stranger = os.path.join(W.WAREHOUSE_DIR, "not_a_known_family_deadbeef")
+    os.makedirs(stranger, exist_ok=True)
+    try:
+        live_roots = [sf2] + sorted(
+            glob.glob(os.path.join(os.path.dirname(sf_dir), "sf*"))
+        )
+        listing = {e["name"]: e for e in W.list_entries()}
+        assert listing[old_name]["family"] == "ivf_index"
+        assert listing[old_name]["n_bytes"] > 0
+
+        rep = W.gc_warehouse(live_roots)
+        assert old_name in rep["removed"]
+        assert os.path.basename(new_path) in rep["kept"]
+        assert "not_a_known_family_deadbeef" in rep["skipped"]
+        assert not os.path.exists(old_path)
+        assert os.path.exists(os.path.join(new_path, "assignments", "_SUCCESS"))
+        assert rep["reclaimed_bytes"] > 0
+
+        # a store call after GC serves the kept entry / rebuilds cleanly
+        again = ann.ivf_index_store(spark, sf2)
+        assert os.path.exists(os.path.join(again, "assignments", "_SUCCESS"))
+        n = spark.read.parquet(os.path.join(again, "assignments")).count()
+        assert n > 0
+    finally:
+        shutil.rmtree(stranger, ignore_errors=True)
