@@ -402,6 +402,7 @@ COMMANDS = (
     "storeIndex",
     "storeTokenShards",
     "storeTokenizer",
+    "storeScrub",
     "commitIngest",
     "gcWarehouse",
 )
@@ -557,8 +558,6 @@ def main(argv: list[str] | None = None) -> int:
         # per-document audit table, and print the per-stage funnel — the
         # batch job that publishes a training corpus cut (usage:
         # selectCorpus [sf_dir] [--out dir])
-        from pyspark.sql import functions as F
-
         from .operators import textprep
 
         sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
@@ -719,6 +718,33 @@ def main(argv: list[str] | None = None) -> int:
                     "vocab_size": spark.read.parquet(
                         os.path.join(path, "vocab")
                     ).count(),
+                }
+            )
+        )
+    elif cmd == "storeScrub":
+        # warehouse half of the substring-dedup funnel: materialize/
+        # refresh the scrubbed corpus and print the removal economics
+        # served FROM the stored rows
+        # (usage: storeScrub [sf_dir] [--rebuild])
+        from .operators import textprep as tp_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        path = tp_ops.scrub_store(spark, sf_dir, rebuild="--rebuild" in args)
+        rep = tp_ops.scrub_stored_report(spark, sf_dir)
+        agg = rep.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed").alias("n_removed"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "path": path,
+                    "n_docs": int(agg.n_docs),
+                    "n_removed": int(agg.n_removed),
+                    "ws_tokens": int(agg.ws_tokens),
                 }
             )
         )

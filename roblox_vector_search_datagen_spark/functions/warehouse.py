@@ -50,6 +50,7 @@ FAMILY_SOURCES: dict[str, tuple[str, ...]] = {
     "ivf_index": ("embeddings",),
     "token_shards": ("documents",),
     "bpe_tokenizer": ("documents",),
+    "scrubbed_corpus": ("documents",),
 }
 
 

@@ -348,6 +348,16 @@ def _registry() -> dict[str, Query]:
         textprep.scrubbed_token_counts_oracle(),
         ("text", "dedup", "pipeline"),
     )
+    # the stored-scrub serve path (r9): per-doc economics read ONLY
+    # from the warehouse-stored scrubbed corpus (scrub_store) — the
+    # oracle re-derives from base tables, so hash-green certifies the
+    # scrub -> store -> load -> report roundtrip (the
+    # stored_shard_report pattern)
+    r["scrub_stored_report"] = Query(
+        lambda spark, sf: textprep.scrub_stored_report(spark, sf),
+        textprep.scrub_stored_report_oracle(),
+        ("text", "dedup", "lifecycle"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(

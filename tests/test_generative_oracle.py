@@ -65,6 +65,7 @@ GEN_QUERIES = [
     "token_shards_upsert",
     "tokenizer_lifecycle_report",
     "media_resize",
+    "scrub_stored_report",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]

@@ -751,6 +751,34 @@ def test_stored_shard_report_reads_only_the_warehouse(spark, sf_dir):
         assert 1 <= ns <= nd  # packing can only merge docs into seqs
 
 
+def test_scrub_stored_report_reads_only_the_warehouse(spark, sf_dir):
+    """The stored-scrub serve path (r9): `scrub_stored_report` must
+    read ONLY the warehouse-stored scrubbed corpus — no documents
+    scan, no span re-discovery (no xxhash64 span keys in the plan) —
+    and its values must equal the same report derived from the live
+    scrub."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    df = textprep.scrub_stored_report(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "scrubbed_corpus_" in p or "scrubbed_text" in p, p
+    assert "documents" not in p, p
+    assert "xxhash64" not in p, p  # span discovery never re-runs here
+
+    got = sorted(map(tuple, df.collect()))
+    live = textprep.substring_scrub(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        "n_removed",
+        F.size(F.split(F.col("scrubbed_text"), r"\s+")).alias("ws_tokens"),
+        F.ceil(F.length("scrubbed_text") / 4).cast("int").alias("approx_bpe_tokens"),
+        F.round(
+            F.col("n_removed") / F.greatest(F.col("n_words"), F.lit(1)), 6
+        ).alias("removed_share"),
+    )
+    assert got == sorted(map(tuple, live.collect())) and len(got) > 0
+
+
 def test_stored_token_shards_loader_path_is_partition_pruned(spark, sf_dir):
     """The stored table is partitioned by `shard` so a loader split
     reading one shard must be PARTITION pruning at the file listing —
