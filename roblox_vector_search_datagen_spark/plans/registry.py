@@ -965,85 +965,38 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 166-query registry takes FOUR rounds to cycle the
-# whole registry — that is the honest staleness ceiling (the "no row
-# older than two rounds" claim earlier rounds made is arithmetically
-# impossible; COVERAGE.md states the 4-round invariant). Round-8
-# ordering, weakest evidence first: (1) the six queries NEW this
-# round (the stored-token-shards serve path, its decode-roundtrip
-# closure audit, the incremental shard upsert, the stored-tokenizer
-# serve path, the scrub-consumer stage, and the multimodal resize
-# stage — zero driver rows), (2) the two round-7 additions that have
-# never
-# appeared in a driver window (pack_token_sequences, substring_scrub
-# — the r7 judge's own sim is their only independent evidence so
-# far), (3) repeated_substring_spans, whose span key widened to the
-# two-hash pair this round — changed plans need fresh driver
-# evidence, (4) the full 19-query cohort whose newest driver row is
-# round 3 (four rounds stale), (5) 22 of the 43-query r5 cohort
-# (alphabetical; the remaining 21 queue immediately behind the window
-# for r09). After r08 lands green, no query's newest driver row
-# predates round 5. Every query is self-contained, so order carries
-# no semantics. The registry counts 169 queries, 50 adjudicated per
-# round.
+# window over a 170-query registry takes FOUR rounds to cycle the
+# whole registry — that is the honest staleness ceiling (COVERAGE.md
+# states the 4-round invariant). Round-9 ordering, weakest evidence
+# first: (1) the query NEW this round (the stored-scrub serve path —
+# zero driver rows), (2) the eight queries whose PLANS or SCHEMAS
+# changed this round and need fresh driver evidence: media_resize
+# (real resample arm + new `resample` column), token_shards_stored /
+# token_shards_upsert (served from the store-time manifest),
+# tokenizer_lifecycle_report (served from the stored segments table),
+# repeated_substring_spans / substring_scrub / scrubbed_token_counts
+# (span_h2 re-seeded salt-first after the advisor's seed-chaining
+# finding), index_lifecycle_report (versioned-commit resolution),
+# (3) the full 21-query cohort whose newest driver row is round 5
+# (four rounds stale — the r8 verdict's ordered deliverable),
+# (4) the first 20 of the 49-query r6 cohort (alphabetical; the
+# remaining 29 queue immediately behind the window for r10). After
+# r09 lands green, no query's newest driver row predates round 6.
+# Every query is self-contained, so order carries no semantics.
+# The registry counts 170 queries, 50 adjudicated per round.
 _ADJUDICATE_FIRST = (
     # new this round
+    "scrub_stored_report",
+    # plan/schema changed this round
+    "media_resize",
     "token_shards_stored",
-    "stored_roundtrip_audit",
     "token_shards_upsert",
     "tokenizer_lifecycle_report",
-    "scrubbed_token_counts",
-    "media_resize",
-    # never driver-adjudicated (added r7)
-    "pack_token_sequences",
-    "substring_scrub",
-    # plan re-keyed this round (span_h -> span_h + span_h2)
     "repeated_substring_spans",
-    # r3-stale cohort (newest driver row: round 3) — all 19
-    "bloom_decontaminate",
-    "dedup_funnel_report",
-    "dedup_representatives",
-    "dup_graph_degrees",
-    "generate_vectors",
-    "lsh_recall_report",
-    "media_dedup",
-    "minhash_band_sweep",
-    "pack_efficiency_report",
-    "repeated_spans",
-    "semantic_dedup",
-    "simhash",
-    "simhash_near_dups",
-    "sketch_event_profile",
-    "sliding_event_counts",
-    "source_overlap",
-    "split_leakage",
-    "token_length_histogram",
-    "vocab_coverage",
-    # r5 cohort, first 26 alphabetically — fills the window to 50
-    "ann_lsh_recall_at_k",
-    "ann_lsh_topk",
-    "ann_recall_at_k",
-    "asof_attribution",
-    "asof_next_action",
-    "bm25_search",
-    "corpus_profile",
-    "cross_lingual_near_dups",
-    "enriched_events",
-    "event_anomalies",
-    "event_props_rollup",
-    "event_rollup",
-    "event_value_histogram",
-    "event_value_quantiles_approx",
-    "events_zorder",
-    "exact_jaccard_verify",
-    "frame_sample_plan",
-    "funnel_counts",
-    "ingest_dedup",
-    "interval_click_counts",
-    "ivf_label_purity",
-    "ivf_upsert_assignments",
-    # -- behind the 50-slot window: the remaining 21 r5-cohort queries,
-    # first in line for the r09 rotation
+    "substring_scrub",
+    "scrubbed_token_counts",
+    "index_lifecycle_report",
+    # r5-stale cohort (newest driver row: round 5) — all 21
     "knn_label_accuracy",
     "media_features",
     "merge_games_gather",
@@ -1065,6 +1018,30 @@ _ADJUDICATE_FIRST = (
     "training_corpus",
     "user_retention",
     "windowed_event_counts",
+    # r6 cohort, first 20 alphabetically — fills the window to 50
+    "bigram_lm_score",
+    "bpe_encode_sample",
+    "bpe_fertility_report",
+    "bpe_merges",
+    "bpe_vocab",
+    "clear_gameplay",
+    "dedup_exact",
+    "dsir_weights",
+    "embedding_dim_profile",
+    "embedding_lsh_dropped_buckets",
+    "embedding_lsh_verified",
+    "embedding_outliers",
+    "event_value_quantiles",
+    "heavy_hitters",
+    "hll_daily_users",
+    "hybrid_search",
+    "index_build_report",
+    "ingest_decision_report",
+    "ingest_near_dedup",
+    "ivf_centroid_update",
+    # -- behind the 50-slot window: the remaining 29 r6-cohort queries
+    # (ivf_cluster_quality .. winsorized_event_stats_approx), first in
+    # line for the r10 rotation, then the r7 and r8 cohorts
 )
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:

@@ -28,11 +28,16 @@ Scale shape at 100 TB:
   broadcast) — no merge re-fold, no distinct-word corpus pass, no
   position window: a document's token mass is the sum of its words'
   segmentation sizes (the `pack_token_sequences` observation).
-  Out-of-vocab words of a genuinely novel document drop at the inner
-  join — the same contract as the batch twin's delta side, whose
-  input corpus is by construction the vocabulary's own; a production
-  encoder adds a char-fallback segmentation row per OOV word to the
-  broadcast side (BPE's base alphabet is always in vocab).
+  Out-of-vocab words of a genuinely novel document take the
+  CHAR-FALLBACK arm: the stored merge list (m rows, a driver
+  constant like the frozen centroids) is folded as plan literals over
+  the char-split word, exactly what the frozen BPE tokenizer does to
+  a word it has never segmented. The fold is interpreted
+  (CodegenFallback) and therefore the expensive expression, but it
+  sits behind a null-guarded conditional: in-vocab occurrences pay
+  only the null check, so the fallback costs what OOV actually
+  arrives — the batch encode's distinct-word economics, applied
+  per-occurrence only where no stored row exists.
 * The only stateful operator is the per-doc_id sum (update output
   mode). State is one counter per delta document per merge cycle;
   a production deployment bounds it by committing the manifest merge
@@ -53,6 +58,8 @@ from ..functions import hashing as H
 from ..operators.textstats import (
     BPE_MERGES,
     TOKEN_DOC_HWM,
+    _bpe_apply_expr,
+    stored_bpe_merges,
     stored_bpe_segments,
     stored_token_manifest,
 )
@@ -86,6 +93,12 @@ def stream_token_shard_upsert(
     the document — each key is emitted once per cycle under the
     upstream-dedup contract). Emits (shard, doc_id, n_tokens).
 
+    Words the stored segments table has never seen (a novel document's
+    OOV vocabulary) are segmented on the fly by folding the STORED
+    merge list over the char-split word — the frozen tokenizer's exact
+    behavior on a new word — behind a null-guarded conditional, so
+    in-vocab occurrences never pay the interpreted fold.
+
     `raw` overrides the source (tests feed multi-microbatch streams);
     `manifest` overrides the frozen side (a (doc_id) table). When
     None, the frozen side is the stored manifest below the high-water
@@ -114,8 +127,16 @@ def stream_token_shard_upsert(
         ),
         F.lit(shards_v),
     ).cast("int")
+    seg = F.array_join(F.split(F.col("w"), ""), " ")
+    for _, a, b, _t in stored_bpe_merges(spark, sf_dir, m):
+        seg = _bpe_apply_expr(seg, a, b)
+    fallback_n = F.size(F.split(seg, " "))
     return (
-        occurrences.join(F.broadcast(word_n), "w")
+        occurrences.join(F.broadcast(word_n), "w", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_sub"), fallback_n).alias("n_sub"),
+        )
         .groupBy("doc_id")
         .agg(F.sum("n_sub").cast("bigint").alias("n_tokens"))
         .select(shard.alias("shard"), "doc_id", "n_tokens")

@@ -82,13 +82,12 @@ def test_stream_token_shard_upsert_multibatch_drops_frozen_docs(
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sample_txt = d.filter(F.col("doc_id") == 1).collect()[0].text
-    # a new doc built from IN-VOCAB words: the frozen tokenizer's
-    # word->subwords map covers exactly the training corpus vocabulary
-    # (out-of-vocab words of a genuinely novel document drop at the
-    # inner join, the same contract as the batch twin's delta side —
-    # a production encoder adds a char-fallback row per OOV word)
+    # a new doc mixing IN-VOCAB words (served from the stored segments
+    # map) with an OOV word that exercises the char-fallback arm (the
+    # stored merges folded over the char-split word on the fly)
     w0, w1 = sample_txt.lower().split()[:2]
-    small_txt = f"{w0} {w0} {w1}"
+    oov = "zq0xv7"  # no fixture word contains this
+    small_txt = f"{w0} {w0} {w1} {oov}"
     b0 = [
         (hwm + 1000, sample_txt, "en", "web", len(sample_txt)),
         (1, sample_txt, "en", "web", len(sample_txt)),  # frozen replay
@@ -126,7 +125,21 @@ def test_stream_token_shard_upsert_multibatch_drops_frozen_docs(
         word_n.get(w, 0) for w in sample_txt.lower().split() if w != ""
     )
     assert out[hwm + 1000].n_tokens == expect_mass
-    assert out[hwm + 1001].n_tokens == sum(word_n[w] for w in [w0, w0, w1])
+    # OOV fallback parity: independent python replay of the frozen
+    # merge list's greedy left-to-right pass over the char-split word
+    assert oov not in word_n
+    syms = list(oov)
+    for _r, a, b, _t in textstats.stored_bpe_merges(spark, sf_dir):
+        folded = []
+        for x in syms:
+            if folded and folded[-1] == a and x == b:
+                folded[-1] = folded[-1] + x
+            else:
+                folded.append(x)
+        syms = folded
+    assert out[hwm + 1001].n_tokens == (
+        sum(word_n[w] for w in [w0, w0, w1]) + len(syms)
+    )
 
     # shard routing parity with the batch key
     from roblox_vector_search_datagen_spark.functions import hashing as H
