@@ -1548,15 +1548,19 @@ def stored_roundtrip_audit(
     tokenizer's own convention — hence the stripped comparison.)
 
     Scale shape: one stored-table scan, the vocab broadcast (id ->
-    token is vocab-sized), one per-doc aggregation whose reassembly is
-    the same sort_array-of-structs idiom `substring_scrub` uses, and a
-    doc_id-keyed join to the narrow (doc_id, stripped-text) projection
-    — every exchange is keyed on doc_id. The oracle re-derives both
-    sides from base tables, so a hash-green row certifies the STORED
-    bytes decode correctly, not merely that two engines agree on live
-    plans. Emits (doc_id, n_tokens, matches)."""
+    token is vocab-sized, and read from the STORED tokenizer artifact
+    — the id map a trainer actually ships beside the shards, r9; the
+    r8 cut re-derived it from the corpus), one per-doc aggregation
+    whose reassembly is the same sort_array-of-structs idiom
+    `substring_scrub` uses, and a doc_id-keyed join to the narrow
+    (doc_id, stripped-text) projection — every exchange is keyed on
+    doc_id. The oracle re-derives both sides from base tables, so a
+    hash-green row certifies the STORED bytes decode correctly, not
+    merely that two engines agree on live plans.
+    Emits (doc_id, n_tokens, matches)."""
     stored = stored_token_shards(spark, sf_dir, m, seed, shards)
-    vocab = bpe_vocab(spark, sf_dir, m).select("token_id", "token")
+    vocab_path = os.path.join(bpe_tokenizer_store(spark, sf_dir, m), "vocab")
+    vocab = spark.read.parquet(vocab_path).select("token_id", "token")
     decoded = (
         stored.join(F.broadcast(vocab), "token_id")
         .groupBy("doc_id")

@@ -974,13 +974,14 @@ def _registry() -> dict[str, Query]:
 # (real resample arm + new `resample` column), token_shards_stored /
 # token_shards_upsert (served from the store-time manifest),
 # tokenizer_lifecycle_report (served from the stored segments table),
+# stored_roundtrip_audit (id map read from the stored vocab),
 # repeated_substring_spans / substring_scrub / scrubbed_token_counts
 # (span_h2 re-seeded salt-first after the advisor's seed-chaining
 # finding), index_lifecycle_report (versioned-commit resolution),
 # (3) the full 21-query cohort whose newest driver row is round 5
 # (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 20 of the 49-query r6 cohort (alphabetical; the
-# remaining 29 queue immediately behind the window for r10). After
+# (4) the first 19 of the 49-query r6 cohort (alphabetical; the
+# remaining 30 queue immediately behind the window for r10). After
 # r09 lands green, no query's newest driver row predates round 6.
 # Every query is self-contained, so order carries no semantics.
 # The registry counts 170 queries, 50 adjudicated per round.
@@ -992,6 +993,7 @@ _ADJUDICATE_FIRST = (
     "token_shards_stored",
     "token_shards_upsert",
     "tokenizer_lifecycle_report",
+    "stored_roundtrip_audit",
     "repeated_substring_spans",
     "substring_scrub",
     "scrubbed_token_counts",
@@ -1038,9 +1040,8 @@ _ADJUDICATE_FIRST = (
     "index_build_report",
     "ingest_decision_report",
     "ingest_near_dedup",
-    "ivf_centroid_update",
-    # -- behind the 50-slot window: the remaining 29 r6-cohort queries
-    # (ivf_cluster_quality .. winsorized_event_stats_approx), first in
+    # -- behind the 50-slot window: the remaining 30 r6-cohort queries
+    # (ivf_centroid_update .. winsorized_event_stats_approx), first in
     # line for the r10 rotation, then the r7 and r8 cohorts
 )
 
