@@ -56,6 +56,89 @@ def test_foreachbatch_parquet_sink_is_idempotent(spark, sf_dir, tmp_path):
         q.awaitTermination(120)
     assert spark.read.parquet(out).count() == batch_n > 0
 
+def test_stream_merge_keep_last_upserts_and_publishes_atomically(spark, tmp_path):
+    """The portable transactional MERGE sink: microbatches with
+    overlapping keys upsert keep-last into a versioned snapshot whose
+    CURRENT marker repoints atomically per commit — the final snapshot
+    equals the keep-last fold of the feed, replays no-op, and a stale
+    version stays on disk (GC's job, not the committer's)."""
+    import glob as _glob
+    import os
+    import time as _time
+
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+    from roblox_vector_search_datagen_spark.streaming import sinks
+
+    # ordered two-batch feed with a key overlap (same trick as
+    # test_streaming_vectors._embedding_feed)
+    feed = tmp_path / "mfeed"
+    feed.mkdir()
+    t0 = _time.time() - 1000
+    batches = [
+        [(1, "a", 10), (2, "b", 20)],
+        [(2, "B", 21), (3, "c", 30), (3, "C", 31)],  # upsert 2, in-batch dup 3
+    ]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"mstage{i}"
+        spark.createDataFrame(rows, "id long, name string, ver int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = feed / f"b{i:02d}.parquet"
+        import shutil
+
+        shutil.copy(part, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    out_base = str(tmp_path / "merged")
+    raw = (
+        spark.readStream.schema("id long, name string, ver int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = sinks.stream_merge_keep_last(
+        raw, out_base, ["id"], str(tmp_path / "mckpt"), order_col="ver"
+    )
+    q.awaitTermination(120)
+
+    snap = {r.id: (r.name, r.ver) for r in sinks.current_snapshot(spark, out_base).collect()}
+    assert snap == {1: ("a", 10), 2: ("B", 21), 3: ("C", 31)}
+    # two committed versions exist; the marker points at the newest
+    versions = sorted(_glob.glob(out_base + "_v*"))
+    assert len(versions) == 2
+    assert W.read_current(out_base) == versions[-1]
+
+    # reprocess the same bounded feed with a fresh checkpoint: the
+    # keep-last merge is idempotent — same snapshot values
+    q2 = sinks.stream_merge_keep_last(
+        raw, out_base, ["id"], str(tmp_path / "mckpt2"), order_col="ver"
+    )
+    q2.awaitTermination(120)
+    snap2 = {
+        r.id: (r.name, r.ver) for r in sinks.current_snapshot(spark, out_base).collect()
+    }
+    assert snap2 == snap
+
+
+def test_stream_merge_delta_gate_raises_without_runtime(spark, sf_dir, tmp_path):
+    """The Delta arm is capability-gated: with no delta runtime on the
+    classpath it must raise the remediation error (never silently fall
+    back or half-write), and the gate itself reports False here."""
+    import pytest
+
+    from roblox_vector_search_datagen_spark.streaming import sinks
+
+    if sinks.delta_available():  # pragma: no cover - not this container
+        pytest.skip("delta runtime present; gate test targets its absence")
+    with pytest.raises(RuntimeError, match="stream_merge_keep_last"):
+        sinks.stream_merge_delta(
+            S.stream_enriched_events(spark, sf_dir),
+            str(tmp_path / "delta"),
+            ["event_id"],
+            str(tmp_path / "dckpt"),
+        )
+
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir):
     """applyInPandasWithState custom operator: the last update emitted
     per user equals the batch aggregate (float compared with tolerance —
