@@ -1031,6 +1031,80 @@ FROM ({substring_scrub_oracle(n, min_docs, min_words)}) scrub
 """
 
 
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def length_bucket_plan(
+    spark: SparkSession, sf_dir: str, buckets: tuple[int, ...] = LENGTH_BUCKETS
+) -> DataFrame:
+    """Sequence-length BUCKETING plan — the pad-to-bucket alternative
+    to concat packing (`pack_sequences`): dynamic batching groups
+    similar-length documents and pads each to its bucket's ceiling
+    (powers of two here, the usual kernel-friendly grid), so the
+    choice between bucketing and packing is exactly the padding waste
+    this report prices per bucket. Documents longer than the top
+    bucket are capped to it (the max-sequence-length truncation every
+    trainer applies), so the top bucket's waste can be negative-free
+    by construction. Whitespace-token convention matches
+    `token_counts`.
+
+    Scale shape: one corpus scan; the bucket key is a CASE chain over
+    the fixed grid (pure codegen — deliberately NOT pow/ceil(log2())
+    float arithmetic, where engines disagree at exact powers of two);
+    one hash aggregation with map-side combine to |buckets| rows; the
+    padded/waste columns are post-aggregation arithmetic on the group
+    key. No window, no join, no UDF. Emits (bucket, n_docs, n_tokens,
+    padded_tokens, waste_share), smallest bucket first."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), r"\s+"))
+    top = buckets[-1]
+    bucket = F.lit(top)
+    for b in reversed(buckets[:-1]):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    return (
+        d.select(
+            bucket.cast("int").alias("bucket"),
+            F.least(n, F.lit(top)).alias("n_cap"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_cap").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            (F.col("bucket") * F.col("n_docs")).cast("bigint").alias("padded_tokens"),
+            F.round(
+                F.lit(1.0) - F.col("n_tokens") / (F.col("bucket") * F.col("n_docs")),
+                6,
+            ).alias("waste_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def length_bucket_plan_oracle(buckets: tuple[int, ...] = LENGTH_BUCKETS) -> str:
+    w = r"string_split_regex(text, '\s+')"
+    top = buckets[-1]
+    case = " ".join(f"WHEN n <= {b} THEN {b}" for b in buckets[:-1])
+    return f"""
+WITH t AS (SELECT len({w}) AS n FROM documents),
+b AS (
+  SELECT CASE {case} ELSE {top} END AS bucket,
+         least(n, {top}) AS n_cap
+  FROM t
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_cap) AS BIGINT) AS n_tokens,
+       CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+       round(1.0 - sum(n_cap) / CAST(bucket * count(*) AS DOUBLE), 6) AS waste_share
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 def scrub_store(
     spark: SparkSession,
     sf_dir: str,

@@ -358,6 +358,14 @@ def _registry() -> dict[str, Query]:
         textprep.scrub_stored_report_oracle(),
         ("text", "dedup", "lifecycle"),
     )
+    # pad-to-bucket batching economics (r9): the dynamic-batching
+    # counterpart of pack_sequences — per power-of-two length bucket,
+    # the padding waste a trainer pays if it buckets instead of packs
+    r["length_bucket_plan"] = Query(
+        lambda spark, sf: textprep.length_bucket_plan(spark, sf),
+        textprep.length_bucket_plan_oracle(),
+        ("text", "pipeline"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(
@@ -968,8 +976,9 @@ def _registry() -> dict[str, Query]:
 # window over a 170-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). Round-9 ordering, weakest evidence
-# first: (1) the query NEW this round (the stored-scrub serve path —
-# zero driver rows), (2) the eight queries whose PLANS or SCHEMAS
+# first: (1) the two queries NEW this round (the stored-scrub serve
+# path and the length-bucket batching plan — zero driver rows),
+# (2) the eight queries whose PLANS or SCHEMAS
 # changed this round and need fresh driver evidence: media_resize
 # (real resample arm + new `resample` column), token_shards_stored /
 # token_shards_upsert (served from the store-time manifest),
@@ -980,14 +989,15 @@ def _registry() -> dict[str, Query]:
 # finding), index_lifecycle_report (versioned-commit resolution),
 # (3) the full 21-query cohort whose newest driver row is round 5
 # (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 19 of the 49-query r6 cohort (alphabetical; the
-# remaining 30 queue immediately behind the window for r10). After
+# (4) the first 18 of the 49-query r6 cohort (alphabetical; the
+# remaining 31 queue immediately behind the window for r10). After
 # r09 lands green, no query's newest driver row predates round 6.
 # Every query is self-contained, so order carries no semantics.
-# The registry counts 170 queries, 50 adjudicated per round.
+# The registry counts 171 queries, 50 adjudicated per round.
 _ADJUDICATE_FIRST = (
     # new this round
     "scrub_stored_report",
+    "length_bucket_plan",
     # plan/schema changed this round
     "media_resize",
     "token_shards_stored",
@@ -1039,9 +1049,8 @@ _ADJUDICATE_FIRST = (
     "hybrid_search",
     "index_build_report",
     "ingest_decision_report",
-    "ingest_near_dedup",
-    # -- behind the 50-slot window: the remaining 30 r6-cohort queries
-    # (ivf_centroid_update .. winsorized_event_stats_approx), first in
+    # -- behind the 50-slot window: the remaining 31 r6-cohort queries
+    # (ingest_near_dedup .. winsorized_event_stats_approx), first in
     # line for the r10 rotation, then the r7 and r8 cohorts
 )
 

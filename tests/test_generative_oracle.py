@@ -66,6 +66,7 @@ GEN_QUERIES = [
     "tokenizer_lifecycle_report",
     "media_resize",
     "scrub_stored_report",
+    "length_bucket_plan",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
