@@ -427,3 +427,35 @@ def test_store_index_and_token_shards_commands(spark, sf_dir, tmp_path, monkeypa
     assert cli.main(["commitIngest", sf_dir]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert os.path.exists(os.path.join(res["rebuilt_index"], "assignments", "_SUCCESS"))
+    # r9: commitIngest is a VERSIONED commit — the path carries _vN and
+    # the CURRENT marker points at it
+    import re as _re
+
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+
+    assert _re.search(r"_v\d+$", res["rebuilt_index"])
+    base = _re.sub(r"_v\d+$", "", res["rebuilt_index"])
+    assert W.read_current(base) == res["rebuilt_index"]
+
+
+def test_store_scrub_and_gc_warehouse_commands(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The r9 warehouse additions are operable from the CLI: storeScrub
+    materializes the scrubbed corpus and reports its removal economics;
+    gcWarehouse dry-runs by default (nothing deleted), lists every
+    entry, and keeps live-tag entries."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["storeScrub", sf_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(os.path.join(res["path"], "_SUCCESS"))
+    assert res["n_docs"] > 0 and res["n_removed"] >= 0
+    scrub_name = os.path.basename(res["path"])
+
+    assert cli.main(["gcWarehouse", sf_dir]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["dry_run"] is True
+    assert scrub_name in rep["kept"]
+    assert any(e["name"] == scrub_name and e["family"] == "scrubbed_corpus"
+               for e in rep["entries"])
+    # dry run deleted nothing
+    assert os.path.exists(res["path"])
