@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions.caching import persist_if
-from ..functions.num import qmean6
+from ..functions.num import qmean6, qsum6, qsum6_sql
 from ..sources import tables
 
 # ---------------------------------------------------------------------------
@@ -172,6 +172,143 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM t JOIN v USING (word)
 GROUP BY t.doc_id
 """
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the data-mixing diagnostic a
+    pretraining pipeline reads beside `mixture_report`: near-zero JSD
+    flags sources that are statistical duplicates (merge or
+    down-weight them — cross-source crawl overlap is invisible to
+    per-document dedup when the TEXTS differ but the DISTRIBUTION is
+    one corpus), large JSD flags the genuinely novel mixture
+    components worth upsampling. JSD is used over KL because it is
+    symmetric, finite on disjoint support, and bounded (<= ln 2 in
+    nats).
+
+    Relational shape — the identity that keeps this ONE equi-join
+    instead of a per-pair full-outer join: with g(x) = (x/2)ln(x/2),
+    H(M) over the pair's word union splits into a shared-words term
+    and two per-source constants,
+      H(M) = -( SUM_both[m ln m - g(pa) - g(pb)] + G_s1 + G_s2 ),
+      JSD  = H(M) - (H_s1 + H_s2)/2,
+    so the plan is: one tokenize pass -> per-(source, word) counts ->
+    per-source totals (broadcast, |S| rows) -> the persisted unigram
+    table feeds (a) per-source scalars H and G (one aggregation) and
+    (b) a self-equi-join on `word` restricted to s1 < s2 whose fanout
+    per word is bounded by S^2/2 (S = mixture source count — dozens in
+    practice, so the pair table is driver-sized at any corpus scale).
+    Pairs sharing zero words still appear (left join from the pair
+    cross of the |S|-row scalar table, shared term coalesced to 0).
+    Every floating sum is micro-unit-quantized (functions/num.py) so
+    the aggregation is order-independent and the oracle hash-stable;
+    the final JSD arithmetic runs on those identical rounded operands
+    in both engines. Emits (s1, s2, n_words_s1, n_words_s2, jsd) in
+    nats, one row per unordered pair."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    cnt = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.groupBy("source").agg(F.sum("cnt").alias("total"))
+    uni = persist_if(
+        cnt.join(F.broadcast(tot), "source").select(
+            "source", "word", (F.col("cnt") / F.col("total")).alias("p")
+        ),
+        True,
+    )
+    half = F.col("p") / 2
+    per_src = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        qsum6(-F.col("p") * F.log(F.col("p"))).alias("h"),
+        qsum6(half * F.log(half)).alias("g"),
+    )
+    a, b = uni.alias("a"), uni.alias("b")
+    m = (F.col("a.p") + F.col("b.p")) / 2
+    term = (
+        m * F.log(m)
+        - (F.col("a.p") / 2) * F.log(F.col("a.p") / 2)
+        - (F.col("b.p") / 2) * F.log(F.col("b.p") / 2)
+    )
+    shared = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(qsum6(term).alias("t"))
+    )
+    p1 = per_src.select(
+        F.col("source").alias("s1"),
+        F.col("n_words").alias("n_words_s1"),
+        F.col("h").alias("h1"),
+        F.col("g").alias("g1"),
+    )
+    p2 = per_src.select(
+        F.col("source").alias("s2"),
+        F.col("n_words").alias("n_words_s2"),
+        F.col("h").alias("h2"),
+        F.col("g").alias("g2"),
+    )
+    pairs = p1.crossJoin(p2).filter(F.col("s1") < F.col("s2"))
+    return (
+        pairs.join(F.broadcast(shared), ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            "n_words_s1",
+            "n_words_s2",
+            # no final round: each component is already micro-unit
+            # quantized (identical doubles in both engines), and the
+            # composed value lands on the 5e-7 grid — exactly where a
+            # round(x, 6) hits the midpoint tie the two engines break
+            # differently. The identical IEEE expression over identical
+            # operands is bit-reproducible without it.
+            (
+                -(F.coalesce(F.col("t"), F.lit(0.0)) + F.col("g1") + F.col("g2"))
+                - (F.col("h1") + F.col("h2")) / 2
+            ).alias("jsd"),
+        )
+    )
+
+
+def source_divergence_oracle() -> str:
+    term = (
+        "((a.p + b.p) / 2) * ln((a.p + b.p) / 2)"
+        " - (a.p / 2) * ln(a.p / 2) - (b.p / 2) * ln(b.p / 2)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+cnt AS (SELECT source, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, sum(cnt) AS total FROM cnt GROUP BY 1),
+uni AS (
+  SELECT c.source, c.word, c.cnt / t.total AS p
+  FROM cnt c JOIN tot t USING (source)
+),
+per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_words,
+         {qsum6_sql("-(p) * ln(p)")} AS h,
+         {qsum6_sql("(p / 2) * ln(p / 2)")} AS g
+  FROM uni GROUP BY source
+),
+shared AS (
+  SELECT a.source AS s1, b.source AS s2,
+         {qsum6_sql(term)} AS t
+  FROM uni a JOIN uni b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p1.source AS s1, p2.source AS s2,
+       p1.n_words AS n_words_s1, p2.n_words AS n_words_s2,
+       -(COALESCE(sh.t, 0.0) + p1.g + p2.g) - (p1.h + p2.h) / 2 AS jsd
+FROM per_src p1
+JOIN per_src p2 ON p1.source < p2.source
+LEFT JOIN shared sh ON sh.s1 = p1.source AND sh.s2 = p2.source
+"""
+
 
 # ---------------------------------------------------------------------------
 # Composed quality filter (Gopher-style rules)

@@ -366,6 +366,14 @@ def _registry() -> dict[str, Query]:
         textprep.length_bucket_plan_oracle(),
         ("text", "pipeline"),
     )
+    # pairwise Jensen-Shannon divergence between source unigram
+    # distributions (r9): the data-mixing diagnostic — near-zero JSD
+    # flags statistically-duplicate sources per-document dedup misses
+    r["source_divergence"] = Query(
+        lambda spark, sf: quality.source_divergence(spark, sf),
+        quality.source_divergence_oracle(),
+        ("text", "quality", "pipeline"),
+    )
     # count-min-sketch term frequencies with exact twins + CMS-guarantee
     # contract booleans — the frequency sketch beside the HLL rollups
     r["heavy_hitters"] = Query(
@@ -976,8 +984,9 @@ def _registry() -> dict[str, Query]:
 # window over a 170-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). Round-9 ordering, weakest evidence
-# first: (1) the two queries NEW this round (the stored-scrub serve
-# path and the length-bucket batching plan — zero driver rows),
+# first: (1) the three queries NEW this round (the stored-scrub serve
+# path, the length-bucket batching plan, and the source-pair JSD
+# mixture diagnostic — zero driver rows),
 # (2) the eight queries whose PLANS or SCHEMAS
 # changed this round and need fresh driver evidence: media_resize
 # (real resample arm + new `resample` column), token_shards_stored /
@@ -989,15 +998,16 @@ def _registry() -> dict[str, Query]:
 # finding), index_lifecycle_report (versioned-commit resolution),
 # (3) the full 21-query cohort whose newest driver row is round 5
 # (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 18 of the 49-query r6 cohort (alphabetical; the
-# remaining 31 queue immediately behind the window for r10). After
+# (4) the first 17 of the 49-query r6 cohort (alphabetical; the
+# remaining 32 queue immediately behind the window for r10). After
 # r09 lands green, no query's newest driver row predates round 6.
 # Every query is self-contained, so order carries no semantics.
-# The registry counts 171 queries, 50 adjudicated per round.
+# The registry counts 172 queries, 50 adjudicated per round.
 _ADJUDICATE_FIRST = (
     # new this round
     "scrub_stored_report",
     "length_bucket_plan",
+    "source_divergence",
     # plan/schema changed this round
     "media_resize",
     "token_shards_stored",
@@ -1048,10 +1058,9 @@ _ADJUDICATE_FIRST = (
     "hll_daily_users",
     "hybrid_search",
     "index_build_report",
-    "ingest_decision_report",
-    # -- behind the 50-slot window: the remaining 31 r6-cohort queries
-    # (ingest_near_dedup .. winsorized_event_stats_approx), first in
-    # line for the r10 rotation, then the r7 and r8 cohorts
+    # -- behind the 50-slot window: the remaining 32 r6-cohort queries
+    # (ingest_decision_report .. winsorized_event_stats_approx), first
+    # in line for the r10 rotation, then the r7 and r8 cohorts
 )
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:

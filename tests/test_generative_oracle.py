@@ -67,6 +67,7 @@ GEN_QUERIES = [
     "media_resize",
     "scrub_stored_report",
     "length_bucket_plan",
+    "source_divergence",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
