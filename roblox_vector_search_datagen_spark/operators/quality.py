@@ -249,7 +249,10 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("h2"),
         F.col("g").alias("g2"),
     )
-    pairs = p1.crossJoin(p2).filter(F.col("s1") < F.col("s2"))
+    # explicit broadcast: the pair cross of two |S|-row scalar tables
+    # must plan as BroadcastNestedLoopJoin, never the CartesianProduct
+    # fallback (stats-independent — the blanket plan test forbids it)
+    pairs = p1.crossJoin(F.broadcast(p2)).filter(F.col("s1") < F.col("s2"))
     return (
         pairs.join(F.broadcast(shared), ["s1", "s2"], "left")
         .select(
