@@ -405,6 +405,8 @@ COMMANDS = (
     "storeScrub",
     "commitIngest",
     "gcWarehouse",
+    "auditTables",
+    "deletionImpact",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -748,6 +750,39 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif cmd == "auditTables":
+        # snapshot validation gate: run the declarative constraint
+        # pass and exit non-zero if any constraint fails — the check a
+        # training job runs before trusting a snapshot
+        # (usage: auditTables [sf_dir] [--strict])
+        from .operators import audit as audit_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        rows = audit_ops.constraint_audit(spark, sf_dir).collect()
+        failed = [r.asDict() for r in rows if not r.passed]
+        print(
+            json.dumps(
+                {
+                    "n_constraints": len(rows),
+                    "n_failed": len(failed),
+                    "failed": failed,
+                },
+                default=str,
+            )
+        )
+        if failed and "--strict" in args:
+            return 1
+    elif cmd == "deletionImpact":
+        # right-to-be-forgotten planner: size the cascade before the
+        # tombstone write (usage: deletionImpact [sf_dir])
+        from .operators import audit as audit_ops
+
+        sf_dir = args[0] if args else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        show(audit_ops.deletion_impact(spark, sf_dir))
     elif cmd == "commitIngest":
         # the continuous-ingestion commit step as an operational
         # command: clear every sf_dir-keyed memo and persisted cache,

@@ -2564,3 +2564,92 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
        CAST(min(CASE WHEN nrm > 0 THEN 1 ELSE 0 END) AS BOOLEAN) AS none_zero
 FROM rows_ GROUP BY label
 """
+
+
+def ivf_silhouette(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
+    """Per-cell simplified (centroid-based) silhouette for the IVF
+    clustering: for each vector, a = cosine distance to its assigned
+    centroid and b = distance to the nearest OTHER centroid, and
+    s = (b - a) / max(a, b) — the internal quality number that says
+    whether a cell is compact-and-separated (s -> 1) or straddling a
+    boundary (s -> 0) and should be split before it hurts recall.
+    Complements `ivf_cluster_quality` (tightness only) and
+    `ivf_label_purity` (external labels). Emits
+    (cent_id, n_members, mean_silhouette).
+
+    The classic silhouette's all-pairs distances are O(n^2) — at scale
+    everyone uses the centroid-based simplification (a/b against the
+    K centroids, not the members), which keeps this ONE scan of the
+    vector table: the K x dim centroids broadcast, each vector scores
+    K cosines, and a per-vector rank window keeps the top two. The
+    per-point s is fed to the micro-unit-quantized mean so the
+    per-cell aggregate is summation-order-independent (functions/
+    num.py:qmean6)."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+        )
+    )
+    scored = e.crossJoin(cents).select(
+        "vec_id",
+        "cent_id",
+        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc_nulls_last("cosine"), F.asc("cent_id")
+    )
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    paired = (
+        top2.groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cent_id"))).alias("cent_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("cosine"))).alias("cos1"),
+            F.max(F.when(F.col("rn") == 2, F.col("cosine"))).alias("cos2"),
+        )
+        .withColumn(
+            # a = 1 - cos1, b = 1 - cos2 with cos2 <= cos1, so
+            # max(a, b) = b; nullif guards a duplicate-of-centroid
+            # second-best (b = 0) out of the mean, matching count(col)
+            # null semantics on both engines
+            "s",
+            (F.col("cos1") - F.col("cos2"))
+            / F.nullif(F.lit(1.0) - F.col("cos2"), F.lit(0.0)),
+        )
+    )
+    return paired.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        qmean6(F.col("s")).alias("mean_silhouette"),
+    )
+
+
+def ivf_silhouette_oracle(k: int = IVF_K) -> str:
+    from ..functions.num import qmean6_sql
+
+    cos = V.cosine_sql("e.embedding", "c.cent")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < {k}
+),
+scored AS (
+  SELECT e.vec_id, c.cent_id, round({cos}, 6) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 6) DESC NULLS LAST, c.cent_id) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+paired AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cent_id END) AS cent_id,
+         max(CASE WHEN rn = 1 THEN cosine END) AS cos1,
+         max(CASE WHEN rn = 2 THEN cosine END) AS cos2
+  FROM scored WHERE rn <= 2 GROUP BY vec_id
+),
+svals AS (
+  SELECT cent_id,
+         (cos1 - cos2) / nullif(1.0 - cos2, 0.0) AS s
+  FROM paired
+)
+SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+       {qmean6_sql("s")} AS mean_silhouette
+FROM svals GROUP BY cent_id
+"""

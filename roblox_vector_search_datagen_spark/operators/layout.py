@@ -443,3 +443,196 @@ SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
        TRUE AS est_ok
 FROM keyed GROUP BY col_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning simulation (file skipping per layout)
+# ---------------------------------------------------------------------------
+
+# File-range widths for each simulated layout. Files are KEY-RANGE
+# buckets — the shape repartitionByRange + per-file splits writes — so
+# zone maps come from a plain groupBy, never a global row_number.
+ZM_NATURAL_ROWS = 250   # event_id is dense 0..n-1: exact row-count chunks
+ZM_USER_WIDTH = 4       # users per file in the user-sorted layout
+ZM_ZSHIFT = 12          # zcode high bits -> file id in the Z-order layout
+
+# (pred_id, user range, value range) — NULL bound = unconstrained.
+ZM_PREDICATES = (
+    ("user_10_40", 10, 40, None, None),
+    ("value_100_200", None, None, 100.0, 200.0),
+    ("user_and_value", 10, 40, 100.0, 200.0),
+)
+
+
+def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness report: for three physical layouts
+    of the events table (natural event_id order, user-range files,
+    Z-order(user, value) files) and a fixed predicate set, how many
+    files a zone-map-aware scan opens and how many rows it reads per
+    matching row. Emits (layout, pred_id, n_files, files_scanned,
+    rows_scanned, n_match, scan_fraction, read_amplification) — the
+    table that decides which sort order a 100 TB events warehouse
+    writes.
+
+    Physical shape: files are key-range buckets (what a
+    repartitionByRange writer produces), so the per-file zone maps
+    (min/max user_id, min/max value, row count) come from ONE scan —
+    each row is stacked into its three (layout, file_id) cells and a
+    single groupBy aggregates all three layouts at once. Predicate
+    match counts ride a second scan as conditional sums. The
+    file-level intersect join is zone-maps x 3 predicate literals —
+    both sides are metadata-sized, the predicate side broadcasts, and
+    nothing after the two scans touches row payloads (exactly how a
+    real zone-map scan consults footer metadata, not data pages)."""
+    e = tables.load_table(spark, sf_dir, "events")
+    dims = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("user_id") % 65536).cast("long").alias("dim_a"),
+        (F.abs(F.floor(F.col("value"))).cast("long") % 65536).alias("dim_b"),
+    ).withColumn("zcode", _morton_expr(F.col("dim_a"), F.col("dim_b")))
+    cells = dims.select(
+        "user_id",
+        "value",
+        F.expr(
+            f"stack(3, "
+            f"'natural', CAST(floor(event_id / {ZM_NATURAL_ROWS}) AS BIGINT), "
+            f"'by_user', CAST(floor(user_id / {ZM_USER_WIDTH}) AS BIGINT), "
+            f"'zorder',  CAST(shiftright(zcode, {ZM_ZSHIFT}) AS BIGINT)"
+            f") AS (layout, file_id)"
+        ),
+    )
+    zone_maps = cells.groupBy("layout", "file_id").agg(
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    preds = F.broadcast(
+        spark.createDataFrame(
+            list(ZM_PREDICATES),
+            "pred_id string, u_lo bigint, u_hi bigint, v_lo double, v_hi double",
+        )
+    )
+    match_aggs = e.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.lit(u_lo is None) | F.col("user_id").between(u_lo, u_hi))
+                    & (F.lit(v_lo is None) | F.col("value").between(v_lo, v_hi)),
+                    1,
+                ).otherwise(0)
+            ).alias(f"m_{i}")
+            for i, (_, u_lo, u_hi, v_lo, v_hi) in enumerate(ZM_PREDICATES)
+        ]
+    )
+    matches = match_aggs.select(
+        F.expr(
+            "stack({n}, {pairs}) AS (pred_id, n_match)".format(
+                n=len(ZM_PREDICATES),
+                pairs=", ".join(
+                    f"'{p[0]}', m_{i}" for i, p in enumerate(ZM_PREDICATES)
+                ),
+            )
+        )
+    )
+
+    scanned = (
+        (F.col("u_lo").isNull() | ((F.col("min_u") <= F.col("u_hi")) & (F.col("max_u") >= F.col("u_lo"))))
+        & (F.col("v_lo").isNull() | ((F.col("min_v") <= F.col("v_hi")) & (F.col("max_v") >= F.col("v_lo"))))
+    )
+    per = (
+        zone_maps.crossJoin(preds)
+        .withColumn("scanned", scanned)
+        .groupBy("layout", "pred_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(F.col("scanned"), 1).otherwise(0)).alias("files_scanned"),
+            F.sum(F.when(F.col("scanned"), F.col("n_rows")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+        )
+    )
+    return per.join(F.broadcast(matches), "pred_id").select(
+        "layout",
+        "pred_id",
+        F.col("n_files").cast("bigint").alias("n_files"),
+        F.col("files_scanned").cast("bigint").alias("files_scanned"),
+        F.col("rows_scanned").cast("bigint").alias("rows_scanned"),
+        F.col("n_match").cast("bigint").alias("n_match"),
+        F.round(F.col("files_scanned") / F.col("n_files"), 6).alias("scan_fraction"),
+        F.round(
+            F.col("rows_scanned") / F.nullif(F.col("n_match"), F.lit(0)), 6
+        ).alias("read_amplification"),
+    )
+
+
+def zone_map_pruning_oracle(bits: int = ZORDER_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((dim_a >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((dim_b >> {i}) & 1) << {2 * i + 1})")
+    interleave = " | ".join(terms)
+    pred_rows = ", ".join(
+        "('{}', {}, {}, {}, {})".format(
+            p[0],
+            "NULL" if p[1] is None else p[1],
+            "NULL" if p[2] is None else p[2],
+            "NULL" if p[3] is None else p[3],
+            "NULL" if p[4] is None else p[4],
+        )
+        for p in ZM_PREDICATES
+    )
+    return f"""
+WITH dims AS (
+  SELECT event_id, user_id, value,
+         CAST(user_id % 65536 AS BIGINT) AS dim_a,
+         CAST(abs(floor(value)) AS BIGINT) % 65536 AS dim_b
+  FROM events
+),
+coded AS (
+  SELECT event_id, user_id, value, CAST({interleave} AS BIGINT) AS zcode FROM dims
+),
+cells AS (
+  SELECT 'natural' AS layout, CAST(floor(event_id / {ZM_NATURAL_ROWS}) AS BIGINT) AS file_id, user_id, value FROM coded
+  UNION ALL
+  SELECT 'by_user', CAST(floor(user_id / {ZM_USER_WIDTH}) AS BIGINT), user_id, value FROM coded
+  UNION ALL
+  SELECT 'zorder', zcode >> {ZM_ZSHIFT}, user_id, value FROM coded
+),
+zone_maps AS (
+  SELECT layout, file_id, min(user_id) AS min_u, max(user_id) AS max_u,
+         min(value) AS min_v, max(value) AS max_v, count(*) AS n_rows
+  FROM cells GROUP BY 1, 2
+),
+preds(pred_id, u_lo, u_hi, v_lo, v_hi) AS (VALUES {pred_rows}),
+matches AS (
+  SELECT p.pred_id,
+         sum(CASE WHEN (p.u_lo IS NULL OR e.user_id BETWEEN p.u_lo AND p.u_hi)
+                   AND (p.v_lo IS NULL OR e.value BETWEEN p.v_lo AND p.v_hi)
+                  THEN 1 ELSE 0 END) AS n_match
+  FROM events e CROSS JOIN preds p GROUP BY 1
+),
+per AS (
+  SELECT z.layout, p.pred_id,
+         count(*) AS n_files,
+         sum(CASE WHEN (p.u_lo IS NULL OR (z.min_u <= p.u_hi AND z.max_u >= p.u_lo))
+                   AND (p.v_lo IS NULL OR (z.min_v <= p.v_hi AND z.max_v >= p.v_lo))
+                  THEN 1 ELSE 0 END) AS files_scanned,
+         sum(CASE WHEN (p.u_lo IS NULL OR (z.min_u <= p.u_hi AND z.max_u >= p.u_lo))
+                   AND (p.v_lo IS NULL OR (z.min_v <= p.v_hi AND z.max_v >= p.v_lo))
+                  THEN z.n_rows ELSE 0 END) AS rows_scanned
+  FROM zone_maps z CROSS JOIN preds p GROUP BY 1, 2
+)
+SELECT per.layout, per.pred_id,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(files_scanned AS BIGINT) AS files_scanned,
+       CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(n_match AS BIGINT) AS n_match,
+       round(CAST(files_scanned AS DOUBLE) / n_files, 6) AS scan_fraction,
+       round(CAST(rows_scanned AS DOUBLE) / nullif(n_match, 0), 6) AS read_amplification
+FROM per JOIN matches USING (pred_id)
+"""

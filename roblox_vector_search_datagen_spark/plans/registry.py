@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
     ann,
+    audit,
     dedup,
     layout,
     maintenance,
@@ -95,6 +96,20 @@ def _registry() -> dict[str, Query]:
     r["prune_counts"] = Query(maintenance.prune_counts, maintenance.prune_counts_oracle(), ("prune",))
     r["prune_orphan_embeddings"] = Query(
         maintenance.orphan_embeddings, maintenance.orphan_embeddings_oracle(), ("prune",)
+    )
+    # --- dataset governance (snapshot validation + privacy cascade) ---
+    # declarative constraint pass: uniqueness/non-null/FK/range fused
+    # into one scan per table (the Deequ shape)
+    r["constraint_audit"] = Query(
+        audit.constraint_audit,
+        audit.constraint_audit_oracle(),
+        ("governance",),
+    )
+    # right-to-be-forgotten cascade accounting (tombstone sizing)
+    r["deletion_impact"] = Query(
+        lambda spark, sf: audit.deletion_impact(spark, sf),
+        audit.deletion_impact_oracle(),
+        ("governance",),
     )
     r["needs_details_worklist"] = Query(
         maintenance.needs_details_worklist,
@@ -401,6 +416,13 @@ def _registry() -> dict[str, Query]:
     r["events_zorder"] = Query(
         layout.events_zorder, layout.events_zorder_oracle(), ("layout",)
     )
+    # file-skipping effectiveness per physical layout: zone maps over
+    # key-range files x predicate set -> scan fraction + read amp
+    r["zone_map_pruning"] = Query(
+        layout.zone_map_pruning,
+        layout.zone_map_pruning_oracle(),
+        ("layout",),
+    )
     # deterministic seeded shuffle into training shards (reproducible
     # data-loading order without a global sort)
     r["seeded_shuffle"] = Query(
@@ -422,6 +444,13 @@ def _registry() -> dict[str, Query]:
     r["ivf_cluster_quality"] = Query(
         lambda spark, sf: ann.ivf_cluster_quality(spark, sf),
         ann.ivf_cluster_quality_oracle(),
+        ("ann",),
+    )
+    # centroid-based simplified silhouette: compactness AND separation
+    # per cell (ivf_cluster_quality is tightness-only)
+    r["ivf_silhouette"] = Query(
+        lambda spark, sf: ann.ivf_silhouette(spark, sf),
+        ann.ivf_silhouette_oracle(),
         ("ann",),
     )
     # one-row-per-metric IVF build health summary (balance, tightness)
@@ -984,9 +1013,11 @@ def _registry() -> dict[str, Query]:
 # window over a 170-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). Round-9 ordering, weakest evidence
-# first: (1) the three queries NEW this round (the stored-scrub serve
-# path, the length-bucket batching plan, and the source-pair JSD
-# mixture diagnostic — zero driver rows),
+# first: (1) the seven queries NEW this round (the stored-scrub serve
+# path, the length-bucket batching plan, the source-pair JSD
+# mixture diagnostic, the zone-map file-skipping report, the
+# constraint-audit + deletion-impact governance pair, and the IVF
+# silhouette — zero driver rows),
 # (2) the eight queries whose PLANS or SCHEMAS
 # changed this round and need fresh driver evidence: media_resize
 # (real resample arm + new `resample` column), token_shards_stored /
@@ -998,16 +1029,20 @@ def _registry() -> dict[str, Query]:
 # finding), index_lifecycle_report (versioned-commit resolution),
 # (3) the full 21-query cohort whose newest driver row is round 5
 # (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 17 of the 49-query r6 cohort (alphabetical; the
-# remaining 32 queue immediately behind the window for r10). After
+# (4) the first 13 of the 49-query r6 cohort (alphabetical; the
+# remaining 36 queue immediately behind the window for r10). After
 # r09 lands green, no query's newest driver row predates round 6.
 # Every query is self-contained, so order carries no semantics.
-# The registry counts 172 queries, 50 adjudicated per round.
+# The registry counts 176 queries, 50 adjudicated per round.
 _ADJUDICATE_FIRST = (
     # new this round
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",
+    "zone_map_pruning",
+    "constraint_audit",
+    "deletion_impact",
+    "ivf_silhouette",
     # plan/schema changed this round
     "media_resize",
     "token_shards_stored",
@@ -1040,7 +1075,7 @@ _ADJUDICATE_FIRST = (
     "training_corpus",
     "user_retention",
     "windowed_event_counts",
-    # r6 cohort, first 20 alphabetically — fills the window to 50
+    # r6 cohort, first 13 alphabetically — fills the window to 50
     "bigram_lm_score",
     "bpe_encode_sample",
     "bpe_fertility_report",
@@ -1054,13 +1089,9 @@ _ADJUDICATE_FIRST = (
     "embedding_lsh_verified",
     "embedding_outliers",
     "event_value_quantiles",
-    "heavy_hitters",
-    "hll_daily_users",
-    "hybrid_search",
-    "index_build_report",
-    # -- behind the 50-slot window: the remaining 32 r6-cohort queries
-    # (ingest_decision_report .. winsorized_event_stats_approx), first
-    # in line for the r10 rotation, then the r7 and r8 cohorts
+    # -- behind the 50-slot window: the remaining 36 r6-cohort queries
+    # (heavy_hitters .. winsorized_event_stats_approx), first in line
+    # for the r10 rotation, then the r7 and r8 cohorts
 )
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:

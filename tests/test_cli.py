@@ -459,3 +459,26 @@ def test_store_scrub_and_gc_warehouse_commands(spark, sf_dir, tmp_path, monkeypa
                for e in rep["entries"])
     # dry run deleted nothing
     assert os.path.exists(res["path"])
+
+
+def test_audit_tables_and_deletion_impact_commands(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The governance pair is operable from the CLI: auditTables prints
+    the constraint report (and --strict gates on failures — the
+    fixtures genuinely violate lineitem's PK, so strict exits 1);
+    deletionImpact prints one cascade row per table."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["auditTables", sf_dir]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_constraints"] == 14
+    failed = {(f["table_name"], f["constraint"]) for f in rep["failed"]}
+    assert failed == {("lineitem", "pk_unique")}
+
+    assert cli.main(["auditTables", sf_dir, "--strict"]) == 1
+    capsys.readouterr()
+
+    assert cli.main(["deletionImpact", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["table_name"] for r in rows} == {"customer", "orders", "lineitem", "events"}
+    for r in rows:
+        assert 0 <= r["n_delete"] <= r["n_rows"]

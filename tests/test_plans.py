@@ -818,3 +818,43 @@ def test_stored_token_shards_layout_is_one_file_per_shard(spark, sf_dir):
     one = spark.read.parquet(shard_dirs[0]).collect()
     keys = [(r.doc_id, r.pos) for r in one]
     assert keys == sorted(keys)
+
+
+def test_session9_late_ops_plan_contracts(spark, sf_dir):
+    """Pinned physical properties of the round-9 governance/layout ops."""
+    from roblox_vector_search_datagen_spark.operators import ann, audit, layout
+
+    # zone_map_pruning: files are key-range buckets (no global sort
+    # or row_number anywhere); the metadata x predicates product is a
+    # broadcast NLJ over post-aggregation rows; one events payload scan
+    # per stage — never a per-file window
+    p = plan_of(layout.zone_map_pruning(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p.lower()
+    assert "Window" not in p
+    assert "EvalPython" not in p
+
+    # constraint_audit: one fused aggregation per table; every FK
+    # probe is a broadcast left join (3 FKs), never a sort-merge join
+    p = plan_of(audit.constraint_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+    # deletion_impact: forget set + deleted-order keys broadcast; the
+    # cascade is conditional sums, no row payload exchange via joins
+    p = plan_of(audit.deletion_impact(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    # ivf_silhouette: centroids broadcast (constant small side of the
+    # score product); the top-2 window partitions per vector, never
+    # SinglePartition
+    p = plan_of(ann.ivf_silhouette(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SinglePartition, Window" not in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p

@@ -172,3 +172,105 @@ def test_epoch_us_is_session_timezone_independent(spark):
             assert got == expected, (tz, got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_zone_map_pruning_layout_dominance(spark, sf_dir):
+    """Structural invariants of the file-skipping report: a scan never
+    reads fewer rows than it matches; the user-sorted layout prunes the
+    user predicate at least as well as natural order; Z-order prunes
+    the value predicate strictly better than either value-blind layout
+    (they must read everything)."""
+    from roblox_vector_search_datagen_spark.operators import layout
+
+    rows = {
+        (r.layout, r.pred_id): r
+        for r in layout.zone_map_pruning(spark, sf_dir).collect()
+    }
+    for r in rows.values():
+        assert r.rows_scanned >= r.n_match, r
+        assert 0 < r.files_scanned <= r.n_files or r.n_match == 0, r
+    assert (
+        rows[("by_user", "user_10_40")].scan_fraction
+        <= rows[("natural", "user_10_40")].scan_fraction
+    )
+    # value-blind layouts cannot skip a single file on a value-only
+    # predicate; the Z-order layout must
+    for blind in ("natural", "by_user"):
+        assert rows[(blind, "value_100_200")].scan_fraction == 1.0
+    assert rows[("zorder", "value_100_200")].scan_fraction < 1.0
+
+
+def test_constraint_audit_clean_fixtures_pass_and_violations_count(spark, sf_dir):
+    """The driver fixtures satisfy every declared constraint; a
+    corrupted row is actually counted (the audit is not a tautology)."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import audit
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    out = {(r.table_name, r.constraint): r for r in audit.constraint_audit(spark, sf_dir).collect()}
+    assert len(out) == 14
+    # the synthetic generator does NOT enforce TPC-H's lineitem PK —
+    # the audit must SURFACE that, not paper over it
+    pk = out[("lineitem", "pk_unique")]
+    li = tables.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    ).collect()
+    expected_viol = len(li) - len({(r.l_orderkey, r.l_linenumber) for r in li})
+    assert pk.n_violations == expected_viol and pk.passed == (expected_viol == 0)
+    for key, r in out.items():
+        if key == ("lineitem", "pk_unique"):
+            continue
+        assert r.passed and r.n_violations == 0, r
+
+    # corrupt one doc (n_chars off by one) through the same fused agg
+    docs = tables.load_table(spark, sf_dir, "documents")
+    broken = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 0, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    agged = broken.agg(
+        F.sum(
+            F.when(F.col("n_chars") != F.length(F.col("text")), 1).otherwise(0)
+        ).alias("viol")
+    ).collect()[0]
+    assert agged.viol == 1
+
+
+def test_deletion_impact_cascade_is_consistent(spark, sf_dir):
+    """Orders deleted / lineitems deleted agree with an independent
+    recount, and every share is n_delete/n_rows."""
+    from roblox_vector_search_datagen_spark.operators import audit
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    rows = {r.table_name: r for r in audit.deletion_impact(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    for r in rows.values():
+        assert 0 <= r.n_delete <= r.n_rows
+        assert abs(r.share - r.n_delete / r.n_rows) < 1e-6
+
+    orders = tables.load_table(spark, sf_dir, "orders").collect()
+    forget = {
+        r.c_custkey
+        for r in tables.load_table(spark, sf_dir, "customer").collect()
+        if r.c_custkey % audit.FORGET_MODULUS == 0
+    }
+    del_orders = {r.o_orderkey for r in orders if r.o_custkey in forget}
+    assert rows["orders"].n_delete == len(del_orders)
+    li = tables.load_table(spark, sf_dir, "lineitem").collect()
+    assert rows["lineitem"].n_delete == sum(1 for r in li if r.l_orderkey in del_orders)
+
+
+def test_ivf_silhouette_bounded_and_covers_all_cells(spark, sf_dir):
+    """Simplified silhouette lies in [0, 1] under the rn-1/rn-2
+    construction (cos1 >= cos2) and members sum to the corpus size."""
+    from roblox_vector_search_datagen_spark.operators import ann
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    rows = ann.ivf_silhouette(spark, sf_dir).collect()
+    n_vecs = tables.load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    for r in rows:
+        assert r.mean_silhouette is None or 0.0 <= r.mean_silhouette <= 1.0, r
