@@ -1261,6 +1261,96 @@ FROM per_src CROSS JOIN n
 """
 
 
+REPEAT_BUDGET_TOKENS = 60_000
+# Diminishing-returns constant for repeated data: effective extra
+# epochs saturate at RD_STAR (the fitted half-life from Muennighoff et
+# al. 2023, "Scaling Data-Constrained Language Models", eq. 5 — public
+# fit: R*_D ~ 15.4; any positive constant gives the same plan shape)
+RD_STAR = 15.4
+
+
+def repetition_budget_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = REPEAT_BUDGET_TOKENS,
+    rd_star: float = RD_STAR,
+) -> DataFrame:
+    """Data-constrained training planner: when the token budget EXCEEDS
+    the corpus, how many epochs does each source run and how much is a
+    repeated token actually worth? Per source, the uniform budget slice
+    is split into unique tokens seen once and repeated mass, and the
+    repeated mass is discounted by the diminishing-returns curve
+    effective_extra = U * rd_star * (1 - exp(-R / rd_star)) with
+    R = repeated/U fractional repeat epochs (Muennighoff et al. 2023).
+    A source with epochs < 1 is sampled like `mixture_plan`; a source
+    with epochs >> 1 shows exactly how much of its slice the decay
+    wastes — the number that says "buy more data, not more epochs".
+    Emits (source, n_docs, unique_tokens, alloc_tokens, epochs,
+    repeated_tokens, effective_tokens, efficiency).
+
+    One aggregation to |sources| rows, a broadcast 1-row source count,
+    then pure per-row scalar math — a driver-sized plan table at any
+    corpus size, same shape as `mixture_plan`."""
+    d = tables.load_table(spark, sf_dir, "documents")
+    per_src = d.select(
+        "source", F.size(_words(F.col("text"))).alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("unique_tokens"),
+    )
+    nsrc = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
+    alloc = (F.lit(budget) / F.col("n_sources")).cast("bigint")
+    u = F.col("unique_tokens")
+    repeated = F.greatest(F.lit(0).cast("bigint"), (alloc - u).cast("bigint"))
+    r_epochs = repeated / u
+    eff = (
+        F.least(alloc, u)
+        + u * rd_star * (F.lit(1.0) - F.exp(-r_epochs / F.lit(rd_star)))
+    )
+    return per_src.crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        "n_docs",
+        "unique_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / u, 6).alias("epochs"),
+        repeated.alias("repeated_tokens"),
+        F.round(eff, 3).alias("effective_tokens"),
+        F.round(eff / alloc, 6).alias("efficiency"),
+    )
+
+
+def repetition_budget_plan_oracle(
+    budget: int = REPEAT_BUDGET_TOKENS, rd_star: float = RD_STAR
+) -> str:
+    w = "string_split_regex(text, '\\s+')"
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({w})) AS BIGINT) AS unique_tokens
+  FROM documents GROUP BY source
+),
+n AS (SELECT count(*) AS n_sources FROM per_src),
+calc AS (
+  SELECT source, n_docs, unique_tokens,
+         CAST({budget} / n_sources AS BIGINT) AS alloc_tokens,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(CAST({budget} / n_sources AS BIGINT) - unique_tokens AS BIGINT)) AS repeated_tokens
+  FROM per_src CROSS JOIN n
+)
+SELECT source, n_docs, unique_tokens, alloc_tokens,
+       round(CAST(alloc_tokens AS DOUBLE) / unique_tokens, 6) AS epochs,
+       repeated_tokens,
+       round(least(alloc_tokens, unique_tokens)
+             + unique_tokens * {rd_star}
+               * (1.0 - exp(-(CAST(repeated_tokens AS DOUBLE) / unique_tokens) / {rd_star})), 3) AS effective_tokens,
+       round((least(alloc_tokens, unique_tokens)
+             + unique_tokens * {rd_star}
+               * (1.0 - exp(-(CAST(repeated_tokens AS DOUBLE) / unique_tokens) / {rd_star})))
+             / alloc_tokens, 6) AS efficiency
+FROM calc
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination (broadcast-bitset membership at 100 TB)
 # ---------------------------------------------------------------------------

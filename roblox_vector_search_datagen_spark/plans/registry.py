@@ -408,6 +408,13 @@ def _registry() -> dict[str, Query]:
         textprep.mixture_plan_oracle(),
         ("sampling", "profiling"),
     )
+    # budget > corpus: epochs, repeated mass, diminishing-returns
+    # effective tokens per source (data-constrained scaling planner)
+    r["repetition_budget_plan"] = Query(
+        lambda spark, sf: textprep.repetition_budget_plan(spark, sf),
+        textprep.repetition_budget_plan_oracle(),
+        ("sampling", "profiling"),
+    )
     r["skew_profile"] = Query(
         lambda spark, sf: layout.skew_profile(spark, sf),
         layout.skew_profile_oracle(),
@@ -1013,11 +1020,12 @@ def _registry() -> dict[str, Query]:
 # window over a 170-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). Round-9 ordering, weakest evidence
-# first: (1) the seven queries NEW this round (the stored-scrub serve
+# first: (1) the eight queries NEW this round (the stored-scrub serve
 # path, the length-bucket batching plan, the source-pair JSD
 # mixture diagnostic, the zone-map file-skipping report, the
-# constraint-audit + deletion-impact governance pair, and the IVF
-# silhouette — zero driver rows),
+# constraint-audit + deletion-impact governance pair, the IVF
+# silhouette, and the data-constrained repetition planner — zero
+# driver rows),
 # (2) the eight queries whose PLANS or SCHEMAS
 # changed this round and need fresh driver evidence: media_resize
 # (real resample arm + new `resample` column), token_shards_stored /
@@ -1029,11 +1037,11 @@ def _registry() -> dict[str, Query]:
 # finding), index_lifecycle_report (versioned-commit resolution),
 # (3) the full 21-query cohort whose newest driver row is round 5
 # (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 13 of the 49-query r6 cohort (alphabetical; the
-# remaining 36 queue immediately behind the window for r10). After
+# (4) the first 12 of the 49-query r6 cohort (alphabetical; the
+# remaining 37 queue immediately behind the window for r10). After
 # r09 lands green, no query's newest driver row predates round 6.
 # Every query is self-contained, so order carries no semantics.
-# The registry counts 176 queries, 50 adjudicated per round.
+# The registry counts 177 queries, 50 adjudicated per round.
 _ADJUDICATE_FIRST = (
     # new this round
     "scrub_stored_report",
@@ -1043,6 +1051,7 @@ _ADJUDICATE_FIRST = (
     "constraint_audit",
     "deletion_impact",
     "ivf_silhouette",
+    "repetition_budget_plan",
     # plan/schema changed this round
     "media_resize",
     "token_shards_stored",
@@ -1075,7 +1084,7 @@ _ADJUDICATE_FIRST = (
     "training_corpus",
     "user_retention",
     "windowed_event_counts",
-    # r6 cohort, first 13 alphabetically — fills the window to 50
+    # r6 cohort, first 12 alphabetically — fills the window to 50
     "bigram_lm_score",
     "bpe_encode_sample",
     "bpe_fertility_report",
@@ -1088,10 +1097,9 @@ _ADJUDICATE_FIRST = (
     "embedding_lsh_dropped_buckets",
     "embedding_lsh_verified",
     "embedding_outliers",
-    "event_value_quantiles",
-    # -- behind the 50-slot window: the remaining 36 r6-cohort queries
-    # (heavy_hitters .. winsorized_event_stats_approx), first in line
-    # for the r10 rotation, then the r7 and r8 cohorts
+    # -- behind the 50-slot window: the remaining 37 r6-cohort queries
+    # (event_value_quantiles .. winsorized_event_stats_approx), first
+    # in line for the r10 rotation, then the r7 and r8 cohorts
 )
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:

@@ -274,3 +274,24 @@ def test_ivf_silhouette_bounded_and_covers_all_cells(spark, sf_dir):
     assert sum(r.n_members for r in rows) == n_vecs
     for r in rows:
         assert r.mean_silhouette is None or 0.0 <= r.mean_silhouette <= 1.0, r
+
+
+def test_repetition_budget_plan_decay_economics(spark, sf_dir):
+    """The data-constrained planner's invariants: effective tokens
+    never exceed the allocation, never fall below the unique tokens
+    actually seen, and efficiency strictly degrades as epochs rise
+    (more repetition -> each budgeted token is worth less)."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    rows = textprep.repetition_budget_plan(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        seen_unique = min(r.alloc_tokens, r.unique_tokens)
+        assert seen_unique <= r.effective_tokens <= r.alloc_tokens + 1e-6, r
+        assert abs(r.alloc_tokens - (seen_unique + r.repeated_tokens)) <= 1, r
+    by_epochs = sorted(rows, key=lambda r: r.epochs)
+    effs = [r.efficiency for r in by_epochs]
+    # repetition-free sources are fully efficient; beyond 1 epoch the
+    # efficiency ordering follows the epoch ordering (monotone decay)
+    over = [(r.epochs, r.efficiency) for r in by_epochs if r.epochs > 1]
+    assert all(e2 <= e1 + 1e-9 for (_, e1), (_, e2) in zip(over, over[1:])), effs
