@@ -314,3 +314,91 @@ SELECT doc_id, is_exact_dup,
             ELSE 'accepted' END AS verdict
 FROM marked
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming governance: per-microbatch constraint monitor
+# ---------------------------------------------------------------------------
+
+
+def order_audit_counts(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The STATELESS slice of `operators/audit.constraint_audit` for an
+    arriving orders batch: FK -> customer (null-counted broadcast left
+    join), totalprice range, orderkey non-null. Per-row checks only —
+    global uniqueness needs cross-batch state and stays a batch-audit
+    concern (`constraint_audit` covers it over the full snapshot).
+    Emits (table_name, constraint, n_checked, n_violations, passed)."""
+    from ..operators.audit import _stack_constraints
+
+    n = F.count(F.lit(1))
+    cust_keys = F.broadcast(
+        customer.select(F.col("c_custkey").alias("fk_custkey")).distinct()
+    )
+    agged = (
+        orders.join(cust_keys, orders.o_custkey == F.col("fk_custkey"), "left")
+        .agg(
+            n.alias("custkey_fk_checked"),
+            F.sum(F.when(F.col("fk_custkey").isNull(), 1).otherwise(0)).alias(
+                "custkey_fk_viol"
+            ),
+            n.alias("totalprice_positive_checked"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+                "totalprice_positive_viol"
+            ),
+            n.alias("orderkey_not_null_checked"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "orderkey_not_null_viol"
+            ),
+        )
+    )
+    return _stack_constraints(
+        agged, "orders", ["custkey_fk", "totalprice_positive", "orderkey_not_null"]
+    )
+
+
+def order_audit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming monitor: the stateless order
+    constraints over the full orders snapshot."""
+    return order_audit_counts(
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "customer"),
+    )
+
+
+def stream_order_audit(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """Per-microbatch governance monitor: arriving orders are audited
+    against the static customer dimension inside foreachBatch and each
+    batch's (batch_id, constraint, counts) report is appended to the
+    audit log — the always-on data-quality feed a 100 TB ingest runs
+    beside the pipeline (counts only cross the sink; violating rows
+    never leave their batch). Batch-scoped overwrite keeps replays
+    idempotent, same contract as sinks.stream_to_parquet_idempotent.
+    Returns the query handle; sum over batches == the batch twin
+    (additive counts, stateless checks)."""
+    import os
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    customer = tables.load_table(spark, sf_dir, "customer")
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            order_audit_counts(batch_df, customer)
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        )
+
+    return (
+        stream.writeStream.foreachBatch(audit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

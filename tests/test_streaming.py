@@ -458,3 +458,39 @@ def test_session_window_straggler_behind_watermark_is_dropped(spark, tmp_path):
     # divergence from the full-feed batch twin is exactly the merge the
     # dropped straggler would have caused
     assert (1, dt(2024, 3, 1, 10, 0), 3, 3.0) not in got
+
+
+def test_stream_order_audit_counts_sum_to_batch_twin(spark, sf_dir, tmp_path):
+    """The per-microbatch constraint monitor: summed over batches, the
+    streamed audit log equals the batch twin exactly (stateless checks
+    are additive), every batch reports all three constraints, and a
+    reprocess with a fresh checkpoint does not double-count (batch-
+    scoped overwrite)."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {
+        r.constraint: (r.n_checked, r.n_violations)
+        for r in ingest.order_audit_batch(spark, sf_dir).collect()
+    }
+    assert set(batch) == {"custkey_fk", "totalprice_positive", "orderkey_not_null"}
+
+    out = str(tmp_path / "audit_log")
+    for i in range(2):  # second drain = reprocess, must be a no-double
+        q = ingest.stream_order_audit(spark, sf_dir, out, str(tmp_path / f"ckpt{i}"))
+        q.awaitTermination(120)
+    log = spark.read.parquet(out)
+    summed = {
+        r.constraint: (r.n_checked, r.n_violations)
+        for r in log.groupBy("constraint")
+        .agg(
+            F.sum("n_checked").alias("n_checked"),
+            F.sum("n_violations").alias("n_violations"),
+        )
+        .collect()
+    }
+    assert summed == batch
+    # every microbatch reported the full constraint set
+    per_batch = log.groupBy("batch_id").count().collect()
+    assert all(r["count"] == 3 for r in per_batch)
