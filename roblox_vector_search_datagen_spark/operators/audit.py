@@ -130,9 +130,7 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("pk_unique_checked"),
             (
                 n
-                - F.count_distinct(
-                    F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
-                )
+                - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
             ).alias("pk_unique_viol"),
             n.alias("orderkey_fk_checked"),
             F.sum(F.when(F.col("fk_orderkey").isNull(), 1).otherwise(0)).alias(
@@ -218,7 +216,7 @@ ord AS (
 ),
 li AS (
   SELECT count(*) AS n,
-         count(*) - count(DISTINCT concat_ws(':', l_orderkey, l_linenumber)) AS pk_viol,
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS pk_viol,
          sum(CASE WHEN ok.fk IS NULL THEN 1 ELSE 0 END) AS fk_viol,
          sum(CASE WHEN l.l_quantity < 1 OR l.l_quantity > 50 THEN 1 ELSE 0 END) AS qty_viol,
          sum(CASE WHEN l.l_discount < 0 OR l.l_discount > 0.1 THEN 1 ELSE 0 END) AS disc_viol

@@ -29,6 +29,12 @@ FLOAT_HEAVY = [
     "minhash_jaccard_estimates",
     "knn_label_accuracy",
     "bpe_fertility_report",
+    # r9 late additions: quantized-mean silhouette, exp()-decay
+    # economics, share/amplification ratios
+    "ivf_silhouette",
+    "repetition_budget_plan",
+    "zone_map_pruning",
+    "deletion_impact",
 ]
 
 
