@@ -68,6 +68,10 @@ GEN_QUERIES = [
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",
+    # r9 late: identical-vector blocks drive cos2 -> 1 (the nullif
+    # guard), empty/duplicate docs drive the repetition decay edges
+    "ivf_silhouette",
+    "repetition_budget_plan",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
@@ -262,6 +266,9 @@ EVENT_QUERIES = [
     "event_value_histogram",
     "scd2_user_state",
     "point_in_time_state",
+    # r9 late: negative/zero values + tie bursts exercise the morton
+    # dims and zone-map boundary intersections
+    "zone_map_pruning",
     "rate_limited_events",
     "event_minmax_downsample",
     "hll_daily_users",
