@@ -295,3 +295,69 @@ def test_repetition_budget_plan_decay_economics(spark, sf_dir):
     # efficiency ordering follows the epoch ordering (monotone decay)
     over = [(r.epochs, r.efficiency) for r in by_epochs if r.epochs > 1]
     assert all(e2 <= e1 + 1e-9 for (_, e1), (_, e2) in zip(over, over[1:])), effs
+
+
+def test_zone_map_scan_never_misses_a_match(spark, sf_dir):
+    """Zone-map pruning soundness: for every (layout, predicate), every
+    row matching the predicate lives in a file the scan keeps — pruning
+    may over-read (that's read_amplification) but can NEVER skip a
+    match. Recomputed independently row-by-row in python."""
+    import math
+
+    from roblox_vector_search_datagen_spark.operators import layout
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    events = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).collect()
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def file_of(r, lay):
+        if lay == "natural":
+            return r.event_id // layout.ZM_NATURAL_ROWS
+        if lay == "by_user":
+            return r.user_id // layout.ZM_USER_WIDTH
+        z = morton(r.user_id % 65536, int(abs(math.floor(r.value))) % 65536)
+        return z >> layout.ZM_ZSHIFT
+
+    def matches(r, pred):
+        _, u_lo, u_hi, v_lo, v_hi = pred
+        return (u_lo is None or u_lo <= r.user_id <= u_hi) and (
+            v_lo is None or v_lo <= r.value <= v_hi
+        )
+
+    # scanned file sets from the operator's own zone-map math
+    report = layout.zone_map_pruning(spark, sf_dir)
+    # rebuild per-(layout,pred) scanned file ids independently
+    zone = {}
+    for r in events:
+        for lay in ("natural", "by_user", "zorder"):
+            key = (lay, file_of(r, lay))
+            lo = zone.setdefault(key, [r.user_id, r.user_id, r.value, r.value, 0])
+            lo[0] = min(lo[0], r.user_id); lo[1] = max(lo[1], r.user_id)
+            lo[2] = min(lo[2], r.value); lo[3] = max(lo[3], r.value)
+            lo[4] += 1
+    for pred in layout.ZM_PREDICATES:
+        pid, u_lo, u_hi, v_lo, v_hi = pred
+        for lay in ("natural", "by_user", "zorder"):
+            scanned = {
+                f for (l, f), (mnu, mxu, mnv, mxv, _) in zone.items()
+                if l == lay
+                and (u_lo is None or (mnu <= u_hi and mxu >= u_lo))
+                and (v_lo is None or (mnv <= v_hi and mxv >= v_lo))
+            }
+            for r in events:
+                if matches(r, pred):
+                    assert file_of(r, lay) in scanned, (lay, pid, r)
+            # and the operator's counts agree with the independent rebuild
+            row = [x for x in report.collect() if x.layout == lay and x.pred_id == pid][0]
+            assert row.files_scanned == len(scanned)
+            assert row.rows_scanned == sum(
+                v[4] for (l, f), v in zone.items() if l == lay and f in scanned
+            )
