@@ -2653,3 +2653,78 @@ SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
        {qmean6_sql("s")} AS mean_silhouette
 FROM svals GROUP BY cent_id
 """
+
+
+DIVERSE_PER_CELL = 5
+
+
+def semantic_diverse_sample(
+    spark: SparkSession, sf_dir: str, k: int = IVF_K, r: int = DIVERSE_PER_CELL
+) -> DataFrame:
+    """Cluster-stratified diversity sample over the embedding space:
+    per IVF cell, the r members CLOSEST to the centroid (prototypes —
+    the redundancy a SemDeDup-style pass would collapse toward) and the
+    r FARTHEST (frontier — the long-tail examples a diversity-seeking
+    curation keeps). Sampling BY CELL instead of uniformly guarantees
+    every semantic region contributes, which a global top-k never does.
+    Emits (cent_id, role, rank, vec_id, cosine); a member of a cell
+    smaller than 2r can legitimately carry both roles.
+
+    Physical shape: rides the persisted `ivf_assignments` subtree (one
+    corpus scan shared with the whole IVF family), then two per-cell
+    rank windows over (cent_id) — partition-parallel, no global sort;
+    the output is 2*r*k rows regardless of corpus size."""
+    assign = ivf_assignments(spark, sf_dir, k)
+    # a NULL cosine (zero-norm vector, undefined similarity) ranks
+    # frontier-most and prototype-last; NULL order pinned on BOTH
+    # engines (Spark asc defaults NULLS FIRST, DuckDB NULLS LAST)
+    w_proto = Window.partitionBy("cent_id").orderBy(
+        F.desc_nulls_last("cosine"), F.asc("vec_id")
+    )
+    w_front = Window.partitionBy("cent_id").orderBy(
+        F.asc_nulls_first("cosine"), F.asc("vec_id")
+    )
+    proto = (
+        assign.withColumn("rank", F.row_number().over(w_proto))
+        .filter(F.col("rank") <= r)
+        .select(
+            "cent_id",
+            F.lit("prototype").alias("role"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            "cosine",
+        )
+    )
+    front = (
+        assign.withColumn("rank", F.row_number().over(w_front))
+        .filter(F.col("rank") <= r)
+        .select(
+            "cent_id",
+            F.lit("frontier").alias("role"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            "cosine",
+        )
+    )
+    return proto.unionByName(front)
+
+
+def semantic_diverse_sample_oracle(
+    k: int = IVF_K, r: int = DIVERSE_PER_CELL
+) -> str:
+    return f"""
+WITH assign AS ({ivf_assignments_oracle(k)}),
+ranked AS (
+  SELECT cent_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY cent_id
+                            ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS r_proto,
+         row_number() OVER (PARTITION BY cent_id
+                            ORDER BY cosine ASC NULLS FIRST, vec_id ASC) AS r_front
+  FROM assign
+)
+SELECT cent_id, 'prototype' AS role, CAST(r_proto AS INT) AS rank, vec_id, cosine
+FROM ranked WHERE r_proto <= {r}
+UNION ALL
+SELECT cent_id, 'frontier', CAST(r_front AS INT), vec_id, cosine
+FROM ranked WHERE r_front <= {r}
+"""

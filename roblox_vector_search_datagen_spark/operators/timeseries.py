@@ -320,6 +320,93 @@ UNION ALL
 SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
 """
 
+FUNNEL_GAP_HOURS = 72
+
+
+def funnel_within(
+    spark: SparkSession, sf_dir: str, gap_hours: int = FUNNEL_GAP_HOURS
+) -> DataFrame:
+    """Time-bounded conversion funnel: stage N counts users whose stage
+    N event lands within `gap_hours` of their stage N-1 entry — the
+    funnel marketers actually run (an unbounded funnel credits a
+    purchase a month after the click). Emits (stage, event_type,
+    users, conversion) with conversion = stage users / previous-stage
+    users (1.0 at stage 1, 6-dp rounded).
+
+    Same scale shape as `funnel_counts`: one filtered scan per stage
+    aggregated to (user_id, entry_ts), equi-joined on user_id against
+    the previous stage — all stages hash-partition on the same key.
+    The conversion ratios join three 1-row aggregates (driver-sized;
+    broadcast), never a window over the funnel rows."""
+    e = tables.load_table(spark, sf_dir, "events")
+    gap = F.expr(f"INTERVAL {gap_hours} HOURS")
+    counts = []
+    prev = None
+    for i, et in enumerate(FUNNEL_STAGES, start=1):
+        cur = e.filter(F.col("event_type") == et).select("user_id", "ts")
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(
+                (F.col("ts") >= F.col("entry_ts"))
+                & (F.col("ts") <= F.col("entry_ts") + gap)
+            )
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("entry_ts"))
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(et).alias("event_type"),
+                F.col("users"),
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    prev_counts = out.select(
+        (F.col("stage") + 1).alias("stage"), F.col("users").alias("prev_users")
+    )
+    return out.join(F.broadcast(prev_counts), "stage", "left").select(
+        "stage",
+        "event_type",
+        "users",
+        F.when(F.col("prev_users").isNull(), F.lit(1.0))
+        .otherwise(F.round(F.col("users") / F.col("prev_users"), 6))
+        .alias("conversion"),
+    )
+
+
+def funnel_within_oracle(gap_hours: int = FUNNEL_GAP_HOURS) -> str:
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS entry_ts FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS entry_ts
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.entry_ts
+    AND e.ts <= s1.entry_ts + INTERVAL {gap_hours} HOUR
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS entry_ts
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.entry_ts
+    AND e.ts <= s2.entry_ts + INTERVAL {gap_hours} HOUR
+  GROUP BY 1
+),
+counts AS (
+  SELECT CAST(1 AS INT) AS stage, 'signup' AS event_type, CAST(count(*) AS BIGINT) AS users FROM s1
+  UNION ALL
+  SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT c.stage, c.event_type, c.users,
+       CASE WHEN p.users IS NULL THEN 1.0
+            ELSE round(CAST(c.users AS DOUBLE) / p.users, 6) END AS conversion
+FROM counts c LEFT JOIN counts p ON p.stage = c.stage - 1
+"""
+
+
 def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen day, and
     for each (cohort_day, day_offset) the count of distinct cohort

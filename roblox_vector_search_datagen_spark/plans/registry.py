@@ -169,6 +169,12 @@ def _registry() -> dict[str, Query]:
     r["funnel_counts"] = Query(
         timeseries.funnel_counts, timeseries.funnel_counts_oracle(), ("events",)
     )
+    # max-gap-bounded funnel with per-stage conversion ratios
+    r["funnel_within"] = Query(
+        lambda spark, sf: timeseries.funnel_within(spark, sf),
+        timeseries.funnel_within_oracle(),
+        ("events",),
+    )
     r["user_retention"] = Query(
         timeseries.user_retention, timeseries.user_retention_oracle(), ("events",)
     )
@@ -459,6 +465,13 @@ def _registry() -> dict[str, Query]:
         lambda spark, sf: ann.ivf_silhouette(spark, sf),
         ann.ivf_silhouette_oracle(),
         ("ann",),
+    )
+    # per-cell prototype/frontier diversity sample (SemDeDup-style
+    # cluster-stratified selection; rides the persisted assignments)
+    r["semantic_diverse_sample"] = Query(
+        lambda spark, sf: ann.semantic_diverse_sample(spark, sf),
+        ann.semantic_diverse_sample_oracle(),
+        ("ann", "sampling"),
     )
     # one-row-per-metric IVF build health summary (balance, tightness)
     r["index_build_report"] = Query(
@@ -1020,12 +1033,13 @@ def _registry() -> dict[str, Query]:
 # window over a 177-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). Round-9 ordering, weakest evidence
-# first: (1) the eight queries NEW this round (the stored-scrub serve
+# first: (1) the ten queries NEW this round (the stored-scrub serve
 # path, the length-bucket batching plan, the source-pair JSD
 # mixture diagnostic, the zone-map file-skipping report, the
 # constraint-audit + deletion-impact governance pair, the IVF
-# silhouette, and the data-constrained repetition planner — zero
-# driver rows),
+# silhouette, the data-constrained repetition planner, the
+# cluster-stratified diversity sample, and the gap-bounded funnel —
+# zero driver rows),
 # (2) the eight queries whose PLANS or SCHEMAS
 # changed this round and need fresh driver evidence: media_resize
 # (real resample arm + new `resample` column), token_shards_stored /
@@ -1037,11 +1051,11 @@ def _registry() -> dict[str, Query]:
 # finding), index_lifecycle_report (versioned-commit resolution),
 # (3) the full 21-query cohort whose newest driver row is round 5
 # (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 12 of the 49-query r6 cohort (alphabetical; the
-# remaining 37 queue immediately behind the window for r10). After
+# (4) the first 10 of the 49-query r6 cohort (alphabetical; the
+# remaining 39 queue immediately behind the window for r10). After
 # r09 lands green, no query's newest driver row predates round 6.
 # Every query is self-contained, so order carries no semantics.
-# The registry counts 177 queries, 50 adjudicated per round.
+# The registry counts 179 queries, 50 adjudicated per round.
 _ADJUDICATE_FIRST = (
     # new this round
     "scrub_stored_report",
@@ -1052,6 +1066,8 @@ _ADJUDICATE_FIRST = (
     "deletion_impact",
     "ivf_silhouette",
     "repetition_budget_plan",
+    "semantic_diverse_sample",
+    "funnel_within",
     # plan/schema changed this round
     "media_resize",
     "token_shards_stored",
@@ -1084,7 +1100,7 @@ _ADJUDICATE_FIRST = (
     "training_corpus",
     "user_retention",
     "windowed_event_counts",
-    # r6 cohort, first 12 alphabetically — fills the window to 50
+    # r6 cohort, first 10 alphabetically — fills the window to 50
     "bigram_lm_score",
     "bpe_encode_sample",
     "bpe_fertility_report",
@@ -1095,10 +1111,8 @@ _ADJUDICATE_FIRST = (
     "dsir_weights",
     "embedding_dim_profile",
     "embedding_lsh_dropped_buckets",
-    "embedding_lsh_verified",
-    "embedding_outliers",
-    # -- behind the 50-slot window: the remaining 37 r6-cohort queries
-    # (event_value_quantiles .. winsorized_event_stats_approx), first
+    # -- behind the 50-slot window: the remaining 39 r6-cohort queries
+    # (embedding_lsh_verified .. winsorized_event_stats_approx), first
     # in line for the r10 rotation, then the r7 and r8 cohorts
 )
 

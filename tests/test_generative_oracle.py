@@ -72,6 +72,7 @@ GEN_QUERIES = [
     # guard), empty/duplicate docs drive the repetition decay edges
     "ivf_silhouette",
     "repetition_budget_plan",
+    "semantic_diverse_sample",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
@@ -269,6 +270,7 @@ EVENT_QUERIES = [
     # r9 late: negative/zero values + tie bursts exercise the morton
     # dims and zone-map boundary intersections
     "zone_map_pruning",
+    "funnel_within",
     "rate_limited_events",
     "event_minmax_downsample",
     "hll_daily_users",

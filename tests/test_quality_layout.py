@@ -361,3 +361,40 @@ def test_zone_map_scan_never_misses_a_match(spark, sf_dir):
             assert row.rows_scanned == sum(
                 v[4] for (l, f), v in zone.items() if l == lay and f in scanned
             )
+
+
+def test_semantic_diverse_sample_roles_and_coverage(spark, sf_dir):
+    """Every IVF cell contributes both roles, ranks are dense from 1,
+    prototypes are at least as central as frontiers cell-by-cell, and
+    nothing exceeds the per-cell budget."""
+    from collections import defaultdict
+
+    from roblox_vector_search_datagen_spark.operators import ann
+
+    rows = ann.semantic_diverse_sample(spark, sf_dir).collect()
+    cells = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        cells[r.cent_id][r.role].append(r)
+    for cent_id, roles in cells.items():
+        assert set(roles) == {"prototype", "frontier"}
+        for role, members in roles.items():
+            assert len(members) <= ann.DIVERSE_PER_CELL
+            assert sorted(m.rank for m in members) == list(range(1, len(members) + 1))
+        protos = [m.cosine for m in roles["prototype"] if m.cosine is not None]
+        fronts = [m.cosine for m in roles["frontier"] if m.cosine is not None]
+        if protos and fronts:
+            assert min(protos) >= min(fronts) - 1e-9, cent_id
+
+
+def test_funnel_within_is_tighter_than_unbounded(spark, sf_dir):
+    """The gap-bounded funnel can never convert MORE users than the
+    unbounded funnel at any stage, stage 1 is identical, and every
+    conversion ratio is in (0, 1]."""
+    from roblox_vector_search_datagen_spark.operators import timeseries
+
+    bounded = {r.stage: r for r in timeseries.funnel_within(spark, sf_dir).collect()}
+    unbounded = {r.stage: r.users for r in timeseries.funnel_counts(spark, sf_dir).collect()}
+    assert bounded[1].users == unbounded[1]
+    for stage, r in bounded.items():
+        assert r.users <= unbounded[stage]
+        assert 0 < r.conversion <= 1.0
