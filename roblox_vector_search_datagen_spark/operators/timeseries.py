@@ -407,6 +407,56 @@ FROM counts c LEFT JOIN counts p ON p.stage = c.stage - 1
 """
 
 
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity profile per user: Shannon entropy (nats)
+    of the event-type distribution plus the dominant type's share —
+    the bot/abuse screen for behavioral logs (a scripted account hits
+    one endpoint in a loop: entropy ~0, top_share ~1; organic usage
+    spreads). Emits (user_id, n_events, n_types, entropy, top_share).
+
+    Two aggregations, both keyed on user_id ((user, type) counts fold
+    into per-user rows on the SAME hash partitioning, so AQE plans one
+    exchange lineage). The entropy sum is micro-unit-quantized per
+    TERM before the integer per-user fold (functions/num.py
+    discipline), so per-partition accumulation order can't move the
+    6th decimal."""
+    e = tables.load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = per_type.groupBy("user_id").agg(F.sum("c").alias("n_events"))
+    p = F.col("c") / F.col("n_events")
+    term_micro = F.round(-(p * F.log(p)) * 1e6, 0).cast("bigint")
+    return (
+        per_type.join(totals, "user_id")
+        .groupBy("user_id", "n_events")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            (F.sum(term_micro) / F.lit(1e6)).alias("entropy"),
+            F.round(F.max("c") / F.col("n_events"), 6).alias("top_share"),
+        )
+        .select("user_id", "n_events", "n_types", "entropy", "top_share")
+    )
+
+
+def user_activity_entropy_oracle() -> str:
+    return """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events FROM per_type GROUP BY 1
+)
+SELECT t.user_id, t.n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       sum(CAST(round(-(CAST(c AS DOUBLE) / t.n_events)
+                      * ln(CAST(c AS DOUBLE) / t.n_events) * 1e6) AS BIGINT)) / 1e6 AS entropy,
+       round(CAST(max(c) AS DOUBLE) / t.n_events, 6) AS top_share
+FROM per_type p JOIN totals t USING (user_id)
+GROUP BY t.user_id, t.n_events
+"""
+
+
 def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen day, and
     for each (cohort_day, day_offset) the count of distinct cohort

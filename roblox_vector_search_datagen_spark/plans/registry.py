@@ -175,6 +175,12 @@ def _registry() -> dict[str, Query]:
         timeseries.funnel_within_oracle(),
         ("events",),
     )
+    # per-user event-type entropy + dominant-type share (bot screen)
+    r["user_activity_entropy"] = Query(
+        timeseries.user_activity_entropy,
+        timeseries.user_activity_entropy_oracle(),
+        ("events", "quality"),
+    )
     r["user_retention"] = Query(
         timeseries.user_retention, timeseries.user_retention_oracle(), ("events",)
     )
@@ -1033,13 +1039,13 @@ def _registry() -> dict[str, Query]:
 # window over a 177-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). Round-9 ordering, weakest evidence
-# first: (1) the ten queries NEW this round (the stored-scrub serve
+# first: (1) the eleven queries NEW this round (the stored-scrub serve
 # path, the length-bucket batching plan, the source-pair JSD
 # mixture diagnostic, the zone-map file-skipping report, the
 # constraint-audit + deletion-impact governance pair, the IVF
 # silhouette, the data-constrained repetition planner, the
-# cluster-stratified diversity sample, and the gap-bounded funnel —
-# zero driver rows),
+# cluster-stratified diversity sample, the gap-bounded funnel, and
+# the per-user activity-entropy bot screen — zero driver rows),
 # (2) the eight queries whose PLANS or SCHEMAS
 # changed this round and need fresh driver evidence: media_resize
 # (real resample arm + new `resample` column), token_shards_stored /
@@ -1051,11 +1057,11 @@ def _registry() -> dict[str, Query]:
 # finding), index_lifecycle_report (versioned-commit resolution),
 # (3) the full 21-query cohort whose newest driver row is round 5
 # (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 10 of the 49-query r6 cohort (alphabetical; the
-# remaining 39 queue immediately behind the window for r10). After
+# (4) the first 9 of the 49-query r6 cohort (alphabetical; the
+# remaining 40 queue immediately behind the window for r10). After
 # r09 lands green, no query's newest driver row predates round 6.
 # Every query is self-contained, so order carries no semantics.
-# The registry counts 179 queries, 50 adjudicated per round.
+# The registry counts 180 queries, 50 adjudicated per round.
 _ADJUDICATE_FIRST = (
     # new this round
     "scrub_stored_report",
@@ -1068,6 +1074,7 @@ _ADJUDICATE_FIRST = (
     "repetition_budget_plan",
     "semantic_diverse_sample",
     "funnel_within",
+    "user_activity_entropy",
     # plan/schema changed this round
     "media_resize",
     "token_shards_stored",
@@ -1100,7 +1107,7 @@ _ADJUDICATE_FIRST = (
     "training_corpus",
     "user_retention",
     "windowed_event_counts",
-    # r6 cohort, first 10 alphabetically — fills the window to 50
+    # r6 cohort, first 9 alphabetically — fills the window to 50
     "bigram_lm_score",
     "bpe_encode_sample",
     "bpe_fertility_report",
@@ -1110,10 +1117,9 @@ _ADJUDICATE_FIRST = (
     "dedup_exact",
     "dsir_weights",
     "embedding_dim_profile",
-    "embedding_lsh_dropped_buckets",
-    # -- behind the 50-slot window: the remaining 39 r6-cohort queries
-    # (embedding_lsh_verified .. winsorized_event_stats_approx), first
-    # in line for the r10 rotation, then the r7 and r8 cohorts
+    # -- behind the 50-slot window: the remaining 40 r6-cohort queries
+    # (embedding_lsh_dropped_buckets .. winsorized_event_stats_approx),
+    # first in line for the r10 rotation, then the r7 and r8 cohorts
 )
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:

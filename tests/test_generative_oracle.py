@@ -271,6 +271,7 @@ EVENT_QUERIES = [
     # dims and zone-map boundary intersections
     "zone_map_pruning",
     "funnel_within",
+    "user_activity_entropy",
     "rate_limited_events",
     "event_minmax_downsample",
     "hll_daily_users",

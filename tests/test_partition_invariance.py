@@ -35,6 +35,7 @@ FLOAT_HEAVY = [
     "repetition_budget_plan",
     "zone_map_pruning",
     "deletion_impact",
+    "user_activity_entropy",
 ]
 
 
