@@ -285,6 +285,40 @@ def _argmax_centroid(scored: DataFrame, with_cosine: bool = True) -> DataFrame:
     return out.select(*cols)
 
 
+def _centroid_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(vec_id, cent_id, cosine): every vector scored against the K
+    seed centroids — the shared subtree under `ivf_assignments` and
+    `ivf_silhouette`; one definition so rounding/seeding can never
+    drift between the assignment and the quality metric."""
+    e = tables.load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+        )
+    )
+    return e.crossJoin(cents).select(
+        "vec_id",
+        "cent_id",
+        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+    )
+
+
+def _scored_sql(k: int) -> str:
+    """The cents/scored CTE pair (with per-vector rank) shared by
+    `ivf_assignments_oracle` and `ivf_silhouette_oracle` — the SQL twin
+    of `_centroid_scored`."""
+    cos = V.cosine_sql("e.embedding", "c.cent")
+    return f"""cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < {k}
+),
+scored AS (
+  SELECT e.vec_id, c.cent_id, round({cos}, 6) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 6) DESC NULLS LAST, c.cent_id) AS rn
+  FROM embeddings e CROSS JOIN cents c
+)"""
+
+
 def ivf_assignments(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
     """IVF bulk build, assignment step: K deterministic seed centroids
     (the embeddings of the K smallest vec_ids — a k-means++-free seeding
@@ -298,17 +332,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFra
     the full vector payload (the window keys are (vec_id, cosine))."""
     from pyspark.sql import Window
 
-    e = tables.load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        e.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
-        )
-    )
-    scored = e.crossJoin(cents).select(
-        "vec_id",
-        "cent_id",
-        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
-    )
+    scored = _centroid_scored(spark, sf_dir, k)
     # persisted: ivf_centroid_update, ivf_cluster_quality,
     # index_build_report, embedding_outliers and semantic_dedup all
     # build on this assignment pass — the cache manager substitutes one
@@ -316,17 +340,8 @@ def ivf_assignments(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFra
     return persist_if(_argmax_centroid(scored), k == IVF_K)
 
 def ivf_assignments_oracle(k: int = IVF_K) -> str:
-    cos = V.cosine_sql("e.embedding", "c.cent")
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < {k}
-),
-scored AS (
-  SELECT e.vec_id, c.cent_id, round({cos}, 6) AS cosine,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY round({cos}, 6) DESC NULLS LAST, c.cent_id) AS rn
-  FROM embeddings e CROSS JOIN cents c
-)
+WITH {_scored_sql(k)}
 SELECT vec_id, cent_id, cosine FROM scored WHERE rn = 1
 """
 
@@ -2585,17 +2600,7 @@ def ivf_silhouette(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFram
     per-point s is fed to the micro-unit-quantized mean so the
     per-cell aggregate is summation-order-independent (functions/
     num.py:qmean6)."""
-    e = tables.load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        e.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
-        )
-    )
-    scored = e.crossJoin(cents).select(
-        "vec_id",
-        "cent_id",
-        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
-    )
+    scored = _centroid_scored(spark, sf_dir, k)
     w = Window.partitionBy("vec_id").orderBy(
         F.desc_nulls_last("cosine"), F.asc("cent_id")
     )
@@ -2626,17 +2631,8 @@ def ivf_silhouette(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFram
 def ivf_silhouette_oracle(k: int = IVF_K) -> str:
     from ..functions.num import qmean6_sql
 
-    cos = V.cosine_sql("e.embedding", "c.cent")
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < {k}
-),
-scored AS (
-  SELECT e.vec_id, c.cent_id, round({cos}, 6) AS cosine,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY round({cos}, 6) DESC NULLS LAST, c.cent_id) AS rn
-  FROM embeddings e CROSS JOIN cents c
-),
+WITH {_scored_sql(k)},
 paired AS (
   SELECT vec_id,
          max(CASE WHEN rn = 1 THEN cent_id END) AS cent_id,

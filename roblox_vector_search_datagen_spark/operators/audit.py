@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.caching import persist_if
 from ..sources import tables
 
 # The audited constraint set. Kept as module data so the CLI, the
@@ -52,8 +53,12 @@ def _stack_constraints(agged: DataFrame, table: str, names: list[str]) -> DataFr
         F.lit(table).alias("table_name"),
         "constraint",
         F.col("n_checked").cast("bigint").alias("n_checked"),
-        F.col("n_violations").cast("bigint").alias("n_violations"),
-        (F.col("n_violations") == 0).alias("passed"),
+        # sum() over an empty table is NULL, not 0 — zero rows violate
+        # nothing, and the CLI strict gate must not fail on it
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("bigint").alias(
+            "n_violations"
+        ),
+        (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
     )
 
 
@@ -129,8 +134,12 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             n.alias("pk_unique_checked"),
             (
+                # struct form, NOT multi-arg: Spark's multi-column
+                # COUNT DISTINCT drops any-NULL rows while DuckDB's
+                # tuple DISTINCT counts them — the struct is non-null
+                # even with null fields, matching the oracle exactly
                 n
-                - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+                - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
             ).alias("pk_unique_viol"),
             n.alias("orderkey_fk_checked"),
             F.sum(F.when(F.col("fk_orderkey").isNull(), 1).otherwise(0)).alias(
@@ -306,9 +315,14 @@ def deletion_impact(
         ),
     ).select(F.lit("customer").alias("table_name"), "n_rows", "n_delete")
 
-    ord_marked = orders.join(
-        forget, orders.o_custkey == F.col("forget_key"), "left"
-    ).select("o_orderkey", F.col("forget_key").isNotNull().alias("deleted"))
+    # persisted: both the orders count row and the deleted-order key
+    # set for the lineitem leg read this 2-column projection — one
+    # orders scan, as the docstring promises
+    ord_marked = persist_if(
+        orders.join(forget, orders.o_custkey == F.col("forget_key"), "left")
+        .select("o_orderkey", F.col("forget_key").isNotNull().alias("deleted")),
+        modulus == FORGET_MODULUS,
+    )
     ord_row = ord_marked.agg(
         n.alias("n_rows"),
         F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("n_delete"),

@@ -1234,7 +1234,9 @@ def mixture_plan(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     )
     nsrc = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
-    target = (F.lit(budget) / F.col("n_sources")).cast("bigint")
+    # floor-then-cast (engine-identical); a bare double->bigint cast
+    # truncates in Spark but rounds in DuckDB on fractional targets
+    target = F.floor(F.lit(budget) / F.col("n_sources")).cast("bigint")
     return per_src.crossJoin(F.broadcast(nsrc)).select(
         "source",
         "n_docs",
@@ -1254,9 +1256,9 @@ WITH per_src AS (
 ),
 n AS (SELECT count(*) AS n_sources FROM per_src)
 SELECT source, n_docs, n_tokens,
-       CAST({budget} / n_sources AS BIGINT) AS target_tokens,
-       round(least(1.0, CAST({budget} / n_sources AS BIGINT) / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate,
-       least(n_tokens, CAST({budget} / n_sources AS BIGINT)) AS expected_tokens
+       CAST(floor({budget} / n_sources) AS BIGINT) AS target_tokens,
+       round(least(1.0, CAST(floor({budget} / n_sources) AS BIGINT) / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate,
+       least(n_tokens, CAST(floor({budget} / n_sources) AS BIGINT)) AS expected_tokens
 FROM per_src CROSS JOIN n
 """
 
@@ -1299,7 +1301,9 @@ def repetition_budget_plan(
         F.sum("n_tokens").alias("unique_tokens"),
     )
     nsrc = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
-    alloc = (F.lit(budget) / F.col("n_sources")).cast("bigint")
+    # floor-then-cast: Spark's double->bigint cast truncates but
+    # DuckDB's CAST rounds to nearest — floor() is engine-identical
+    alloc = F.floor(F.lit(budget) / F.col("n_sources")).cast("bigint")
     u = F.col("unique_tokens")
     repeated = F.greatest(F.lit(0).cast("bigint"), (alloc - u).cast("bigint"))
     r_epochs = repeated / u
@@ -1332,9 +1336,9 @@ WITH per_src AS (
 n AS (SELECT count(*) AS n_sources FROM per_src),
 calc AS (
   SELECT source, n_docs, unique_tokens,
-         CAST({budget} / n_sources AS BIGINT) AS alloc_tokens,
+         CAST(floor({budget} / n_sources) AS BIGINT) AS alloc_tokens,
          greatest(CAST(0 AS BIGINT),
-                  CAST(CAST({budget} / n_sources AS BIGINT) - unique_tokens AS BIGINT)) AS repeated_tokens
+                  CAST(CAST(floor({budget} / n_sources) AS BIGINT) - unique_tokens AS BIGINT)) AS repeated_tokens
   FROM per_src CROSS JOIN n
 )
 SELECT source, n_docs, unique_tokens, alloc_tokens,

@@ -361,6 +361,9 @@ def funnel_within(
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
+    # persisted: the conversion self-join reads `out` twice — without
+    # this, Catalyst re-plans the whole three-stage chain per side
+    out = persist_if(out, gap_hours == FUNNEL_GAP_HOURS)
     prev_counts = out.select(
         (F.col("stage") + 1).alias("stage"), F.col("users").alias("prev_users")
     )

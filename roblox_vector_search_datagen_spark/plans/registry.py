@@ -1036,7 +1036,7 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 177-query registry takes FOUR rounds to cycle the
+# window over a 180-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). Round-9 ordering, weakest evidence
 # first: (1) the eleven queries NEW this round (the stored-scrub serve

@@ -333,7 +333,8 @@ def test_zone_map_scan_never_misses_a_match(spark, sf_dir):
         )
 
     # scanned file sets from the operator's own zone-map math
-    report = layout.zone_map_pruning(spark, sf_dir)
+    # (collected ONCE; the loop below reads the local list)
+    report_rows = layout.zone_map_pruning(spark, sf_dir).collect()
     # rebuild per-(layout,pred) scanned file ids independently
     zone = {}
     for r in events:
@@ -356,7 +357,7 @@ def test_zone_map_scan_never_misses_a_match(spark, sf_dir):
                 if matches(r, pred):
                     assert file_of(r, lay) in scanned, (lay, pid, r)
             # and the operator's counts agree with the independent rebuild
-            row = [x for x in report.collect() if x.layout == lay and x.pred_id == pid][0]
+            row = [x for x in report_rows if x.layout == lay and x.pred_id == pid][0]
             assert row.files_scanned == len(scanned)
             assert row.rows_scanned == sum(
                 v[4] for (l, f), v in zone.items() if l == lay and f in scanned
@@ -398,3 +399,33 @@ def test_funnel_within_is_tighter_than_unbounded(spark, sf_dir):
     for stage, r in bounded.items():
         assert r.users <= unbounded[stage]
         assert 0 < r.conversion <= 1.0
+
+
+def test_constraint_stack_handles_empty_and_null_key_tables(spark):
+    """Review regressions: (a) sum() over an EMPTY table is NULL, not
+    0 — the stacked report must still say passed=True with 0
+    violations; (b) the lineitem PK distinct must count NULL-field
+    rows the way DuckDB's tuple DISTINCT does (struct form — the
+    multi-arg form silently drops any-NULL rows)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators.audit import _stack_constraints
+
+    empty = spark.createDataFrame([], "x bigint")
+    agged = empty.agg(
+        F.count(F.lit(1)).alias("c_checked"),
+        F.sum(F.when(F.col("x") < 0, 1).otherwise(0)).alias("c_viol"),
+    )
+    row = _stack_constraints(agged, "empty_table", ["c"]).collect()[0]
+    assert row.passed is True and row.n_violations == 0 and row.n_checked == 0
+
+    data = [(1, None), (1, None), (1, 2), (None, None)]
+    df = spark.createDataFrame(data, "a int, b int")
+    spark_distinct = df.agg(
+        F.count_distinct(F.struct("a", "b")).alias("d")
+    ).collect()[0].d
+    duck_distinct = duckdb.connect().execute(
+        "SELECT count(DISTINCT (a, b)) FROM (VALUES (1,NULL),(1,NULL),(1,2),(NULL,NULL)) t(a,b)"
+    ).fetchone()[0]
+    assert spark_distinct == duck_distinct == 3
