@@ -392,3 +392,85 @@ SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
        round(CAST(n_delete AS DOUBLE) / n_rows, 6) AS share
 FROM rows
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity risk profile
+# ---------------------------------------------------------------------------
+
+# Quasi-identifier projection for the event log: the attacker-visible
+# combination (what happened, which day, coarse magnitude). VALUE_BUCKET
+# coarsens the continuous column the way a publisher would before
+# release.
+KANON_VALUE_BUCKET = 50.0
+KANON_BUCKETS = ((1, 1, "k=1"), (2, 4, "k=2-4"), (5, 19, "k=5-19"))
+KANON_TAIL = "k>=20"
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk profile before releasing the event log:
+    rows sharing a quasi-identifier tuple (event_type, event day,
+    value bucket) form an equivalence class of size k; a row alone in
+    its class (k=1) is uniquely re-identifiable by anyone who knows
+    those three facts. Emits one row per k-band: (k_bucket, n_groups,
+    n_rows, row_share) — the table that decides whether the release
+    needs further generalization. Pairs with `pii_scrub` (direct
+    identifiers) and `deletion_impact` (erasure): the governance
+    triad.
+
+    Physical shape: one groupBy over the quasi-identifier tuple (the
+    only pass that sees row payloads), then a bucketing re-aggregation
+    over |classes| rows — at 100 TB the first aggregation map-side
+    combines and everything after is metadata-sized."""
+    e = tables.load_table(spark, sf_dir, "events")
+    classes = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / KANON_VALUE_BUCKET).alias("vbucket"),
+        )
+        .groupBy("event_type", "day", "vbucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bucket = F.lit(KANON_TAIL)
+    for lo, hi, name in reversed(KANON_BUCKETS):
+        bucket = F.when(F.col("k").between(lo, hi), F.lit(name)).otherwise(bucket)
+    total = classes.agg(F.sum("k").alias("total_rows"))
+    return (
+        classes.select(bucket.alias("k_bucket"), "k")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k_bucket",
+            "n_groups",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("row_share"),
+        )
+    )
+
+
+def k_anonymity_report_oracle() -> str:
+    cases = " ".join(
+        f"WHEN k BETWEEN {lo} AND {hi} THEN '{name}'" for lo, hi, name in KANON_BUCKETS
+    )
+    return f"""
+WITH classes AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value / {KANON_VALUE_BUCKET}) AS BIGINT) AS vbucket,
+         count(*) AS k
+  FROM events GROUP BY 1, 2, 3
+),
+bucketed AS (
+  SELECT CASE {cases} ELSE '{KANON_TAIL}' END AS k_bucket, k FROM classes
+),
+total AS (SELECT sum(k) AS total_rows FROM classes)
+SELECT k_bucket, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       round(CAST(sum(k) AS DOUBLE) / total_rows, 6) AS row_share
+FROM bucketed CROSS JOIN total
+GROUP BY k_bucket, total_rows
+"""

@@ -272,6 +272,7 @@ EVENT_QUERIES = [
     "zone_map_pruning",
     "funnel_within",
     "user_activity_entropy",
+    "k_anonymity_report",
     "rate_limited_events",
     "event_minmax_downsample",
     "hll_daily_users",

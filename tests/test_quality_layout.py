@@ -429,3 +429,20 @@ def test_constraint_stack_handles_empty_and_null_key_tables(spark):
         "SELECT count(DISTINCT (a, b)) FROM (VALUES (1,NULL),(1,NULL),(1,2),(NULL,NULL)) t(a,b)"
     ).fetchone()[0]
     assert spark_distinct == duck_distinct == 3
+
+
+def test_k_anonymity_bands_partition_the_rows(spark, sf_dir):
+    """The k-bands are a partition of the event log: row counts sum to
+    the table size, shares sum to 1, and a k=1 band (if present) has
+    n_groups == n_rows by definition."""
+    from roblox_vector_search_datagen_spark.operators import audit
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    rows = audit.k_anonymity_report(spark, sf_dir).collect()
+    n_events = tables.load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == n_events
+    assert abs(sum(r.row_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        if r.k_bucket == "k=1":
+            assert r.n_groups == r.n_rows
+        assert r.n_groups <= r.n_rows
