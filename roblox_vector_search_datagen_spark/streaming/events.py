@@ -432,3 +432,54 @@ def stream_rate_limited_events(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.timeseries.user_activity_entropy:
+    per-user event-type counts maintained in GroupState (two parallel
+    arrays — the event-type vocabulary is small and bounded, so state
+    is O(users x types)); each microbatch emits the user's refreshed
+    entropy profile computed exactly as the batch twin does (per-term
+    micro-quantized fold, round-6 top share), so the final update per
+    user equals the batch row. The always-on form of the bot screen:
+    a scripted account's entropy collapses within its first bursts,
+    long before a daily batch audit would see it."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = _events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        types, counts = state.get if state.exists else ([], [])
+        tally = dict(zip(list(types), list(counts)))
+        for pdf in pdfs:
+            for et, c in pdf["event_type"].value_counts().items():
+                tally[et] = tally.get(et, 0) + int(c)
+        state.update((list(tally.keys()), list(tally.values())))
+        n = sum(tally.values())
+        ent_u = sum(
+            int(round(-(c / n) * math.log(c / n) * 1e6)) for c in tally.values()
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "n_types": [len(tally)],
+                "entropy": [ent_u / 1e6],
+                "top_share": [round(max(tally.values()) / n, 6)],
+            }
+        )
+
+    return raw.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT, n_types BIGINT, "
+            "entropy DOUBLE, top_share DOUBLE"
+        ),
+        stateStructType="types ARRAY<STRING>, counts ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

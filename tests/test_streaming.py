@@ -494,3 +494,29 @@ def test_stream_order_audit_counts_sum_to_batch_twin(spark, sf_dir, tmp_path):
     # every microbatch reported the full constraint set
     per_batch = log.groupBy("batch_id").count().collect()
     assert all(r["count"] == 3 for r in per_batch)
+
+
+def test_stateful_activity_entropy_matches_batch(spark, sf_dir):
+    """The stateful entropy twin's final update per user equals the
+    batch operator row-for-row (same micro-quantized fold in both)."""
+    from roblox_vector_search_datagen_spark.operators import timeseries
+
+    batch = {
+        r.user_id: r for r in timeseries.user_activity_entropy(spark, sf_dir).collect()
+    }
+    q = S.run_stream_to_memory(
+        S.stream_user_activity_entropy(spark, sf_dir),
+        "activity_entropy",
+        output_mode="update",
+    )
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM activity_entropy").collect():
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    assert set(latest) == set(batch) and len(batch) > 0
+    for uid, b in batch.items():
+        s = latest[uid]
+        assert (s.n_events, s.n_types) == (b.n_events, b.n_types), uid
+        assert abs(s.entropy - b.entropy) < 2e-6, uid
+        assert abs(s.top_share - b.top_share) < 2e-6, uid
