@@ -655,3 +655,110 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(round(sum(CAST(round((logp) * 1e6) AS BIGINT)) / count(logp)) AS BIGINT) / 1e6 AS avg_logprob
 FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style mixture reweighting (one multiplicative-weights step)
+# ---------------------------------------------------------------------------
+
+REWEIGHT_ETA = 1.0
+
+
+def mixture_reweight(
+    spark: SparkSession, sf_dir: str, eta: float = REWEIGHT_ETA
+) -> DataFrame:
+    """One multiplicative-weights mixture update from the corpus's own
+    quality signal (the DoReMi shape with the bigram self-LM standing
+    in for the proxy-model loss): per source, the token-weighted mean
+    negative log-probability is the domain loss; domains whose loss
+    EXCEEDS the corpus baseline get upweighted by exp(eta * excess)
+    and the result renormalizes to a distribution — train more where
+    the model is worst. Emits (source, n_docs, n_bigrams, loss,
+    excess, weight), weights summing to 1.
+
+    Scale shape: rides `bigram_lm_score` (its one-scan LM plan) plus a
+    doc_id join back to the 2-column (doc_id, source) projection; the
+    per-source fold and the 1-row baseline are metadata-sized, and the
+    exp/normalize arithmetic happens over |sources| integers. All
+    means are integer micro-unit ratios (functions/num.py discipline),
+    so the hash is partition-order-proof."""
+    scores = bigram_lm_score(spark, sf_dir)
+    src = tables.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = scores.join(src, "doc_id").select(
+        "source",
+        "n_bigrams",
+        (F.round(F.col("avg_logprob") * 1e6, 0).cast("bigint") * F.col("n_bigrams")).alias(
+            "wsum_u"
+        ),
+    )
+    per_src = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.sum("wsum_u").alias("sum_u"),
+    )
+    # token-weighted mean loss in integer micro-units (loss = -logprob)
+    loss_u = -F.round(F.col("sum_u") / F.col("n_bigrams"), 0).cast("bigint")
+    base = per_src.agg(
+        (-F.round(F.sum("sum_u") / F.sum("n_bigrams"), 0).cast("bigint")).alias(
+            "base_u"
+        )
+    )
+    staged = per_src.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        loss_u.alias("loss_u"),
+        F.greatest(F.lit(0).cast("bigint"), loss_u - F.col("base_u")).alias(
+            "excess_u"
+        ),
+    )
+    # exp term quantized to integer micros; the normalizer is then an
+    # exact integer sum (order-proof), and each weight a ratio of ints
+    term_u = F.round(F.exp(F.col("excess_u") / 1e6 * eta) * 1e6, 0).cast("bigint")
+    staged = staged.withColumn("term_u", term_u)
+    total = staged.agg(F.sum("term_u").alias("total_u"))
+    return staged.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        (F.col("loss_u") / 1e6).alias("loss"),
+        (F.col("excess_u") / 1e6).alias("excess"),
+        F.round(F.col("term_u") / F.col("total_u"), 6).alias("weight"),
+    )
+
+
+def mixture_reweight_oracle(eta: float = REWEIGHT_ETA) -> str:
+    return f"""
+WITH scores AS ({bigram_lm_score_oracle()}),
+joined AS (
+  SELECT d.source, s.n_bigrams,
+         CAST(round(s.avg_logprob * 1e6) AS BIGINT) * s.n_bigrams AS wsum_u
+  FROM scores s JOIN documents d USING (doc_id)
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         sum(wsum_u) AS sum_u
+  FROM joined GROUP BY source
+),
+base AS (
+  SELECT -CAST(round(CAST(sum(sum_u) AS DOUBLE) / sum(n_bigrams)) AS BIGINT) AS base_u
+  FROM per_src
+),
+staged AS (
+  SELECT source, n_docs, n_bigrams,
+         -CAST(round(CAST(sum_u AS DOUBLE) / n_bigrams) AS BIGINT) AS loss_u,
+         greatest(CAST(0 AS BIGINT),
+                  -CAST(round(CAST(sum_u AS DOUBLE) / n_bigrams) AS BIGINT) - base_u) AS excess_u
+  FROM per_src CROSS JOIN base
+),
+terms AS (
+  SELECT *, CAST(round(exp(excess_u / 1e6 * {eta}) * 1e6) AS BIGINT) AS term_u FROM staged
+),
+total AS (SELECT sum(term_u) AS total_u FROM terms)
+SELECT source, n_docs, n_bigrams,
+       loss_u / 1e6 AS loss,
+       excess_u / 1e6 AS excess,
+       round(CAST(term_u AS DOUBLE) / total_u, 6) AS weight
+FROM terms CROSS JOIN total
+"""

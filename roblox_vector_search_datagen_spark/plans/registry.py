@@ -165,6 +165,13 @@ def _registry() -> dict[str, Query]:
     r["quality_buckets"] = Query(
         quality.quality_buckets, quality.quality_buckets_oracle(), ("quality",)
     )
+    # one DoReMi-style multiplicative-weights mixture update driven by
+    # the corpus's own bigram-LM loss (train more where loss is worst)
+    r["mixture_reweight"] = Query(
+        lambda spark, sf: quality.mixture_reweight(spark, sf),
+        quality.mixture_reweight_oracle(),
+        ("quality", "sampling"),
+    )
     r["pmi_collocations"] = Query(
         lambda spark, sf: textstats.pmi_collocations(spark, sf),
         textstats.pmi_collocations_oracle(),
@@ -1042,17 +1049,18 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 181-query registry takes FOUR rounds to cycle the
+# window over a 182-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). Round-9 ordering, weakest evidence
-# first: (1) the twelve queries NEW this round (the stored-scrub serve
+# first: (1) the thirteen queries NEW this round (the stored-scrub serve
 # path, the length-bucket batching plan, the source-pair JSD
 # mixture diagnostic, the zone-map file-skipping report, the
 # constraint-audit + deletion-impact governance pair, the IVF
 # silhouette, the data-constrained repetition planner, the
 # cluster-stratified diversity sample, the gap-bounded funnel, and
-# the per-user activity-entropy bot screen, and the k-anonymity risk
-# bands — zero driver rows),
+# the per-user activity-entropy bot screen, the k-anonymity risk
+# bands, and the DoReMi-style mixture reweighting — zero driver
+# rows),
 # (2) the eight queries whose PLANS or SCHEMAS
 # changed this round and need fresh driver evidence: media_resize
 # (real resample arm + new `resample` column), token_shards_stored /
@@ -1064,11 +1072,11 @@ def _registry() -> dict[str, Query]:
 # finding), index_lifecycle_report (versioned-commit resolution),
 # (3) the full 21-query cohort whose newest driver row is round 5
 # (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 8 of the 49-query r6 cohort (alphabetical; the
-# remaining 41 queue immediately behind the window for r10). After
+# (4) the first 7 of the 49-query r6 cohort (alphabetical; the
+# remaining 42 queue immediately behind the window for r10). After
 # r09 lands green, no query's newest driver row predates round 6.
 # Every query is self-contained, so order carries no semantics.
-# The registry counts 181 queries, 50 adjudicated per round.
+# The registry counts 182 queries, 50 adjudicated per round.
 _ADJUDICATE_FIRST = (
     # new this round
     "scrub_stored_report",
@@ -1083,6 +1091,7 @@ _ADJUDICATE_FIRST = (
     "funnel_within",
     "user_activity_entropy",
     "k_anonymity_report",
+    "mixture_reweight",
     # plan/schema changed this round
     "media_resize",
     "token_shards_stored",
@@ -1115,7 +1124,7 @@ _ADJUDICATE_FIRST = (
     "training_corpus",
     "user_retention",
     "windowed_event_counts",
-    # r6 cohort, first 8 alphabetically — fills the window to 50
+    # r6 cohort, first 7 alphabetically — fills the window to 50
     "bigram_lm_score",
     "bpe_encode_sample",
     "bpe_fertility_report",
@@ -1123,9 +1132,8 @@ _ADJUDICATE_FIRST = (
     "bpe_vocab",
     "clear_gameplay",
     "dedup_exact",
-    "dsir_weights",
-    # -- behind the 50-slot window: the remaining 41 r6-cohort queries
-    # (embedding_dim_profile .. winsorized_event_stats_approx),
+    # -- behind the 50-slot window: the remaining 42 r6-cohort queries
+    # (dsir_weights .. winsorized_event_stats_approx),
     # first in line for the r10 rotation, then the r7 and r8 cohorts
 )
 

@@ -73,6 +73,7 @@ GEN_QUERIES = [
     "ivf_silhouette",
     "repetition_budget_plan",
     "semantic_diverse_sample",
+    "mixture_reweight",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]

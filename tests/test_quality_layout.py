@@ -446,3 +446,19 @@ def test_k_anonymity_bands_partition_the_rows(spark, sf_dir):
         if r.k_bucket == "k=1":
             assert r.n_groups == r.n_rows
         assert r.n_groups <= r.n_rows
+
+
+def test_mixture_reweight_is_a_distribution_that_upweights_lossy_sources(spark, sf_dir):
+    """Weights sum to 1; every zero-excess source shares the floor
+    weight; weight is monotone non-decreasing in excess loss."""
+    from roblox_vector_search_datagen_spark.operators import quality
+
+    rows = quality.mixture_reweight(spark, sf_dir).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    floor = min(r.weight for r in rows)
+    for r in rows:
+        if r.excess == 0.0:
+            assert abs(r.weight - floor) < 2e-6, r
+    by_excess = sorted(rows, key=lambda r: r.excess)
+    for a, b in zip(by_excess, by_excess[1:]):
+        assert a.weight <= b.weight + 2e-6
