@@ -636,3 +636,56 @@ SELECT per.layout, per.pred_id,
        round(CAST(rows_scanned AS DOUBLE) / nullif(n_match, 0), 6) AS read_amplification
 FROM per JOIN matches USING (pred_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Skew -> salt-factor advisor
+# ---------------------------------------------------------------------------
+
+# The per-task row budget a shuffled join partition should stay under.
+# Fixture-scale constant; at 100 TB this is executor-memory / row-width
+# derived (the same number spark.sql.adaptive.skewJoin thresholds
+# approximate from partition bytes).
+SKEW_TARGET_ROWS = 1000
+
+
+def join_skew_advisor(
+    spark: SparkSession, sf_dir: str, target_rows: int = SKEW_TARGET_ROWS
+) -> DataFrame:
+    """Turns `skew_profile`'s measurements into the decision the
+    engineer actually needs: for each profiled hot key, the salt
+    factor that brings its heaviest reducer under the per-task row
+    budget, and the post-salt rows per task. salt_factor 1 == no
+    action needed; anything above 1 is the explicit replicate-count
+    for the dedup-style salted join (operators/dedup.py's
+    SALT_BUCKETS pattern) or the AQE skew-split the key will force.
+    Emits (key_col, rank, key, n, share, salt_factor, post_salt_rows).
+
+    Same metadata-sized shape as the profile it rides: aggregation to
+    |distinct keys| rows, top-N window per column, then pure per-row
+    arithmetic — nothing here touches row payloads twice."""
+    prof = skew_profile(spark, sf_dir)
+    salt = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.col("n") / target_rows).cast("bigint")
+    )
+    return prof.select(
+        "key_col",
+        "rank",
+        "key",
+        "n",
+        "share",
+        salt.alias("salt_factor"),
+        F.ceil(F.col("n") / salt).cast("bigint").alias("post_salt_rows"),
+    )
+
+
+def join_skew_advisor_oracle(
+    top_n: int = SKEW_TOP_N, target_rows: int = SKEW_TARGET_ROWS
+) -> str:
+    return f"""
+WITH prof AS ({skew_profile_oracle(top_n)})
+SELECT key_col, rank, key, n, share,
+       greatest(CAST(1 AS BIGINT), CAST(ceil(CAST(n AS DOUBLE) / {target_rows}) AS BIGINT)) AS salt_factor,
+       CAST(ceil(CAST(n AS DOUBLE) / greatest(CAST(1 AS BIGINT), CAST(ceil(CAST(n AS DOUBLE) / {target_rows}) AS BIGINT))) AS BIGINT) AS post_salt_rows
+FROM prof
+"""

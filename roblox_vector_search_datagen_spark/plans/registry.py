@@ -455,6 +455,12 @@ def _registry() -> dict[str, Query]:
         layout.zone_map_pruning_oracle(),
         ("layout",),
     )
+    # skew measurements -> concrete salt factors per hot key
+    r["join_skew_advisor"] = Query(
+        lambda spark, sf: layout.join_skew_advisor(spark, sf),
+        layout.join_skew_advisor_oracle(),
+        ("layout",),
+    )
     # deterministic seeded shuffle into training shards (reproducible
     # data-loading order without a global sort)
     r["seeded_shuffle"] = Query(
@@ -1049,18 +1055,18 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 182-query registry takes FOUR rounds to cycle the
+# window over a 183-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). Round-9 ordering, weakest evidence
-# first: (1) the thirteen queries NEW this round (the stored-scrub serve
+# first: (1) the fourteen queries NEW this round (the stored-scrub serve
 # path, the length-bucket batching plan, the source-pair JSD
 # mixture diagnostic, the zone-map file-skipping report, the
 # constraint-audit + deletion-impact governance pair, the IVF
 # silhouette, the data-constrained repetition planner, the
 # cluster-stratified diversity sample, the gap-bounded funnel, and
 # the per-user activity-entropy bot screen, the k-anonymity risk
-# bands, and the DoReMi-style mixture reweighting — zero driver
-# rows),
+# bands, the DoReMi-style mixture reweighting, and the skew->salt
+# advisor — zero driver rows),
 # (2) the eight queries whose PLANS or SCHEMAS
 # changed this round and need fresh driver evidence: media_resize
 # (real resample arm + new `resample` column), token_shards_stored /
@@ -1072,11 +1078,11 @@ def _registry() -> dict[str, Query]:
 # finding), index_lifecycle_report (versioned-commit resolution),
 # (3) the full 21-query cohort whose newest driver row is round 5
 # (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 7 of the 49-query r6 cohort (alphabetical; the
-# remaining 42 queue immediately behind the window for r10). After
+# (4) the first 6 of the 49-query r6 cohort (alphabetical; the
+# remaining 43 queue immediately behind the window for r10). After
 # r09 lands green, no query's newest driver row predates round 6.
 # Every query is self-contained, so order carries no semantics.
-# The registry counts 182 queries, 50 adjudicated per round.
+# The registry counts 183 queries, 50 adjudicated per round.
 _ADJUDICATE_FIRST = (
     # new this round
     "scrub_stored_report",
@@ -1092,6 +1098,7 @@ _ADJUDICATE_FIRST = (
     "user_activity_entropy",
     "k_anonymity_report",
     "mixture_reweight",
+    "join_skew_advisor",
     # plan/schema changed this round
     "media_resize",
     "token_shards_stored",
@@ -1124,16 +1131,15 @@ _ADJUDICATE_FIRST = (
     "training_corpus",
     "user_retention",
     "windowed_event_counts",
-    # r6 cohort, first 7 alphabetically — fills the window to 50
+    # r6 cohort, first 6 alphabetically — fills the window to 50
     "bigram_lm_score",
     "bpe_encode_sample",
     "bpe_fertility_report",
     "bpe_merges",
     "bpe_vocab",
     "clear_gameplay",
-    "dedup_exact",
-    # -- behind the 50-slot window: the remaining 42 r6-cohort queries
-    # (dsir_weights .. winsorized_event_stats_approx),
+    # -- behind the 50-slot window: the remaining 43 r6-cohort queries
+    # (dedup_exact .. winsorized_event_stats_approx),
     # first in line for the r10 rotation, then the r7 and r8 cohorts
 )
 

@@ -462,3 +462,20 @@ def test_mixture_reweight_is_a_distribution_that_upweights_lossy_sources(spark, 
     by_excess = sorted(rows, key=lambda r: r.excess)
     for a, b in zip(by_excess, by_excess[1:]):
         assert a.weight <= b.weight + 2e-6
+
+
+def test_join_skew_advisor_respects_the_task_budget(spark, sf_dir):
+    """Every recommended salt brings the post-salt rows under the
+    budget, never over-salts (salt-1 would still exceed it), and keys
+    already under budget get salt 1."""
+    import math
+
+    from roblox_vector_search_datagen_spark.operators import layout
+
+    for r in layout.join_skew_advisor(spark, sf_dir).collect():
+        assert r.post_salt_rows <= layout.SKEW_TARGET_ROWS
+        assert r.post_salt_rows == math.ceil(r.n / r.salt_factor)
+        if r.salt_factor > 1:
+            assert math.ceil(r.n / (r.salt_factor - 1)) > layout.SKEW_TARGET_ROWS
+        else:
+            assert r.n <= layout.SKEW_TARGET_ROWS or r.salt_factor == 1
