@@ -67,7 +67,9 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked-row and violation counts. Emits (table_name, constraint,
     n_checked, n_violations, passed), one row per constraint.
 
-    Physical shape: one scan per audited table. Uniqueness is
+    Physical shape: one payload-bearing pass per audited table (the
+    FK dimension sides re-scan only their pruned key column — a
+    metadata-cheap second touch, not a second payload pass). Uniqueness is
     count(*) - count(distinct key) on the same pass as the null and
     range counts (map-side combined, the exchange carries one partial
     row per partition); each FK probe is a left join whose null-count

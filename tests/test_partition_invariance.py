@@ -36,6 +36,9 @@ FLOAT_HEAVY = [
     "zone_map_pruning",
     "deletion_impact",
     "user_activity_entropy",
+    "mixture_reweight",
+    "funnel_within",
+    "k_anonymity_report",
 ]
 
 
