@@ -616,7 +616,10 @@ def bigram_lm_score(
     logp = F.log(
         (F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v"))
     )
-    return (
+    # persisted: mixture_reweight folds these per-doc scores by source;
+    # one LM materialization serves both registry queries (the shared-
+    # subtree pattern the recall family uses in operators/ann.py)
+    return persist_if(
         bi.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab_n))
@@ -624,7 +627,8 @@ def bigram_lm_score(
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             qmean6(logp).alias("avg_logprob"),
-        )
+        ),
+        add_k == BIGRAM_ADD_K,
     )
 
 def bigram_lm_score_oracle(add_k: float = BIGRAM_ADD_K) -> str:
