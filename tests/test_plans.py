@@ -858,3 +858,55 @@ def test_session9_late_ops_plan_contracts(spark, sf_dir):
     assert "SinglePartition, Window" not in p
     assert "SortMergeJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_session9_latest_ops_plan_contracts(spark, sf_dir):
+    """Pinned physical properties of the latest round-9 operators."""
+    from roblox_vector_search_datagen_spark.operators import (
+        ann,
+        audit,
+        layout,
+        quality,
+        timeseries,
+    )
+
+    # semantic_diverse_sample: rank windows partition per cell, never
+    # SinglePartition; centroids broadcast under the score product
+    p = plan_of(ann.semantic_diverse_sample(spark, sf_dir))
+    assert "SinglePartition, Window" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    # funnel_within: per-stage joins stay on user_id; the conversion
+    # self-join reads the persisted 3-row funnel (broadcast), so no
+    # sort-merge join and no global window anywhere
+    p = plan_of(timeseries.funnel_within(spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "SinglePartition, Window" not in p
+    assert "EvalPython" not in p
+
+    # user_activity_entropy: both aggregations key on user_id — no
+    # joins beyond the same-key count fold, no windows, no Python
+    p = plan_of(timeseries.user_activity_entropy(spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "EvalPython" not in p
+
+    # k_anonymity_report: one payload groupBy then metadata-sized
+    # re-agg; the total joins back as a broadcast 1-row side
+    p = plan_of(audit.k_anonymity_report(spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    # mixture_reweight: rides the LM plan; baseline and normalizer are
+    # broadcast 1-row sides, never a sort-merge join
+    p = plan_of(quality.mixture_reweight(spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    # join_skew_advisor: pure arithmetic over the profile — adds no
+    # join and no extra exchange beyond skew_profile's own
+    p_prof = plan_of(layout.skew_profile(spark, sf_dir))
+    p_adv = plan_of(layout.join_skew_advisor(spark, sf_dir))
+    assert p_adv.count("Exchange") == p_prof.count("Exchange")
+    assert "EvalPython" not in p_adv
