@@ -359,8 +359,12 @@ def deletion_impact(
     return out.select(
         "table_name",
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("n_delete").cast("bigint").alias("n_delete"),
-        F.round(F.col("n_delete") / F.col("n_rows"), 6).alias("share"),
+        # sum() over an EMPTY table is NULL in both engines; 0 is the
+        # honest delete count for a table with no rows
+        F.coalesce(F.col("n_delete"), F.lit(0)).cast("bigint").alias("n_delete"),
+        # try_divide: an empty audited table still yields one agg row with
+        # n_rows=0; ANSI `/` would throw where the oracle's nullif yields NULL
+        F.round(F.try_divide(F.col("n_delete"), F.col("n_rows")), 6).alias("share"),
     )
 
 
@@ -390,8 +394,8 @@ rows AS (
   FROM events
 )
 SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
-       CAST(n_delete AS BIGINT) AS n_delete,
-       round(CAST(n_delete AS DOUBLE) / n_rows, 6) AS share
+       CAST(coalesce(n_delete, 0) AS BIGINT) AS n_delete,
+       round(CAST(n_delete AS DOUBLE) / nullif(n_rows, 0), 6) AS share
 FROM rows
 """
 

@@ -570,7 +570,11 @@ def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def zone_map_pruning_oracle(bits: int = ZORDER_BITS) -> str:
+def zone_map_pruning_oracle() -> str:
+    # no `bits` parameter: the Spark side is pinned to _morton_expr's
+    # ZORDER_BITS default, so a parameterized oracle could silently
+    # diverge from the operator it certifies
+    bits = ZORDER_BITS
     terms = []
     for i in range(bits):
         terms.append(f"(((dim_a >> {i}) & 1) << {2 * i})")

@@ -24,6 +24,7 @@ pure Catalyst pipelines (no Python in the hot path):
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1125,25 +1126,76 @@ def scrub_store(
     (path digest + documents (size, mtime) — a regenerated corpus
     rebuilds instead of serving the stale scrub), `_SUCCESS`
     write-if-absent, `rebuild=True` the explicit hook, and the entry
-    is `gcWarehouse`-collectable once its tag dies. The write
-    repartitions by doc_id hash to a bounded file count (the scrub
-    output is corpus-sized; one file per shuffle partition would be
-    the small-files failure at 100 TB)."""
+    is `gcWarehouse`-collectable once its tag dies (the `_manifest`
+    sibling parses under the same family, so both collect together).
+
+    The write repartitions by doc_id hash to a file count SIZED BY
+    TARGET BYTES, not a constant: n_files = ceil(corpus chars /
+    COMPACT_TARGET_CHARS), probed from the documents table's n_chars
+    column (a column-pruned metadata-cheap scan; scrubbing only
+    removes text, so the input volume upper-bounds the output and the
+    layout errs toward one extra small file, never an oversized one).
+    A fixed count inverts at scale — 8 files is right at fixture scale
+    and 8 multi-TB files at 100 TB, the opposite of the small-files
+    failure the layout exists to avoid; deriving from the same
+    constant `compaction_plan` packs to keeps the two layout policies
+    in one place.
+
+    A sibling MANIFEST table (doc_id, n_words, n_removed, ws_tokens,
+    approx_bpe_tokens) is written in the same commit from the
+    just-committed scrub table — the per-document economics every
+    serve reads, precomputed once at store time instead of re-derived
+    from the text rows per serve (the `token_shards_store` manifest
+    discipline, textstats.py). At 100 TB the manifest is
+    corpus-doc-count integer rows vs the scrub table's full text
+    payload: the difference between a mixture planner reading
+    megabytes and re-scanning terabytes."""
     from ..functions import warehouse
+    from .layout import COMPACT_TARGET_CHARS
 
     tag = warehouse.sf_tag(sf_dir, "documents")
     path = os.path.join(
         warehouse.WAREHOUSE_DIR,
         f"scrubbed_corpus_{tag}_n{n}_d{min_docs}_w{min_words}",
     )
-    if rebuild or not warehouse.tables_ready(path):
+    manifest = _scrub_manifest_path(path)
+    if rebuild or not warehouse.tables_ready(path, manifest):
+        total_chars = (
+            tables.load_table(spark, sf_dir, "documents")
+            .agg(F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"))
+            .collect()[0].c
+        )
+        n_files = max(1, math.ceil(total_chars / COMPACT_TARGET_CHARS))
         (
             substring_scrub(spark, sf_dir, n, min_docs, min_words)
-            .repartition(8, "doc_id")
+            .repartition(n_files, "doc_id")
             .write.mode("overwrite")
             .parquet(path)
         )
+        (
+            # manifest from the just-committed scrub table (a narrow
+            # warehouse scan, not a second span discovery)
+            spark.read.parquet(path)
+            .select(
+                "doc_id",
+                "n_words",
+                "n_removed",
+                F.size(F.split(F.col("scrubbed_text"), r"\s+")).alias("ws_tokens"),
+                F.ceil(F.length("scrubbed_text") / 4)
+                .cast("int")
+                .alias("approx_bpe_tokens"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(manifest)
+        )
     return path
+
+
+def _scrub_manifest_path(scrub_path: str) -> str:
+    # sibling, not a subdirectory: keeps the scrub table's file listing
+    # clean and parses under the same GC family (warehouse._parse_entry)
+    return scrub_path + "_manifest"
 
 
 def stored_scrub(
@@ -1168,23 +1220,27 @@ def scrub_stored_report(
 ) -> DataFrame:
     """SERVE step — the registry's end-to-end stored-scrub path: the
     per-document economics a mixture planner reads off the scrubbed
-    corpus (token counts over `scrubbed_text`, plus the removal share),
-    derived ENTIRELY from the stored warehouse rows — the documents
-    table is never scanned and the span discovery never re-runs on
-    this path (plan-pinned, the `stored_shard_report` pattern).
+    corpus, served ENTIRELY from the store-time MANIFEST — the
+    documents table is never scanned, the span discovery never
+    re-runs, and (r10) the scrubbed TEXT rows are never read either:
+    the token counts were computed once at `scrub_store` time and the
+    serve touches only corpus-doc-count integer rows (plan-pinned, the
+    `stored_shard_report` pattern). Only `removed_share` — pure
+    integer-column arithmetic — is derived per serve.
 
     The oracle intentionally does NOT read the warehouse: it re-derives
     the same rows from the base tables via the full scrub SQL, so a
-    hash-green row certifies the scrub -> store -> load -> report
+    hash-green row certifies the scrub -> store -> manifest -> report
     roundtrip preserved every value. Emits (doc_id, n_words, n_removed,
     ws_tokens, approx_bpe_tokens, removed_share)."""
-    s = stored_scrub(spark, sf_dir, n, min_docs, min_words)
-    return s.select(
+    path = scrub_store(spark, sf_dir, n, min_docs, min_words)
+    m = spark.read.parquet(_scrub_manifest_path(path))
+    return m.select(
         "doc_id",
         "n_words",
         "n_removed",
-        F.size(F.split(F.col("scrubbed_text"), r"\s+")).alias("ws_tokens"),
-        F.ceil(F.length("scrubbed_text") / 4).cast("int").alias("approx_bpe_tokens"),
+        "ws_tokens",
+        "approx_bpe_tokens",
         F.round(
             F.col("n_removed") / F.greatest(F.col("n_words"), F.lit(1)), 6
         ).alias("removed_share"),

@@ -371,8 +371,11 @@ def funnel_within(
         "stage",
         "event_type",
         "users",
+        # try_divide: a stage can empty under a tight gap (0 users), and
+        # with ANSI mode on a plain `/` would throw DIVIDE_BY_ZERO where
+        # the DuckDB oracle yields NULL — both engines must agree on NULL
         F.when(F.col("prev_users").isNull(), F.lit(1.0))
-        .otherwise(F.round(F.col("users") / F.col("prev_users"), 6))
+        .otherwise(F.round(F.try_divide(F.col("users"), F.col("prev_users")), 6))
         .alias("conversion"),
     )
 
@@ -405,7 +408,7 @@ counts AS (
 )
 SELECT c.stage, c.event_type, c.users,
        CASE WHEN p.users IS NULL THEN 1.0
-            ELSE round(CAST(c.users AS DOUBLE) / p.users, 6) END AS conversion
+            ELSE round(CAST(c.users AS DOUBLE) / nullif(p.users, 0), 6) END AS conversion
 FROM counts c LEFT JOIN counts p ON p.stage = c.stage - 1
 """
 

@@ -17,10 +17,17 @@ Prints one JSON line: worst ratios + the distribution.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(
+            "usage: scaling_probe.py <small_map.json> <big_map.json> [growth]",
+            file=sys.stderr,
+        )
+        return 2
     small_path, big_path = sys.argv[1], sys.argv[2]
     growth = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     small = json.load(open(small_path))["queries"]
@@ -39,7 +46,7 @@ def main() -> int:
     out = {
         "n_compared": n,
         "growth": growth,
-        "median_ratio": sorted(ratios.values())[n // 2] if n else None,
+        "median_ratio": round(statistics.median(ratios.values()), 2) if n else None,
         "super_linear": {q: ratios[q] for q in supra},
         "worst10": dict(ranked[:10]),
         "total_small": round(sum(small[q] for q in overlap), 1),

@@ -752,17 +752,25 @@ def test_stored_shard_report_reads_only_the_warehouse(spark, sf_dir):
 
 
 def test_scrub_stored_report_reads_only_the_warehouse(spark, sf_dir):
-    """The stored-scrub serve path (r9): `scrub_stored_report` must
-    read ONLY the warehouse-stored scrubbed corpus — no documents
-    scan, no span re-discovery (no xxhash64 span keys in the plan) —
-    and its values must equal the same report derived from the live
-    scrub."""
+    """The stored-scrub serve path (r9, tightened r10): the report must
+    read ONLY the store-time MANIFEST — no documents scan, no span
+    re-discovery (no xxhash64 span keys in the plan), and not even the
+    stored TEXT rows (the token counts were precomputed at store time;
+    the serve touches corpus-doc-count integer rows only) — and its
+    values must equal the same report derived from the live scrub."""
     from roblox_vector_search_datagen_spark.operators import textprep
 
+    # rebuild so the plan pins reflect the CURRENT store layout, not a
+    # leftover pre-manifest warehouse entry from an earlier round
+    textprep.scrub_store(spark, sf_dir, rebuild=True)
     df = textprep.scrub_stored_report(spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "scrubbed_corpus_" in p or "scrubbed_text" in p, p
+    # the plan string elides long paths — pin the manifest via the
+    # actual input files and the pruned read schema instead
+    files = df.inputFiles()
+    assert files and all("_manifest/" in f for f in files), files
     assert "documents" not in p, p
+    assert "scrubbed_text" not in p, p  # text rows never read per serve
     assert "xxhash64" not in p, p  # span discovery never re-runs here
 
     got = sorted(map(tuple, df.collect()))
