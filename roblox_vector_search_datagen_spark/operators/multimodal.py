@@ -328,17 +328,15 @@ def media_resized(
     return m.mapInPandas(run, RESIZED_SCHEMA)
 
 
-def _real_resize_digest(
+def _real_resize_bytes(
     backend, content: bytes, out_w: int, out_h: int
-) -> str | None:
-    """REAL resample arm: decode luminance (PIL or vendored readers —
-    the same dispatch as `_real_pixels`), box-resample to the target
-    dims (functions/resample.py), re-encode with the VENDORED PNG
-    encoder (even when PIL decoded — one encoder, so the output bytes
-    and digest are identical in every environment), return md5 of the
-    real resized bytes. None = not decodable (sniffed 'other', or
-    corrupt despite the sniff) — caller falls back to the documented
-    stub and marks the row."""
+) -> bytes | None:
+    """REAL resample arm, bytes form: decode luminance (PIL or vendored
+    readers — the same dispatch as `_real_pixels`), box-resample to the
+    target dims (functions/resample.py), re-encode with the VENDORED
+    PNG encoder (even when PIL decoded — one encoder, so the output
+    bytes and digest are identical in every environment). None = not
+    decodable (sniffed 'other', or corrupt despite the sniff)."""
     import io
 
     from ..functions import png as _pngmod
@@ -357,9 +355,19 @@ def _real_resize_digest(
         else:
             _w, _h, rows = mod["jpeg"].decode_jpeg_luminance(content)
         resized = _resample.resample_gray_box(rows, out_w, out_h)
-        return hashlib.md5(_pngmod.encode_png_gray(resized)).hexdigest()
+        return _pngmod.encode_png_gray(resized)
     except Exception:  # noqa: BLE001 — corrupt-but-sniffed blob -> documented stub
         return None
+
+
+def _real_resize_digest(
+    backend, content: bytes, out_w: int, out_h: int
+) -> str | None:
+    """md5 of `_real_resize_bytes`, or None when the blob isn't
+    decodable — caller falls back to the documented stub and marks the
+    row (the `resample` observability column)."""
+    data = _real_resize_bytes(backend, content, out_w, out_h)
+    return None if data is None else hashlib.md5(data).hexdigest()
 
 
 def _np_rows(img):  # pragma: no cover - PIL not installed here
@@ -418,6 +426,223 @@ SELECT doc_id, media_type, width, height, out_width, out_height,
        md5(h || ':' || CAST(out_width AS VARCHAR) || 'x' || CAST(out_height AS VARCHAR))
          AS resized_digest
 FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
+# Real-resample contract (generative PNG corpus)
+# ---------------------------------------------------------------------------
+
+# 1-in-16 of the documents table becomes a synthetic PNG; dims are
+# small multiples of 8 (8..64 x 8..32) so the pure-Python decode +
+# box-resample stays cheap per row while still exercising both the
+# pass-through (long edge <= max_edge) and downscale arms.
+CONTRACT_MODULO = 16
+CONTRACT_MAX_EDGE = 32
+
+
+def synthetic_png_media(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """Generative media corpus whose blobs are REAL PNGs: every
+    (doc_id % modulo == 0) document becomes an 8-bit grayscale image
+    encoded with the vendored encoder (functions/png.py), pixel(r, c) =
+    (doc_id*31 + r*7 + c*13) % 256. Dims come from k = doc_id/modulo
+    ((k%8+1)*8 x (k%4+1)*8) — NOT from doc_id itself, whose residues
+    the modulo filter fixes (doc_id%16==0 implies doc_id%8==0, which
+    would pin every image to 8x8 and leave the downscale arm dead).
+    Deterministic in doc_id alone, so
+    any engine (and any retry of any partition) synthesizes the exact
+    same bytes. Same schema as `media()`; exists because the driver
+    fixtures' blobs are text bytes that always sniff 'other', leaving
+    the REAL resample arm unreachable from SQL-checkable rows.
+
+    Scale shape: one column-pruned scan of documents (doc_id only),
+    one Arrow-batched mapInPandas synthesizing ~n/modulo blobs with
+    partition-local work — no shuffle, no driver collection."""
+    import pandas as pd
+
+    from ..functions import png as _pngmod
+
+    d = (
+        tables.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % modulo == 0)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = doc_id // modulo
+                w = (k % 8 + 1) * 8
+                h = (k % 4 + 1) * 8
+                rows = [
+                    [(doc_id * 31 + r * 7 + c * 13) % 256 for c in range(w)]
+                    for r in range(h)
+                ]
+                blobs.append(_pngmod.encode_png_gray(rows))
+                metas.append({"width": w, "height": h, "duration_ms": None})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image"] * len(blobs),
+                    "content": blobs,
+                    "meta": metas,
+                }
+            )
+
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+CONTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("c_digest", T.StringType(), False),
+        T.StructField("dims_ok", T.BooleanType(), False),
+        T.StructField("roundtrip_ok", T.BooleanType(), False),
+        T.StructField("digest_stable", T.BooleanType(), False),
+    ]
+)
+
+
+def _resize_contract_fn(
+    batches: "Iterable", max_edge: int
+) -> "Iterator":  # pragma: no cover - exercised via media_resize_contract
+    """Per-row contract evaluation for the REAL resample arm: resample
+    the synthetic blob twice through `_real_resize_bytes`, decode the
+    output PNG back, and report (a) decoded dims == target dims,
+    (b) decoded pixels == an in-place box-resample of the original
+    pixels (PNG is lossless, so encode->decode must be exact),
+    (c) byte-for-byte stability across the two runs. Emits the md5 of
+    the resized bytes so the caller can bind these booleans to the
+    digest `media_resized` actually emitted for the same row."""
+    import math
+
+    import pandas as pd
+
+    from ..functions import png as _pngmod
+    from ..functions import resample as _resample
+
+    backend = _try_real_decoder()
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "c_digest", "dims_ok", "roundtrip_ok", "digest_stable")}
+        for doc_id, content, meta in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
+            w, h = int(meta["width"]), int(meta["height"])
+            edge = max(w, h)
+            scale = 1.0 if edge <= max_edge else max_edge / float(edge)
+            ow = max(1, math.floor(w * scale))
+            oh = max(1, math.floor(h * scale))
+            content = bytes(content)
+            data = _real_resize_bytes(backend, content, ow, oh)
+            data2 = _real_resize_bytes(backend, content, ow, oh)
+            if data is None or data2 is None:
+                # not decodable: contract rows are all-False, the digest
+                # is the stub's — a red oracle row by design
+                out["doc_id"].append(doc_id)
+                out["c_digest"].append(_stub_resize_digest(content, ow, oh))
+                out["dims_ok"].append(False)
+                out["roundtrip_ok"].append(False)
+                out["digest_stable"].append(False)
+                continue
+            dw, dh, drows = _pngmod.decode_png_luminance(data)
+            _sw, _sh, srows = _pngmod.decode_png_luminance(content)
+            expect = _resample.resample_gray_box(srows, ow, oh)
+            out["doc_id"].append(doc_id)
+            out["c_digest"].append(hashlib.md5(data).hexdigest())
+            out["dims_ok"].append((dw, dh) == (ow, oh))
+            out["roundtrip_ok"].append(drows == expect)
+            out["digest_stable"].append(data == data2)
+        yield pd.DataFrame(out)
+
+
+def media_resize_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    max_edge: int = CONTRACT_MAX_EDGE,
+    modulo: int = CONTRACT_MODULO,
+) -> DataFrame:
+    """Oracle-grade certification of the REAL resample arm (the one
+    mapInPandas stage driver fixtures could never reach): run the
+    actual `media_resized` operator over a generative corpus of real
+    vendored-encoder PNGs, independently re-resample + decode each
+    row's output, and emit the checks as contract BOOLEANS the DuckDB
+    oracle hash-verifies as TRUE (the `hll_daily_users` accuracy-
+    contract pattern, timeseries.py). `resample` is emitted as-is and
+    the oracle pins it to the literal 'real', so a corpus that
+    silently falls back to the stub arm turns the row red.
+
+    dims_ok: decoding the resized PNG yields exactly (out_width,
+    out_height). roundtrip_ok: the decoded pixels equal a box-resample
+    of the original pixels — PNG is lossless, so the operator's
+    encode must be exact. digest_stable: two independent resample runs
+    produce identical bytes. digest_match: `media_resized`'s emitted
+    digest is the md5 of the very bytes those checks decoded — binds
+    the operator's output to the verified pixels.
+
+    Scale shape: two mapInPandas passes over the same ~n/modulo-row
+    synthetic corpus (regenerated per branch — cheaper than caching
+    blob bytes) joined once on doc_id; both sides inherit the same
+    scan partitioning and the join is corpus/modulo-sized. Zero
+    driver-side work."""
+    import pandas as pd  # noqa: F401 — mapInPandas dependency, import-checked here
+
+    corpus = synthetic_png_media(spark, sf_dir, modulo)
+    resized = media_resized(spark, sf_dir, max_edge, media_df=corpus)
+
+    def run(batches):
+        return _resize_contract_fn(batches, max_edge)
+
+    contract = synthetic_png_media(spark, sf_dir, modulo).mapInPandas(
+        run, CONTRACT_SCHEMA
+    )
+    return resized.join(contract, "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        "scale",
+        "resample",
+        "dims_ok",
+        "roundtrip_ok",
+        "digest_stable",
+        (F.col("resized_digest") == F.col("c_digest")).alias("digest_match"),
+    )
+
+
+def media_resize_contract_oracle(
+    max_edge: int = CONTRACT_MAX_EDGE, modulo: int = CONTRACT_MODULO
+) -> str:
+    """Everything SQL can re-derive, re-derived (dims, scale, the
+    doc_id lattice); everything SQL can't (real pixel bytes), pinned
+    as TRUE contract booleans and the literal 'real' arm — a stub
+    fallback, a dim drift, a lossy encode, or an unstable byte stream
+    each flips a column and reds the hash."""
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(((doc_id // {modulo}) % 8 + 1) * 8 AS INT) AS width,
+         CAST(((doc_id // {modulo}) % 4 + 1) * 8 AS INT) AS height
+  FROM documents WHERE doc_id % {modulo} = 0
+),
+s AS (
+  SELECT *,
+         CASE WHEN greatest(width, height) <= {max_edge} THEN 1.0
+              ELSE {max_edge} / CAST(greatest(width, height) AS DOUBLE) END AS raw_scale
+  FROM m
+)
+SELECT doc_id, width, height,
+       CAST(greatest(1, floor(width * raw_scale)) AS INT) AS out_width,
+       CAST(greatest(1, floor(height * raw_scale)) AS INT) AS out_height,
+       round(raw_scale, 6) AS scale,
+       'real' AS resample,
+       TRUE AS dims_ok,
+       TRUE AS roundtrip_ok,
+       TRUE AS digest_stable,
+       TRUE AS digest_match
+FROM s
 """
 
 

@@ -1029,6 +1029,15 @@ def _registry() -> dict[str, Query]:
         multimodal.media_resized_oracle(),
         ("multimodal", "udf"),
     )
+    # r10: oracle-grade certification of the REAL resample arm — the
+    # actual media_resized stage run over a generative corpus of
+    # vendored-encoder PNGs, with decode-back contract booleans the
+    # oracle pins to TRUE (and the arm pinned to the literal 'real')
+    r["media_resize_contract"] = Query(
+        lambda spark, sf: multimodal.media_resize_contract(spark, sf),
+        multimodal.media_resize_contract_oracle(),
+        ("multimodal", "udf"),
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(

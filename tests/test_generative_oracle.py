@@ -65,6 +65,9 @@ GEN_QUERIES = [
     "token_shards_upsert",
     "tokenizer_lifecycle_report",
     "media_resize",
+    # r10: the real-arm contract — the generative corpus's %16 docs
+    # synthesize real PNGs whatever the text payload is
+    "media_resize_contract",
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",

@@ -609,3 +609,44 @@ def test_media_resized_is_arrow_batched_and_dims_correct(spark, sf_dir):
                 1.0 / r.width, 1.0 / r.height
             )
         assert len(r.resized_digest) == 32
+
+
+def test_media_resize_contract_real_arm_all_green(spark, sf_dir):
+    """The r10 contract query: every row traverses the REAL arm
+    (resample='real'), every contract boolean holds, both scale arms
+    (pass-through and downscale) appear, and the digest the operator
+    emitted is the digest of the independently verified bytes."""
+    from roblox_vector_search_datagen_spark.operators import multimodal
+
+    rows = multimodal.media_resize_contract(spark, sf_dir).collect()
+    assert rows
+    assert all(r.resample == "real" for r in rows)
+    assert all(r.dims_ok and r.roundtrip_ok and r.digest_stable for r in rows)
+    assert all(r.digest_match for r in rows)
+    scales = {r.scale for r in rows}
+    assert 1.0 in scales and any(s < 1.0 for s in scales)
+
+
+def test_media_resize_contract_corrupt_blob_turns_false_not_crash(spark, sf_dir):
+    """Adversarial arm: a PNG-sniffing but corrupt blob must take the
+    stub fallback and flip EVERY contract boolean False (a red oracle
+    row by design), never raise."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import multimodal
+
+    corrupt = multimodal.synthetic_png_media(spark, sf_dir).withColumn(
+        # keep the 8-byte PNG magic, destroy everything after it
+        "content",
+        F.concat(F.substring("content", 1, 8), F.lit(b"\x00garbage")),
+    )
+    resized = multimodal.media_resized(spark, sf_dir, media_df=corrupt)
+    assert {r.resample for r in resized.collect()} == {"stub"}
+
+    def run(batches):
+        return multimodal._resize_contract_fn(batches, multimodal.CONTRACT_MAX_EDGE)
+
+    contract = corrupt.mapInPandas(run, multimodal.CONTRACT_SCHEMA).collect()
+    assert contract
+    for r in contract:
+        assert not r.dims_ok and not r.roundtrip_ok and not r.digest_stable

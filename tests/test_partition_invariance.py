@@ -39,6 +39,9 @@ FLOAT_HEAVY = [
     "mixture_reweight",
     "funnel_within",
     "k_anonymity_report",
+    # r10: scale ratio is float-bearing (per-row arithmetic, but the
+    # enrollment rule is any float-bearing registry op)
+    "media_resize_contract",
 ]
 
 
