@@ -1064,93 +1064,77 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 183-query registry takes FOUR rounds to cycle the
+# window over a 184-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
-# states the 4-round invariant). Round-9 ordering, weakest evidence
-# first: (1) the fourteen queries NEW this round (the stored-scrub serve
-# path, the length-bucket batching plan, the source-pair JSD
-# mixture diagnostic, the zone-map file-skipping report, the
-# constraint-audit + deletion-impact governance pair, the IVF
-# silhouette, the data-constrained repetition planner, the
-# cluster-stratified diversity sample, the gap-bounded funnel, and
-# the per-user activity-entropy bot screen, the k-anonymity risk
-# bands, the DoReMi-style mixture reweighting, and the skew->salt
-# advisor — zero driver rows),
-# (2) the eight queries whose PLANS or SCHEMAS
-# changed this round and need fresh driver evidence: media_resize
-# (real resample arm + new `resample` column), token_shards_stored /
-# token_shards_upsert (served from the store-time manifest),
-# tokenizer_lifecycle_report (served from the stored segments table),
-# stored_roundtrip_audit (id map read from the stored vocab),
-# repeated_substring_spans / substring_scrub / scrubbed_token_counts
-# (span_h2 re-seeded salt-first after the advisor's seed-chaining
-# finding), index_lifecycle_report (versioned-commit resolution),
-# (3) the full 21-query cohort whose newest driver row is round 5
-# (four rounds stale — the r8 verdict's ordered deliverable),
-# (4) the first 6 of the 49-query r6 cohort (alphabetical; the
-# remaining 43 queue immediately behind the window for r10). After
-# r09 lands green, no query's newest driver row predates round 6.
+# states the 4-round invariant). The window is the concatenation of
+# NAMED COHORT TUPLES, weakest evidence first; the cohort arithmetic
+# (each tuple's length, their sum, the registry count above) is
+# machine-checked by tests/test_registry_window.py — the hand-
+# maintained prose counts drifted three rounds running (r7/r8/r9
+# advisories), so the counts now live in code, not prose.
 # Every query is self-contained, so order carries no semantics.
-# The registry counts 183 queries, 50 adjudicated per round.
-_ADJUDICATE_FIRST = (
-    # new this round
-    "scrub_stored_report",
-    "length_bucket_plan",
-    "source_divergence",
-    "zone_map_pruning",
-    "constraint_audit",
-    "deletion_impact",
-    "ivf_silhouette",
-    "repetition_budget_plan",
-    "semantic_diverse_sample",
-    "funnel_within",
-    "user_activity_entropy",
-    "k_anonymity_report",
-    "mixture_reweight",
-    "join_skew_advisor",
-    # plan/schema changed this round
-    "media_resize",
-    "token_shards_stored",
-    "token_shards_upsert",
-    "tokenizer_lifecycle_report",
-    "stored_roundtrip_audit",
-    "repeated_substring_spans",
-    "substring_scrub",
-    "scrubbed_token_counts",
-    "index_lifecycle_report",
-    # r5-stale cohort (newest driver row: round 5) — all 21
-    "knn_label_accuracy",
-    "media_features",
-    "merge_games_gather",
-    "merge_games_rolimons",
-    "merge_games_search",
-    "mixture_report",
-    "ngram_dropped_shingles",
-    "per_group_sample",
-    "pii_scrub",
-    "pmi_collocations",
-    "prune_counts",
-    "prune_games",
-    "quality_filter",
-    "retention_curve",
-    "sessionize",
-    "simhash_dropped_bands",
-    "skew_profile",
-    "top_quality_per_source",
-    "training_corpus",
-    "user_retention",
-    "windowed_event_counts",
-    # r6 cohort, first 6 alphabetically — fills the window to 50
-    "bigram_lm_score",
-    "bpe_encode_sample",
-    "bpe_fertility_report",
-    "bpe_merges",
-    "bpe_vocab",
-    "clear_gameplay",
-    # -- behind the 50-slot window: the remaining 43 r6-cohort queries
-    # (dedup_exact .. winsorized_event_stats_approx),
-    # first in line for the r10 rotation, then the r7 and r8 cohorts
+
+# Round-10 ordering:
+# cohort new (1): zero driver rows — the real-resample contract query.
+_R10_NEW = ("media_resize_contract",)
+# cohort changed (3): plans/semantics changed this round and the r9
+# rows no longer certify them — scrub_stored_report (now served from
+# the store-time manifest, not the text rows), funnel_within +
+# deletion_impact (try_divide/nullif ANSI-safe ratios on both engines).
+_R10_CHANGED = ("scrub_stored_report", "funnel_within", "deletion_impact")
+# cohort r6-stale (43): every query whose newest driver row is round 6
+# — the full remainder of the r6 cohort, closing the staleness debt
+# (after r10 lands green, no query's newest driver row predates r7).
+_R10_R6_STALE = (
+    "dedup_exact",
+    "dsir_weights",
+    "embedding_dim_profile",
+    "embedding_lsh_dropped_buckets",
+    "embedding_lsh_verified",
+    "embedding_outliers",
+    "event_value_quantiles",
+    "heavy_hitters",
+    "hll_daily_users",
+    "hybrid_search",
+    "index_build_report",
+    "ingest_decision_report",
+    "ingest_near_dedup",
+    "ivf_centroid_update",
+    "ivf_cluster_quality",
+    "ivf_index_merge",
+    "ivf_staleness_report",
+    "ivf_train",
+    "ivf_train_iters",
+    "jobs_by_status",
+    "jobs_page",
+    "latest_event_per_user",
+    "lsh_candidate_pairs",
+    "lsh_dropped_buckets",
+    "media_inventory",
+    "minhash_jaccard_estimates",
+    "minhash_signatures",
+    "missing_images_worklist",
+    "mixture_plan",
+    "needs_details_worklist",
+    "needs_embeddings_worklist",
+    "old_jobs",
+    "pq_recall_at_k",
+    "prune_orphan_embeddings",
+    "quality_buckets",
+    "seeded_shuffle",
+    "shard_manifest",
+    "snapshot_diff",
+    "split_centroid_drift",
+    "sq_quantize",
+    "unigram_logprob",
+    "winsorized_event_stats",
+    "winsorized_event_stats_approx",
 )
+# cohort r7-fill (3): the alphabetically-first r7-cohort queries fill
+# the window to exactly 50; the rest of the r7 cohort queues for r11.
+_R10_R7_FILL = ("ann_ivf_topk", "ann_topk", "bpe_pair_counts")
+
+_ADJUDICATE_FIRST = _R10_NEW + _R10_CHANGED + _R10_R6_STALE + _R10_R7_FILL
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:
     first = {n: r[n] for n in _ADJUDICATE_FIRST if n in r}
