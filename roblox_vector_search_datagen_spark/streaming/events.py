@@ -483,3 +483,88 @@ def stream_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming gap-bounded funnel (stateful per-user stage tracker)
+# ---------------------------------------------------------------------------
+
+def stream_funnel_within(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_hours: int | None = None,
+    raw: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.timeseries.funnel_within: a per-user
+    stage tracker in GroupState. State is the user's funnel-relevant
+    event times (three epoch-micro arrays, one per stage type); each
+    microbatch merges the new arrivals and RE-DERIVES the entry chain
+    with exactly the batch rule — s1 = min(signup), s2 = min(click in
+    [s1, s1+gap]), s3 = min(purchase in [s2, s2+gap]) — so late or
+    out-of-order arrivals retroactively repair the chain (an early
+    click that arrives before its user's even-earlier signup is
+    re-evaluated once the signup lands) and the final update per user
+    equals the batch semantics over everything seen.
+
+    Emits (user_id, n_seen, s1_us, s2_us, s3_us) per update; n_seen is
+    monotone, so 'latest update per user' is a max(), and the funnel
+    report (stage counts, conversions) is a metadata-sized fold over
+    final states. State is O(funnel events per user) — exactness
+    against retroactive repair requires keeping the times; a production
+    deployment bounds it with a watermark TTL on state (evict users
+    whose s3 completed or whose last event predates the gap horizon),
+    which this twin omits to stay value-identical to the batch
+    operator."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.timeseries import FUNNEL_GAP_HOURS, FUNNEL_STAGES
+
+    gap_hours = FUNNEL_GAP_HOURS if gap_hours is None else gap_hours
+    gap_us = gap_hours * 3600 * 1_000_000
+    raw = _events_stream(spark, sf_dir) if raw is None else raw
+    keyed = raw.filter(F.col("event_type").isin(*FUNNEL_STAGES)).select(
+        "user_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    stage_of = {et: i for i, et in enumerate(FUNNEL_STAGES)}
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        times = [list(a) for a in state.get] if state.exists else [[], [], []]
+        for pdf in pdfs:
+            for et, ts_us in zip(pdf["event_type"], pdf["ts_us"]):
+                times[stage_of[et]].append(int(ts_us))
+        state.update(tuple(times))
+        entries: list[int | None] = []
+        prev: int | None = None
+        for i, stage_times in enumerate(times):
+            if i == 0:
+                cur = min(stage_times) if stage_times else None
+            elif prev is None:
+                cur = None
+            else:
+                in_gap = [t for t in stage_times if prev <= t <= prev + gap_us]
+                cur = min(in_gap) if in_gap else None
+            entries.append(cur)
+            prev = cur
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([user_id], dtype="Int64"),
+                "n_seen": pd.array([sum(map(len, times))], dtype="Int64"),
+                "s1_us": pd.array([entries[0]], dtype="Int64"),
+                "s2_us": pd.array([entries[1]], dtype="Int64"),
+                "s3_us": pd.array([entries[2]], dtype="Int64"),
+            }
+        )
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id BIGINT, n_seen BIGINT, s1_us BIGINT, s2_us BIGINT, s3_us BIGINT"
+        ),
+        stateStructType=(
+            "signups ARRAY<BIGINT>, clicks ARRAY<BIGINT>, purchases ARRAY<BIGINT>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -520,3 +520,62 @@ def test_stateful_activity_entropy_matches_batch(spark, sf_dir):
         assert (s.n_events, s.n_types) == (b.n_events, b.n_types), uid
         assert abs(s.entropy - b.entropy) < 2e-6, uid
         assert abs(s.top_share - b.top_share) < 2e-6, uid
+
+
+def test_stateful_funnel_within_matches_batch(spark, sf_dir):
+    """The stateful funnel twin's final per-user states fold to exactly
+    the batch funnel_within report (stage users and 6-dp conversions)."""
+    from roblox_vector_search_datagen_spark.operators import timeseries
+
+    batch = {r.stage: r for r in timeseries.funnel_within(spark, sf_dir).collect()}
+    q = S.run_stream_to_memory(
+        S.stream_funnel_within(spark, sf_dir), "funnel_state", output_mode="update"
+    )
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM funnel_state").collect():
+        if r.user_id not in latest or r.n_seen > latest[r.user_id].n_seen:
+            latest[r.user_id] = r
+    users = [
+        sum(1 for r in latest.values() if getattr(r, f"s{i}_us") is not None)
+        for i in (1, 2, 3)
+    ]
+    assert users[0] > 0
+    for i in (1, 2, 3):
+        assert users[i - 1] == batch[i].users, (i, users, batch)
+        conv = 1.0 if i == 1 else (
+            None if users[i - 2] == 0 else round(users[i - 1] / users[i - 2], 6)
+        )
+        assert conv == batch[i].conversion, i
+
+
+def test_stateful_funnel_repairs_out_of_order_arrivals(spark, tmp_path):
+    """A click arrives in a microbatch BEFORE its user's earlier signup
+    (cross-batch out-of-order): the tracker must retroactively re-derive
+    the chain once the signup lands, converging on the batch rule —
+    and a click outside the gap must stay unconverted."""
+    from datetime import datetime as dt
+
+    def e(i, day, h, uid, et):
+        return (i, dt(2024, 3, day, h, 0), uid, et, 1.0)
+
+    # user 1: click (day 2) arrives in batch 0; signup (day 1) lands in
+    # batch 1 -> s2 becomes valid only retroactively (24h < 72h gap).
+    # user 2: signup day 1, click day 5 (96h > 72h gap) -> never converts.
+    b0 = [e(1, 2, 10, 1, "click"), e(2, 1, 9, 2, "signup")]
+    b1 = [e(3, 1, 10, 1, "signup"), e(4, 5, 10, 2, "click")]
+    feed = _feed_dir(spark, tmp_path, [b0, b1])
+    raw = _raw_stream(spark, feed)
+    q = S.run_stream_to_memory(
+        S.stream_funnel_within(spark, tmp_path.name + "_unused", raw=raw),
+        "funnel_ooo",
+        output_mode="update",
+    )
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM funnel_ooo").collect():
+        if r.user_id not in latest or r.n_seen > latest[r.user_id].n_seen:
+            latest[r.user_id] = r
+    u1, u2 = latest[1], latest[2]
+    assert u1.s1_us is not None and u1.s2_us is not None  # repaired chain
+    assert u2.s1_us is not None and u2.s2_us is None  # outside the gap
