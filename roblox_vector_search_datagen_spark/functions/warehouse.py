@@ -258,6 +258,20 @@ def gc_warehouse(
         if alive and e["version"] is not None:
             base = re.sub(r"_v\d+$", "", e["name"])
             alive = current_of.get(base) == e["name"]
+        elif alive and e["version"] is None:
+            # an UNVERSIONED base whose own CURRENT marker points at a
+            # committed version directory is unreachable too: every
+            # reader resolves the marker first and only falls back to
+            # the base when the pointed version is missing — so after a
+            # versioned commit, GC leaves exactly {pointed version,
+            # marker} per family (r9 verdict's contract)
+            pointed = current_of.get(e["name"])
+            if (
+                pointed
+                and pointed != e["name"]
+                and os.path.isdir(os.path.join(wdir, pointed))
+            ):
+                alive = False
         if alive:
             kept.append(e["name"])
         else:

@@ -269,13 +269,14 @@ def test_versioned_index_commit_repoints_current_atomically(spark, sf_dir, tmp_p
     }
     assert stored == live and len(stored) > 0
 
-    # GC with this root live: v1 (superseded) collected; v2, the
-    # marker, and the unversioned base (same live tag) kept
+    # GC with this root live: v1 (superseded) collected, and so is the
+    # unversioned base — the marker points at v2, so readers can never
+    # reach the base (r10: exactly {pointed version, marker} survive)
     live_roots = [sf2] + sorted(glob.glob(os.path.join(os.path.dirname(sf_dir), "sf*")))
     rep = W.gc_warehouse(live_roots, dry_run=True)
     assert os.path.basename(v1) in rep["removed"]
     assert os.path.basename(v2) in rep["kept"]
-    assert os.path.basename(base) in rep["kept"]
+    assert os.path.basename(base) in rep["removed"]
     assert os.path.basename(W.current_marker_path(base)) in rep["kept"]
 
 
@@ -327,3 +328,37 @@ def test_gc_warehouse_collects_stale_tags_keeps_live_and_rebuilds(
         assert n > 0
     finally:
         shutil.rmtree(stranger, ignore_errors=True)
+
+
+def test_commit_plus_gc_leaves_exactly_current_version_and_marker(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The r9 verdict's round-cycle contract: after a versioned commit
+    and a (real, not dry-run) gcWarehouse, a family's warehouse
+    footprint is EXACTLY {the CURRENT-pointed version dir, the marker}
+    — no superseded versions, no unreachable unversioned base."""
+    import re
+
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+
+    wdir = str(tmp_path / "wh")
+    os.makedirs(wdir)
+    monkeypatch.setattr(W, "WAREHOUSE_DIR", wdir)
+    # ann binds the dir into a module constant at import time
+    monkeypatch.setattr(ann, "IVF_WAREHOUSE", wdir)
+
+    sf2 = str(tmp_path / "sfcycle")
+    shutil.copytree(sf_dir, sf2)
+    ann.ivf_index_store(spark, sf2)  # unversioned base
+    ann.ivf_index_store(spark, sf2, rebuild=True)  # v1
+    v2 = ann.ivf_index_store(spark, sf2, rebuild=True)  # v2, CURRENT
+
+    rep = W.gc_warehouse([sf2], warehouse_dir=wdir)
+    assert rep["skipped"] == []
+    survivors = sorted(os.listdir(wdir))
+    base = re.sub(r"_v\d+$", "", v2)
+    assert survivors == sorted(
+        [os.path.basename(v2), os.path.basename(W.current_marker_path(base))]
+    ), (survivors, rep)
+    # the store still serves (readers resolve the marker to v2)
+    assert ann.ivf_index_store(spark, sf2) == v2
