@@ -206,6 +206,22 @@ def list_entries(warehouse_dir: str | None = None) -> list[dict]:
     return out
 
 
+def _version_committed(path: str) -> bool:
+    """True iff a version directory is servable: `_SUCCESS` at its
+    root (single-table stores), or every immediate subdirectory
+    carries one (multi-table stores like the IVF index's
+    assignments/centroids pair). Mirrors what store readers require
+    via `tables_ready` before resolving the marker."""
+    if not os.path.isdir(path):
+        return False
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return True
+    subs = [d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))]
+    return bool(subs) and all(
+        os.path.exists(os.path.join(path, d, "_SUCCESS")) for d in subs
+    )
+
+
 def gc_warehouse(
     live_roots: Iterable[str],
     warehouse_dir: str | None = None,
@@ -219,9 +235,15 @@ def gc_warehouse(
     unreachable by construction (write-if-absent keys every read by
     the current tag) — and (b) if it is a versioned commit, it is the
     version its family's CURRENT marker points at (superseded versions
-    are unreachable once the marker moved). Markers whose base tag is
-    dead are collected with their versions. Unknown directory names
-    are never touched (listed under 'skipped').
+    are unreachable once the marker moved), and (c) if it is an
+    UNVERSIONED base, no CURRENT marker points at a COMMITTED version
+    (readers resolve the marker first and fall back to the base only
+    when the pointed version is missing or uncommitted — so after a
+    clean versioned commit, exactly {pointed version, marker} survive
+    per family, but an incomplete pointed version keeps the base, the
+    reader's actual fallback, alive). Markers whose base tag is dead
+    are collected with their versions. Unknown directory names are
+    never touched (listed under 'skipped').
 
     Returns {"removed": [...], "kept": [...], "skipped": [...],
     "reclaimed_bytes": N}; `dry_run=True` reports without deleting."""
@@ -260,16 +282,20 @@ def gc_warehouse(
             alive = current_of.get(base) == e["name"]
         elif alive and e["version"] is None:
             # an UNVERSIONED base whose own CURRENT marker points at a
-            # committed version directory is unreachable too: every
-            # reader resolves the marker first and only falls back to
-            # the base when the pointed version is missing — so after a
-            # versioned commit, GC leaves exactly {pointed version,
-            # marker} per family (r9 verdict's contract)
+            # COMMITTED version directory is unreachable too: every
+            # reader resolves the marker first and falls back to the
+            # base only when the pointed version is missing or fails
+            # its commit probe — so after a clean versioned commit, GC
+            # leaves exactly {pointed version, marker} per family (r9
+            # verdict's contract). The commit probe mirrors the reader
+            # (store callers tables_ready the resolved version): an
+            # isdir-only check would delete the base while an
+            # incomplete pointed version still routes reads to it.
             pointed = current_of.get(e["name"])
             if (
                 pointed
                 and pointed != e["name"]
-                and os.path.isdir(os.path.join(wdir, pointed))
+                and _version_committed(os.path.join(wdir, pointed))
             ):
                 alive = False
         if alive:

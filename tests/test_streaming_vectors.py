@@ -362,3 +362,36 @@ def test_commit_plus_gc_leaves_exactly_current_version_and_marker(
     ), (survivors, rep)
     # the store still serves (readers resolve the marker to v2)
     assert ann.ivf_index_store(spark, sf2) == v2
+
+
+def test_gc_keeps_base_when_pointed_version_is_uncommitted(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Review regression (r10): the reader falls back to the
+    unversioned base whenever the marker-pointed version fails its
+    commit probe (tables_ready), so GC must NOT collect the base on a
+    bare isdir() of the pointed dir — an incomplete version (lost
+    _SUCCESS) would otherwise take the only servable copy with it."""
+    import re
+
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+
+    wdir = str(tmp_path / "wh")
+    os.makedirs(wdir)
+    monkeypatch.setattr(W, "WAREHOUSE_DIR", wdir)
+    monkeypatch.setattr(ann, "IVF_WAREHOUSE", wdir)
+
+    sf2 = str(tmp_path / "sfuncommitted")
+    shutil.copytree(sf_dir, sf2)
+    ann.ivf_index_store(spark, sf2)  # unversioned base
+    v1 = ann.ivf_index_store(spark, sf2, rebuild=True)
+    base = re.sub(r"_v\d+$", "", v1)
+
+    # corrupt the pointed version: drop a subtable's commit marker
+    os.remove(os.path.join(v1, "assignments", "_SUCCESS"))
+    # the reader now serves the base...
+    assert ann.ivf_index_store(spark, sf2) == base
+    # ...so GC must keep it (and may not treat v1 as the family's copy)
+    rep = W.gc_warehouse([sf2], warehouse_dir=wdir)
+    assert os.path.basename(base) in rep["kept"], rep
+    assert os.path.isdir(base)
