@@ -918,3 +918,65 @@ def test_session9_latest_ops_plan_contracts(spark, sf_dir):
     p_adv = plan_of(layout.join_skew_advisor(spark, sf_dir))
     assert p_adv.count("Exchange") == p_prof.count("Exchange")
     assert "EvalPython" not in p_adv
+
+
+def test_oracle_schema_parity_without_execution(spark, sf_dir):
+    """Plan-level schema parity over EVERY oracle-backed query: the
+    driver's value-hash sorts columns BY NAME and is DTYPE-KIND
+    sensitive (a DuckDB integer aggregate that widens to HUGEINT
+    materializes as float64 in pandas while Spark emits int64 — the
+    round-3 red), so both red classes are machine-checked here from
+    DESCRIBE + df.dtypes alone, no execution: (a) the column-name sets
+    must match exactly; (b) each column's dtype KIND must agree, with
+    HUGEINT unconditionally rejected (CAST the aggregate to BIGINT in
+    the oracle)."""
+    import duckdb
+
+    from roblox_vector_search_datagen_spark.plans.registry import QUERIES
+    from roblox_vector_search_datagen_spark.sources.tables import TPCH_TABLES
+
+    def kind(t: str) -> str:
+        t = t.lower()
+        if t.endswith("[]") or t.startswith("array"):
+            return "array"
+        if t.startswith("struct") or t.startswith("map"):
+            return "nested"
+        if t == "hugeint" or t == "uhugeint":
+            return "HUGEINT-trap"
+        if t in ("bigint", "integer", "int", "smallint", "tinyint",
+                 "ubigint", "uinteger", "usmallint", "utinyint"):
+            return "int"
+        if t in ("double", "float", "real") or t.startswith("decimal"):
+            return "float"
+        if t in ("varchar", "string", "text"):
+            return "str"
+        if t == "boolean":
+            return "bool"
+        if t.startswith("timestamp"):
+            return "datetime"
+        if t == "date":
+            return "date"
+        if t in ("blob", "binary"):
+            return "bytes"
+        return t
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        spark_types = {c.lower(): t for c, t in q.builder(spark, sf_dir).dtypes}
+        desc = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+        duck_types = {r[0].lower(): r[1] for r in desc}
+        if sorted(spark_types) != sorted(duck_types):
+            bad.append((name, "names", sorted(spark_types), sorted(duck_types)))
+            continue
+        for c in spark_types:
+            ks, kd = kind(spark_types[c]), kind(duck_types[c])
+            if ks != kd:
+                bad.append((name, c, spark_types[c], duck_types[c]))
+    assert bad == [], bad
