@@ -76,7 +76,16 @@ def main() -> None:
     # explode-heavy text) spreads the warmup across the codepaths the
     # registry actually uses.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    warmup = ("latest_event_per_user", "merge_games_gather", "ann_topk", "token_counts")
+    # media_resize: spins the Arrow python-worker pool once untimed —
+    # the registry front now leads with a mapInPandas query
+    # (media_resize_contract) that would otherwise absorb worker startup
+    warmup = (
+        "latest_event_per_user",
+        "merge_games_gather",
+        "ann_topk",
+        "token_counts",
+        "media_resize",
+    )
     for name in warmup:
         if name in QUERIES:
             QUERIES[name].builder(spark, sf_dir).collect()
