@@ -206,14 +206,34 @@ def list_entries(warehouse_dir: str | None = None) -> list[dict]:
     return out
 
 
-def _version_committed(path: str) -> bool:
-    """True iff a version directory is servable: `_SUCCESS` at its
-    root (single-table stores), or every immediate subdirectory
-    carries one (multi-table stores like the IVF index's
-    assignments/centroids pair). Mirrors what store readers require
-    via `tables_ready` before resolving the marker."""
+def _version_serves_like(path: str, base: str) -> bool:
+    """True iff the version directory at `path` can serve EVERYTHING
+    the unversioned `base` serves — the family-agnostic form of the
+    reader's commit probe (store readers `tables_ready` each required
+    subtable of the resolved version; the GC doesn't know a family's
+    subtable set, but the base it is about to collect IS that set):
+    for every committed unit in the base (a root `_SUCCESS`, or each
+    subdirectory carrying one), the version must have the same unit
+    committed. A version missing a whole subtable — not just its
+    marker — therefore keeps the base alive."""
     if not os.path.isdir(path):
         return False
+    if os.path.exists(os.path.join(base, "_SUCCESS")) and not os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        return False
+    base_subs = [
+        d
+        for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d))
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    ]
+    if base_subs:
+        return all(
+            os.path.exists(os.path.join(path, d, "_SUCCESS")) for d in base_subs
+        )
+    # base has no committed units at all (already unservable): any
+    # committed version supersedes it
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return True
     subs = [d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))]
@@ -288,14 +308,16 @@ def gc_warehouse(
             # its commit probe — so after a clean versioned commit, GC
             # leaves exactly {pointed version, marker} per family (r9
             # verdict's contract). The commit probe mirrors the reader
-            # (store callers tables_ready the resolved version): an
-            # isdir-only check would delete the base while an
+            # (store callers tables_ready each required subtable of the
+            # resolved version, using the base's own layout as the
+            # family's subtable spec): an isdir-only or
+            # root-_SUCCESS-only check would delete the base while an
             # incomplete pointed version still routes reads to it.
             pointed = current_of.get(e["name"])
             if (
                 pointed
                 and pointed != e["name"]
-                and _version_committed(os.path.join(wdir, pointed))
+                and _version_serves_like(os.path.join(wdir, pointed), e["path"])
             ):
                 alive = False
         if alive:

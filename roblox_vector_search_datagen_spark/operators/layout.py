@@ -304,6 +304,20 @@ FROM keyed
 COMPACT_TARGET_CHARS = 60_000
 COMPACT_FILE_SHARDS = 64
 
+# Manifest tables (per-doc integer profiles the stores write beside
+# their payload tables) are fixed-width rows; size their file count by
+# estimated bytes against the same compaction target so the layout
+# scales in BOTH directions — coalesce(1) is right at fixture scale
+# but a single multi-GB file (and a single write task) at 100 TB.
+MANIFEST_ROW_BYTES = 40
+
+
+def manifest_file_count(n_rows: int) -> int:
+    """ceil(estimated manifest bytes / compaction target), min 1."""
+    import math
+
+    return max(1, math.ceil(n_rows * MANIFEST_ROW_BYTES / COMPACT_TARGET_CHARS))
+
 def compaction_plan(
     spark: SparkSession,
     sf_dir: str,

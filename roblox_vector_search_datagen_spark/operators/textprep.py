@@ -1151,7 +1151,7 @@ def scrub_store(
     payload: the difference between a mixture planner reading
     megabytes and re-scanning terabytes."""
     from ..functions import warehouse
-    from .layout import COMPACT_TARGET_CHARS
+    from .layout import COMPACT_TARGET_CHARS, manifest_file_count
 
     tag = warehouse.sf_tag(sf_dir, "documents")
     path = os.path.join(
@@ -1160,11 +1160,15 @@ def scrub_store(
     )
     manifest = _scrub_manifest_path(path)
     if rebuild or not warehouse.tables_ready(path, manifest):
-        total_chars = (
+        probe = (
             tables.load_table(spark, sf_dir, "documents")
-            .agg(F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"))
-            .collect()[0].c
+            .agg(
+                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
         )
+        total_chars, n_docs = probe.c, probe.n
         n_files = max(1, math.ceil(total_chars / COMPACT_TARGET_CHARS))
         (
             substring_scrub(spark, sf_dir, n, min_docs, min_words)
@@ -1174,7 +1178,10 @@ def scrub_store(
         )
         (
             # manifest from the just-committed scrub table (a narrow
-            # warehouse scan, not a second span discovery)
+            # warehouse scan, not a second span discovery); sized by
+            # its own fixed-width row count, not coalesce(1) — the
+            # single-file layout inverts at scale exactly like the
+            # fixed scrub file count this store just stopped using
             spark.read.parquet(path)
             .select(
                 "doc_id",
@@ -1185,7 +1192,7 @@ def scrub_store(
                 .cast("int")
                 .alias("approx_bpe_tokens"),
             )
-            .coalesce(1)
+            .repartition(manifest_file_count(n_docs), "doc_id")
             .write.mode("overwrite")
             .parquet(manifest)
         )
@@ -1196,19 +1203,6 @@ def _scrub_manifest_path(scrub_path: str) -> str:
     # sibling, not a subdirectory: keeps the scrub table's file listing
     # clean and parses under the same GC family (warehouse._parse_entry)
     return scrub_path + "_manifest"
-
-
-def stored_scrub(
-    spark: SparkSession,
-    sf_dir: str,
-    n: int = SPAN_N,
-    min_docs: int = SPAN_MIN_DOCS,
-    min_words: int = SPAN_CHAIN_MIN_WORDS,
-) -> DataFrame:
-    """LOAD step: the scrubbed corpus as a DataFrame backed by the
-    stored warehouse parquet (writing it first if absent)."""
-    path = scrub_store(spark, sf_dir, n, min_docs, min_words)
-    return spark.read.parquet(path)
 
 
 def scrub_stored_report(

@@ -1156,14 +1156,20 @@ def token_shards_store(
             .partitionBy("shard")
             .parquet(path)
         )
+        from .layout import manifest_file_count
+
+        n_docs = tables.load_table(spark, sf_dir, "documents").count()
         (
             # manifest from the just-committed token table (a narrow
             # warehouse scan, not a second encode): one row per (shard,
-            # doc_id) with its token mass.
+            # doc_id) with its token mass. Sized by its fixed-width row
+            # count (layout.manifest_file_count) — coalesce(1) is right
+            # at fixture scale but a single write task + single
+            # multi-GB file at 100 TB (r10 review).
             spark.read.parquet(path)
             .groupBy(F.col("shard").cast("int").alias("shard"), F.col("doc_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
-            .coalesce(1)
+            .repartition(manifest_file_count(n_docs), "doc_id")
             .write.mode("overwrite")
             .parquet(manifest)
         )

@@ -926,7 +926,9 @@ def test_oracle_schema_parity_without_execution(spark, sf_dir):
     sensitive (a DuckDB integer aggregate that widens to HUGEINT
     materializes as float64 in pandas while Spark emits int64 — the
     round-3 red), so both red classes are machine-checked here from
-    DESCRIBE + df.dtypes alone, no execution: (a) the column-name sets
+    DESCRIBE + df.dtypes — plan time only, except that store-backed
+    queries materialize their warehouse entries if absent (as every
+    plan-building test in this file does): (a) the column-name sets
     must match exactly; (b) each column's dtype KIND must agree, with
     HUGEINT unconditionally rejected (CAST the aggregate to BIGINT in
     the oracle)."""

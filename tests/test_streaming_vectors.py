@@ -395,3 +395,14 @@ def test_gc_keeps_base_when_pointed_version_is_uncommitted(
     rep = W.gc_warehouse([sf2], warehouse_dir=wdir)
     assert os.path.basename(base) in rep["kept"], rep
     assert os.path.isdir(base)
+
+    # second arm (second review pass): the version loses a WHOLE
+    # subtable, not just its marker — a root-or-every-subdir probe on
+    # the version alone would call it committed; the probe must check
+    # the version serves every unit the BASE serves
+    v2 = ann.ivf_index_store(spark, sf2, rebuild=True)
+    shutil.rmtree(os.path.join(v2, "centroids"))
+    assert ann.ivf_index_store(spark, sf2) == base  # reader falls back
+    rep = W.gc_warehouse([sf2], warehouse_dir=wdir)
+    assert os.path.basename(base) in rep["kept"], rep
+    assert os.path.isdir(base)
