@@ -581,22 +581,26 @@ def media_resize_contract(
     digest is the md5 of the very bytes those checks decoded — binds
     the operator's output to the verified pixels.
 
-    Scale shape: two mapInPandas passes over the same ~n/modulo-row
-    synthetic corpus (regenerated per branch — cheaper than caching
-    blob bytes) joined once on doc_id; both sides inherit the same
-    scan partitioning and the join is corpus/modulo-sized. Zero
-    driver-side work."""
+    Scale shape: ONE synthesized corpus persisted across its two
+    consumers (Catalyst instantiates a subtree once per reference —
+    unpersisted, the resize branch and the contract branch would each
+    regenerate every PNG), then two mapInPandas passes joined once on
+    doc_id; both sides inherit the same scan partitioning and the
+    join is corpus/modulo-sized. Zero driver-side work."""
     import pandas as pd  # noqa: F401 — mapInPandas dependency, import-checked here
 
-    corpus = synthetic_png_media(spark, sf_dir, modulo)
+    from ..functions.caching import persist_if
+
+    corpus = persist_if(
+        synthetic_png_media(spark, sf_dir, modulo),
+        max_edge == CONTRACT_MAX_EDGE and modulo == CONTRACT_MODULO,
+    )
     resized = media_resized(spark, sf_dir, max_edge, media_df=corpus)
 
     def run(batches):
         return _resize_contract_fn(batches, max_edge)
 
-    contract = synthetic_png_media(spark, sf_dir, modulo).mapInPandas(
-        run, CONTRACT_SCHEMA
-    )
+    contract = corpus.mapInPandas(run, CONTRACT_SCHEMA)
     return resized.join(contract, "doc_id").select(
         "doc_id",
         "width",
