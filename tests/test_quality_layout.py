@@ -584,3 +584,23 @@ def test_scrub_store_file_count_scales_with_corpus_bytes(spark, tmp_path):
 
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(manifest, ignore_errors=True)
+
+
+def test_manifest_file_count_scales_and_floors():
+    """The manifest sizing rule (r10 review): ceil(rows * row-bytes /
+    compaction target), floored at one file — 0 rows still writes a
+    valid single-file table, fixture scales stay at 1, and the count
+    grows linearly at warehouse scale."""
+    from roblox_vector_search_datagen_spark.operators.layout import (
+        COMPACT_TARGET_CHARS,
+        MANIFEST_ROW_BYTES,
+        manifest_file_count,
+    )
+
+    assert manifest_file_count(0) == 1
+    assert manifest_file_count(1) == 1
+    assert manifest_file_count(500) == 1  # fixture scale: same layout as before
+    per_file = COMPACT_TARGET_CHARS // MANIFEST_ROW_BYTES
+    assert manifest_file_count(per_file) == 1
+    assert manifest_file_count(per_file + 1) == 2
+    assert manifest_file_count(per_file * 1000) == 1000
