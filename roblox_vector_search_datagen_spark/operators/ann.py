@@ -1922,6 +1922,14 @@ def ivf_index_store(
         vpath = warehouse.next_version_path(base)
         _ivf_index_build(spark, sf_dir, k, hwm, vpath)
         warehouse.repoint_current(base, vpath)
+        # commit-time retention (retain = pointed): collect the versions
+        # this commit just superseded — and the unversioned base once the
+        # pointed version serves everything it serves — so repeated
+        # harness runs stop accreting _vN dirs between explicit
+        # gcWarehouse invocations (r10 verdict). The warehouse stays
+        # self-cleaning: after any commit, this family holds exactly
+        # {pointed version, marker}.
+        warehouse.collect_superseded(base)
         return vpath
     cur = warehouse.read_current(base)
     if cur is not None and warehouse.tables_ready(

@@ -1158,21 +1158,31 @@ def token_shards_store(
         )
         from .layout import manifest_file_count
 
-        n_docs = tables.load_table(spark, sf_dir, "documents").count()
-        (
-            # manifest from the just-committed token table (a narrow
-            # warehouse scan, not a second encode): one row per (shard,
-            # doc_id) with its token mass. Sized by its fixed-width row
-            # count (layout.manifest_file_count) — coalesce(1) is right
-            # at fixture scale but a single write task + single
-            # multi-GB file at 100 TB (r10 review).
+        # manifest from the just-committed token table (a narrow
+        # warehouse scan, not a second encode): one row per (shard,
+        # doc_id) with its token mass. Sized by ITS OWN row count
+        # (layout.manifest_file_count over the persisted aggregate —
+        # r10 advisory: the sizing input is the actual (shard, doc_id)
+        # row set, not a documents-table count whose extra driver job
+        # re-scanned source metadata on every rebuild), so the layout
+        # rule and the rows it sizes can never drift. coalesce(1)
+        # would be right at fixture scale but a single write task +
+        # single multi-GB file at 100 TB (r10 review).
+        agg = (
             spark.read.parquet(path)
             .groupBy(F.col("shard").cast("int").alias("shard"), F.col("doc_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
-            .repartition(manifest_file_count(n_docs), "doc_id")
-            .write.mode("overwrite")
-            .parquet(manifest)
+            .persist()
         )
+        try:
+            n_rows = agg.count()
+            (
+                agg.repartition(manifest_file_count(n_rows), "doc_id")
+                .write.mode("overwrite")
+                .parquet(manifest)
+            )
+        finally:
+            agg.unpersist()
     return path
 
 

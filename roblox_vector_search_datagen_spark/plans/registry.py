@@ -1038,6 +1038,16 @@ def _registry() -> dict[str, Query]:
         multimodal.media_resize_contract_oracle(),
         ("multimodal", "udf"),
     )
+    # r11: JPEG twin — certifies the vendored baseline-JPEG decoder's
+    # arm of media_resized the same way (generative vendored-encoder
+    # corpus, contract booleans pinned TRUE, arm pinned 'real'; the
+    # roundtrip stays exact because the resize output is PNG and the
+    # comparison reference is the JPEG's own decoded luminance)
+    r["media_resize_contract_jpeg"] = Query(
+        lambda spark, sf: multimodal.media_resize_contract_jpeg(spark, sf),
+        multimodal.media_resize_contract_jpeg_oracle(),
+        ("multimodal", "udf"),
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(
@@ -1064,7 +1074,7 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 184-query registry takes FOUR rounds to cycle the
+# window over a 185-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). The window is the concatenation of
 # NAMED COHORT TUPLES, weakest evidence first; the cohort arithmetic
@@ -1074,67 +1084,70 @@ def _registry() -> dict[str, Query]:
 # advisories), so the counts now live in code, not prose.
 # Every query is self-contained, so order carries no semantics.
 
-# Round-10 ordering:
-# cohort new (1): zero driver rows — the real-resample contract query.
-_R10_NEW = ("media_resize_contract",)
-# cohort changed (3): plans/semantics changed this round and the r9
-# rows no longer certify them — scrub_stored_report (now served from
-# the store-time manifest, not the text rows), funnel_within +
-# deletion_impact (try_divide/nullif ANSI-safe ratios on both engines).
-_R10_CHANGED = ("scrub_stored_report", "funnel_within", "deletion_impact")
-# cohort r6-stale (43): every query whose newest driver row is round 6
-# — the full remainder of the r6 cohort, closing the staleness debt
-# (after r10 lands green, no query's newest driver row predates r7).
-_R10_R6_STALE = (
-    "dedup_exact",
-    "dsir_weights",
-    "embedding_dim_profile",
-    "embedding_lsh_dropped_buckets",
-    "embedding_lsh_verified",
-    "embedding_outliers",
-    "event_value_quantiles",
-    "heavy_hitters",
-    "hll_daily_users",
-    "hybrid_search",
-    "index_build_report",
-    "ingest_decision_report",
-    "ingest_near_dedup",
-    "ivf_centroid_update",
-    "ivf_cluster_quality",
-    "ivf_index_merge",
-    "ivf_staleness_report",
-    "ivf_train",
-    "ivf_train_iters",
-    "jobs_by_status",
-    "jobs_page",
-    "latest_event_per_user",
-    "lsh_candidate_pairs",
-    "lsh_dropped_buckets",
-    "media_inventory",
-    "minhash_jaccard_estimates",
-    "minhash_signatures",
-    "missing_images_worklist",
-    "mixture_plan",
-    "needs_details_worklist",
-    "needs_embeddings_worklist",
-    "old_jobs",
-    "pq_recall_at_k",
-    "prune_orphan_embeddings",
-    "quality_buckets",
-    "seeded_shuffle",
-    "shard_manifest",
-    "snapshot_diff",
-    "split_centroid_drift",
-    "sq_quantize",
-    "unigram_logprob",
-    "winsorized_event_stats",
-    "winsorized_event_stats_approx",
+# Round-11 ordering:
+# cohort new (1): zero driver rows — the JPEG twin of the real-
+# resample contract (closes the r10 verdict's last coverage gap).
+_R11_NEW = ("media_resize_contract_jpeg",)
+# cohort changed (2): the media resize scale now rounds half-away-from-
+# zero inside mapInPandas (multimodal.py — matching DuckDB round(x,6)
+# and the repo's cross-engine rounding discipline; r10 advisory), so
+# the r9/r10 rows no longer certify these two plans.
+_R11_CHANGED = ("media_resize", "media_resize_contract")
+# cohort r7-stale (45): every query whose newest driver row is round 7
+# — the full r7 cohort left after the r10 window's three fills
+# (after r11 lands green, no query's newest driver row predates r8).
+_R11_R7_STALE = (
+    "column_cardinality_profile",
+    "compaction_plan",
+    "count_games",
+    "dataset_splits",
+    "decontaminate",
+    "dedup_clusters",
+    "dim_truncation_recall",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_span_novelty",
+    "edit_distance_verify",
+    "embedding_lsh_near_dups",
+    "embedding_near_dups",
+    "embedding_norm_audit",
+    "event_minmax_downsample",
+    "hard_negative_mining",
+    "ivf_assignments",
+    "ivf_pq_topk",
+    "ivf_staleness_stored",
+    "knn_join",
+    "known_item_search_eval",
+    "lang_id",
+    "list_games",
+    "list_games_unicode",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "point_in_time_state",
+    "pq_adc_topk",
+    "pq_codes",
+    "pq_rerank_topk",
+    "rate_limited_events",
+    "repetition_stats",
+    "scd2_user_state",
+    "simhash_banded_near_dups",
+    "similar_search",
+    "stats",
+    "stratified_sample",
+    "temperature_mixture_plan",
+    "text_quality",
+    "text_search",
+    "token_counts",
+    "token_shards",
+    "top_terms",
+    "vector_search",
+    "weighted_sample",
 )
-# cohort r7-fill (3): the alphabetically-first r7-cohort queries fill
-# the window to exactly 50; the rest of the r7 cohort queues for r11.
-_R10_R7_FILL = ("ann_ivf_topk", "ann_topk", "bpe_pair_counts")
+# cohort r8-fill (2): the alphabetically-first r8-cohort queries fill
+# the window to exactly 50; the rest of the r8 cohort queues for r12.
+_R11_R8_FILL = ("ann_lsh_recall_at_k", "ann_lsh_topk")
 
-_ADJUDICATE_FIRST = _R10_NEW + _R10_CHANGED + _R10_R6_STALE + _R10_R7_FILL
+_ADJUDICATE_FIRST = _R11_NEW + _R11_CHANGED + _R11_R7_STALE + _R11_R8_FILL
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:
     first = {n: r[n] for n in _ADJUDICATE_FIRST if n in r}

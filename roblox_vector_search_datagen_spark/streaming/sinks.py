@@ -126,6 +126,12 @@ def stream_merge_keep_last(
             merged = batch_last
         merged.write.mode("overwrite").parquet(vpath)
         warehouse.repoint_current(out_base, vpath)
+        # commit-time retention (retain = pointed): the prior snapshot
+        # was fully read into `merged` before this write, and a replay
+        # of THIS batch no-ops on the marker check above — so the
+        # superseded version is unreachable the moment the marker moves
+        # and can be collected here instead of waiting for gcWarehouse
+        warehouse.collect_superseded(out_base)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -68,6 +68,9 @@ GEN_QUERIES = [
     # r10: the real-arm contract — the generative corpus's %16 docs
     # synthesize real PNGs whatever the text payload is
     "media_resize_contract",
+    # r11: the JPEG twin on the residue-8 docs (vendored baseline
+    # JPEGs through the same contract)
+    "media_resize_contract_jpeg",
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",

@@ -650,3 +650,54 @@ def test_media_resize_contract_corrupt_blob_turns_false_not_crash(spark, sf_dir)
     assert contract
     for r in contract:
         assert not r.dims_ok and not r.roundtrip_ok and not r.digest_stable
+
+
+def test_media_resize_contract_jpeg_real_arm_all_green(spark, sf_dir):
+    """The r11 JPEG twin: every row of the generative vendored-encoder
+    JPEG corpus traverses the REAL arm, every contract boolean holds
+    (including the exact pixel roundtrip — the resize output is PNG and
+    the reference is the JPEG's own decoded luminance, so the codec's
+    loss cancels out of the comparison), both scale arms appear, and
+    the corpus is disjoint from the PNG contract's (residue 8 vs 0)."""
+    from roblox_vector_search_datagen_spark.operators import multimodal
+
+    rows = multimodal.media_resize_contract_jpeg(spark, sf_dir).collect()
+    assert rows
+    assert all(r.resample == "real" for r in rows)
+    assert all(r.dims_ok and r.roundtrip_ok and r.digest_stable for r in rows)
+    assert all(r.digest_match for r in rows)
+    scales = {r.scale for r in rows}
+    assert 1.0 in scales and any(s < 1.0 for s in scales)
+    jpeg_ids = {r.doc_id for r in rows}
+    png_ids = {
+        r.doc_id for r in multimodal.media_resize_contract(spark, sf_dir).collect()
+    }
+    assert jpeg_ids and png_ids and not (jpeg_ids & png_ids)
+    # the blobs really are JPEGs: magic sniff on the corpus itself
+    blobs = multimodal.synthetic_jpeg_media(spark, sf_dir).select("content").collect()
+    assert all(bytes(r.content)[:3] == b"\xff\xd8\xff" for r in blobs)
+
+
+def test_media_resize_contract_jpeg_corrupt_blob_turns_false_not_crash(spark, sf_dir):
+    """Adversarial arm: a JPEG-sniffing but corrupt blob must take the
+    stub fallback and flip EVERY contract boolean False (a red oracle
+    row by design), never raise."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import multimodal
+
+    corrupt = multimodal.synthetic_jpeg_media(spark, sf_dir).withColumn(
+        # keep the 3-byte JPEG magic, destroy everything after it
+        "content",
+        F.concat(F.substring("content", 1, 3), F.lit(b"\x00garbage")),
+    )
+    resized = multimodal.media_resized(spark, sf_dir, media_df=corrupt)
+    assert {r.resample for r in resized.collect()} == {"stub"}
+
+    def run(batches):
+        return multimodal._resize_contract_fn(batches, multimodal.CONTRACT_MAX_EDGE)
+
+    contract = corrupt.mapInPandas(run, multimodal.CONTRACT_SCHEMA).collect()
+    assert contract
+    for r in contract:
+        assert not r.dims_ok and not r.roundtrip_ok and not r.digest_stable

@@ -103,9 +103,11 @@ def test_stream_merge_keep_last_upserts_and_publishes_atomically(spark, tmp_path
 
     snap = {r.id: (r.name, r.ver) for r in sinks.current_snapshot(spark, out_base).collect()}
     assert snap == {1: ("a", 10), 2: ("B", 21), 3: ("C", 31)}
-    # two committed versions exist; the marker points at the newest
+    # commit-time retention (retain = pointed, r11): each batch commit
+    # collects the version it superseded, so exactly ONE version
+    # survives and the marker points at it
     versions = sorted(_glob.glob(out_base + "_v*"))
-    assert len(versions) == 2
+    assert len(versions) == 1
     assert W.read_current(out_base) == versions[-1]
 
     # reprocess the same bounded feed with a fresh checkpoint: the

@@ -236,10 +236,12 @@ def test_commit_ingest_batch_serves_fresh_index(spark, sf_dir, tmp_path):
 def test_versioned_index_commit_repoints_current_atomically(spark, sf_dir, tmp_path):
     """rebuild=True is a versioned commit (r9): each commit builds
     <base>_v<N> OUT OF PLACE and atomically repoints the .CURRENT
-    marker — two commits yield two versions, readers resolve the
-    newest, the stored values match the live derivation, and the
-    superseded version becomes gcWarehouse-collectable while the
-    current one is kept."""
+    marker; readers resolve the newest and the stored values match the
+    live derivation. Since r11 commits are also SELF-CLEANING
+    (retain = pointed): each commit collects the version it superseded
+    — and the unversioned base once the pointed version serves
+    everything it did — so the family's footprint is always exactly
+    {pointed version, marker} with no gcWarehouse run needed."""
     import re
 
     from roblox_vector_search_datagen_spark.functions import warehouse as W
@@ -269,15 +271,20 @@ def test_versioned_index_commit_repoints_current_atomically(spark, sf_dir, tmp_p
     }
     assert stored == live and len(stored) > 0
 
-    # GC with this root live: v1 (superseded) collected, and so is the
-    # unversioned base — the marker points at v2, so readers can never
-    # reach the base (r10: exactly {pointed version, marker} survive)
+    # commit-time retention already collected v1 (superseded by v2's
+    # commit) and the unversioned base (superseded by v1's commit, whose
+    # pointed version served everything the base did) — the marker
+    # points at v2, so readers could never reach either
+    assert not os.path.isdir(v1) and not os.path.isdir(base)
+    # and GC therefore has NOTHING to collect for this family: the
+    # r10-verdict contract ({pointed version, marker}) now holds at
+    # every commit, not just after a gcWarehouse cycle
     live_roots = [sf2] + sorted(glob.glob(os.path.join(os.path.dirname(sf_dir), "sf*")))
     rep = W.gc_warehouse(live_roots, dry_run=True)
-    assert os.path.basename(v1) in rep["removed"]
     assert os.path.basename(v2) in rep["kept"]
-    assert os.path.basename(base) in rep["removed"]
     assert os.path.basename(W.current_marker_path(base)) in rep["kept"]
+    fam_removed = [n for n in rep["removed"] if n.startswith(os.path.basename(base))]
+    assert fam_removed == [], fam_removed
 
 
 def test_gc_warehouse_collects_stale_tags_keeps_live_and_rebuilds(
@@ -387,11 +394,14 @@ def test_gc_keeps_base_when_pointed_version_is_uncommitted(
     v1 = ann.ivf_index_store(spark, sf2, rebuild=True)
     base = re.sub(r"_v\d+$", "", v1)
 
-    # corrupt the pointed version: drop a subtable's commit marker
+    # v1's commit collected the base (retain = pointed, r11); corrupt
+    # the pointed version AFTER that: drop a subtable's commit marker
     os.remove(os.path.join(v1, "assignments", "_SUCCESS"))
-    # the reader now serves the base...
+    # the reader falls back to the base path and REBUILDS it there
+    # (the self-cleaning commit removed the old copy, so fallback is a
+    # rebuild, not a stale-copy read — either way, a servable table)
     assert ann.ivf_index_store(spark, sf2) == base
-    # ...so GC must keep it (and may not treat v1 as the family's copy)
+    # ...and GC must keep it (and may not treat v1 as the family's copy)
     rep = W.gc_warehouse([sf2], warehouse_dir=wdir)
     assert os.path.basename(base) in rep["kept"], rep
     assert os.path.isdir(base)
@@ -402,7 +412,81 @@ def test_gc_keeps_base_when_pointed_version_is_uncommitted(
     # the version serves every unit the BASE serves
     v2 = ann.ivf_index_store(spark, sf2, rebuild=True)
     shutil.rmtree(os.path.join(v2, "centroids"))
-    assert ann.ivf_index_store(spark, sf2) == base  # reader falls back
+    assert ann.ivf_index_store(spark, sf2) == base  # fallback rebuild
     rep = W.gc_warehouse([sf2], warehouse_dir=wdir)
     assert os.path.basename(base) in rep["kept"], rep
     assert os.path.isdir(base)
+
+
+def test_commit_is_self_cleaning_without_gc(spark, sf_dir, tmp_path, monkeypatch):
+    """r10 verdict (What's missing #3): retention belongs at COMMIT
+    time. Two consecutive rebuild commits — with no gcWarehouse run at
+    all — must leave the family's warehouse footprint as exactly
+    {the CURRENT-pointed version dir, the marker}: the unversioned base
+    and every superseded version are collected by the commit that made
+    them unreachable, so harness runs stop accreting _vN dirs."""
+    import re
+
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+
+    wdir = str(tmp_path / "wh")
+    os.makedirs(wdir)
+    monkeypatch.setattr(W, "WAREHOUSE_DIR", wdir)
+    monkeypatch.setattr(ann, "IVF_WAREHOUSE", wdir)
+
+    sf2 = str(tmp_path / "sfselfclean")
+    shutil.copytree(sf_dir, sf2)
+    ann.ivf_index_store(spark, sf2)  # unversioned base
+    ann.ivf_index_store(spark, sf2, rebuild=True)  # v1: collects base
+    v2 = ann.ivf_index_store(spark, sf2, rebuild=True)  # v2: collects v1
+
+    base = re.sub(r"_v\d+$", "", v2)
+    survivors = sorted(os.listdir(wdir))
+    assert survivors == sorted(
+        [os.path.basename(v2), os.path.basename(W.current_marker_path(base))]
+    ), survivors
+    # the sole survivor still serves
+    assert ann.ivf_index_store(spark, sf2) == v2
+    n = spark.read.parquet(os.path.join(v2, "assignments")).count()
+    assert n > 0
+
+
+def test_serves_like_requires_partition_subdirs(tmp_path):
+    """r10 advisory: for a ROOT-marker partitioned layout (root
+    _SUCCESS + data subdirs like shard=N that carry no per-subdir
+    marker), a version holding only a root _SUCCESS must NOT count as
+    'serves like' the base — it is missing every data subtable the
+    base's readers scan. The version qualifies only once it carries
+    every data-bearing subdirectory name the base has."""
+    from roblox_vector_search_datagen_spark.functions import warehouse as W
+
+    base = tmp_path / "fam_base"
+    for shard in ("shard=0", "shard=1"):
+        (base / shard).mkdir(parents=True)
+        (base / shard / "part-0.parquet").write_bytes(b"x")
+    (base / "_SUCCESS").touch()
+
+    # root-marker-only version: must not serve
+    v_empty = tmp_path / "fam_base_v1"
+    v_empty.mkdir()
+    (v_empty / "_SUCCESS").touch()
+    assert not W._version_serves_like(str(v_empty), str(base))
+
+    # version with one of two partition dirs: still must not serve
+    (v_empty / "shard=0").mkdir()
+    assert not W._version_serves_like(str(v_empty), str(base))
+
+    # version with every data-bearing subdir name + root marker: serves
+    (v_empty / "shard=1").mkdir()
+    assert W._version_serves_like(str(v_empty), str(base))
+
+    # per-subtable-marker layouts keep their stricter contract: a
+    # committed base subtable requires the SAME subtable committed
+    base2 = tmp_path / "fam2_base"
+    (base2 / "assignments").mkdir(parents=True)
+    (base2 / "assignments" / "_SUCCESS").touch()
+    v2 = tmp_path / "fam2_base_v1"
+    (v2 / "assignments").mkdir(parents=True)
+    assert not W._version_serves_like(str(v2), str(base2))
+    (v2 / "assignments" / "_SUCCESS").touch()
+    assert W._version_serves_like(str(v2), str(base2))
