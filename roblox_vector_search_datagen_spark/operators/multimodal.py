@@ -474,7 +474,13 @@ def synthetic_jpeg_media(
     from the vendored encoder (functions/jpeg.py, quant=all-ones), on
     the residue-(modulo/2) docs so the two generative corpora never
     overlap a row. Same dims lattice via k = doc_id/modulo — both
-    resize arms appear — and deterministic in doc_id alone."""
+    resize arms appear — and deterministic in doc_id alone. Half the
+    corpus is grayscale SOF0, half 3-component 4:2:0 with flat chroma
+    (the decoder's chroma bitstream-sync path), chosen by (k/8)%2 —
+    k/8, not k, because the dims lattice has period 8 in k and a k%2
+    split would pin the color codec to 16-multiple widths only,
+    leaving its partial-MCU edge-replication path dead (the r10
+    residue-pinning lesson applied one level up)."""
     return _synthetic_gray_media(
         spark, sf_dir, modulo, residue=modulo // 2, fmt="jpeg"
     )
@@ -495,9 +501,6 @@ def _synthetic_gray_media(
         from ..functions import jpeg as _jpegmod
         from ..functions import png as _pngmod
 
-        encode = (
-            _pngmod.encode_png_gray if fmt == "png" else _jpegmod.encode_jpeg_gray
-        )
         for pdf in batches:
             metas, blobs = [], []
             for doc_id in pdf["doc_id"]:
@@ -509,6 +512,12 @@ def _synthetic_gray_media(
                     [(doc_id * 31 + r * 7 + c * 13) % 256 for c in range(w)]
                     for r in range(h)
                 ]
+                if fmt == "png":
+                    encode = _pngmod.encode_png_gray
+                elif (k // 8) % 2 == 1:
+                    encode = _jpegmod.encode_jpeg_color420_flat_chroma
+                else:
+                    encode = _jpegmod.encode_jpeg_gray
                 blobs.append(encode(rows))
                 metas.append({"width": w, "height": h, "duration_ms": None})
             yield pd.DataFrame(

@@ -673,9 +673,25 @@ def test_media_resize_contract_jpeg_real_arm_all_green(spark, sf_dir):
         r.doc_id for r in multimodal.media_resize_contract(spark, sf_dir).collect()
     }
     assert jpeg_ids and png_ids and not (jpeg_ids & png_ids)
-    # the blobs really are JPEGs: magic sniff on the corpus itself
-    blobs = multimodal.synthetic_jpeg_media(spark, sf_dir).select("content").collect()
-    assert all(bytes(r.content)[:3] == b"\xff\xd8\xff" for r in blobs)
+    # the blobs really are JPEGs: magic sniff on the corpus itself,
+    # and BOTH codec shapes appear (grayscale SOF0 and 3-component
+    # 4:2:0 — the chroma bitstream-sync path), including a color blob
+    # with a partial-MCU width (not a 16-multiple), which a k%2 codec
+    # split would have pinned away
+    blobs = [
+        bytes(r.content)
+        for r in multimodal.synthetic_jpeg_media(spark, sf_dir).select("content").collect()
+    ]
+    assert all(b[:3] == b"\xff\xd8\xff" for b in blobs)
+
+    def _sof(b):  # (n_components, width) from the SOF0 segment
+        i = b.index(b"\xff\xc0")
+        return b[i + 9], int.from_bytes(b[i + 7 : i + 9], "big")
+
+    sofs = [_sof(b) for b in blobs]
+    ncomps = {n for n, _ in sofs}
+    assert ncomps == {1, 3}, ncomps
+    assert any(n == 3 and w % 16 != 0 for n, w in sofs)
 
 
 def test_media_resize_contract_jpeg_corrupt_blob_turns_false_not_crash(spark, sf_dir):
