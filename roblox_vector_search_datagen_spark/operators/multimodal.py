@@ -22,7 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -346,6 +346,24 @@ def _real_resize_bytes(
     from ..functions import png as _pngmod
     from ..functions import resample as _resample
 
+    rows = _decode_luminance(backend, content)
+    if rows is None:
+        return None
+    try:
+        resized = _resample.resample_gray_box(rows, out_w, out_h)
+        return _pngmod.encode_png_gray(resized)
+    except Exception:  # noqa: BLE001 — degenerate decoded shape -> documented stub
+        return None
+
+
+def _decode_luminance(backend, content: bytes) -> list[list[int]] | None:
+    """Luminance rows for a decodable blob (the shared decode dispatch
+    of the REAL arm: PIL when present, else the vendored PNG/baseline-
+    JPEG readers by magic-bytes sniff), or None when the blob sniffs
+    'other' or is corrupt despite the sniff — callers take the
+    documented stub then."""
+    import io
+
     kind, mod = backend
     fmt = _sniff_format(content)
     if fmt == "other":
@@ -353,13 +371,10 @@ def _real_resize_bytes(
     try:
         if kind == "pil":
             img = mod.open(io.BytesIO(content)).convert("L")
-            rows = [list(r) for r in _np_rows(img)]
-        elif fmt == "png":
-            _w, _h, rows = mod["png"].decode_png_luminance(content)
-        else:
-            _w, _h, rows = mod["jpeg"].decode_jpeg_luminance(content)
-        resized = _resample.resample_gray_box(rows, out_w, out_h)
-        return _pngmod.encode_png_gray(resized)
+            return [list(r) for r in _np_rows(img)]
+        if fmt == "png":
+            return mod["png"].decode_png_luminance(content)[2]
+        return mod["jpeg"].decode_jpeg_luminance(content)[2]
     except Exception:  # noqa: BLE001 — corrupt-but-sniffed blob -> documented stub
         return None
 
@@ -742,6 +757,287 @@ SELECT doc_id, width, height,
        TRUE AS digest_stable,
        TRUE AS digest_match
 FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (average-hash over REAL decoded pixels)
+# ---------------------------------------------------------------------------
+
+# 4 consecutive k-indices share one logical image (at different dims
+# and codecs) — the constructed duplicates the dup-pair oracle derives.
+PHASH_DUP_GROUP = 4
+PHASH_BUCKET_CAP = 64
+_PHASH_MIX = 2654435761  # Knuth multiplicative-hash constant (public)
+
+
+def synthetic_dup_media(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """Generative corpus of CONSTRUCTED perceptual duplicates on the
+    residue-(modulo/4) docs (disjoint from both resize-contract
+    corpora): every 4 consecutive k = doc_id/modulo indices share one
+    logical image — jdx = k/4 picks the content, k picks the dims
+    ((k%8+1)*8 x (k%4+1)*8) and the codec (PNG for even k, baseline
+    JPEG for odd) — so the same picture appears at different sizes AND
+    different encodings, the duplicate classes binary dedup
+    (`media_dedup`) is blind to by construction.
+
+    The content is an 8x8 logical bit grid scaled to the pixel dims
+    (cell (gr,gc) spans an exact (h/8)x(w/8) rectangle — dims are
+    multiples of 8): bit = jdx * Knuth-mix bit at position
+    2*(idx/2), complemented at odd idx so EXACTLY half the cells are
+    255 — the global mean sits at 127.5 with a full-range margin on
+    every cell, making the average-hash bit-stable under the JPEG
+    arm's +/-1 DCT rounding. Deterministic in doc_id alone; the hash
+    each blob must decode back to is pure doc_id arithmetic, which is
+    what lets DuckDB value-pin `media_phash` end-to-end."""
+    import pandas as pd
+
+    d = (
+        tables.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % modulo == modulo // 4)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import jpeg as _jpegmod
+        from ..functions import png as _pngmod
+
+        for pdf in batches:
+            metas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = doc_id // modulo
+                w = (k % 8 + 1) * 8
+                h = (k % 4 + 1) * 8
+                bits = _phash_expected_bits(k // PHASH_DUP_GROUP)
+                rows = [
+                    [255 * bits[(r * 8 // h) * 8 + (c * 8 // w)] for c in range(w)]
+                    for r in range(h)
+                ]
+                encode = (
+                    _pngmod.encode_png_gray if k % 2 == 0 else _jpegmod.encode_jpeg_gray
+                )
+                blobs.append(encode(rows))
+                metas.append({"width": w, "height": h, "duration_ms": None})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image"] * len(blobs),
+                    "content": blobs,
+                    "meta": metas,
+                }
+            )
+
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _phash_expected_bits(jdx: int) -> list[int]:
+    """The 64-bit pattern image jdx encodes: even positions take bit
+    2*(idx/2) of jdx * the Knuth mix constant, odd positions its
+    complement (exact half/half balance — see synthetic_dup_media)."""
+    prod = (jdx * _PHASH_MIX) & ((1 << 64) - 1)
+    out = []
+    for idx in range(64):
+        base = (prod >> (idx - (idx % 2))) & 1
+        out.append(base if idx % 2 == 0 else 1 - base)
+    return out
+
+
+def _ahash64(rows: list[list[int]]) -> str:
+    """Average-hash: box-resample the luminance to 8x8, threshold each
+    cell at the global cell mean (strictly-greater), emit the 64 bits
+    as a '0'/'1' string. The classic perceptual fingerprint: invariant
+    to uniform rescaling and to small codec noise, which is exactly
+    what makes resized/re-encoded duplicates collide."""
+    from ..functions import resample as _resample
+
+    cells = _resample.resample_gray_box(rows, 8, 8)
+    flat = [v for row in cells for v in row]
+    mean = sum(flat) / 64.0
+    return "".join("1" if v > mean else "0" for v in flat)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("phash", T.StringType(), False),
+        T.StructField("arm", T.StringType(), False),
+    ]
+)
+
+
+def media_phash(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    media_df: DataFrame | None = None,
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels (r11): decode
+    each blob's luminance (vendored PNG/JPEG readers), box-resample to
+    8x8, threshold at the cell mean. Two blobs that are the same
+    picture at different dims or different codecs hash identically —
+    the duplicate classes exact binary dedup can never see. Run over
+    the constructed-duplicate corpus, the expected hash is pure doc_id
+    arithmetic, so the DuckDB oracle VALUE-pins the entire
+    decode→resample→threshold pipeline (stronger than the resize
+    contract's boolean pinning); a stub fallback flips `arm` and reds
+    the hash. Undecodable blobs take a deterministic md5-derived stub
+    hash with arm='stub' (pytest negative arm).
+
+    Scale shape: one column-pruned documents scan feeding one
+    Arrow-batched mapInPandas — per-row partition-local work, zero
+    shuffles, zero driver collection. The result is persisted for its
+    two registry consumers (this query and the dup-pair self-join)."""
+    import pandas as pd
+
+    from ..functions.caching import persist_if
+
+    invariant = media_df is None and modulo == CONTRACT_MODULO
+    corpus = (
+        synthetic_dup_media(spark, sf_dir, modulo) if media_df is None else media_df
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = _try_real_decoder()
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "codec", "width", "height", "phash", "arm")}
+            for doc_id, content, meta in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
+                content = bytes(content)
+                rows = _decode_luminance(backend, content)
+                if rows is None:
+                    dig = hashlib.md5(content).digest()
+                    bits = "".join(
+                        format(b, "08b") for b in dig[:8]
+                    )  # deterministic 64-bit stub fingerprint
+                    arm = "stub"
+                else:
+                    bits = _ahash64(rows)
+                    arm = "real"
+                out["doc_id"].append(doc_id)
+                out["codec"].append(_sniff_format(content))
+                out["width"].append(int(meta["width"]))
+                out["height"].append(int(meta["height"]))
+                out["phash"].append(bits)
+                out["arm"].append(arm)
+            yield pd.DataFrame(out)
+
+    return persist_if(corpus.mapInPandas(run, PHASH_SCHEMA), invariant)
+
+
+def media_phash_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Value-level re-derivation: dims and codec from the k lattice,
+    the hash from the jdx bit formula — if the Spark side's real
+    decode, resample, or threshold drifts by one bit anywhere, the
+    row's 64-char hash string changes and the value hash reds."""
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         doc_id // {modulo} AS k,
+         (doc_id // {modulo}) // {PHASH_DUP_GROUP} * {_PHASH_MIX} AS p
+  FROM documents WHERE doc_id % {modulo} = {modulo // 4}
+),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN i % 2 = 0 THEN (p >> CAST(i AS INT)) & 1
+              ELSE 1 - ((p >> CAST(i - 1 AS INT)) & 1) END AS b
+  FROM m, range(64) t(i)
+),
+h AS (
+  SELECT doc_id, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS phash
+  FROM bits GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CASE WHEN k % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
+       CAST((k % 8 + 1) * 8 AS INT) AS width,
+       CAST((k % 4 + 1) * 8 AS INT) AS height,
+       h.phash,
+       'real' AS arm
+FROM m JOIN h USING (doc_id)
+"""
+
+
+def media_phash_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    bucket_cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Perceptual duplicate pairs: docs whose average-hashes are
+    IDENTICAL — resized and re-encoded copies of one picture — via a
+    self-join on the hash, the `lsh_candidate_pairs` discipline
+    applied to images: the shuffle key is the 64-bit fingerprint, so
+    cluster layout co-locates each bucket and the pair space never
+    materializes beyond actual collisions; buckets wider than
+    bucket_cap are dropped (a duplicate-saturated crawl collapses into
+    few hot hashes and the uncapped join goes quadratic inside them —
+    those classes belong to clustering, not pairwise listing), with
+    the cap mirrored exactly in the oracle. Hamming-near (<= t) pairs
+    would band the 64 bits like `simhash_banded_near_dups`; identical-
+    hash pairs are the t=0 fast path and already catch every
+    dims/codec re-encode of the same logical image.
+
+    Scale shape: the persisted phash table feeds both join sides (one
+    Arrow decode pass total), one exchange on phash, window cap on the
+    join key adds no exchange. Output is pair + the shared hash."""
+    ph = media_phash(spark, sf_dir, modulo)
+    wb = Window.partitionBy("phash")
+    capped = (
+        ph.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= bucket_cap)
+        .drop("bucket_n")
+    )
+    left = capped.select("phash", F.col("doc_id").alias("doc_a"), F.col("codec").alias("codec_a"))
+    right = capped.select("phash", F.col("doc_id").alias("doc_b"), F.col("codec").alias("codec_b"))
+    return (
+        left.join(right, "phash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "phash",
+            (F.col("codec_a") != F.col("codec_b")).alias("cross_codec"),
+        )
+    )
+
+
+def media_phash_dup_pairs_oracle(
+    modulo: int = CONTRACT_MODULO, bucket_cap: int = PHASH_BUCKET_CAP
+) -> str:
+    """Pairs re-derived by self-joining the SAME per-doc hash formula —
+    parity holds even if distinct jdx values ever collided to one
+    pattern, because both engines join on the hash, not on jdx."""
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         doc_id // {modulo} AS k,
+         (doc_id // {modulo}) // {PHASH_DUP_GROUP} * {_PHASH_MIX} AS p
+  FROM documents WHERE doc_id % {modulo} = {modulo // 4}
+),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN i % 2 = 0 THEN (p >> CAST(i AS INT)) & 1
+              ELSE 1 - ((p >> CAST(i - 1 AS INT)) & 1) END AS b
+  FROM m, range(64) t(i)
+),
+h0 AS (
+  SELECT doc_id, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS phash
+  FROM bits GROUP BY doc_id
+),
+h AS (
+  SELECT h0.doc_id, h0.phash,
+         CASE WHEN m.k % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec
+  FROM h0 JOIN m USING (doc_id)
+),
+bcnt AS (SELECT phash, count(*) AS n FROM h GROUP BY 1),
+capped AS (SELECT h.* FROM h JOIN bcnt USING (phash) WHERE bcnt.n <= {bucket_cap})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash,
+       a.codec <> b.codec AS cross_codec
+FROM capped a JOIN capped b ON a.phash = b.phash AND a.doc_id < b.doc_id
 """
 
 

@@ -1048,6 +1048,21 @@ def _registry() -> dict[str, Query]:
         multimodal.media_resize_contract_jpeg_oracle(),
         ("multimodal", "udf"),
     )
+    # r11: perceptual average-hash over REAL decoded pixels, VALUE-
+    # pinned end-to-end (the constructed-duplicate corpus makes the
+    # expected 64-bit fingerprint pure doc_id arithmetic) — and the
+    # capped self-join listing the resized/re-encoded duplicate pairs
+    # binary dedup is blind to
+    r["media_phash"] = Query(
+        lambda spark, sf: multimodal.media_phash(spark, sf),
+        multimodal.media_phash_oracle(),
+        ("multimodal", "dedup", "udf"),
+    )
+    r["media_phash_dup_pairs"] = Query(
+        lambda spark, sf: multimodal.media_phash_dup_pairs(spark, sf),
+        multimodal.media_phash_dup_pairs_oracle(),
+        ("multimodal", "dedup"),
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(
@@ -1074,7 +1089,7 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 185-query registry takes FOUR rounds to cycle the
+# window over a 187-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). The window is the concatenation of
 # NAMED COHORT TUPLES, weakest evidence first; the cohort arithmetic
@@ -1085,9 +1100,11 @@ def _registry() -> dict[str, Query]:
 # Every query is self-contained, so order carries no semantics.
 
 # Round-11 ordering:
-# cohort new (1): zero driver rows — the JPEG twin of the real-
-# resample contract (closes the r10 verdict's last coverage gap).
-_R11_NEW = ("media_resize_contract_jpeg",)
+# cohort new (3): zero driver rows — the JPEG twin of the real-
+# resample contract (closes the r10 verdict's last coverage gap) and
+# the perceptual-hash dedup family (value-pinned real-pixel average-
+# hash + the capped duplicate-pair self-join).
+_R11_NEW = ("media_resize_contract_jpeg", "media_phash", "media_phash_dup_pairs")
 # cohort changed (2): the media resize scale now rounds half-away-from-
 # zero inside mapInPandas (multimodal.py — matching DuckDB round(x,6)
 # and the repo's cross-engine rounding discipline; r10 advisory), so
@@ -1143,9 +1160,9 @@ _R11_R7_STALE = (
     "vector_search",
     "weighted_sample",
 )
-# cohort r8-fill (2): the alphabetically-first r8-cohort queries fill
-# the window to exactly 50; the rest of the r8 cohort queues for r12.
-_R11_R8_FILL = ("ann_lsh_recall_at_k", "ann_lsh_topk")
+# cohort r8-fill (0): the three new queries took the filler slots —
+# the full 42-query r8 cohort queues for r12.
+_R11_R8_FILL = ()
 
 _ADJUDICATE_FIRST = _R11_NEW + _R11_CHANGED + _R11_R7_STALE + _R11_R8_FILL
 

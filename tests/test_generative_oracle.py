@@ -71,6 +71,10 @@ GEN_QUERIES = [
     # r11: the JPEG twin on the residue-8 docs (vendored baseline
     # JPEGs through the same contract)
     "media_resize_contract_jpeg",
+    # r11: perceptual-hash family on the residue-4 constructed-dup
+    # corpus (value-pinned real decode; hash-keyed pair self-join)
+    "media_phash",
+    "media_phash_dup_pairs",
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",

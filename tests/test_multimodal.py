@@ -717,3 +717,68 @@ def test_media_resize_contract_jpeg_corrupt_blob_turns_false_not_crash(spark, sf
     assert contract
     for r in contract:
         assert not r.dims_ok and not r.roundtrip_ok and not r.digest_stable
+
+
+def test_media_phash_collides_across_dims_and_codecs(spark, sf_dir):
+    """The r11 perceptual-hash family: every constructed-duplicate
+    group (4 consecutive k sharing one logical image) hashes to ONE
+    64-bit fingerprint across its different dims AND codecs — the
+    duplicate classes binary dedup can never pair — all through the
+    REAL decode arm; distinct groups get distinct hashes here."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    rows = mm.media_phash(spark, sf_dir).collect()
+    assert rows
+    assert all(r.arm == "real" for r in rows)
+    assert all(set(r.phash) <= {"0", "1"} and len(r.phash) == 64 for r in rows)
+    by_group: dict[int, set[str]] = {}
+    meta: dict[int, set[tuple]] = {}
+    for r in rows:
+        k = r.doc_id // mm.CONTRACT_MODULO
+        g = k // mm.PHASH_DUP_GROUP
+        by_group.setdefault(g, set()).add(r.phash)
+        meta.setdefault(g, set()).add((r.codec, r.width, r.height))
+    # one hash per group; full groups mix codecs and dims
+    assert all(len(hs) == 1 for hs in by_group.values()), by_group
+    full = [g for g, ms in meta.items() if len(ms) == mm.PHASH_DUP_GROUP]
+    assert full
+    assert any(len({c for c, _, _ in meta[g]}) == 2 for g in full)
+    assert any(len({(w, h) for _, w, h in meta[g]}) > 1 for g in full)
+    # distinct groups -> distinct fingerprints (Knuth-mix injectivity
+    # at fixture scale; the ORACLE tolerates collisions by design)
+    hashes = [next(iter(hs)) for hs in by_group.values()]
+    assert len(set(hashes)) == len(hashes)
+
+
+def test_media_phash_dup_pairs_cross_codec_and_stub_arm(spark, sf_dir):
+    """Pairs span codecs (a PNG pairing with a JPEG of the same
+    picture), every pair shares its group's fingerprint, and an
+    undecodable blob takes the md5-derived stub fingerprint with
+    arm='stub' instead of crashing (so it can never collide into the
+    real-arm pair stream by accident of all-False booleans)."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    pairs = mm.media_phash_dup_pairs(spark, sf_dir).collect()
+    assert pairs
+    assert any(p.cross_codec for p in pairs)
+    g = lambda d: (d // mm.CONTRACT_MODULO) // mm.PHASH_DUP_GROUP
+    assert all(g(p.doc_a) == g(p.doc_b) for p in pairs)
+
+    corrupt = mm.synthetic_dup_media(spark, sf_dir).withColumn(
+        "content", F.concat(F.substring("content", 1, 8), F.lit(b"\x00garbage"))
+    )
+    stub = mm.media_phash(spark, sf_dir, media_df=corrupt).collect()
+    assert stub and all(r.arm == "stub" for r in stub)
+    assert all(set(r.phash) <= {"0", "1"} and len(r.phash) == 64 for r in stub)
+
+
+def test_media_phash_dup_pairs_bucket_cap_drops_hot_hashes(spark, sf_dir):
+    """The lsh_candidate_pairs cap discipline on the hash key: with
+    bucket_cap below the constructed group width, every bucket is
+    dropped and the pair stream is empty — the quadratic blowup a
+    duplicate-saturated crawl would cause is bounded by construction."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    assert mm.media_phash_dup_pairs(spark, sf_dir, bucket_cap=1).count() == 0
