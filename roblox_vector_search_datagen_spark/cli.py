@@ -407,6 +407,7 @@ COMMANDS = (
     "gcWarehouse",
     "auditTables",
     "deletionImpact",
+    "findDuplicateImages",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -783,6 +784,18 @@ def main(argv: list[str] | None = None) -> int:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
         )
         show(audit_ops.deletion_impact(spark, sf_dir))
+    elif cmd == "findDuplicateImages":
+        # perceptual image dedup: list the resized/re-encoded duplicate
+        # pairs of the media corpus by average-hash collision — the
+        # image twin of the text near-dup commands (usage:
+        # findDuplicateImages [sf_dir] [--cap n])
+        from .operators import multimodal as mm_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        cap = int(args[args.index("--cap") + 1]) if "--cap" in args else mm_ops.PHASH_BUCKET_CAP
+        show(mm_ops.media_phash_dup_pairs(spark, sf_dir, bucket_cap=cap))
     elif cmd == "commitIngest":
         # the continuous-ingestion commit step as an operational
         # command: clear every sf_dir-keyed memo and persisted cache,

@@ -482,3 +482,19 @@ def test_audit_tables_and_deletion_impact_commands(spark, sf_dir, tmp_path, monk
     assert {r["table_name"] for r in rows} == {"customer", "orders", "lineitem", "events"}
     for r in rows:
         assert 0 <= r["n_delete"] <= r["n_rows"]
+
+
+def test_find_duplicate_images_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """Perceptual image dedup is operable from the CLI: one JSON line
+    per duplicate pair, cross-codec pairs present, and --cap 1 drops
+    every bucket (the saturation guard observable from the shell)."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["findDuplicateImages", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows
+    assert {"doc_a", "doc_b", "phash", "cross_codec"} <= set(rows[0])
+    assert any(r["cross_codec"] for r in rows)
+
+    assert cli.main(["findDuplicateImages", sf_dir, "--cap", "1"]) == 0
+    assert capsys.readouterr().out.strip() == ""
