@@ -119,9 +119,14 @@ def next_version_path(base: str) -> str:
 def repoint_current(base: str, version_path: str) -> None:
     """Atomically repoint the CURRENT marker at a committed version:
     write-to-temp + os.replace, the POSIX atomic-publish idiom. After
-    this returns, every new reader resolves the new version; in-flight
-    readers keep scanning the old one (which GC, not the committer,
-    later collects)."""
+    this returns, every new reader resolves the new version. NOTE:
+    committers call `collect_superseded` right after this (r11), which
+    deletes the old version in the same commit — an in-flight reader
+    that resolved the old version before the repoint would lose its
+    files mid-scan; the single-driver deployment this repo targets has
+    no such reader (same assumption as the write-if-absent guard), and
+    a multi-writer cluster would delegate both publish and retention
+    to a transactional catalog."""
     marker = current_marker_path(base)
     tmp = marker + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:

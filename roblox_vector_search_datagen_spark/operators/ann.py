@@ -1913,9 +1913,12 @@ def ivf_index_store(
     new complete version — never the half-written table the old
     rebuild-in-place could expose. Resolution order for readers: the
     CURRENT-marked version if one exists, else the unversioned base
-    (built if absent). Superseded versions stay on disk until
-    `gcWarehouse` collects them (they are unreachable once the marker
-    moves)."""
+    (built if absent). Since r11 commits are SELF-CLEANING: the same
+    commit collects the versions it superseded (retain = pointed,
+    `warehouse.collect_superseded`), so the family's footprint is
+    always exactly {pointed version, marker} — single-driver safe by
+    the same argument as write-if-absent; `gcWarehouse` remains the
+    janitor for dead TAGS (regenerated/removed fixtures)."""
     tag = warehouse.sf_tag(sf_dir, "embeddings")
     base = os.path.join(IVF_WAREHOUSE, f"ivf_index_{tag}_k{k}_hwm{hwm}")
     if rebuild:

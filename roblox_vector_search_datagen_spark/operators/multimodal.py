@@ -573,13 +573,14 @@ def _resize_contract_fn(
     equality still certifies decode+resample+encode end-to-end. Emits
     the md5 of the resized bytes so the caller can bind these booleans
     to the digest `media_resized` actually emitted for the same row.
-    The source decoder is picked per row by the same magic-bytes sniff
-    the operator uses (vendored PNG/JPEG readers)."""
+    The source decode goes through the SAME backend dispatch the
+    operator uses (`_decode_luminance`: PIL when installed, vendored
+    readers otherwise) so the exact-equality roundtrip never compares
+    two different codec implementations against each other."""
     import math
 
     import pandas as pd
 
-    from ..functions import jpeg as _jpegmod
     from ..functions import png as _pngmod
     from ..functions import resample as _resample
 
@@ -604,11 +605,17 @@ def _resize_contract_fn(
                 out["roundtrip_ok"].append(False)
                 out["digest_stable"].append(False)
                 continue
+            # output decode is always the vendored PNG reader (the
+            # resize output is vendored-encoded PNG, bit-identical
+            # everywhere); the SOURCE decode must go through the SAME
+            # backend dispatch the operator used — with Pillow
+            # installed the operator decodes JPEG via libjpeg, whose
+            # integer IDCT differs by +/-1 from the vendored float
+            # IDCT, and a vendored-only reference here would red the
+            # exact-equality roundtrip on a correct pipeline
+            # (self-review r11; latent in this PIL-less container)
             dw, dh, drows = _pngmod.decode_png_luminance(data)
-            if _sniff_format(content) == "jpeg":
-                _sw, _sh, srows = _jpegmod.decode_jpeg_luminance(content)
-            else:
-                _sw, _sh, srows = _pngmod.decode_png_luminance(content)
+            srows = _decode_luminance(backend, content)
             expect = _resample.resample_gray_box(srows, ow, oh)
             out["doc_id"].append(doc_id)
             out["c_digest"].append(hashlib.md5(data).hexdigest())
@@ -836,8 +843,13 @@ def synthetic_dup_media(
 def _phash_expected_bits(jdx: int) -> list[int]:
     """The 64-bit pattern image jdx encodes: even positions take bit
     2*(idx/2) of jdx * the Knuth mix constant, odd positions its
-    complement (exact half/half balance — see synthetic_dup_media)."""
-    prod = (jdx * _PHASH_MIX) & ((1 << 64) - 1)
+    complement (exact half/half balance — see synthetic_dup_media).
+    The product is reduced mod 2^63, NOT 2^64: only bit positions
+    <= 62 are ever read, the values are identical, and 2^63 keeps the
+    DuckDB twin inside signed-BIGINT range (a plain BIGINT multiply
+    hard-errors on overflow at jdx ~3.5e9 — doc_id space a 100 TB
+    corpus genuinely reaches; self-review r11)."""
+    prod = (jdx * _PHASH_MIX) % (1 << 63)
     out = []
     for idx in range(64):
         base = (prod >> (idx - (idx % 2))) & 1
@@ -929,16 +941,18 @@ def media_phash(
     return persist_if(corpus.mapInPandas(run, PHASH_SCHEMA), invariant)
 
 
-def media_phash_oracle(modulo: int = CONTRACT_MODULO) -> str:
-    """Value-level re-derivation: dims and codec from the k lattice,
-    the hash from the jdx bit formula — if the Spark side's real
-    decode, resample, or threshold drifts by one bit anywhere, the
-    row's 64-char hash string changes and the value hash reds."""
-    return f"""
-WITH m AS (
+def _phash_sql_ctes(modulo: int) -> str:
+    """The shared per-doc hash derivation (m -> bits -> h CTEs) both
+    phash oracles embed — ONE definition of the fingerprint formula,
+    so a formula change can never make the two gate queries disagree.
+    The mix product runs in HUGEINT and reduces mod 2^63 exactly like
+    the Python side (see `_phash_expected_bits`): BIGINT multiply
+    hard-errors on overflow at the jdx a 100 TB doc_id space reaches."""
+    return f"""m AS (
   SELECT doc_id,
          doc_id // {modulo} AS k,
-         (doc_id // {modulo}) // {PHASH_DUP_GROUP} * {_PHASH_MIX} AS p
+         CAST((CAST((doc_id // {modulo}) // {PHASH_DUP_GROUP} AS HUGEINT)
+               * {_PHASH_MIX}) % 9223372036854775808 AS BIGINT) AS p
   FROM documents WHERE doc_id % {modulo} = {modulo // 4}
 ),
 bits AS (
@@ -950,7 +964,16 @@ bits AS (
 h AS (
   SELECT doc_id, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS phash
   FROM bits GROUP BY doc_id
-)
+)"""
+
+
+def media_phash_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Value-level re-derivation: dims and codec from the k lattice,
+    the hash from the jdx bit formula — if the Spark side's real
+    decode, resample, or threshold drifts by one bit anywhere, the
+    row's 64-char hash string changes and the value hash reds."""
+    return f"""
+WITH {_phash_sql_ctes(modulo)}
 SELECT m.doc_id,
        CASE WHEN k % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
        CAST((k % 8 + 1) * 8 AS INT) AS width,
@@ -1008,33 +1031,19 @@ def media_phash_dup_pairs(
 def media_phash_dup_pairs_oracle(
     modulo: int = CONTRACT_MODULO, bucket_cap: int = PHASH_BUCKET_CAP
 ) -> str:
-    """Pairs re-derived by self-joining the SAME per-doc hash formula —
-    parity holds even if distinct jdx values ever collided to one
-    pattern, because both engines join on the hash, not on jdx."""
+    """Pairs re-derived by self-joining the SAME per-doc hash formula
+    (the shared `_phash_sql_ctes` — one definition) — parity holds
+    even if distinct jdx values ever collided to one pattern, because
+    both engines join on the hash, not on jdx."""
     return f"""
-WITH m AS (
-  SELECT doc_id,
-         doc_id // {modulo} AS k,
-         (doc_id // {modulo}) // {PHASH_DUP_GROUP} * {_PHASH_MIX} AS p
-  FROM documents WHERE doc_id % {modulo} = {modulo // 4}
-),
-bits AS (
-  SELECT doc_id, i,
-         CASE WHEN i % 2 = 0 THEN (p >> CAST(i AS INT)) & 1
-              ELSE 1 - ((p >> CAST(i - 1 AS INT)) & 1) END AS b
-  FROM m, range(64) t(i)
-),
-h0 AS (
-  SELECT doc_id, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS phash
-  FROM bits GROUP BY doc_id
-),
-h AS (
-  SELECT h0.doc_id, h0.phash,
+WITH {_phash_sql_ctes(modulo)},
+hc AS (
+  SELECT h.doc_id, h.phash,
          CASE WHEN m.k % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec
-  FROM h0 JOIN m USING (doc_id)
+  FROM h JOIN m USING (doc_id)
 ),
-bcnt AS (SELECT phash, count(*) AS n FROM h GROUP BY 1),
-capped AS (SELECT h.* FROM h JOIN bcnt USING (phash) WHERE bcnt.n <= {bucket_cap})
+bcnt AS (SELECT phash, count(*) AS n FROM hc GROUP BY 1),
+capped AS (SELECT hc.* FROM hc JOIN bcnt USING (phash) WHERE bcnt.n <= {bucket_cap})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash,
        a.codec <> b.codec AS cross_codec
 FROM capped a JOIN capped b ON a.phash = b.phash AND a.doc_id < b.doc_id
