@@ -1,4 +1,4 @@
-"""Minimal pure-stdlib baseline JPEG decoder (public spec: ITU-T T.81
+"""Minimal vendored baseline JPEG decoder (public spec: ITU-T T.81
 / ISO 10918-1). Exists so the JPEG arm of the multimodal decode stage
 (`operators/multimodal.py:_real_pixels`) is executable — and therefore
 testable — in a container that ships no codec libraries, the same role
@@ -20,12 +20,20 @@ for 2 of 3 components with zero loss for this consumer.
 Raises ValueError on anything that is not a supported baseline JPEG
 (progressive/SOF2, arithmetic coding, 12-bit, truncated streams) —
 the same error contract as decode_png_luminance.
+
+Dependencies: stdlib plus numpy (a baked-in repo dependency) for the
+8x8 DCT matrix kernels. The r11 profile moved the entropy decode to a
+cached 16-bit-prefix Huffman LUT and the block transforms to two
+matmuls — the vendored-codec constant factor the r10 verdict carried
+as a standing cost note is ~5x smaller now (see COVERAGE.md r11).
 """
 
 from __future__ import annotations
 
 import math
 import struct
+
+import numpy as _np  # baked-in dependency; used only for the 8x8 DCT kernels
 
 # Zig-zag order: index i of the coefficient stream -> raster position
 # in the 8x8 block (public spec, T.81 Figure 5).
@@ -47,26 +55,64 @@ _COS = [
 ]
 
 
+# numpy views of the IDCT basis for the two-matmul block transforms
+_COS_NP = _np.array(_COS, dtype=_np.float64)
+_COS_NP_T = _COS_NP.T.copy()
+
+
 class _HuffTable:
-    """Canonical Huffman table from a DHT segment: maps (length, code)
-    to symbol via per-length first-code offsets (T.81 Annex C)."""
+    """Canonical Huffman table from a DHT segment (T.81 Annex C),
+    materialized as a full 16-bit-prefix LUT: lut[next 16 bits of the
+    stream] = (symbol, code length), with non-code prefixes marked
+    (-1, 0). One lookup per symbol replaces the bit-at-a-time walk
+    that dominated the decode profile (r11); tables are cached by
+    (counts, symbols) in `_huff_table`, so the 64 Ki build cost is
+    paid once per distinct table, not once per image."""
 
     def __init__(self, counts: list[int], symbols: bytes) -> None:
         self.lookup: dict[tuple[int, int], int] = {}
+        lut = [(-1, 0)] * (1 << 16)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
-                self.lookup[(length, code)] = symbols[k]
+                sym = symbols[k]
+                self.lookup[(length, code)] = sym
+                base = code << (16 - length)
+                entry = (sym, length)
+                for i in range(1 << (16 - length)):
+                    lut[base + i] = entry
                 code += 1
                 k += 1
             code <<= 1
+        self.lut = lut
+
+
+_HUFF_CACHE: dict[tuple[bytes, bytes], _HuffTable] = {}
+
+
+def _huff_table(counts: list[int], symbols: bytes) -> _HuffTable:
+    """Cached _HuffTable factory: real corpora reuse a handful of
+    table layouts across millions of blobs, so the LUT build cost
+    amortizes to zero per image. Bounded by distinct layouts seen in
+    a session (a few entries in practice)."""
+    key = (bytes(counts), bytes(symbols))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        t = _HUFF_CACHE[key] = _HuffTable(counts, symbols)
+    return t
 
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 byte
     stuffing removal; RSTn markers are handled by the caller (the
-    reader stops at any non-stuffing marker)."""
+    reader stops at any non-stuffing marker). Bits are buffered in a
+    MASKED int (the r11 profile found the unmasked accumulator growing
+    by 8 bits per fill for the stream's whole life, making every shift
+    O(stream)); refills pull whole bytes best-effort up to the request
+    and the error classification (truncated vs marker) happens at the
+    consumption site, preserving the original per-bit reader's error
+    contract."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -74,42 +120,72 @@ class _BitReader:
         self.bits = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
+    def _fill_to(self, n: int) -> None:
+        """Buffer at least n bits if the entropy stream allows; stops
+        silently at a real marker or end-of-data (callers classify)."""
         d = self.data
-        if self.pos >= len(d):
-            raise ValueError("truncated JPEG entropy stream")
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:  # stuffed 0xFF data byte
-                self.pos += 2
-            else:  # a real marker: entropy data ended early
-                raise ValueError("marker inside JPEG entropy stream")
-        else:
-            self.pos += 1
-        self.bits = (self.bits << 8) | b
-        self.nbits += 8
+        p = self.pos
+        end = len(d)
+        bits = self.bits
+        nb = self.nbits
+        while nb < n and p < end:
+            b = d[p]
+            if b == 0xFF:
+                if p + 1 < end and d[p + 1] == 0x00:  # stuffed data byte
+                    p += 2
+                else:  # a real marker: entropy data ends here
+                    break
+            else:
+                p += 1
+            bits = (bits << 8) | b
+            nb += 8
+        self.pos = p
+        self.bits = bits
+        self.nbits = nb
+
+    def _starved(self) -> ValueError:
+        if self.pos >= len(self.data):
+            return ValueError("truncated JPEG entropy stream")
+        return ValueError("marker inside JPEG entropy stream")
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.bits >> self.nbits) & 1
+        return self.read_bits(1)
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        nb = self.nbits
+        if nb < n:
+            self._fill_to(n)
+            nb = self.nbits
+            if nb < n:
+                raise self._starved()
+        nb -= n
+        v = (self.bits >> nb) & ((1 << n) - 1)
+        self.nbits = nb
+        self.bits &= (1 << nb) - 1
         return v
 
     def decode_symbol(self, table: _HuffTable) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+        nb = self.nbits
+        if nb < 16:
+            self._fill_to(16)
+            nb = self.nbits
+        if nb >= 16:
+            key = (self.bits >> (nb - 16)) & 0xFFFF
+        elif nb > 0:
+            # near the end of the stream: pad with zeros — a match of
+            # length <= nb used only real bits (prefix-free code)
+            key = (self.bits << (16 - nb)) & 0xFFFF
+        else:
+            raise self._starved()
+        sym, length = table.lut[key]
+        if sym < 0:
+            raise ValueError("invalid JPEG Huffman code")
+        if length > nb:
+            raise self._starved()
+        nb -= length
+        self.nbits = nb
+        self.bits &= (1 << nb) - 1
+        return sym
 
     def align_to_marker(self) -> None:
         """Drop partial bits and step past an expected RSTn marker."""
@@ -166,28 +242,13 @@ def _decode_block(reader, dc_tab, ac_tab, quant, pred, want_pixels):
         k += 1
     if not want_pixels:
         return dc, None
-    # separable IDCT: rows then columns
-    tmp = [0.0] * 64
-    for y in range(8):
-        base = y * 8
-        row = coef[base : base + 8]
-        for x in range(8):
-            acc = 0.0
-            for u in range(8):
-                if row[u]:
-                    acc += row[u] * _COS[u][x]
-            tmp[base + x] = acc
-    pixels = [0] * 64
-    for x in range(8):
-        col = [tmp[y * 8 + x] for y in range(8)]
-        for y in range(8):
-            acc = 0.0
-            for v in range(8):
-                if col[v]:
-                    acc += col[v] * _COS[v][y]
-            p = int(round(acc)) + 128
-            pixels[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
-    return dc, pixels
+    # separable IDCT as two 8x8 matrix products (numpy): rows then
+    # columns — P = C^T (K C), identical summand products to the old
+    # per-pixel loops, half-even rounding preserved by np.rint
+    k = _np.array(coef, dtype=_np.float64).reshape(8, 8)
+    p = _COS_NP_T @ (k @ _COS_NP)
+    pixels = _np.clip(_np.rint(p) + 128, 0, 255).astype(_np.int64)
+    return dc, pixels.ravel().tolist()
 
 
 def decode_jpeg_luminance(data: bytes) -> tuple[int, int, list[list[int]]]:
@@ -243,7 +304,7 @@ def decode_jpeg_luminance(data: bytes) -> tuple[int, int, list[list[int]]]:
                     # carries — raise the documented contract error, not
                     # an IndexError from inside the table build
                     raise ValueError("JPEG DHT counts exceed supplied symbols")
-                table = _HuffTable(counts, symbols)
+                table = _huff_table(counts, symbols)
                 if tc_th >> 4 == 0:
                     huff_dc[tc_th & 0x0F] = table
                 else:
@@ -396,20 +457,13 @@ class _BitWriter:
 
 def _fdct_quant(block: list[list[int]], quant: list[int]) -> list[int]:
     """Forward DCT (exact inverse of the decoder's _COS basis, which is
-    orthonormal) + quantize; returns 64 raster-order coefficients."""
-    shifted = [[p - 128 for p in row] for row in block]
-    coef = [0] * 64
-    for v in range(8):
-        for u in range(8):
-            acc = 0.0
-            for y in range(8):
-                cy = _COS[v][y]
-                row = shifted[y]
-                for x in range(8):
-                    acc += row[x] * _COS[u][x] * cy
-            q = quant[v * 8 + u]
-            coef[v * 8 + u] = int(round(acc / q))
-    return coef
+    orthonormal) + quantize; returns 64 raster-order coefficients.
+    Two 8x8 matrix products (numpy) — M = C S C^T — replacing the
+    O(64*64) per-block Python loop nest (r11 profile)."""
+    s = _np.array(block, dtype=_np.float64) - 128.0
+    m = _COS_NP @ s @ _COS_NP_T
+    q = _np.array(quant, dtype=_np.float64).reshape(8, 8)
+    return _np.rint(m / q).astype(_np.int64).ravel().tolist()
 
 
 def _encode_block(writer, coef, pred, dc_codes, ac_codes) -> int:
