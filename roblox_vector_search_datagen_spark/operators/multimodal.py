@@ -779,7 +779,10 @@ _PHASH_MIX = 2654435761  # Knuth multiplicative-hash constant (public)
 
 
 def synthetic_dup_media(
-    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Generative corpus of CONSTRUCTED perceptual duplicates on the
     residue-(modulo/4) docs (disjoint from both resize-contract
@@ -798,11 +801,16 @@ def synthetic_dup_media(
     every cell, making the average-hash bit-stable under the JPEG
     arm's +/-1 DCT rounding. Deterministic in doc_id alone; the hash
     each blob must decode back to is pure doc_id arithmetic, which is
-    what lets DuckDB value-pin `media_phash` end-to-end."""
+    what lets DuckDB value-pin `media_phash` end-to-end.
+
+    `docs` lets a caller supply its own doc_id DataFrame — including a
+    STREAMING one (the generator is a stateless mapInPandas, so the
+    ingest front door can synthesize-and-hash per microbatch); the
+    residue filter is applied either way so role predicates compose."""
     import pandas as pd
 
     d = (
-        tables.load_table(spark, sf_dir, "documents")
+        (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
         .filter(F.col("doc_id") % modulo == modulo // 4)
         .select("doc_id")
     )
@@ -1047,6 +1055,70 @@ capped AS (SELECT hc.* FROM hc JOIN bcnt USING (phash) WHERE bcnt.n <= {bucket_c
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash,
        a.codec <> b.codec AS cross_codec
 FROM capped a JOIN capped b ON a.phash = b.phash AND a.doc_id < b.doc_id
+"""
+
+
+def _dup_k(modulo: int) -> F.Column:
+    # integer division (`div`), not float `/`+cast — exact at any doc_id
+    return F.expr(f"doc_id div {modulo}")
+
+
+def media_ingest_dedup(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """Batch twin of PERCEPTUAL dedup-at-ingest — the image front door
+    of the `streaming/ingest.py` family: an arriving media blob is
+    dropped when its average-hash over REAL decoded pixels already
+    appears in the known corpus's fingerprint set, so a resized or
+    re-encoded copy of a picture the corpus already holds never lands
+    (exact-byte `media_dedup` admits those). Roles on the
+    constructed-duplicate corpus: arriving = odd k; known = even k in
+    EVEN jdx groups only — so even-jdx arrivals are rejected (their
+    picture is known at other dims/codecs) and odd-jdx arrivals are
+    admitted (never-seen pictures), exercising both branches at every
+    SF. Within-stream duplicates are admitted here and collapse in the
+    downstream `media_phash_dup_pairs` / representative-election stage
+    — the same division of labor as the text front door.
+
+    Scale shape: the known side reduces to DISTINCT 64-bit
+    fingerprints (corpus-picture count, not blob count) and
+    broadcasts; the arriving side is one stateless synthesize+decode
+    mapInPandas chain and never shuffles — the stream-static anti-join
+    shape that is append-mode-safe on an unbounded stream. Emits
+    (doc_id, codec, phash) survivors."""
+    corpus = synthetic_dup_media(spark, sf_dir, modulo)
+    k = _dup_k(modulo)
+    jdx = F.expr(f"(doc_id div {modulo}) div {PHASH_DUP_GROUP}")
+    known_media = corpus.filter((k % 2 == 0) & (jdx % 2 == 0))
+    arriving_media = corpus.filter(k % 2 == 1)
+    known = (
+        media_phash(spark, sf_dir, modulo, media_df=known_media)
+        .select("phash")
+        .distinct()
+    )
+    arrived = media_phash(spark, sf_dir, modulo, media_df=arriving_media)
+    return arrived.join(F.broadcast(known), "phash", "left_anti").select(
+        "doc_id", "codec", "phash"
+    )
+
+
+def media_ingest_dedup_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Both roles re-derived from the shared fingerprint CTE — the
+    known set, the arriving set, and the anti-join all in SQL, so the
+    Spark side's real decode of BOTH roles is value-pinned."""
+    return f"""
+WITH {_phash_sql_ctes(modulo)},
+hc AS (
+  SELECT h.doc_id, h.phash, m.k,
+         CASE WHEN m.k % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec
+  FROM h JOIN m USING (doc_id)
+),
+known AS (
+  SELECT DISTINCT phash FROM hc
+  WHERE k % 2 = 0 AND (k // {PHASH_DUP_GROUP}) % 2 = 0
+)
+SELECT doc_id, codec, phash FROM hc
+WHERE k % 2 = 1 AND phash NOT IN (SELECT phash FROM known)
 """
 
 

@@ -209,6 +209,50 @@ def stream_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id")
 
 
+def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `operators/multimodal.media_ingest_dedup` —
+    the PERCEPTUAL image front door (r11): the arriving media stream
+    is synthesized+decoded+average-hashed per microbatch (two chained
+    STATELESS mapInPandas stages — `synthetic_dup_media(docs=stream)`
+    then `media_phash(media_df=...)`, both legal on a streaming
+    DataFrame), then stream-static LEFT-ANTI-joined against the known
+    corpus's broadcast fingerprint set. A resized or re-encoded copy
+    of a known picture never reaches the sink even though its BYTES
+    are new. No watermark and no stream state — the same
+    append-mode-safe shape as `stream_ingest_dedup`; the known set is
+    a static DataFrame re-resolved per microbatch, so a growing
+    corpus is picked up between batches without restarting the query.
+    Within-stream duplicates are admitted and collapse downstream
+    (`media_phash_dup_pairs`), mirroring the text front door's
+    division of labor."""
+    from ..operators import multimodal as mm
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    modulo = mm.CONTRACT_MODULO
+    k = F.expr(f"doc_id div {modulo}")
+    jdx = F.expr(f"(doc_id div {modulo}) div {mm.PHASH_DUP_GROUP}")
+    arriving_media = mm.synthetic_dup_media(
+        spark, sf_dir, modulo, docs=stream.select("doc_id")
+    ).filter(k % 2 == 1)
+    arrived = mm.media_phash(spark, sf_dir, modulo, media_df=arriving_media)
+    known_media = mm.synthetic_dup_media(spark, sf_dir, modulo).filter(
+        (k % 2 == 0) & (jdx % 2 == 0)
+    )
+    known = (
+        mm.media_phash(spark, sf_dir, modulo, media_df=known_media)
+        .select("phash")
+        .distinct()
+    )
+    return arrived.join(F.broadcast(known), "phash", "left_anti").select(
+        "doc_id", "codec", "phash"
+    )
+
+
 def ingest_decision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest decision ledger: one row per arriving document with
     its admission verdict — `exact_dup` (content digest already in the

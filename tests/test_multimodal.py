@@ -782,3 +782,32 @@ def test_media_phash_dup_pairs_bucket_cap_drops_hot_hashes(spark, sf_dir):
     from roblox_vector_search_datagen_spark.operators import multimodal as mm
 
     assert mm.media_phash_dup_pairs(spark, sf_dir, bucket_cap=1).count() == 0
+
+
+def test_media_ingest_dedup_oracle_parity_and_roles(spark, sf_dir):
+    """The perceptual image front door's batch twin, driver-style
+    oracle parity (registered in the r12 window; proven here first):
+    survivors match the DuckDB re-derivation value-for-value, rejected
+    arrivals are exactly the even-jdx ones, and rejection happened on
+    PICTURE identity — every rejected arrival's bytes differ from all
+    known blobs (binary dedup would have admitted them)."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    out = mm.media_ingest_dedup(spark, sf_dir)
+    compare_spark_duckdb(out, mm.media_ingest_dedup_oracle(), sf_dir)
+
+    mod, grp = mm.CONTRACT_MODULO, mm.PHASH_DUP_GROUP
+    survivors = {r.doc_id for r in out.collect()}
+    corpus = mm.synthetic_dup_media(spark, sf_dir).collect()
+    arriving = {r.doc_id for r in corpus if (r.doc_id // mod) % 2 == 1}
+    rejected = arriving - survivors
+    assert rejected and survivors
+    known_blobs = {
+        bytes(r.content)
+        for r in corpus
+        if (r.doc_id // mod) % 2 == 0 and (r.doc_id // mod // grp) % 2 == 0
+    }
+    rejected_blobs = [bytes(r.content) for r in corpus if r.doc_id in rejected]
+    assert all(b not in known_blobs for b in rejected_blobs)

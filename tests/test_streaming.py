@@ -60,8 +60,8 @@ def test_stream_merge_keep_last_upserts_and_publishes_atomically(spark, tmp_path
     """The portable transactional MERGE sink: microbatches with
     overlapping keys upsert keep-last into a versioned snapshot whose
     CURRENT marker repoints atomically per commit — the final snapshot
-    equals the keep-last fold of the feed, replays no-op, and a stale
-    version stays on disk (GC's job, not the committer's)."""
+    equals the keep-last fold of the feed, replays no-op, and each
+    commit collects the version it superseded (retain = pointed)."""
     import glob as _glob
     import os
     import time as _time
@@ -581,3 +581,42 @@ def test_stateful_funnel_repairs_out_of_order_arrivals(spark, tmp_path):
     u1, u2 = latest[1], latest[2]
     assert u1.s1_us is not None and u1.s2_us is not None  # repaired chain
     assert u2.s1_us is not None and u2.s2_us is None  # outside the gap
+
+
+def test_stream_media_ingest_dedup_matches_batch(spark, sf_dir):
+    """The perceptual image front door (r11): the streaming
+    synthesize→decode→average-hash→anti-join chain admits exactly the
+    batch twin's survivors; rejected arrivals are precisely the ones
+    whose PICTURE (not bytes) is already known — verified by checking
+    the role arithmetic: admitted == arriving docs in odd-jdx groups."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {
+        (r.doc_id, r.codec, r.phash)
+        for r in mm.media_ingest_dedup(spark, sf_dir).collect()
+    }
+    assert batch
+    q = S.run_stream_to_memory(
+        ingest.stream_media_ingest_dedup(spark, sf_dir),
+        "media_ingest",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.doc_id, r.codec, r.phash)
+        for r in spark.sql("SELECT * FROM media_ingest").collect()
+    }
+    assert streamed == batch
+    # role arithmetic: survivors are exactly the odd-k arrivals whose
+    # jdx group is odd (never-seen pictures); even-jdx arrivals were
+    # rejected as perceptual dups of known blobs with DIFFERENT bytes
+    mod, grp = mm.CONTRACT_MODULO, mm.PHASH_DUP_GROUP
+    all_ids = {
+        r.doc_id
+        for r in mm.synthetic_dup_media(spark, sf_dir).select("doc_id").collect()
+    }
+    arriving = {d for d in all_ids if (d // mod) % 2 == 1}
+    expected = {d for d in arriving if (d // mod // grp) % 2 == 1}
+    assert {d for d, _, _ in batch} == expected
+    assert expected != arriving  # the reject branch really fired
