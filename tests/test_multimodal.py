@@ -811,3 +811,41 @@ def test_media_ingest_dedup_oracle_parity_and_roles(spark, sf_dir):
     }
     rejected_blobs = [bytes(r.content) for r in corpus if r.doc_id in rejected]
     assert all(b not in known_blobs for b in rejected_blobs)
+
+
+def test_ahash_scale_and_codec_invariance_property():
+    """Property (hypothesis): for ANY balanced 8x8 bit pattern and ANY
+    cell-aligned dims (multiples of 8, not just the corpus lattice,
+    width and height independent), the average-hash of the rendered
+    image recovers the pattern exactly through BOTH vendored codecs —
+    PNG losslessly, JPEG within its DCT rounding (the 0/255 margin
+    absorbs it). This is the invariance media_phash's dedup semantics
+    stand on: same picture, any size, any encoding, one fingerprint."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from roblox_vector_search_datagen_spark.functions import jpeg as J
+    from roblox_vector_search_datagen_spark.functions import png as P
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    half = st.lists(st.integers(0, 1), min_size=32, max_size=32)
+
+    @given(half, st.integers(1, 8), st.integers(1, 8), st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def check(raw, wf, hf, as_jpeg):
+        # balance exactly like the corpus: odd positions complement
+        # their even neighbor, so the cell mean is pinned to 127.5
+        bits = []
+        for i in range(64):
+            b = raw[i // 2]
+            bits.append(b if i % 2 == 0 else 1 - b)
+        w, h = wf * 8, hf * 8
+        rows = [
+            [255 * bits[(r * 8 // h) * 8 + (c * 8 // w)] for c in range(w)]
+            for r in range(h)
+        ]
+        blob = J.encode_jpeg_gray(rows) if as_jpeg else P.encode_png_gray(rows)
+        dec = mm._decode_luminance(mm._try_real_decoder(), blob)
+        assert mm._ahash64(dec) == "".join(map(str, bits))
+
+    check()
