@@ -341,8 +341,6 @@ def _real_resize_bytes(
     PNG encoder (even when PIL decoded — one encoder, so the output
     bytes and digest are identical in every environment). None = not
     decodable (sniffed 'other', or corrupt despite the sniff)."""
-    import io
-
     from ..functions import png as _pngmod
     from ..functions import resample as _resample
 
