@@ -1063,6 +1063,16 @@ def _registry() -> dict[str, Query]:
         multimodal.media_phash_dup_pairs_oracle(),
         ("multimodal", "dedup"),
     )
+    # r12: the perceptual image front door (batch twin of
+    # streaming/ingest.stream_media_ingest_dedup) — arriving blobs
+    # whose average-hash already appears in the known corpus's
+    # broadcast fingerprint set are rejected; both roles re-derived
+    # in the oracle so the real decode of BOTH sides is value-pinned
+    r["media_ingest_dedup"] = Query(
+        lambda spark, sf: multimodal.media_ingest_dedup(spark, sf),
+        multimodal.media_ingest_dedup_oracle(),
+        ("multimodal", "dedup", "streaming", "udf"),
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(
@@ -1089,7 +1099,7 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 187-query registry takes FOUR rounds to cycle the
+# window over a 188-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). The window is the concatenation of
 # NAMED COHORT TUPLES, weakest evidence first; the cohort arithmetic
@@ -1099,72 +1109,72 @@ def _registry() -> dict[str, Query]:
 # advisories), so the counts now live in code, not prose.
 # Every query is self-contained, so order carries no semantics.
 
-# Round-11 ordering:
-# cohort new (3): zero driver rows — the JPEG twin of the real-
-# resample contract (closes the r10 verdict's last coverage gap) and
-# the perceptual-hash dedup family (value-pinned real-pixel average-
-# hash + the capped duplicate-pair self-join).
-_R11_NEW = ("media_resize_contract_jpeg", "media_phash", "media_phash_dup_pairs")
-# cohort changed (2): the media resize scale now rounds half-away-from-
-# zero inside mapInPandas (multimodal.py — matching DuckDB round(x,6)
-# and the repo's cross-engine rounding discipline; r10 advisory), so
-# the r9/r10 rows no longer certify these two plans.
-_R11_CHANGED = ("media_resize", "media_resize_contract")
-# cohort r7-stale (45): every query whose newest driver row is round 7
-# — the full r7 cohort left after the r10 window's three fills
-# (after r11 lands green, no query's newest driver row predates r8).
-_R11_R7_STALE = (
-    "column_cardinality_profile",
-    "compaction_plan",
-    "count_games",
-    "dataset_splits",
-    "decontaminate",
-    "dedup_clusters",
-    "dim_truncation_recall",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_span_novelty",
-    "edit_distance_verify",
-    "embedding_lsh_near_dups",
-    "embedding_near_dups",
-    "embedding_norm_audit",
-    "event_minmax_downsample",
-    "hard_negative_mining",
-    "ivf_assignments",
-    "ivf_pq_topk",
-    "ivf_staleness_stored",
-    "knn_join",
-    "known_item_search_eval",
-    "lang_id",
-    "list_games",
-    "list_games_unicode",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-    "point_in_time_state",
-    "pq_adc_topk",
-    "pq_codes",
-    "pq_rerank_topk",
-    "rate_limited_events",
-    "repetition_stats",
-    "scd2_user_state",
-    "simhash_banded_near_dups",
-    "similar_search",
-    "stats",
-    "stratified_sample",
-    "temperature_mixture_plan",
-    "text_quality",
-    "text_search",
-    "token_counts",
-    "token_shards",
-    "top_terms",
-    "vector_search",
-    "weighted_sample",
+# Round-12 ordering:
+# cohort new (1): zero driver rows — the perceptual image front door
+# (batch twin of the streaming ingest dedup; built and pytest-pinned
+# in r11, registered this round per the r11 verdict's #2).
+_R12_NEW = ("media_ingest_dedup",)
+# cohort r8-stale (42): every query whose newest driver row is round 8
+# — the full r8 cohort the r11 window had to queue (its filler slots
+# went to the three new perceptual-hash queries). After r12 lands
+# green, no query's newest driver row predates r9.
+_R12_R8_STALE = (
+    "exact_jaccard_verify",
+    "event_anomalies",
+    "event_value_histogram",
+    "asof_next_action",
+    "ingest_dedup",
+    "bm25_search",
+    "events_zorder",
+    "funnel_counts",
+    "ann_recall_at_k",
+    "corpus_profile",
+    "asof_attribution",
+    "interval_click_counts",
+    "event_rollup",
+    "event_props_rollup",
+    "sketch_event_profile",
+    "frame_sample_plan",
+    "enriched_events",
+    "simhash",
+    "simhash_near_dups",
+    "generate_vectors",
+    "pack_token_sequences",
+    "bloom_decontaminate",
+    "dedup_funnel_report",
+    "dedup_representatives",
+    "dup_graph_degrees",
+    "lsh_recall_report",
+    "media_dedup",
+    "minhash_band_sweep",
+    "pack_efficiency_report",
+    "repeated_spans",
+    "semantic_dedup",
+    "sliding_event_counts",
+    "source_overlap",
+    "split_leakage",
+    "token_length_histogram",
+    "vocab_coverage",
+    "ann_lsh_recall_at_k",
+    "ann_lsh_topk",
+    "cross_lingual_near_dups",
+    "event_value_quantiles_approx",
+    "ivf_label_purity",
+    "ivf_upsert_assignments",
 )
-# cohort r8-fill (0): the three new queries took the filler slots —
-# the full 42-query r8 cohort queues for r12.
-_R11_R8_FILL = ()
+# cohort r9-fill (7): the stalest r9 queries take the remaining
+# slots; the rest of the 46-query r9 cohort queues for r13.
+_R12_R9_FILL = (
+    "retention_curve",
+    "per_group_sample",
+    "pmi_collocations",
+    "training_corpus",
+    "skew_profile",
+    "pii_scrub",
+    "quality_filter",
+)
 
-_ADJUDICATE_FIRST = _R11_NEW + _R11_CHANGED + _R11_R7_STALE + _R11_R8_FILL
+_ADJUDICATE_FIRST = _R12_NEW + _R12_R8_STALE + _R12_R9_FILL
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:
     first = {n: r[n] for n in _ADJUDICATE_FIRST if n in r}

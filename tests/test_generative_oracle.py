@@ -75,6 +75,9 @@ GEN_QUERIES = [
     # corpus (value-pinned real decode; hash-keyed pair self-join)
     "media_phash",
     "media_phash_dup_pairs",
+    # r12: the perceptual image front door (registered this round;
+    # built+pytest-pinned in r11) — same constructed-dup corpus
+    "media_ingest_dedup",
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",
