@@ -1120,6 +1120,442 @@ WHERE k % 2 = 1 AND phash NOT IN (SELECT phash FROM known)
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual NEAR-duplicate pairs (Hamming <= t, banded) — r12
+# ---------------------------------------------------------------------------
+
+# 4 x 16-bit prefix bands over the 64-bit average-hash: pigeonhole-
+# complete for Hamming <= 3 (a pair differing in <= 3 bits differs in
+# <= 3 bands, so it agrees exactly on at least one).
+PHASH_NEAR_BANDS = 4
+PHASH_NEAR_BAND_BITS = 16
+PHASH_NEAR_MAX_HAMMING = PHASH_NEAR_BANDS - 1
+# member t of each 4-index near-dup group complements the cells in
+# PHASH_NEAR_FLIP_SETS[t]; pairwise Hamming inside a group is the
+# symmetric-difference size: (m0,m1)=1; (m0,m2)=3 with the three flips
+# in three DIFFERENT bands, so the pair agrees on exactly ONE band —
+# the pigeonhole boundary; (m1,m2)=2 (both flip cell 0, so they agree
+# on band 0 too). m3 flips two cells in EVERY band: it shares no band
+# value with any sibling and is excluded by the banding itself, never
+# reaching the Hamming verify — both exclusion paths are exercised.
+PHASH_NEAR_FLIP_SETS = (
+    frozenset(),
+    frozenset({0}),
+    frozenset({0, 16, 32}),
+    frozenset({1, 8, 17, 24, 33, 40, 49, 56}),
+)
+
+
+def _near_dup_expected_bits(k: int) -> list[int]:
+    """Member k's 64-bit pattern in the near-twin corpus: the group
+    base (`_phash_expected_bits` of jdx = k/4) with the cells in
+    PHASH_NEAR_FLIP_SETS[k%4] complemented — pure doc_id arithmetic,
+    which is what lets DuckDB re-derive the expected pair set."""
+    base = _phash_expected_bits(k // PHASH_DUP_GROUP)
+    flips = PHASH_NEAR_FLIP_SETS[k % PHASH_DUP_GROUP]
+    return [1 - b if i in flips else b for i, b in enumerate(base)]
+
+
+def synthetic_near_dup_media(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Generative corpus of CONSTRUCTED perceptual NEAR-twins on the
+    residue-(3*modulo/4) docs (disjoint from the three sibling media
+    corpora): every 4 consecutive k = doc_id/modulo indices render the
+    same base 8x8 bit grid (jdx = k/4 picks it, the
+    `synthetic_dup_media` formula) with member t = k%4 complementing
+    the cells in PHASH_NEAR_FLIP_SETS[t] — a crop/watermark/
+    brightness-edit stand-in that moves the average-hash by exactly
+    the flip-set size, so identical-hash dedup misses the pair but
+    Hamming<=3 banding must find it (see the flip-set comment for the
+    per-pair distances and which banding path each pair exercises). Dims ((k%8+1)*8 x ((k/8)%4+1)*8) and codec (PNG when
+    (k%4 + k/8) is even, baseline JPEG otherwise — parity from a
+    coordinate independent of the member index AND of each dim, per
+    the residue-pinning discipline) vary per member so the pair search
+    also spans the resample and both decoders. Flipping <= 8 of 64
+    cells keeps the ones-count in [24, 40]: the global mean stays
+    >= 95 grey levels from both cell values, so the threshold remains
+    bit-stable under JPEG +/-1 DCT rounding (same margin argument as
+    `synthetic_dup_media`). Deterministic in doc_id alone."""
+    import pandas as pd
+
+    d = (
+        (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
+        .filter(F.col("doc_id") % modulo == 3 * modulo // 4)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import jpeg as _jpegmod
+        from ..functions import png as _pngmod
+
+        for pdf in batches:
+            metas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = doc_id // modulo
+                w = (k % 8 + 1) * 8
+                h = ((k // 8) % 4 + 1) * 8
+                bits = _near_dup_expected_bits(k)
+                rows = [
+                    [255 * bits[(r * 8 // h) * 8 + (c * 8 // w)] for c in range(w)]
+                    for r in range(h)
+                ]
+                encode = (
+                    _pngmod.encode_png_gray
+                    if (k % PHASH_DUP_GROUP + k // 8) % 2 == 0
+                    else _jpegmod.encode_jpeg_gray
+                )
+                blobs.append(encode(rows))
+                metas.append({"width": w, "height": h, "duration_ms": None})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image"] * len(blobs),
+                    "content": blobs,
+                    "meta": metas,
+                }
+            )
+
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _phash_near_bands(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """(doc_id, phash, band, val): the 4-way 16-bit prefix-band unpivot
+    of the near-twin corpus's REAL-decode average-hash table — shared
+    by the banded pair join and the dropped-buckets report (the
+    `_simhash_bands` pattern). The hash table is persisted: the band
+    self-join references this subtree on BOTH sides and Catalyst never
+    shares a subtree across a self-join — without the cache the
+    synthesize+decode mapInPandas chain runs once per side."""
+    from ..functions.caching import persist_if
+
+    ph = media_phash(
+        spark, sf_dir, modulo, media_df=synthetic_near_dup_media(spark, sf_dir, modulo)
+    ).select("doc_id", "phash")
+    ph = persist_if(ph, modulo == CONTRACT_MODULO)
+    return ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.substring(
+                        "phash", 1 + j * PHASH_NEAR_BAND_BITS, PHASH_NEAR_BAND_BITS
+                    ).alias("val"),
+                )
+                for j in range(PHASH_NEAR_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+
+
+def _bits_hamming(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two 64-char '0'/'1' fingerprints,
+    JVM-side: each 16-char band parses through conv(_, 2, 10) (16 bits
+    never overflow a long), XORs, and bit_counts — whole-stage-codegen
+    arithmetic, no UDF. DuckDB's side uses its hamming() text function
+    on the same strings; both count differing bit positions."""
+    total = F.lit(0).cast("long")
+    for j in range(PHASH_NEAR_BANDS):
+        av = F.conv(
+            F.substring(a, 1 + j * PHASH_NEAR_BAND_BITS, PHASH_NEAR_BAND_BITS), 2, 10
+        ).cast("long")
+        bv = F.conv(
+            F.substring(b, 1 + j * PHASH_NEAR_BAND_BITS, PHASH_NEAR_BAND_BITS), 2, 10
+        ).cast("long")
+        total = total + F.bit_count(av.bitwiseXOR(bv)).cast("long")
+    return total
+
+
+def media_phash_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    max_hamming: int = PHASH_NEAR_MAX_HAMMING,
+    band_cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Perceptual NEAR-duplicate pairs: images whose average-hashes
+    differ in <= max_hamming of 64 bits — the crops, brightness
+    shifts, and watermarks that flip a few threshold cells and escape
+    the identical-hash path (`media_phash_dup_pairs` is the t=0 fast
+    path; this is the production dedup the 100 TB mandate implies).
+    Mechanics are `simhash_banded_near_dups` applied to the image
+    fingerprint: split the 64 bits into 4 prefix bands of 16; any pair
+    within Hamming <= 3 agrees exactly on >= 1 band (pigeonhole), so a
+    plain equi-join on (band, val) finds every such pair and the pair
+    space never materializes beyond band collisions; one exact
+    per-candidate Hamming verify (codegen'd conv/xor/bit_count — no
+    UDF) filters false candidates. Band buckets above band_cap are
+    dropped (duplicate-saturated crawls collapse into few hot
+    patterns; those classes belong to clustering, not pairwise
+    listing) — cap mirrored exactly in the oracle,
+    `media_phash_dropped_bands` reports what it dropped.
+
+    Scale shape: one persisted synthesize+decode pass feeds both join
+    sides; the band unpivot is a plan-constant 4x explode; the window
+    cap partitions on the join key so it adds zero exchanges; shuffle
+    volume is ~24 B/row per side. Emits (doc_a, doc_b, hamming)."""
+    bands = _phash_near_bands(spark, sf_dir, modulo)
+    wb = Window.partitionBy("band", "val")
+    kept = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= band_cap)
+        .drop("bucket_n")
+    )
+    a = kept.select(
+        "band", "val", F.col("doc_id").alias("doc_a"), F.col("phash").alias("fp_a")
+    )
+    b = kept.select(
+        "band", "val", F.col("doc_id").alias("doc_b"), F.col("phash").alias("fp_b")
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # a pair colliding in k bands appears k times; fp is
+        # functionally dependent on doc_id, so distinct over all four
+        # columns dedups to one row per pair
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", _bits_hamming(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _phash_near_sql_ctes(modulo: int) -> str:
+    """The near-twin corpus's per-doc hash derivation (m -> bits -> h),
+    shared by the pair oracle, the dropped-buckets oracle, and any
+    future consumer — ONE definition of the flip formula (the SQL flip
+    predicate is GENERATED from PHASH_NEAR_FLIP_SETS, so the two
+    engines cannot drift). Same HUGEINT mod-2^63 discipline as
+    `_phash_sql_ctes`."""
+    flip_cond = " OR ".join(
+        f"(t = {m} AND i IN ({', '.join(str(i) for i in sorted(cells))}))"
+        for m, cells in enumerate(PHASH_NEAR_FLIP_SETS)
+        if cells
+    )
+    return f"""m AS (
+  SELECT doc_id,
+         doc_id // {modulo} AS k,
+         CAST((CAST((doc_id // {modulo}) // {PHASH_DUP_GROUP} AS HUGEINT)
+               * {_PHASH_MIX}) % 9223372036854775808 AS BIGINT) AS p,
+         CAST((doc_id // {modulo}) % {PHASH_DUP_GROUP} AS INT) AS t
+  FROM documents WHERE doc_id % {modulo} = {3 * modulo // 4}
+),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN {flip_cond} THEN 1 - b0 ELSE b0 END AS b
+  FROM (
+    SELECT doc_id, t, i,
+           CASE WHEN i % 2 = 0 THEN (p >> CAST(i AS INT)) & 1
+                ELSE 1 - ((p >> CAST(i - 1 AS INT)) & 1) END AS b0
+    FROM m, range(64) u(i)
+  )
+),
+h AS (
+  SELECT doc_id, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS phash
+  FROM bits GROUP BY doc_id
+),
+nbands AS (
+  SELECT doc_id, phash, CAST(j AS INT) AS band,
+         substring(phash, 1 + CAST(j AS INT) * {PHASH_NEAR_BAND_BITS},
+                   {PHASH_NEAR_BAND_BITS}) AS val
+  FROM h, range({PHASH_NEAR_BANDS}) u(j)
+)"""
+
+
+def media_phash_near_dup_pairs_oracle(
+    modulo: int = CONTRACT_MODULO,
+    max_hamming: int = PHASH_NEAR_MAX_HAMMING,
+    band_cap: int = PHASH_BUCKET_CAP,
+) -> str:
+    """The full banding discipline re-derived in SQL — band unpivot,
+    bucket cap, equi-join, exact Hamming verify (DuckDB's hamming()
+    text function vs Spark's conv/xor/bit_count: both count differing
+    positions) — so the semantics 'pairs within Hamming <= t agreeing
+    on >= 1 uncapped band' are mirrored exactly, cap included."""
+    return f"""
+WITH {_phash_near_sql_ctes(modulo)},
+bcnt AS (SELECT band, val, count(*) AS n FROM nbands GROUP BY 1, 2),
+kept AS (
+  SELECT b.* FROM nbands b JOIN bcnt USING (band, val) WHERE bcnt.n <= {band_cap}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS fa, b.phash AS fb
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming(fa, fb) AS BIGINT) AS hamming
+FROM pairs WHERE hamming(fa, fb) <= {max_hamming}
+"""
+
+
+def media_phash_dropped_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    band_cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Observability for the perceptual band cap (template:
+    `simhash_dropped_bands`): how many (band, val) buckets the cap
+    drops, the total bucket count, and the widest bucket seen. A large
+    dropped fraction means the image corpus is duplicate-saturated and
+    identical-hash clustering should run BEFORE pairwise near-dup
+    discovery. One narrow aggregation over the shared band unpivot —
+    the persisted decode pass is reused, the report costs one shuffle
+    of (band, val) keys."""
+    b = (
+        _phash_near_bands(spark, sf_dir, modulo)
+        .groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return b.agg(
+        F.sum((F.col("n") > band_cap).cast("long")).alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
+def media_phash_dropped_bands_oracle(
+    modulo: int = CONTRACT_MODULO, band_cap: int = PHASH_BUCKET_CAP
+) -> str:
+    return f"""
+WITH {_phash_near_sql_ctes(modulo)},
+bcnt AS (SELECT band, val, count(*) AS n FROM nbands GROUP BY 1, 2)
+SELECT CAST(sum(CASE WHEN n > {band_cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket
+FROM bcnt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Media ingest decision ledger — r12
+# ---------------------------------------------------------------------------
+
+_LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("phash", T.StringType(), False),
+    ]
+)
+
+
+def media_ingest_decision_report(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """The image front door's admission ledger — the observability twin
+    `media_ingest_dedup` lacks (it emits survivors only): one row per
+    ARRIVING blob with its verdict, `exact_dup` (byte digest already in
+    the corpus) > `perceptual_dup` (average-hash already known) >
+    `accepted`, the same precedence and audit-trail role as the text
+    front door's `ingest_decision_report`. Roles are the ingest
+    corpus's: arriving = odd k, known = even k in even jdx groups.
+
+    Scale shape: arriving features (digest + fingerprint) come from ONE
+    stateless synthesize/decode mapInPandas pass; the known digest set
+    is codegen'd md5 over the known blobs (no decode — digests need
+    bytes, not pixels) and the known fingerprint set filters the
+    persisted full-corpus `media_phash` table (decode shared with its
+    three sibling queries); both known sets reduce to DISTINCT keys and
+    broadcast, so the two probes are broadcast left joins — the
+    stream-static, append-mode-safe shape of the text ledger. Emits
+    (doc_id, codec, is_exact_dup, is_perceptual_dup, verdict)."""
+    import pandas as pd
+
+    k = _dup_k(modulo)
+    jdx = F.expr(f"(doc_id div {modulo}) div {PHASH_DUP_GROUP}")
+    corpus = synthetic_dup_media(spark, sf_dir, modulo)
+    arriving = corpus.filter(k % 2 == 1)
+
+    def feats(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = _try_real_decoder()
+        for pdf in batches:
+            out = {c: [] for c in ("doc_id", "codec", "digest", "phash")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                content = bytes(content)
+                rows = _decode_luminance(backend, content)
+                if rows is None:
+                    dig = hashlib.md5(content).digest()
+                    bits = "".join(format(b, "08b") for b in dig[:8])
+                else:
+                    bits = _ahash64(rows)
+                out["doc_id"].append(doc_id)
+                out["codec"].append(_sniff_format(content))
+                out["digest"].append(hashlib.md5(content).hexdigest())
+                out["phash"].append(bits)
+            yield pd.DataFrame(out)
+
+    arr = arriving.mapInPandas(feats, _LEDGER_SCHEMA)
+    known_digests = (
+        corpus.filter((k % 2 == 0) & (jdx % 2 == 0))
+        .select(F.md5("content").alias("digest"))
+        .distinct()
+        .withColumn("d_hit", F.lit(1))
+    )
+    known_phashes = (
+        media_phash(spark, sf_dir, modulo)
+        .filter((k % 2 == 0) & (jdx % 2 == 0))
+        .select("phash")
+        .distinct()
+        .withColumn("p_hit", F.lit(1))
+    )
+    return (
+        arr.join(F.broadcast(known_digests), "digest", "left")
+        .join(F.broadcast(known_phashes), "phash", "left")
+        .select(
+            "doc_id",
+            "codec",
+            F.col("d_hit").isNotNull().alias("is_exact_dup"),
+            F.col("p_hit").isNotNull().alias("is_perceptual_dup"),
+            F.when(F.col("d_hit").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("p_hit").isNotNull(), F.lit("perceptual_dup"))
+            .otherwise(F.lit("accepted"))
+            .alias("verdict"),
+        )
+    )
+
+
+def media_ingest_decision_report_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Codec and fingerprint verdicts re-derived from the shared hash
+    CTE; the known fingerprint set comes from the data (not closed
+    form), so partial tail groups are handled. is_exact_dup is pinned
+    FALSE by construction — arriving blobs are JPEG (odd k), known
+    blobs PNG (even k), so byte digests can never collide; the Spark
+    side still runs a REAL digest probe, and any false match reds the
+    hash."""
+    return f"""
+WITH {_phash_sql_ctes(modulo)},
+hc AS (
+  SELECT h.doc_id, h.phash, m.k,
+         CASE WHEN m.k % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec
+  FROM h JOIN m USING (doc_id)
+),
+known AS (
+  SELECT DISTINCT phash FROM hc
+  WHERE k % 2 = 0 AND (k // {PHASH_DUP_GROUP}) % 2 = 0
+)
+SELECT doc_id, codec,
+       FALSE AS is_exact_dup,
+       phash IN (SELECT phash FROM known) AS is_perceptual_dup,
+       CASE WHEN phash IN (SELECT phash FROM known)
+            THEN 'perceptual_dup' ELSE 'accepted' END AS verdict
+FROM hc WHERE k % 2 = 1
+"""
+
+
 def frame_sample_plan(spark: SparkSession, sf_dir: str, every_ms: int = 5000) -> DataFrame:
     """Video frame-sampling plan: explode each video into the frame
     timestamps a decoder would extract (the decode itself is the

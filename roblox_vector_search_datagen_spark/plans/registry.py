@@ -1073,6 +1073,30 @@ def _registry() -> dict[str, Query]:
         multimodal.media_ingest_dedup_oracle(),
         ("multimodal", "dedup", "streaming", "udf"),
     )
+    # r12: Hamming<=3 perceptual near-dup pairs — the crop/watermark/
+    # brightness edits identical-hash dedup misses, via 4x16-bit
+    # prefix banding (pigeonhole-complete; the simhash_banded_near_dups
+    # discipline applied to the image fingerprint) over a constructed
+    # near-twin corpus whose expected pair set is pure doc_id
+    # arithmetic — plus the dropped-bucket observability twin
+    r["media_phash_near_dup_pairs"] = Query(
+        lambda spark, sf: multimodal.media_phash_near_dup_pairs(spark, sf),
+        multimodal.media_phash_near_dup_pairs_oracle(),
+        ("multimodal", "dedup", "udf"),
+    )
+    r["media_phash_dropped_bands"] = Query(
+        lambda spark, sf: multimodal.media_phash_dropped_bands(spark, sf),
+        multimodal.media_phash_dropped_bands_oracle(),
+        ("multimodal", "dedup"),
+    )
+    # r12: the image front door's admission ledger (verdict per
+    # arriving blob, exact > perceptual > accepted) — completes the
+    # observability pattern the text front door set
+    r["media_ingest_decision_report"] = Query(
+        lambda spark, sf: multimodal.media_ingest_decision_report(spark, sf),
+        multimodal.media_ingest_decision_report_oracle(),
+        ("multimodal", "dedup", "streaming", "udf"),
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(
@@ -1099,7 +1123,7 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 188-query registry takes FOUR rounds to cycle the
+# window over a 191-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). The window is the concatenation of
 # NAMED COHORT TUPLES, weakest evidence first; the cohort arithmetic
@@ -1110,10 +1134,16 @@ def _registry() -> dict[str, Query]:
 # Every query is self-contained, so order carries no semantics.
 
 # Round-12 ordering:
-# cohort new (1): zero driver rows — the perceptual image front door
+# cohort new (4): zero driver rows — the perceptual image front door
 # (batch twin of the streaming ingest dedup; built and pytest-pinned
-# in r11, registered this round per the r11 verdict's #2).
-_R12_NEW = ("media_ingest_dedup",)
+# in r11), the Hamming<=3 banded near-dup pairs + their dropped-
+# bucket twin, and the image admission ledger (r11 verdict's #2/#3/#6).
+_R12_NEW = (
+    "media_ingest_dedup",
+    "media_phash_near_dup_pairs",
+    "media_phash_dropped_bands",
+    "media_ingest_decision_report",
+)
 # cohort r8-stale (42): every query whose newest driver row is round 8
 # — the full r8 cohort the r11 window had to queue (its filler slots
 # went to the three new perceptual-hash queries). After r12 lands
@@ -1162,16 +1192,13 @@ _R12_R8_STALE = (
     "ivf_label_purity",
     "ivf_upsert_assignments",
 )
-# cohort r9-fill (7): the stalest r9 queries take the remaining
+# cohort r9-fill (4): the stalest r9 queries take the remaining
 # slots; the rest of the 46-query r9 cohort queues for r13.
 _R12_R9_FILL = (
     "retention_curve",
     "per_group_sample",
     "pmi_collocations",
     "training_corpus",
-    "skew_profile",
-    "pii_scrub",
-    "quality_filter",
 )
 
 _ADJUDICATE_FIRST = _R12_NEW + _R12_R8_STALE + _R12_R9_FILL

@@ -78,6 +78,12 @@ GEN_QUERIES = [
     # r12: the perceptual image front door (registered this round;
     # built+pytest-pinned in r11) — same constructed-dup corpus
     "media_ingest_dedup",
+    # r12: Hamming<=3 banded near-dup pairs on the near-twin corpus
+    # (residue-12 docs), their dropped-bucket twin, and the image
+    # admission ledger
+    "media_phash_near_dup_pairs",
+    "media_phash_dropped_bands",
+    "media_ingest_decision_report",
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",

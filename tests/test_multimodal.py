@@ -849,3 +849,93 @@ def test_ahash_scale_and_codec_invariance_property():
         assert mm._ahash64(dec) == "".join(map(str, bits))
 
     check()
+
+
+def test_media_phash_near_dup_pairs_oracle_parity_and_exact_pair_set(spark, sf_dir):
+    """Hamming<=3 banded perceptual pairs (r12): driver-style oracle
+    parity, then the pair set checked against an independent O(n^2)
+    brute force over the constructed expected bit patterns — valid
+    because 4x16 banding is pigeonhole-COMPLETE for Hamming <= 3 and
+    the cap drops nothing here (asserted via the dropped-bands twin).
+    Also pins the per-group design: (m0,m1)=1, (m0,m2)=3 (the
+    threshold boundary, agreeing on exactly one band), (m1,m2)=2, and
+    m3 (two flips in every band) in no pair."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    out = mm.media_phash_near_dup_pairs(spark, sf_dir)
+    compare_spark_duckdb(out, mm.media_phash_near_dup_pairs_oracle(), sf_dir)
+
+    dropped = mm.media_phash_dropped_bands(spark, sf_dir).collect()[0]
+    assert dropped.n_dropped == 0  # brute force below assumes no cap hit
+
+    mod, grp = mm.CONTRACT_MODULO, mm.PHASH_DUP_GROUP
+    doc_ids = [
+        r.doc_id
+        for r in mm.synthetic_near_dup_media(spark, sf_dir).select("doc_id").collect()
+    ]
+    bits = {d: mm._near_dup_expected_bits(d // mod) for d in doc_ids}
+    expected = set()
+    ids = sorted(doc_ids)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(bits[a], bits[b]))
+            if h <= mm.PHASH_NEAR_MAX_HAMMING:
+                expected.add((a, b, h))
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in out.collect()}
+    assert got == expected and expected
+
+    # per-group design pins (complete groups only)
+    groups = {}
+    for d in ids:
+        groups.setdefault(d // mod // grp, {})[d // mod % grp] = d
+    full = [g for g in groups.values() if len(g) == grp]
+    assert full
+    for g in full:
+        assert (min(g[0], g[1]), max(g[0], g[1]), 1) in got
+        assert (min(g[0], g[2]), max(g[0], g[2]), 3) in got
+        assert (min(g[1], g[2]), max(g[1], g[2]), 2) in got
+        assert not any(g[3] in (a, b) for a, b, _ in got)
+    # the boundary pair (m0,m2) agrees on exactly ONE 16-bit band
+    g = full[0]
+    b0, b2 = bits[g[0]], bits[g[2]]
+    agree = sum(b0[j * 16 : j * 16 + 16] == b2[j * 16 : j * 16 + 16] for j in range(4))
+    assert agree == 1
+
+
+def test_media_phash_near_dup_pairs_band_cap_bounds_hot_buckets(spark, sf_dir):
+    """The simhash band-cap discipline on the image fingerprint: every
+    within-group pair needs a shared (band, val) bucket of width >= 2,
+    so cap=1 drops every such bucket and the pair stream is empty."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    assert mm.media_phash_near_dup_pairs(spark, sf_dir, band_cap=1).count() == 0
+
+
+def test_media_ingest_decision_report_parity_and_verdict_branches(spark, sf_dir):
+    """The image admission ledger (r12): oracle parity, then the
+    verdict semantics — every arriving blob gets exactly one row;
+    perceptual_dup iff the arrival's group is a known (even-jdx) one;
+    exact_dup never fires here (arriving JPEGs can't byte-match known
+    PNGs) but the Spark side ran a REAL digest probe to prove it; the
+    survivors are exactly media_ingest_dedup's output."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    out = mm.media_ingest_decision_report(spark, sf_dir)
+    compare_spark_duckdb(out, mm.media_ingest_decision_report_oracle(), sf_dir)
+
+    rows = out.collect()
+    mod, grp = mm.CONTRACT_MODULO, mm.PHASH_DUP_GROUP
+    verdicts = {r.verdict for r in rows}
+    assert verdicts == {"perceptual_dup", "accepted"}
+    assert not any(r.is_exact_dup for r in rows)
+    for r in rows:
+        jdx = r.doc_id // mod // grp
+        assert r.is_perceptual_dup == (jdx % 2 == 0)
+        assert r.verdict == ("perceptual_dup" if jdx % 2 == 0 else "accepted")
+    accepted = {r.doc_id for r in rows if r.verdict == "accepted"}
+    survivors = {r.doc_id for r in mm.media_ingest_dedup(spark, sf_dir).collect()}
+    assert accepted == survivors
