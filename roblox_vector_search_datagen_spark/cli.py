@@ -794,7 +794,14 @@ def main(argv: list[str] | None = None) -> int:
         sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
         )
-        cap = int(args[args.index("--cap") + 1]) if "--cap" in args else mm_ops.PHASH_BUCKET_CAP
+        cap = mm_ops.PHASH_BUCKET_CAP
+        if "--cap" in args:
+            at = args.index("--cap")
+            try:
+                cap = int(args[at + 1])
+            except (IndexError, ValueError):
+                print("usage: findDuplicateImages [sf_dir] [--cap n]", file=sys.stderr)
+                return 2
         show(mm_ops.media_phash_dup_pairs(spark, sf_dir, bucket_cap=cap))
     elif cmd == "commitIngest":
         # the continuous-ingestion commit step as an operational

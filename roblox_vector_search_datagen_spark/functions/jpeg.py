@@ -76,6 +76,13 @@ class _HuffTable:
         k = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
+                # canonical code space check: `code` must fit in
+                # `length` bits, or the LUT write below walks past
+                # 2^16 (a DHT with counts=[3,0,...] claims three
+                # 1-bit codes) — ValueError, not IndexError, per the
+                # module's decode contract
+                if code >= (1 << length):
+                    raise ValueError("JPEG Huffman counts overflow the code space")
                 sym = symbols[k]
                 self.lookup[(length, code)] = sym
                 base = code << (16 - length)

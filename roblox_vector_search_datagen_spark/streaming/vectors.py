@@ -180,9 +180,13 @@ def commit_ingest_batch(
     the fresh index out of place into `<base>_v<N>` and atomically
     repoints the `<base>.CURRENT` marker, so a reader racing this
     commit serves either the old complete version or the new one —
-    never a half-written table. Superseded versions are collected by
-    `gcWarehouse`, not by the committer (in-flight readers may still
-    be scanning them).
+    never a half-written table. The commit is SELF-CLEANING (r11):
+    `ivf_index_store` retires superseded versions at repoint time
+    (retain = pointed; the base table is collected only once the
+    pointed version serves like it), so callers must NOT hold lazy
+    DataFrames resolved against the prior version's path across a
+    commit — they fail on evaluation once the old files are gone.
+    `gcWarehouse` remains the janitor for entries a crash orphaned.
 
     Returns the committed version's path, so the caller can log/serve
     it. Cost model at 100 TB: the memo/cache clear is free; the index

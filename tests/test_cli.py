@@ -498,3 +498,10 @@ def test_find_duplicate_images_command(spark, sf_dir, tmp_path, monkeypatch, cap
 
     assert cli.main(["findDuplicateImages", sf_dir, "--cap", "1"]) == 0
     assert capsys.readouterr().out.strip() == ""
+
+    # malformed --cap is a usage error (exit 2 + usage line), not a
+    # traceback (r11 advisory): missing value and non-integer value
+    assert cli.main(["findDuplicateImages", sf_dir, "--cap"]) == 2
+    assert "usage" in capsys.readouterr().err
+    assert cli.main(["findDuplicateImages", sf_dir, "--cap", "lots"]) == 2
+    assert "usage" in capsys.readouterr().err

@@ -389,6 +389,11 @@ def test_jpeg_error_contract_is_valueerror():
     bad[dqt + 4] = 0x10
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_luminance(bytes(bad))
+    # a DHT whose counts overflow the canonical code space (three
+    # 1-bit codes) must raise ValueError, not IndexError, from the
+    # LUT build (r11 advisory)
+    with pytest.raises(ValueError):
+        jpeg._HuffTable([3] + [0] * 15, b"\x01\x02\x03")
 
 
 def test_real_pixels_uses_vendored_jpeg_backend():
