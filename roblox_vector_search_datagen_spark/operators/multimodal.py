@@ -1454,7 +1454,10 @@ _LEDGER_SCHEMA = T.StructType(
 
 
 def media_ingest_decision_report(
-    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """The image front door's admission ledger — the observability twin
     `media_ingest_dedup` lacks (it emits survivors only): one row per
@@ -1471,14 +1474,19 @@ def media_ingest_decision_report(
     persisted full-corpus `media_phash` table (decode shared with its
     three sibling queries); both known sets reduce to DISTINCT keys and
     broadcast, so the two probes are broadcast left joins — the
-    stream-static, append-mode-safe shape of the text ledger. Emits
+    stream-static, append-mode-safe shape of the text ledger; `docs`
+    lets `streaming/ingest.stream_media_ingest_decision_report` feed
+    the arriving side from an unbounded stream (every arriving-side
+    stage is stateless). Emits
     (doc_id, codec, is_exact_dup, is_perceptual_dup, verdict)."""
     import pandas as pd
 
     k = _dup_k(modulo)
     jdx = F.expr(f"(doc_id div {modulo}) div {PHASH_DUP_GROUP}")
     corpus = synthetic_dup_media(spark, sf_dir, modulo)
-    arriving = corpus.filter(k % 2 == 1)
+    arriving = synthetic_dup_media(spark, sf_dir, modulo, docs=docs).filter(
+        k % 2 == 1
+    ) if docs is not None else corpus.filter(k % 2 == 1)
 
     def feats(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = _try_real_decoder()

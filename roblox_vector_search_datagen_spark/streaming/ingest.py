@@ -253,6 +253,32 @@ def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_media_ingest_decision_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the image admission ledger
+    (`operators/multimodal.media_ingest_decision_report`, r12): the
+    arriving side synthesizes, digests, and average-hashes per
+    microbatch (stateless mapInPandas stages), then takes the same two
+    broadcast left-join probes against the static known digest and
+    fingerprint sets — one verdict row per arriving blob, emitted
+    append-mode with no watermark and no stream state, the same
+    foreachBatch-ledger shape as the text `ingest_decision_report`.
+    The known sets are static DataFrames re-resolved per microbatch,
+    so a growing corpus is picked up between batches."""
+    from ..operators import multimodal as mm
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return mm.media_ingest_decision_report(
+        spark, sf_dir, docs=stream.select("doc_id")
+    )
+
+
 def ingest_decision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest decision ledger: one row per arriving document with
     its admission verdict — `exact_dup` (content digest already in the

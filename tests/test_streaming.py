@@ -620,3 +620,28 @@ def test_stream_media_ingest_dedup_matches_batch(spark, sf_dir):
     expected = {d for d in arriving if (d // mod // grp) % 2 == 1}
     assert {d for d, _, _ in batch} == expected
     assert expected != arriving  # the reject branch really fired
+
+
+def test_stream_media_ingest_decision_report_matches_batch(spark, sf_dir):
+    """The image admission ledger's streaming twin (r12): per-
+    microbatch digest+fingerprint features probed against the static
+    broadcast known sets yield exactly the batch ledger's verdict
+    rows, with both verdict branches present in the streamed output."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {
+        tuple(r) for r in mm.media_ingest_decision_report(spark, sf_dir).collect()
+    }
+    assert batch
+    q = S.run_stream_to_memory(
+        ingest.stream_media_ingest_decision_report(spark, sf_dir),
+        "media_ledger",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM media_ledger").collect()
+    }
+    assert streamed == batch
+    assert {t[-1] for t in streamed} == {"perceptual_dup", "accepted"}
