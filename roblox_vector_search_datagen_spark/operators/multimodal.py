@@ -1564,6 +1564,240 @@ FROM hc WHERE k % 2 = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio: REAL RIFF/WAVE PCM16 decode (vendored codec) — r12
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 8000
+AUDIO_FRAME = 160  # samples per 20 ms analysis frame at 8 kHz
+
+
+def synthetic_audio_media(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Generative audio corpus on the residue-(modulo/8) docs (disjoint
+    from the four image corpora): doc k = doc_id/modulo carries a mono
+    PCM16 square wave — (k%5+1) full 160-sample frames at 8 kHz,
+    amplitude (k%7+1)*4000, half-period (k%4+1) samples — encoded
+    through the vendored RIFF/WAVE writer (`functions/wav.py`). Every
+    acoustic feature of the blob (sample count, peak, energy, zero
+    crossings) is pure doc_id arithmetic, which is what lets DuckDB
+    value-pin the real decode end-to-end, the `synthetic_dup_media`
+    evidence pattern extended to a third modality. `docs` admits a
+    streaming doc_id source (the generator is a stateless
+    mapInPandas)."""
+    import pandas as pd
+
+    d = (
+        (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
+        .filter(F.col("doc_id") % modulo == modulo // 8)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import wav as _wavmod
+
+        for pdf in batches:
+            metas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id) // modulo
+                n = (k % 5 + 1) * AUDIO_FRAME
+                amp = (k % 7 + 1) * 4000
+                half = k % 4 + 1
+                samples = [amp if (i // half) % 2 == 0 else -amp for i in range(n)]
+                blobs.append(_wavmod.encode_wav_pcm16(samples, AUDIO_RATE))
+                metas.append(
+                    {"width": None, "height": None, "duration_ms": n * 1000 // AUDIO_RATE}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["audio"] * len(blobs),
+                    "content": blobs,
+                    "meta": metas,
+                }
+            )
+
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AUDIO_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("samples", T.ArrayType(T.IntegerType()), False),
+        T.StructField("arm", T.StringType(), False),
+    ]
+)
+
+
+def audio_samples(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    media_df: DataFrame | None = None,
+) -> DataFrame:
+    """The audio decode boundary: one Arrow-batched mapInPandas pass
+    through the vendored WAV reader, emitting each blob's PCM as an
+    array<int> column — the LAST Python stage in the audio family;
+    every downstream feature (`audio_features`, `audio_frame_energy`)
+    is Catalyst higher-order functions over this array, the
+    decode-once-analyze-in-JVM split the multimodal guide prescribes.
+    Undecodable blobs take arm='stub' with empty samples (pytest
+    negative arm; the strict codec refuses rather than mis-decodes).
+    Persisted at default args for its two registry consumers.
+
+    Scale shape: column-pruned documents scan -> stateless synthesize
+    -> stateless decode; per-row partition-local work, zero shuffles,
+    zero driver collection."""
+    import pandas as pd
+
+    from ..functions.caching import persist_if
+
+    invariant = media_df is None and modulo == CONTRACT_MODULO
+    corpus = (
+        synthetic_audio_media(spark, sf_dir, modulo) if media_df is None else media_df
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import wav as _wavmod
+
+        for pdf in batches:
+            out = {c: [] for c in ("doc_id", "sample_rate", "samples", "arm")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    rate, samples = _wavmod.decode_wav_pcm16(bytes(content))
+                    arm = "real"
+                except ValueError:
+                    rate, samples, arm = 0, [], "stub"
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["samples"].append(samples)
+                out["arm"].append(arm)
+            yield pd.DataFrame(out)
+
+    return persist_if(corpus.mapInPandas(run, AUDIO_SAMPLES_SCHEMA), invariant)
+
+
+def audio_features(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """Per-blob acoustic profile over REAL decoded PCM: sample count,
+    duration, peak amplitude, total energy (sum of squares), and zero
+    crossings — the triage columns an audio-corpus build keys its
+    filtering on (silence, clipping, duration buckets). Everything
+    after the decode is whole-stage-codegen HOF arithmetic
+    (size/array_max/aggregate/filter over the samples array — no
+    second Python stage), and on the constructed square-wave corpus
+    every value is doc_id arithmetic, so DuckDB value-pins the whole
+    decode+HOF chain per row."""
+    s = audio_samples(spark, sf_dir, modulo)
+    n = F.size("samples")
+    return s.select(
+        "doc_id",
+        "sample_rate",
+        n.alias("n_samples"),
+        F.expr("CAST(size(samples) * 1000 div sample_rate AS INT)").alias(
+            "duration_ms"
+        ),
+        F.array_max(F.transform("samples", lambda x: F.abs(x))).alias("peak"),
+        F.aggregate(
+            "samples",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long") * x.cast("long"),
+        ).alias("sum_sq"),
+        F.when(n >= 2,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: (F.element_at("samples", i + 1) >= 0)
+                    != (F.element_at("samples", i) >= 0),
+                )
+            ),
+        ).otherwise(F.lit(0)).cast("int").alias("zero_crossings"),
+        "arm",
+    )
+
+
+def audio_features_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Closed-form re-derivation from the k lattice — if the codec, the
+    chunk walk, or any HOF drifts on any row, that row's integers
+    change and the value hash reds."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, doc_id // {modulo} AS k
+  FROM documents WHERE doc_id % {modulo} = {modulo // 8}
+)
+SELECT doc_id,
+       CAST({AUDIO_RATE} AS INT) AS sample_rate,
+       CAST((k % 5 + 1) * {AUDIO_FRAME} AS INT) AS n_samples,
+       CAST((k % 5 + 1) * {AUDIO_FRAME} * 1000 // {AUDIO_RATE} AS INT) AS duration_ms,
+       CAST((k % 7 + 1) * 4000 AS INT) AS peak,
+       CAST((k % 5 + 1) * {AUDIO_FRAME} AS BIGINT)
+         * ((k % 7 + 1) * 4000) * ((k % 7 + 1) * 4000) AS sum_sq,
+       CAST(((k % 5 + 1) * {AUDIO_FRAME} - 1) // (k % 4 + 1) AS INT) AS zero_crossings,
+       'real' AS arm
+FROM m
+"""
+
+
+def audio_frame_energy(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    frame: int = AUDIO_FRAME,
+) -> DataFrame:
+    """Windowed energy over the decoded PCM: one row per 20 ms frame
+    with its sum of squares — the framing primitive under VAD, silence
+    trimming, and loudness normalization. The frame slice/aggregate is
+    pure Catalyst (posexplode of a frame-index sequence + aggregate
+    over slice): the persisted decode pass is shared with
+    `audio_features`, and the explode multiplies rows by the bounded
+    per-blob frame count, never shuffles. Emits
+    (doc_id, frame, frame_sum_sq)."""
+    s = audio_samples(spark, sf_dir, modulo)
+    nframes = (F.size("samples") / frame).cast("int")
+    return (
+        s.filter(F.size("samples") >= frame)
+        .select(
+            "doc_id",
+            "samples",
+            F.posexplode(F.sequence(F.lit(0), nframes - 1)).alias("_p", "frame"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame").cast("int").alias("frame"),
+            F.aggregate(
+                F.slice("samples", F.col("frame") * frame + 1, frame),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long") * x.cast("long"),
+            ).alias("frame_sum_sq"),
+        )
+    )
+
+
+def audio_frame_energy_oracle(
+    modulo: int = CONTRACT_MODULO, frame: int = AUDIO_FRAME
+) -> str:
+    """Frames re-derived by range(): the corpus pads every blob to
+    whole frames ((k%5+1) exactly), each frame's energy is
+    frame * amp^2 (|sample| == amp everywhere on a square wave)."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, doc_id // {modulo} AS k
+  FROM documents WHERE doc_id % {modulo} = {modulo // 8}
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame,
+       CAST({frame} AS BIGINT) * ((k % 7 + 1) * 4000) * ((k % 7 + 1) * 4000)
+         AS frame_sum_sq
+FROM m, unnest(range(0, (k % 5 + 1))) AS u(f)
+"""
+
+
 def frame_sample_plan(spark: SparkSession, sf_dir: str, every_ms: int = 5000) -> DataFrame:
     """Video frame-sampling plan: explode each video into the frame
     timestamps a decoder would extract (the decode itself is the

@@ -1097,6 +1097,21 @@ def _registry() -> dict[str, Query]:
         multimodal.media_ingest_decision_report_oracle(),
         ("multimodal", "dedup", "streaming", "udf"),
     )
+    # r12: the audio modality goes REAL — vendored RIFF/WAVE PCM16
+    # codec, one decode pass to an array<int> column, every feature
+    # downstream is Catalyst HOF arithmetic; the square-wave corpus
+    # makes every value doc_id arithmetic, so DuckDB value-pins the
+    # whole decode+HOF chain (the image evidence pattern, 3rd modality)
+    r["audio_features"] = Query(
+        lambda spark, sf: multimodal.audio_features(spark, sf),
+        multimodal.audio_features_oracle(),
+        ("multimodal", "udf"),
+    )
+    r["audio_frame_energy"] = Query(
+        lambda spark, sf: multimodal.audio_frame_energy(spark, sf),
+        multimodal.audio_frame_energy_oracle(),
+        ("multimodal", "udf"),
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(
@@ -1123,7 +1138,7 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 191-query registry takes FOUR rounds to cycle the
+# window over a 193-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). The window is the concatenation of
 # NAMED COHORT TUPLES, weakest evidence first; the cohort arithmetic
@@ -1134,15 +1149,18 @@ def _registry() -> dict[str, Query]:
 # Every query is self-contained, so order carries no semantics.
 
 # Round-12 ordering:
-# cohort new (4): zero driver rows — the perceptual image front door
+# cohort new (6): zero driver rows — the perceptual image front door
 # (batch twin of the streaming ingest dedup; built and pytest-pinned
 # in r11), the Hamming<=3 banded near-dup pairs + their dropped-
-# bucket twin, and the image admission ledger (r11 verdict's #2/#3/#6).
+# bucket twin, the image admission ledger (r11 verdict's #2/#3/#6),
+# and the REAL-decode audio family (vendored WAV codec).
 _R12_NEW = (
     "media_ingest_dedup",
     "media_phash_near_dup_pairs",
     "media_phash_dropped_bands",
     "media_ingest_decision_report",
+    "audio_features",
+    "audio_frame_energy",
 )
 # cohort r8-stale (42): every query whose newest driver row is round 8
 # — the full r8 cohort the r11 window had to queue (its filler slots
@@ -1192,13 +1210,11 @@ _R12_R8_STALE = (
     "ivf_label_purity",
     "ivf_upsert_assignments",
 )
-# cohort r9-fill (4): the stalest r9 queries take the remaining
+# cohort r9-fill (2): the stalest r9 queries take the remaining
 # slots; the rest of the 46-query r9 cohort queues for r13.
 _R12_R9_FILL = (
     "retention_curve",
     "per_group_sample",
-    "pmi_collocations",
-    "training_corpus",
 )
 
 _ADJUDICATE_FIRST = _R12_NEW + _R12_R8_STALE + _R12_R9_FILL

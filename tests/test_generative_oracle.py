@@ -84,6 +84,10 @@ GEN_QUERIES = [
     "media_phash_near_dup_pairs",
     "media_phash_dropped_bands",
     "media_ingest_decision_report",
+    # r12: real-decode audio family (vendored WAV codec, residue-2
+    # square-wave corpus)
+    "audio_features",
+    "audio_frame_energy",
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",

@@ -944,3 +944,102 @@ def test_media_ingest_decision_report_parity_and_verdict_branches(spark, sf_dir)
     accepted = {r.doc_id for r in rows if r.verdict == "accepted"}
     survivors = {r.doc_id for r in mm.media_ingest_dedup(spark, sf_dir).collect()}
     assert accepted == survivors
+
+
+# ---------------------------------------------------------------------------
+# Audio (r12): vendored RIFF/WAVE PCM16 codec + real-decode operators
+# ---------------------------------------------------------------------------
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """Encode->decode is exact for mono PCM16 at several rates and
+    lengths (including length 0 and 1), and the decoder's chunk walk
+    skips unknown chunks — with the RIFF odd-size pad byte honored —
+    so tool-written files decode."""
+    import struct
+
+    from roblox_vector_search_datagen_spark.functions import wav
+
+    for rate in (8000, 16000, 44100):
+        for samples in ([], [0], [1, -1, 32767, -32768], list(range(-500, 500, 7))):
+            blob = wav.encode_wav_pcm16(samples, rate)
+            assert wav.decode_wav_pcm16(blob) == (rate, samples)
+
+    # splice an odd-sized unknown chunk between fmt and data
+    samples = [100, -100, 25]
+    blob = wav.encode_wav_pcm16(samples, 8000)
+    data_at = blob.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\x00"  # 5 odd -> pad
+    spliced = blob[:data_at] + junk + blob[data_at:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert wav.decode_wav_pcm16(spliced) == (8000, samples)
+
+
+def test_wav_codec_refuses_malformed():
+    """The strictness contract: anything that is not mono PCM16 —
+    wrong container, compressed format code, stereo, 8-bit, missing
+    chunks, truncated data, out-of-range samples — raises ValueError,
+    never mis-decodes."""
+    import struct
+
+    import pytest
+
+    from roblox_vector_search_datagen_spark.functions import wav
+
+    blob = wav.encode_wav_pcm16([1000, -1000] * 50, 8000)
+    with pytest.raises(ValueError):
+        wav.decode_wav_pcm16(b"not a wav")
+    with pytest.raises(ValueError):
+        wav.decode_wav_pcm16(blob[:8] + b"AVI " + blob[12:])  # not WAVE
+    fmt_at = blob.index(b"fmt ")
+    for off, val in ((8, 3), (10, 2), (22, 8)):  # format=float, stereo, 8-bit
+        bad = bytearray(blob)
+        struct.pack_into("<H", bad, fmt_at + off, val)
+        with pytest.raises(ValueError):
+            wav.decode_wav_pcm16(bytes(bad))
+    with pytest.raises(ValueError):
+        wav.decode_wav_pcm16(blob[:-10])  # truncated data chunk
+    data_at = blob.index(b"data")
+    with pytest.raises(ValueError):
+        wav.decode_wav_pcm16(blob[:data_at])  # data chunk missing
+    with pytest.raises(ValueError):
+        wav.encode_wav_pcm16([40000], 8000)  # sample out of int16
+    with pytest.raises(ValueError):
+        wav.encode_wav_pcm16([0], 0)  # non-positive rate
+
+
+def test_audio_features_oracle_parity_and_real_arm(spark, sf_dir):
+    """The audio family's value pin: driver-style parity for both
+    registry queries, every row on the real arm, and the family's
+    decode-once contract — frame energies per doc sum to the doc's
+    total energy."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    feats = mm.audio_features(spark, sf_dir)
+    compare_spark_duckdb(feats, mm.audio_features_oracle(), sf_dir)
+    rows = feats.collect()
+    assert rows and all(r.arm == "real" for r in rows)
+
+    fe = mm.audio_frame_energy(spark, sf_dir)
+    compare_spark_duckdb(fe, mm.audio_frame_energy_oracle(), sf_dir)
+    by_doc = {}
+    for r in fe.collect():
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.frame_sum_sq
+    assert by_doc == {r.doc_id: r.sum_sq for r in rows}
+
+
+def test_audio_samples_stub_arm_on_undecodable(spark, sf_dir):
+    """A corrupted blob takes arm='stub' with empty samples — the
+    codec refuses, the pipeline degrades deterministically, and the
+    features stay well-defined (no sequence(1,-1) descent)."""
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    corrupt = mm.synthetic_audio_media(spark, sf_dir).withColumn(
+        "content", F.concat(F.lit(b"XX"), F.col("content"))
+    )
+    out = mm.audio_samples(spark, sf_dir, media_df=corrupt).collect()
+    assert out and all(r.arm == "stub" and r.samples == [] for r in out)

@@ -307,3 +307,43 @@ def test_simhash_band_pigeonhole_guarantee():
             (a >> (SIMHASH_BAND_BITS * i)) & mask == (b >> (SIMHASH_BAND_BITS * i)) & mask
             for i in range(SIMHASH_BANDS)
         ), (a, b, flips)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), max_size=400),
+    rate=st.integers(min_value=1, max_value=192000),
+)
+def test_wav_pcm16_roundtrip_property(samples, rate):
+    """Any int16 sample vector at any positive rate survives the
+    vendored RIFF/WAVE encode->decode exactly (r12 audio codec)."""
+    from roblox_vector_search_datagen_spark.functions import wav
+
+    assert wav.decode_wav_pcm16(wav.encode_wav_pcm16(samples, rate)) == (rate, samples)
+
+
+def test_phash_near_banding_pigeonhole_property():
+    """4x16 banding over the 64-bit average-hash finds every pair
+    within Hamming <= 3: for random fingerprints and <= 3 random
+    flips, at least one 16-bit band survives untouched (the guarantee
+    media_phash_near_dup_pairs' equi-join relies on)."""
+    import random
+
+    from roblox_vector_search_datagen_spark.operators.multimodal import (
+        PHASH_NEAR_BAND_BITS,
+        PHASH_NEAR_BANDS,
+        PHASH_NEAR_MAX_HAMMING,
+    )
+
+    rng = random.Random(12)
+    for _ in range(500):
+        a = rng.getrandbits(64)
+        b = a
+        for j in rng.sample(range(64), rng.randint(0, PHASH_NEAR_MAX_HAMMING)):
+            b ^= 1 << j
+        mask = (1 << PHASH_NEAR_BAND_BITS) - 1
+        assert any(
+            (a >> (PHASH_NEAR_BAND_BITS * i)) & mask
+            == (b >> (PHASH_NEAR_BAND_BITS * i)) & mask
+            for i in range(PHASH_NEAR_BANDS)
+        )
