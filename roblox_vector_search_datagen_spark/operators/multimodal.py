@@ -1439,6 +1439,63 @@ FROM bcnt
 """
 
 
+def media_ingest_near_dedup(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """NEAR-dup rejection at the image front door: an arriving blob is
+    dropped when ANY of its four 16-bit fingerprint bands already
+    appears in the known corpus's band set — the perceptual sibling of
+    the text `ingest_near_dedup` (band membership, no verify: the same
+    documented over-approximation, where a random band collision costs
+    one false rejection, never an admitted duplicate), and the
+    near-dup escalation of `media_ingest_dedup` (which only stops
+    IDENTICAL fingerprints — a crop or brightness edit walks straight
+    through it). Roles on the near-twin corpus: known = each group's
+    base member (t=0), arriving = the three edited members — m1/m2
+    (Hamming 1/3 from base) share a band and are rejected, m3 (two
+    flips in every band) shares none and is admitted.
+
+    Scale shape: both roles filter ONE persisted decode+band subtree
+    (shared with the pair queries); the known side reduces to DISTINCT
+    (band, val) keys — 4 short rows per corpus picture — and
+    broadcasts; the probe is a broadcast semi-join + anti-join, the
+    arriving side never shuffles. Emits (doc_id, phash) survivors."""
+    bands = _phash_near_bands(spark, sf_dir, modulo)
+    t = F.expr(f"(doc_id div {modulo}) % {PHASH_DUP_GROUP}")
+    known = bands.filter(t == 0).select("band", "val").distinct()
+    arriving = bands.filter(t != 0)
+    collided = (
+        arriving.join(F.broadcast(known), ["band", "val"])
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        arriving.select("doc_id", "phash")
+        .distinct()
+        .join(collided, "doc_id", "left_anti")
+    )
+
+
+def media_ingest_near_dedup_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Both roles, the band sets, and the membership probe re-derived
+    from the shared near-corpus CTE — the Spark side's real decode of
+    both roles is value-pinned, collisions and all."""
+    return f"""
+WITH {_phash_near_sql_ctes(modulo)},
+known AS (
+  SELECT DISTINCT band, val FROM nbands
+  WHERE (doc_id // {modulo}) % {PHASH_DUP_GROUP} = 0
+),
+collided AS (
+  SELECT DISTINCT b.doc_id FROM nbands b JOIN known k USING (band, val)
+  WHERE (b.doc_id // {modulo}) % {PHASH_DUP_GROUP} <> 0
+)
+SELECT DISTINCT doc_id, phash FROM nbands
+WHERE (doc_id // {modulo}) % {PHASH_DUP_GROUP} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM collided)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Media ingest decision ledger — r12
 # ---------------------------------------------------------------------------

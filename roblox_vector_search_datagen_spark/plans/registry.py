@@ -1112,6 +1112,14 @@ def _registry() -> dict[str, Query]:
         multimodal.audio_frame_energy_oracle(),
         ("multimodal", "udf"),
     )
+    # r12: the NEAR-dup escalation of the image front door — band
+    # membership against the known corpus's 4x16-bit band set (the
+    # text ingest_near_dedup pattern on the perceptual fingerprint)
+    r["media_ingest_near_dedup"] = Query(
+        lambda spark, sf: multimodal.media_ingest_near_dedup(spark, sf),
+        multimodal.media_ingest_near_dedup_oracle(),
+        ("multimodal", "dedup", "streaming", "udf"),
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(
@@ -1138,7 +1146,7 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 193-query registry takes FOUR rounds to cycle the
+# window over a 194-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). The window is the concatenation of
 # NAMED COHORT TUPLES, weakest evidence first; the cohort arithmetic
@@ -1149,11 +1157,12 @@ def _registry() -> dict[str, Query]:
 # Every query is self-contained, so order carries no semantics.
 
 # Round-12 ordering:
-# cohort new (6): zero driver rows — the perceptual image front door
+# cohort new (7): zero driver rows — the perceptual image front door
 # (batch twin of the streaming ingest dedup; built and pytest-pinned
 # in r11), the Hamming<=3 banded near-dup pairs + their dropped-
 # bucket twin, the image admission ledger (r11 verdict's #2/#3/#6),
-# and the REAL-decode audio family (vendored WAV codec).
+# the REAL-decode audio family (vendored WAV codec), and the image
+# front door's near-dup escalation.
 _R12_NEW = (
     "media_ingest_dedup",
     "media_phash_near_dup_pairs",
@@ -1161,6 +1170,7 @@ _R12_NEW = (
     "media_ingest_decision_report",
     "audio_features",
     "audio_frame_energy",
+    "media_ingest_near_dedup",
 )
 # cohort r8-stale (42): every query whose newest driver row is round 8
 # — the full r8 cohort the r11 window had to queue (its filler slots
@@ -1210,11 +1220,10 @@ _R12_R8_STALE = (
     "ivf_label_purity",
     "ivf_upsert_assignments",
 )
-# cohort r9-fill (2): the stalest r9 queries take the remaining
-# slots; the rest of the 46-query r9 cohort queues for r13.
+# cohort r9-fill (1): the stalest r9 query takes the remaining
+# slot; the rest of the 46-query r9 cohort queues for r13.
 _R12_R9_FILL = (
     "retention_curve",
-    "per_group_sample",
 )
 
 _ADJUDICATE_FIRST = _R12_NEW + _R12_R8_STALE + _R12_R9_FILL

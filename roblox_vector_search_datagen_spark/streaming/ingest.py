@@ -253,6 +253,63 @@ def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_media_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `operators/multimodal.media_ingest_near_dedup`
+    — the perceptual NEAR-dup image front door: the arriving stream
+    synthesizes+decodes+average-hashes per microbatch (stateless), then
+    probes the static known-corpus band set once PER BAND (4
+    stream-static left joins against the same broadcast set) and keeps
+    blobs where every probe missed — the `stream_ingest_near_dedup`
+    shape (an exploded anti-join would need a per-doc count to decide
+    'ALL bands clean', which is stateful; the per-band fan-out is a
+    plan constant), append-mode-safe with no watermark."""
+    from ..operators import multimodal as mm
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    modulo = mm.CONTRACT_MODULO
+    t = F.expr(f"(doc_id div {modulo}) % {mm.PHASH_DUP_GROUP}")
+    arriving_media = mm.synthetic_near_dup_media(
+        spark, sf_dir, modulo, docs=stream.select("doc_id")
+    ).filter(t != 0)
+    arrived = mm.media_phash(spark, sf_dir, modulo, media_df=arriving_media).select(
+        "doc_id", "phash"
+    )
+    known_media = mm.synthetic_near_dup_media(spark, sf_dir, modulo).filter(t == 0)
+    # known (band, val) membership is PER BAND — a band-0 value must
+    # not reject a band-2 match — so each probe joins its own distinct
+    # val set; the decode pass is shared by the persisted hash table
+    known_hashes = mm.media_phash(
+        spark, sf_dir, modulo, media_df=known_media
+    ).select("phash").persist()
+    out = arrived
+    for b in range(mm.PHASH_NEAR_BANDS):
+        kb = F.broadcast(
+            known_hashes.select(
+                F.substring(
+                    "phash", 1 + b * mm.PHASH_NEAR_BAND_BITS, mm.PHASH_NEAR_BAND_BITS
+                ).alias(f"kv{b}")
+            )
+            .distinct()
+            .withColumn(f"hit{b}", F.lit(1))
+        )
+        out = out.join(
+            kb,
+            F.substring(
+                "phash", 1 + b * mm.PHASH_NEAR_BAND_BITS, mm.PHASH_NEAR_BAND_BITS
+            )
+            == F.col(f"kv{b}"),
+            "left",
+        )
+    for b in range(mm.PHASH_NEAR_BANDS):
+        out = out.filter(F.col(f"hit{b}").isNull())
+    return out.select("doc_id", "phash")
+
+
 def stream_media_ingest_decision_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -88,6 +88,8 @@ GEN_QUERIES = [
     # square-wave corpus)
     "audio_features",
     "audio_frame_energy",
+    # r12: near-dup escalation of the image front door
+    "media_ingest_near_dedup",
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",

@@ -1043,3 +1043,38 @@ def test_audio_samples_stub_arm_on_undecodable(spark, sf_dir):
     )
     out = mm.audio_samples(spark, sf_dir, media_df=corrupt).collect()
     assert out and all(r.arm == "stub" and r.samples == [] for r in out)
+
+
+def test_media_ingest_near_dedup_parity_and_roles(spark, sf_dir):
+    """The image front door's near-dup escalation (r12): oracle
+    parity, then the role design — every arriving member within
+    Hamming<=3 of its group's known base (m1, m2) is rejected, and
+    survivors are exactly the arrivals sharing NO band value with any
+    known base (recomputed independently from the expected bits)."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    out = mm.media_ingest_near_dedup(spark, sf_dir)
+    compare_spark_duckdb(out, mm.media_ingest_near_dedup_oracle(), sf_dir)
+
+    mod = mm.CONTRACT_MODULO
+    doc_ids = [
+        r.doc_id
+        for r in mm.synthetic_near_dup_media(spark, sf_dir).select("doc_id").collect()
+    ]
+    def bands(d):
+        s = "".join(map(str, mm._near_dup_expected_bits(d // mod)))
+        return {(j, s[j * 16 : j * 16 + 16]) for j in range(4)}
+    known = set()
+    for d in doc_ids:
+        if (d // mod) % mm.PHASH_DUP_GROUP == 0:
+            known |= bands(d)
+    arriving = [d for d in doc_ids if (d // mod) % mm.PHASH_DUP_GROUP != 0]
+    expected = {d for d in arriving if not (bands(d) & known)}
+    survivors = {r.doc_id for r in out.collect()}
+    assert survivors == expected and survivors
+    # m1/m2 never survive (Hamming 1/3 from a known base)
+    assert all((d // mod) % mm.PHASH_DUP_GROUP == 3 for d in survivors)
+    rejected = set(arriving) - survivors
+    assert rejected  # the reject branch really fired

@@ -645,3 +645,27 @@ def test_stream_media_ingest_decision_report_matches_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert {t[-1] for t in streamed} == {"perceptual_dup", "accepted"}
+
+
+def test_stream_media_ingest_near_dedup_matches_batch(spark, sf_dir):
+    """The near-dup image front door's streaming twin (r12): per-band
+    broadcast probes admit exactly the batch twin's survivors."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {
+        (r.doc_id, r.phash)
+        for r in mm.media_ingest_near_dedup(spark, sf_dir).collect()
+    }
+    assert batch
+    q = S.run_stream_to_memory(
+        ingest.stream_media_ingest_near_dedup(spark, sf_dir),
+        "media_near_ingest",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.doc_id, r.phash)
+        for r in spark.sql("SELECT * FROM media_near_ingest").collect()
+    }
+    assert streamed == batch
