@@ -1740,7 +1740,10 @@ def audio_samples(
 
 
 def audio_features(
-    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    media_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-blob acoustic profile over REAL decoded PCM: sample count,
     duration, peak amplitude, total energy (sum of squares), and zero
@@ -1750,8 +1753,11 @@ def audio_features(
     (size/array_max/aggregate/filter over the samples array — no
     second Python stage), and on the constructed square-wave corpus
     every value is doc_id arithmetic, so DuckDB value-pins the whole
-    decode+HOF chain per row."""
-    s = audio_samples(spark, sf_dir, modulo)
+    decode+HOF chain per row. `media_df` feeds the decode from a
+    caller-supplied (possibly streaming) blob source — every stage is
+    stateless, so the identical plan runs append-mode on a stream
+    (`streaming/ingest.stream_audio_features`)."""
+    s = audio_samples(spark, sf_dir, modulo, media_df=media_df)
     n = F.size("samples")
     return s.select(
         "doc_id",
@@ -1852,6 +1858,99 @@ SELECT doc_id,
        CAST({frame} AS BIGINT) * ((k % 7 + 1) * 4000) * ((k % 7 + 1) * 4000)
          AS frame_sum_sq
 FROM m, unnest(range(0, (k % 5 + 1))) AS u(f)
+"""
+
+
+def audio_sign_fingerprint(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    media_df: DataFrame | None = None,
+) -> DataFrame:
+    """Loudness-invariant audio fingerprint: the portable 60-bit hash
+    (`functions/hashing.h60` — md5 prefix, bit-identical across
+    engines) of the decoded PCM's SIGN sequence (1 char per sample,
+    '1' for >= 0) — two recordings of the same waveform at different
+    gains collide, which is the duplicate class byte dedup is deaf to
+    (the audio analog of `media_phash` vs `media_dedup`). On the
+    square-wave corpus the sign sequence is determined by (n_samples,
+    half-period) alone — amplitude drops out — so the expected
+    collision classes are pure doc_id arithmetic and DuckDB value-pins
+    the decode+sign+hash chain per row. Pure Catalyst after the shared
+    decode pass: transform + array_join + md5 arithmetic, no extra
+    Python stage. Emits (doc_id, fingerprint)."""
+    from ..functions import hashing as H
+
+    s = audio_samples(spark, sf_dir, modulo, media_df=media_df)
+    sign_str = F.array_join(
+        F.transform("samples", lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+    )
+    return s.select("doc_id", H.h60_expr(sign_str).alias("fingerprint"))
+
+
+def _audio_sign_sql(modulo: int) -> str:
+    """Shared sign-fingerprint CTE: the sign string re-derived from the
+    k lattice (sample i >= 0 iff (i // half) is even), hashed with the
+    same portable h60 the Spark side uses."""
+    from ..functions import hashing as H
+
+    sign = f"""string_agg(
+           CASE WHEN (i // (k % 4 + 1)) % 2 = 0 THEN '1' ELSE '0' END,
+           '' ORDER BY i)"""
+    return f"""af AS (
+  SELECT doc_id, {H.h60_sql(sign)} AS fingerprint
+  FROM (
+    SELECT doc_id, doc_id // {modulo} AS k
+    FROM documents WHERE doc_id % {modulo} = {modulo // 8}
+  ), unnest(range(0, (k % 5 + 1) * {AUDIO_FRAME})) AS u(i)
+  GROUP BY doc_id
+)"""
+
+
+def audio_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    bucket_cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Loudness-invariant audio duplicate pairs: blobs whose sign
+    fingerprints collide — the same waveform re-recorded at a
+    different gain — via the hash-keyed self-join discipline every
+    pair query in the repo carries (`media_phash_dup_pairs` /
+    `lsh_candidate_pairs`): the shuffle key is the 64-bit fingerprint,
+    buckets wider than bucket_cap are dropped (cap mirrored exactly in
+    the oracle), and the pair space never materializes beyond actual
+    collisions. On the square-wave corpus the collision classes are
+    the (n_samples, half-period) lattice cells, so every expected pair
+    is doc_id arithmetic. Emits (doc_a, doc_b, fingerprint)."""
+    fp = audio_sign_fingerprint(spark, sf_dir, modulo)
+    wb = Window.partitionBy("fingerprint")
+    capped = (
+        fp.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= bucket_cap)
+        .drop("bucket_n")
+    )
+    left = capped.select("fingerprint", F.col("doc_id").alias("doc_a"))
+    right = capped.select("fingerprint", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fingerprint")
+    )
+
+
+def audio_dup_pairs_oracle(
+    modulo: int = CONTRACT_MODULO, bucket_cap: int = PHASH_BUCKET_CAP
+) -> str:
+    return f"""
+WITH {_audio_sign_sql(modulo)},
+bcnt AS (SELECT fingerprint, count(*) AS n FROM af GROUP BY 1),
+capped AS (
+  SELECT af.* FROM af JOIN bcnt USING (fingerprint) WHERE bcnt.n <= {bucket_cap}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fingerprint
+FROM capped a JOIN capped b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
 """
 
 

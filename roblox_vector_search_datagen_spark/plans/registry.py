@@ -1120,6 +1120,13 @@ def _registry() -> dict[str, Query]:
         multimodal.media_ingest_near_dedup_oracle(),
         ("multimodal", "dedup", "streaming", "udf"),
     )
+    # r12: loudness-invariant audio dedup — sign-sequence fingerprint
+    # collisions under the repo's capped hash-keyed self-join discipline
+    r["audio_dup_pairs"] = Query(
+        lambda spark, sf: multimodal.audio_dup_pairs(spark, sf),
+        multimodal.audio_dup_pairs_oracle(),
+        ("multimodal", "dedup", "udf"),
+    )
 
     # --- event-time analytics (streaming twins in streaming/events.py) ---
     r["windowed_event_counts"] = Query(
@@ -1146,7 +1153,7 @@ def _registry() -> dict[str, Query]:
     return r
 
 # The driver adjudicates a 50-query prefix window per round. A 50-slot
-# window over a 194-query registry takes FOUR rounds to cycle the
+# window over a 195-query registry takes FOUR rounds to cycle the
 # whole registry — that is the honest staleness ceiling (COVERAGE.md
 # states the 4-round invariant). The window is the concatenation of
 # NAMED COHORT TUPLES, weakest evidence first; the cohort arithmetic
@@ -1157,12 +1164,13 @@ def _registry() -> dict[str, Query]:
 # Every query is self-contained, so order carries no semantics.
 
 # Round-12 ordering:
-# cohort new (7): zero driver rows — the perceptual image front door
+# cohort new (8): zero driver rows — the perceptual image front door
 # (batch twin of the streaming ingest dedup; built and pytest-pinned
 # in r11), the Hamming<=3 banded near-dup pairs + their dropped-
 # bucket twin, the image admission ledger (r11 verdict's #2/#3/#6),
-# the REAL-decode audio family (vendored WAV codec), and the image
-# front door's near-dup escalation.
+# the REAL-decode audio family (vendored WAV codec: features, frame
+# energy, loudness-invariant dup pairs), and the image front door's
+# near-dup escalation.
 _R12_NEW = (
     "media_ingest_dedup",
     "media_phash_near_dup_pairs",
@@ -1171,6 +1179,7 @@ _R12_NEW = (
     "audio_features",
     "audio_frame_energy",
     "media_ingest_near_dedup",
+    "audio_dup_pairs",
 )
 # cohort r8-stale (42): every query whose newest driver row is round 8
 # — the full r8 cohort the r11 window had to queue (its filler slots
@@ -1220,11 +1229,9 @@ _R12_R8_STALE = (
     "ivf_label_purity",
     "ivf_upsert_assignments",
 )
-# cohort r9-fill (1): the stalest r9 query takes the remaining
-# slot; the rest of the 46-query r9 cohort queues for r13.
-_R12_R9_FILL = (
-    "retention_curve",
-)
+# cohort r9-fill (0): the eight new queries took every filler slot —
+# the full 46-query r9 cohort queues for r13.
+_R12_R9_FILL = ()
 
 _ADJUDICATE_FIRST = _R12_NEW + _R12_R8_STALE + _R12_R9_FILL
 

@@ -310,6 +310,24 @@ def stream_media_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select("doc_id", "phash")
 
 
+def stream_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `operators/multimodal.audio_features` — the
+    acoustic-profile plan on an unbounded blob stream: stateless
+    synthesize -> vendored WAV decode -> Catalyst HOF features per
+    microbatch; append-mode, no watermark, no stream state. The shape
+    an audio-crawl triage job runs continuously."""
+    from ..operators import multimodal as mm
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    corpus = mm.synthetic_audio_media(spark, sf_dir, docs=stream.select("doc_id"))
+    return mm.audio_features(spark, sf_dir, media_df=corpus)
+
+
 def stream_media_ingest_decision_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

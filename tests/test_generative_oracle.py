@@ -90,6 +90,8 @@ GEN_QUERIES = [
     "audio_frame_energy",
     # r12: near-dup escalation of the image front door
     "media_ingest_near_dedup",
+    # r12: loudness-invariant audio dedup
+    "audio_dup_pairs",
     "scrub_stored_report",
     "length_bucket_plan",
     "source_divergence",

@@ -1078,3 +1078,39 @@ def test_media_ingest_near_dedup_parity_and_roles(spark, sf_dir):
     assert all((d // mod) % mm.PHASH_DUP_GROUP == 3 for d in survivors)
     rejected = set(arriving) - survivors
     assert rejected  # the reject branch really fired
+
+
+def test_audio_dup_pairs_parity_and_loudness_invariance(spark, sf_dir):
+    """Loudness-invariant audio dedup (r12): oracle parity, then the
+    semantics — every pair shares (n_samples, half_period) but differs
+    in amplitude (same waveform, different gain: the class byte dedup
+    misses), checked against an independent brute force over the k
+    lattice; cap=1 drops every collision bucket."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    out = mm.audio_dup_pairs(spark, sf_dir)
+    compare_spark_duckdb(out, mm.audio_dup_pairs_oracle(), sf_dir)
+
+    mod = mm.CONTRACT_MODULO
+    doc_ids = [
+        r.doc_id
+        for r in mm.synthetic_audio_media(spark, sf_dir).select("doc_id").collect()
+    ]
+    def key(d):
+        k = d // mod
+        return ((k % 5 + 1), (k % 4 + 1))  # n frames, half-period
+    def amp(d):
+        return ((d // mod) % 7 + 1) * 4000
+    ids = sorted(doc_ids)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if key(a) == key(b)
+    }
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert got == expected and got
+    assert any(amp(a) != amp(b) for a, b in got)  # cross-gain pairs present
+    assert mm.audio_dup_pairs(spark, sf_dir, bucket_cap=1).count() == 0

@@ -669,3 +669,21 @@ def test_stream_media_ingest_near_dedup_matches_batch(spark, sf_dir):
         for r in spark.sql("SELECT * FROM media_near_ingest").collect()
     }
     assert streamed == batch
+
+
+def test_stream_audio_features_matches_batch(spark, sf_dir):
+    """The audio profile's streaming twin (r12): per-microbatch
+    synthesize+decode+HOF features equal the batch rows exactly."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {tuple(r) for r in mm.audio_features(spark, sf_dir).collect()}
+    assert batch
+    q = S.run_stream_to_memory(
+        ingest.stream_audio_features(spark, sf_dir),
+        "audio_feats",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM audio_feats").collect()}
+    assert streamed == batch
