@@ -410,6 +410,7 @@ COMMANDS = (
     "findDuplicateImages",
     "findNearDuplicateImages",
     "audioStats",
+    "findDuplicateAudio",
 )
 
 def main(argv: list[str] | None = None) -> int:
@@ -854,6 +855,23 @@ def main(argv: list[str] | None = None) -> int:
             show(mm_ops.audio_frame_energy(spark, sf_dir))
         else:
             show(mm_ops.audio_features(spark, sf_dir))
+    elif cmd == "findDuplicateAudio":
+        # loudness-invariant audio duplicate pairs by sign-fingerprint
+        # collision (usage: findDuplicateAudio [sf_dir] [--cap n])
+        from .operators import multimodal as mm_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        cap = mm_ops.PHASH_BUCKET_CAP
+        if "--cap" in args:
+            at = args.index("--cap")
+            try:
+                cap = int(args[at + 1])
+            except (IndexError, ValueError):
+                print("usage: findDuplicateAudio [sf_dir] [--cap n]", file=sys.stderr)
+                return 2
+        show(mm_ops.audio_dup_pairs(spark, sf_dir, bucket_cap=cap))
     elif cmd == "commitIngest":
         # the continuous-ingestion commit step as an operational
         # command: clear every sf_dir-keyed memo and persisted cache,

@@ -541,3 +541,19 @@ def test_audio_stats_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     assert cli.main(["audioStats", sf_dir, "--frames"]) == 0
     frames = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert frames and {"doc_id", "frame", "frame_sum_sq"} <= set(frames[0])
+
+
+def test_find_duplicate_audio_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """Loudness-invariant audio dedup from the shell: pair rows with a
+    shared fingerprint; --cap 1 drops every bucket; malformed --cap is
+    a usage error."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["findDuplicateAudio", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and {"doc_a", "doc_b", "fingerprint"} <= set(rows[0])
+
+    assert cli.main(["findDuplicateAudio", sf_dir, "--cap", "1"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+    assert cli.main(["findDuplicateAudio", sf_dir, "--cap"]) == 2
+    assert "usage" in capsys.readouterr().err
