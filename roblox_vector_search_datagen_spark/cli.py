@@ -413,6 +413,20 @@ COMMANDS = (
     "findDuplicateAudio",
 )
 
+def _int_flag(args: list[str], flag: str, default: int) -> int | None:
+    """Parse `<flag> <int>` from args: `default` when the flag is
+    absent, None when its value is missing or not an integer (the
+    caller prints its usage line and exits 2). One definition for
+    every pair-search command's cap/threshold flags."""
+    if flag not in args:
+        return default
+    at = args.index(flag)
+    try:
+        return int(args[at + 1])
+    except (IndexError, ValueError):
+        return None
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] not in COMMANDS:
@@ -797,14 +811,10 @@ def main(argv: list[str] | None = None) -> int:
         sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
         )
-        cap = mm_ops.PHASH_BUCKET_CAP
-        if "--cap" in args:
-            at = args.index("--cap")
-            try:
-                cap = int(args[at + 1])
-            except (IndexError, ValueError):
-                print("usage: findDuplicateImages [sf_dir] [--cap n]", file=sys.stderr)
-                return 2
+        cap = _int_flag(args, "--cap", mm_ops.PHASH_BUCKET_CAP)
+        if cap is None:
+            print("usage: findDuplicateImages [sf_dir] [--cap n]", file=sys.stderr)
+            return 2
         show(mm_ops.media_phash_dup_pairs(spark, sf_dir, bucket_cap=cap))
     elif cmd == "findNearDuplicateImages":
         # Hamming<=t perceptual near-dups — the crops/brightness
@@ -816,28 +826,20 @@ def main(argv: list[str] | None = None) -> int:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
         )
         usage = "usage: findNearDuplicateImages [sf_dir] [--max-hamming t] [--cap n]"
-        t, cap = mm_ops.PHASH_NEAR_MAX_HAMMING, mm_ops.PHASH_BUCKET_CAP
-        for flag in ("--max-hamming", "--cap"):
-            if flag in args:
-                at = args.index(flag)
-                try:
-                    val = int(args[at + 1])
-                except (IndexError, ValueError):
-                    print(usage, file=sys.stderr)
-                    return 2
-                if flag == "--max-hamming":
-                    if not 0 <= val <= mm_ops.PHASH_NEAR_MAX_HAMMING:
-                        # past the pigeonhole bound the banded join is
-                        # no longer complete — refuse, don't under-report
-                        print(
-                            f"--max-hamming must be 0..{mm_ops.PHASH_NEAR_MAX_HAMMING} "
-                            f"(4x16 banding is only complete to {mm_ops.PHASH_NEAR_MAX_HAMMING})",
-                            file=sys.stderr,
-                        )
-                        return 2
-                    t = val
-                else:
-                    cap = val
+        t = _int_flag(args, "--max-hamming", mm_ops.PHASH_NEAR_MAX_HAMMING)
+        cap = _int_flag(args, "--cap", mm_ops.PHASH_BUCKET_CAP)
+        if t is None or cap is None:
+            print(usage, file=sys.stderr)
+            return 2
+        if not 0 <= t <= mm_ops.PHASH_NEAR_MAX_HAMMING:
+            # past the pigeonhole bound the banded join is no longer
+            # complete — refuse, don't under-report
+            print(
+                f"--max-hamming must be 0..{mm_ops.PHASH_NEAR_MAX_HAMMING} "
+                f"(4x16 banding is only complete to {mm_ops.PHASH_NEAR_MAX_HAMMING})",
+                file=sys.stderr,
+            )
+            return 2
         show(
             mm_ops.media_phash_near_dup_pairs(
                 spark, sf_dir, max_hamming=t, band_cap=cap
@@ -863,14 +865,10 @@ def main(argv: list[str] | None = None) -> int:
         sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
         )
-        cap = mm_ops.PHASH_BUCKET_CAP
-        if "--cap" in args:
-            at = args.index("--cap")
-            try:
-                cap = int(args[at + 1])
-            except (IndexError, ValueError):
-                print("usage: findDuplicateAudio [sf_dir] [--cap n]", file=sys.stderr)
-                return 2
+        cap = _int_flag(args, "--cap", mm_ops.PHASH_BUCKET_CAP)
+        if cap is None:
+            print("usage: findDuplicateAudio [sf_dir] [--cap n]", file=sys.stderr)
+            return 2
         show(mm_ops.audio_dup_pairs(spark, sf_dir, bucket_cap=cap))
     elif cmd == "commitIngest":
         # the continuous-ingestion commit step as an operational

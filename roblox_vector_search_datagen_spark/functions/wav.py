@@ -61,6 +61,10 @@ def decode_wav_pcm16(blob: bytes) -> tuple[int, list[int]]:
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
         body = blob[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a silently-short slice would let struct.error escape on
+            # fmt (self-review r12) — every truncation is ValueError
+            raise ValueError(f"WAVE {cid!r} chunk truncated")
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("WAVE fmt chunk too short")
@@ -75,8 +79,6 @@ def decode_wav_pcm16(blob: bytes) -> tuple[int, list[int]]:
                 raise ValueError(f"only 16-bit PCM supported, got {bits}")
             fmt_seen = True
         elif cid == b"data":
-            if len(body) < size:
-                raise ValueError("WAVE data chunk truncated")
             data = body
         pos += 8 + size + (size % 2)  # odd chunks carry a pad byte
     if not fmt_seen:

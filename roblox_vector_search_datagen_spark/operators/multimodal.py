@@ -1763,9 +1763,14 @@ def audio_features(
         "doc_id",
         "sample_rate",
         n.alias("n_samples"),
-        F.expr("CAST(size(samples) * 1000 div sample_rate AS INT)").alias(
-            "duration_ms"
-        ),
+        # guarded: the stub arm carries sample_rate=0 and ANSI `div`
+        # would throw DIVIDE_BY_ZERO, crashing the job the stub arm
+        # exists to survive (self-review r12; the Spark-side face of
+        # the r9 ANSI-division trap)
+        F.expr(
+            "CAST(CASE WHEN sample_rate = 0 THEN 0 "
+            "ELSE size(samples) * 1000 div sample_rate END AS INT)"
+        ).alias("duration_ms"),
         F.array_max(F.transform("samples", lambda x: F.abs(x))).alias("peak"),
         F.aggregate(
             "samples",

@@ -523,7 +523,7 @@ def test_find_near_duplicate_images_command(spark, sf_dir, tmp_path, monkeypatch
     assert capsys.readouterr().out.strip() == ""  # near-twin corpus has no identical pair
 
     assert cli.main(["findNearDuplicateImages", sf_dir, "--max-hamming", "9"]) == 2
-    assert "pigeonhole" in capsys.readouterr().err or True
+    assert "banding" in capsys.readouterr().err
     assert cli.main(["findNearDuplicateImages", sf_dir, "--cap", "x"]) == 2
     assert "usage" in capsys.readouterr().err
 

@@ -1114,3 +1114,34 @@ def test_audio_dup_pairs_parity_and_loudness_invariance(spark, sf_dir):
     assert got == expected and got
     assert any(amp(a) != amp(b) for a, b in got)  # cross-gain pairs present
     assert mm.audio_dup_pairs(spark, sf_dir, bucket_cap=1).count() == 0
+
+
+def test_audio_features_degrades_on_undecodable_blob(spark, sf_dir):
+    """A corrupt blob must reach audio_features' OUTPUT on the stub arm
+    (duration 0, empty-array features), not crash the job: the
+    sample_rate=0 stub row would throw ANSI DIVIDE_BY_ZERO through a
+    plain `div` (self-review r12). Also pins the fmt-chunk truncation
+    refusal as ValueError, not struct.error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from roblox_vector_search_datagen_spark.functions import wav
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+
+    corrupt = mm.synthetic_audio_media(spark, sf_dir).withColumn(
+        "content", F.concat(F.lit(b"XX"), F.col("content"))
+    )
+    rows = mm.audio_features(spark, sf_dir, media_df=corrupt).collect()
+    assert rows and all(
+        r.arm == "stub"
+        and r.duration_ms == 0
+        and r.n_samples == 0
+        and r.zero_crossings == 0
+        and r.sum_sq == 0
+        for r in rows
+    )
+
+    blob = wav.encode_wav_pcm16([1, -1] * 20, 8000)
+    fmt_at = blob.index(b"fmt ")
+    with pytest.raises(ValueError):
+        wav.decode_wav_pcm16(blob[: fmt_at + 12])  # truncated mid-fmt
