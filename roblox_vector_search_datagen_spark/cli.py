@@ -411,6 +411,8 @@ COMMANDS = (
     "findNearDuplicateImages",
     "audioStats",
     "findDuplicateAudio",
+    "videoStats",
+    "findDuplicateVideos",
 )
 
 def _int_flag(args: list[str], flag: str, default: int) -> int | None:
@@ -870,6 +872,35 @@ def main(argv: list[str] | None = None) -> int:
             print("usage: findDuplicateAudio [sf_dir] [--cap n]", file=sys.stderr)
             return 2
         show(mm_ops.audio_dup_pairs(spark, sf_dir, bucket_cap=cap))
+    elif cmd == "videoStats":
+        # per-clip profile over REAL decoded y4m frames, or the
+        # scene-cut segmentation / per-frame perceptual hashes
+        # (usage: videoStats [sf_dir] [--cuts | --hashes])
+        from .operators import multimodal as mm_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        if "--cuts" in args:
+            show(mm_ops.video_scene_cuts(spark, sf_dir))
+        elif "--hashes" in args:
+            show(mm_ops.video_frame_phash(spark, sf_dir))
+        else:
+            show(mm_ops.video_features(spark, sf_dir))
+    elif cmd == "findDuplicateVideos":
+        # resolution/colorspace-invariant video duplicate pairs by
+        # frame-hash-sequence fingerprint collision
+        # (usage: findDuplicateVideos [sf_dir] [--cap n])
+        from .operators import multimodal as mm_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        cap = _int_flag(args, "--cap", mm_ops.PHASH_BUCKET_CAP)
+        if cap is None:
+            print("usage: findDuplicateVideos [sf_dir] [--cap n]", file=sys.stderr)
+            return 2
+        show(mm_ops.video_dup_pairs(spark, sf_dir, bucket_cap=cap))
     elif cmd == "commitIngest":
         # the continuous-ingestion commit step as an operational
         # command: clear every sf_dir-keyed memo and persisted cache,

@@ -328,6 +328,27 @@ def stream_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(spark, sf_dir, media_df=corpus)
 
 
+def stream_video_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `operators/multimodal.video_frame_phash` —
+    the per-frame perceptual-hash plan on an unbounded clip stream:
+    stateless synthesize -> vendored y4m decode (fanning one row per
+    frame) -> Catalyst threshold hash per microbatch; append-mode, no
+    watermark, no stream state. The shape a video-crawl fingerprinting
+    job runs continuously (the per-clip aggregations — features,
+    dup-pair fingerprints — stay batch: they need a complete-mode agg
+    a continuous front door has no use for)."""
+    from ..operators import multimodal as mm
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    corpus = mm.synthetic_video_media(spark, sf_dir, docs=stream.select("doc_id"))
+    return mm.video_frame_phash(spark, sf_dir, media_df=corpus)
+
+
 def stream_media_ingest_decision_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -557,3 +557,38 @@ def test_find_duplicate_audio_command(spark, sf_dir, tmp_path, monkeypatch, caps
     assert capsys.readouterr().out.strip() == ""
     assert cli.main(["findDuplicateAudio", sf_dir, "--cap"]) == 2
     assert "usage" in capsys.readouterr().err
+
+
+def test_video_stats_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The video family from the shell: per-clip profile rows on the
+    real arm; --cuts switches to scene segmentation, --hashes to the
+    per-frame perceptual hashes."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["videoStats", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["arm"] == "real" and r["fps_num"] == 25 for r in rows)
+
+    assert cli.main(["videoStats", sf_dir, "--cuts"]) == 0
+    cuts = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert cuts and {"doc_id", "frame", "is_cut", "segment"} <= set(cuts[0])
+
+    assert cli.main(["videoStats", sf_dir, "--hashes"]) == 0
+    hashes = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert hashes and all(len(h["phash"]) == 64 for h in hashes)
+
+
+def test_find_duplicate_videos_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """Resolution/colorspace-invariant video dedup from the shell:
+    pair rows with a shared fingerprint; --cap 1 drops every bucket;
+    malformed --cap is a usage error."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["findDuplicateVideos", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and {"doc_a", "doc_b", "fingerprint", "cross_colorspace"} <= set(rows[0])
+
+    assert cli.main(["findDuplicateVideos", sf_dir, "--cap", "1"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+    assert cli.main(["findDuplicateVideos", sf_dir, "--cap", "oops"]) == 2
+    assert "usage" in capsys.readouterr().err

@@ -1145,3 +1145,208 @@ def test_audio_features_degrades_on_undecodable_blob(spark, sf_dir):
     fmt_at = blob.index(b"fmt ")
     with pytest.raises(ValueError):
         wav.decode_wav_pcm16(blob[: fmt_at + 12])  # truncated mid-fmt
+
+
+# ---------------------------------------------------------------------------
+# VIDEO family (r12): vendored YUV4MPEG2 codec + decode-once analysis
+
+
+def test_y4m_codec_roundtrip_and_header_walk():
+    """Encode->decode is exact (lossless raw planar data) for both
+    colorspaces across dims and frame counts, the spec's default
+    colorspace (no C tag) is honored, and FRAME-record parameters are
+    accepted per spec."""
+    from roblox_vector_search_datagen_spark.functions import y4m
+
+    for cs, w, h in (("mono", 6, 4), ("mono", 1, 1), ("420jpeg", 8, 2)):
+        for nf in (1, 3):
+            frames = [
+                [[(f * 31 + r * 7 + c * 13) % 256 for c in range(w)] for r in range(h)]
+                for f in range(nf)
+            ]
+            blob = y4m.encode_y4m(frames, 30000, 1001, cs)
+            assert y4m.decode_y4m(blob) == (w, h, 30000, 1001, cs, frames)
+
+    # C tag absent -> 420jpeg per spec; unknown A/X header tags skipped
+    blob = (
+        b"YUV4MPEG2 W2 H2 F25:1 A128:117 Xcolorrange=full\n"
+        b"FRAME\n\x01\x02\x03\x04\x80\x80"
+    )
+    w, h, fn, fd, cs, frames = y4m.decode_y4m(blob)
+    assert (cs, frames) == ("420jpeg", [[[1, 2], [3, 4]]])
+    assert y4m.decode_y4m(b"YUV4MPEG2 W2 H1 F25:1 Cmono\nFRAME Xt=0\n\x05\x06")[5] == [
+        [[5, 6]]
+    ]
+
+
+def test_y4m_codec_refuses_malformed():
+    """The strictness contract: wrong magic, missing W/H/F, unsupported
+    colorspace or interlacing, malformed FRAME records, truncated plane
+    data, zero frames, odd 420 dims — all ValueError, never a silent
+    mis-decode."""
+    from roblox_vector_search_datagen_spark.functions import y4m
+
+    good = y4m.encode_y4m([[[1, 2], [3, 4]]], 25, 1, "mono")
+    assert y4m.decode_y4m(good)[5] == [[[1, 2], [3, 4]]]
+    bad_blobs = [
+        b"not y4m",
+        b"YUV4MPEG3 W2 H2 F25:1\n",  # wrong magic
+        b"YUV4MPEG2 W2 H2\nFRAME\n\x00\x00\x00\x00",  # F missing
+        b"YUV4MPEG2 H2 F25:1\nFRAME\n\x00\x00",  # W missing
+        b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + b"\x00" * 12,  # unsupported C
+        b"YUV4MPEG2 W2 H2 F25:1 It Cmono\nFRAME\n" + b"\x00" * 4,  # interlaced
+        b"YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAMX\n" + b"\x00" * 4,  # bad record
+        b"YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAME\n\x00\x00\x00",  # truncated luma
+        b"YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + b"\x00" * 5,  # truncated chroma
+        b"YUV4MPEG2 W2 H2 F25:1 Cmono\n",  # zero frames
+        b"YUV4MPEG2 W3 H2 F25:1 C420jpeg\nFRAME\n" + b"\x00" * 9,  # odd 420 dims
+        b"YUV4MPEG2 W2 H2 Fx:1 Cmono\nFRAME\n" + b"\x00" * 4,  # junk rate
+    ]
+    for blob in bad_blobs:
+        with pytest.raises(ValueError):
+            y4m.decode_y4m(blob)
+    with pytest.raises(ValueError):
+        y4m.encode_y4m([], 25, 1, "mono")
+    with pytest.raises(ValueError):
+        y4m.encode_y4m([[[0, 300]]], 25, 1, "mono")  # sample out of range
+    with pytest.raises(ValueError):
+        y4m.encode_y4m([[[0, 0]]], 0, 1, "mono")  # non-positive rate
+    with pytest.raises(ValueError):
+        y4m.encode_y4m([[[0], [0]]], 25, 1, "420jpeg")  # odd dims for 420
+
+
+def test_y4m_roundtrip_property():
+    """Property (hypothesis): ANY luma frame stack at ANY dims and rate
+    survives encode->decode bit-exactly in both colorspaces (even dims
+    forced for 420) — raw planar data has no lossy path at all."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from roblox_vector_search_datagen_spark.functions import y4m
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        nf=st.integers(1, 4),
+        rate=st.tuples(st.integers(1, 60000), st.integers(1, 1001)),
+        data=st.data(),
+    )
+    def check(w, h, nf, rate, data):
+        frames = [
+            [
+                [data.draw(st.integers(0, 255)) for _ in range(w)]
+                for _ in range(h)
+            ]
+            for _ in range(nf)
+        ]
+        for cs in ("mono", "420jpeg"):
+            if cs == "420jpeg" and (w % 2 or h % 2):
+                continue
+            blob = y4m.encode_y4m(frames, rate[0], rate[1], cs)
+            assert y4m.decode_y4m(blob) == (w, h, rate[0], rate[1], cs, frames)
+
+    check()
+
+
+def test_video_family_oracle_parity(spark, sf_dir):
+    """The video family's value pin: driver-style parity for all four
+    queries, every row on the real arm, both colorspaces present, and
+    the decode-once contract — features' frame counts equal the frame
+    table's per-doc row counts."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    feats = M.video_features(spark, sf_dir)
+    compare_spark_duckdb(feats, M.video_features_oracle(), sf_dir)
+    frows = feats.collect()
+    assert frows and all(r.arm == "real" for r in frows)
+    assert {r.colorspace for r in frows} == {"mono", "420jpeg"}
+    assert all(r.y_total == r.n_frames * 255 * r.width * r.height // 2 for r in frows)
+
+    compare_spark_duckdb(
+        M.video_frame_phash(spark, sf_dir), M.video_frame_phash_oracle(), sf_dir
+    )
+    compare_spark_duckdb(
+        M.video_scene_cuts(spark, sf_dir), M.video_scene_cuts_oracle(), sf_dir
+    )
+    compare_spark_duckdb(
+        M.video_dup_pairs(spark, sf_dir), M.video_dup_pairs_oracle(), sf_dir
+    )
+
+    per_doc = {
+        r.doc_id: r.cnt
+        for r in M.video_frames(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert per_doc == {r.doc_id: r.n_frames for r in frows}
+
+
+def test_video_scene_cuts_match_brute_force_frame_diff(spark, sf_dir):
+    """The cut flags re-derived by an O(frames) brute force over the
+    EXPECTED pixel patterns (not the lattice formula): mean |diff| of
+    consecutive constructed frames crosses the threshold exactly where
+    the Spark plan says it does, and the margin analysis holds — every
+    cut's distance is >= 255*2/64, every non-cut's is 0."""
+    cuts = {
+        (r.doc_id, r.frame): (r.is_cut, r.segment)
+        for r in M.video_scene_cuts(spark, sf_dir).collect()
+    }
+    docs = sorted({d for d, _ in cuts})
+    assert docs
+    for doc_id in docs:
+        k = doc_id // M.CONTRACT_MODULO
+        frames = M._video_expected_frames(k // M.VIDEO_DUP_GROUP)
+        seg = 0
+        for f in range(len(frames)):
+            if f == 0:
+                expect_cut = False
+            else:
+                dist = 255.0 * sum(
+                    a != b for a, b in zip(frames[f - 1], frames[f])
+                ) / 64.0
+                assert dist == 0.0 or dist >= 255.0 * 2 / 64
+                expect_cut = dist > M.VIDEO_CUT_THRESHOLD
+            seg += expect_cut
+            assert cuts[(doc_id, f)] == (expect_cut, seg), (doc_id, f)
+
+
+def test_video_dup_pairs_invariance_and_cap(spark, sf_dir):
+    """The dedup semantics: every pair joins two clips of one lattice
+    group (same footage at different dims/colorspace), cross-colorspace
+    pairs exist and are flagged correctly, and --cap 1 drops every
+    bucket."""
+    pairs = M.video_dup_pairs(spark, sf_dir).collect()
+    assert pairs
+    cs = {
+        r.doc_id: r.colorspace
+        for r in M.video_features(spark, sf_dir).collect()
+    }
+    gm = M.CONTRACT_MODULO * M.VIDEO_DUP_GROUP
+    for r in pairs:
+        assert r.doc_a // gm == r.doc_b // gm  # same lattice group
+        assert r.cross_colorspace == (cs[r.doc_a] != cs[r.doc_b])
+    assert any(r.cross_colorspace for r in pairs)
+    # complete within-group pair listing (nothing dropped at default cap)
+    from collections import Counter
+
+    per_group = Counter(r.doc_a // gm for r in pairs)
+    sizes = Counter(d // gm for d in cs)
+    assert per_group == {g: n * (n - 1) // 2 for g, n in sizes.items() if n > 1}
+    assert M.video_dup_pairs(spark, sf_dir, bucket_cap=1).count() == 0
+
+
+def test_video_frames_stub_arm_on_undecodable(spark, sf_dir):
+    """A corrupted blob takes arm='stub' with one empty frame row, and
+    the downstream features degrade (fps 0 -> guarded duration 0)
+    instead of crashing — the ANSI-division trap's video face."""
+    corrupt = M.synthetic_video_media(spark, sf_dir).withColumn(
+        "content", F.concat(F.lit(b"XX"), F.col("content"))
+    )
+    out = M.video_frames(spark, sf_dir, media_df=corrupt).collect()
+    assert out and all(
+        r.arm == "stub" and r.cells == [] and r.fps_num == 0 for r in out
+    )
+    ph = M.video_frame_phash(spark, sf_dir, media_df=corrupt).collect()
+    assert ph and all(r.phash == "" and r.arm == "stub" for r in ph)

@@ -687,3 +687,23 @@ def test_stream_audio_features_matches_batch(spark, sf_dir):
     q.awaitTermination(180)
     streamed = {tuple(r) for r in spark.sql("SELECT * FROM audio_feats").collect()}
     assert streamed == batch
+
+
+def test_stream_video_frame_phash_matches_batch(spark, sf_dir):
+    """The video fingerprint's streaming twin (r12): per-microbatch
+    synthesize+y4m-decode+threshold hash equals the batch rows
+    exactly (the frame fan-out rides inside the stateless decode, so
+    append mode needs no stream state)."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {tuple(r) for r in mm.video_frame_phash(spark, sf_dir).collect()}
+    assert batch
+    q = S.run_stream_to_memory(
+        ingest.stream_video_frame_phash(spark, sf_dir),
+        "video_phash",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM video_phash").collect()}
+    assert streamed == batch
