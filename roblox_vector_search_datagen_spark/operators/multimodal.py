@@ -2297,19 +2297,10 @@ def video_frame_phash(
     (`streaming/ingest.stream_video_frame_phash`); `media_df` feeds
     the decode from a caller-supplied (possibly streaming) blob
     source."""
-    from ..functions.hashing import let_expr
-
     fr = video_frames(spark, sf_dir, modulo, media_df=media_df)
-    mean = F.aggregate(
-        "cells", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
-    ) / 64.0
-    phash = let_expr(
-        mean,
-        lambda m: F.array_join(
-            F.transform("cells", lambda c: F.when(c > m, "1").otherwise("0")), ""
-        ),
+    return fr.select(
+        "doc_id", "frame", _cells_phash_expr("cells").alias("phash"), "arm"
     )
-    return fr.select("doc_id", "frame", phash.alias("phash"), "arm")
 
 
 def video_frame_phash_oracle(modulo: int = CONTRACT_MODULO) -> str:
@@ -2371,6 +2362,56 @@ FROM seg
 """
 
 
+def _cells_phash_expr(cells) -> F.Column:
+    """The average-hash rule over one frame's 64 luma cells as a
+    Catalyst expression — THE definition of the per-frame hash, shared
+    by `video_frame_phash`, the clip-fingerprint aggregation, and the
+    streaming front door, so the formula can never drift between
+    consumers. `cells` is a column (or lambda variable) holding
+    array<int>."""
+    from ..functions.hashing import let_expr
+
+    mean = F.aggregate(
+        cells, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    ) / 64.0
+    return let_expr(
+        mean,
+        lambda m: F.array_join(
+            F.transform(cells, lambda c: F.when(c > m, "1").otherwise("0")), ""
+        ),
+    )
+
+
+def _video_fingerprints(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """Per-clip fingerprint table from the persisted decode pass: the
+    portable h60 of the per-frame average-hashes in frame order —
+    identical footage at any resolution or colorspace collides. One
+    exchange (the per-clip collect_list); every front-door role and
+    pair query filters THIS table rather than paying its own decode
+    chain (the r12 media_ingest_dedup plan-fix discipline). Emits
+    (doc_id, colorspace, fingerprint)."""
+    from ..functions import hashing as H
+
+    fr = video_frames(spark, sf_dir, modulo)
+    return (
+        fr.select("doc_id", "colorspace", "frame", _cells_phash_expr("cells").alias("phash"))
+        .groupBy("doc_id", "colorspace")
+        .agg(
+            H.h60_expr(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("frame", "phash"))),
+                        lambda x: x["phash"],
+                    ),
+                    "",
+                )
+            ).alias("fingerprint")
+        )
+    )
+
+
 def video_dup_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -2395,33 +2436,7 @@ def video_dup_pairs(
     aggregation (one exchange on doc_id) and both join sides of the
     fingerprint self-join (one exchange on fingerprint); the window
     cap rides the join key's partitioning."""
-    from ..functions import hashing as H
-
-    fr = video_frames(spark, sf_dir, modulo)
-    mean = F.aggregate(
-        "cells", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
-    ) / 64.0
-    phash = H.let_expr(
-        mean,
-        lambda m: F.array_join(
-            F.transform("cells", lambda c: F.when(c > m, "1").otherwise("0")), ""
-        ),
-    )
-    fp = (
-        fr.select("doc_id", "colorspace", "frame", phash.alias("phash"))
-        .groupBy("doc_id", "colorspace")
-        .agg(
-            H.h60_expr(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("frame", "phash"))),
-                        lambda x: x["phash"],
-                    ),
-                    "",
-                )
-            ).alias("fingerprint")
-        )
-    )
+    fp = _video_fingerprints(spark, sf_dir, modulo)
     wb = Window.partitionBy("fingerprint")
     capped = (
         fp.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
@@ -2479,6 +2494,184 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fingerprint,
        a.colorspace <> b.colorspace AS cross_colorspace
 FROM capped a JOIN capped b
   ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+"""
+
+
+def video_keyframes(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    threshold: float = VIDEO_CUT_THRESHOLD,
+) -> DataFrame:
+    """Keyframe extraction: the FIRST frame of every scene segment
+    (frame 0, plus each frame whose luma-cell distance from its
+    predecessor crosses the cut threshold) with its perceptual hash —
+    the downsampling primitive under captioning, embedding, and
+    preview pipelines: one representative frame per shot instead of
+    every frame, with the hash ready for cross-clip lookup. Pure
+    Catalyst over the persisted decode pass (the scene-cut lag window
+    plus the shared average-hash expression); output is bounded by
+    scene count, not frame count."""
+    fr = video_frames(spark, sf_dir, modulo)
+    w_ord = Window.partitionBy("doc_id").orderBy("frame")
+    prev = F.lag("cells").over(w_ord)
+    dist = F.aggregate(
+        F.zip_with("cells", prev, lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    ) / 64.0
+    with_cut = fr.withColumn(
+        "is_cut", F.coalesce(dist > threshold, F.lit(False))
+    )
+    seg = F.sum(F.col("is_cut").cast("int")).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_cut.withColumn("segment", seg.cast("int"))
+        .filter((F.col("frame") == 0) | F.col("is_cut"))
+        .select(
+            "doc_id",
+            "segment",
+            "frame",
+            _cells_phash_expr("cells").alias("phash"),
+        )
+    )
+
+
+def video_keyframes_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Keyframes re-derived from the lattice: frame 0 and every
+    cut-flagged frame, each carrying its segment pattern's hash."""
+    return f"""
+WITH {_video_sql_ctes(modulo)}
+SELECT seg.doc_id, seg.segment, seg.frame, fphash.phash
+FROM seg JOIN fphash ON seg.doc_id = fphash.doc_id AND seg.frame = fphash.frame
+WHERE seg.frame = 0 OR seg.cutbit = 1
+"""
+
+
+VIDEO_CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("colorspace", T.StringType(), False),
+        T.StructField("frames", T.ArrayType(T.ArrayType(T.IntegerType())), False),
+        T.StructField("arm", T.StringType(), False),
+    ]
+)
+
+
+def video_clip_fingerprints(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    media_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-clip fingerprints WITHOUT a per-clip aggregation: the
+    decode stage emits one row per CLIP holding the per-frame cell
+    grids as array<array<int>>, and the fingerprint is pure Catalyst
+    over that nested array (the shared `_cells_phash_expr` per frame,
+    concatenated in stream order, through the portable h60) — no
+    groupBy, no shuffle, no stream state, which is what lets the
+    STREAMING front door fingerprint arriving clips per microbatch in
+    append mode (`streaming/ingest.stream_video_ingest_dedup`). The
+    batch front door prefers `_video_fingerprints` (it reuses the
+    persisted per-frame decode instead of paying a second one); the
+    stream==batch test pins the two formulations to identical values.
+    Emits (doc_id, colorspace, fingerprint, arm)."""
+    import pandas as pd
+
+    from ..functions import hashing as H
+
+    corpus = (
+        synthetic_video_media(spark, sf_dir, modulo) if media_df is None else media_df
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import resample as _resample
+        from ..functions import y4m as _y4mmod
+
+        for pdf in batches:
+            out = {c: [] for c in ("doc_id", "colorspace", "frames", "arm")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    _w, _h, _fn, _fd, cs, frames = _y4mmod.decode_y4m(bytes(content))
+                    cells = [
+                        [v for row in _resample.resample_gray_box(fr, 8, 8) for v in row]
+                        for fr in frames
+                    ]
+                    arm = "real"
+                except ValueError:
+                    cs, cells, arm = "", [], "stub"
+                out["doc_id"].append(doc_id)
+                out["colorspace"].append(cs)
+                out["frames"].append(cells)
+                out["arm"].append(arm)
+            yield pd.DataFrame(out)
+
+    clips = corpus.mapInPandas(run, VIDEO_CLIP_SCHEMA)
+    fp = H.h60_expr(
+        F.array_join(F.transform("frames", lambda fc: _cells_phash_expr(fc)), "")
+    )
+    return clips.select("doc_id", "colorspace", fp.alias("fingerprint"), "arm")
+
+
+def video_ingest_dedup(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """The VIDEO front door — perceptual dedup-at-ingest for clips: an
+    arriving video is dropped when its frame-hash-sequence fingerprint
+    already appears in the known corpus, so a re-encoded or rescaled
+    copy of footage the corpus already holds never lands (a byte-level
+    digest admits those). Roles on the constructed lattice: arriving =
+    odd k (the 420jpeg members); known = even k (mono) in EVEN jdx
+    groups only — so even-jdx arrivals are rejected (their footage is
+    known at a different resolution AND colorspace: every rejection is
+    a cross-encoding catch by construction) and odd-jdx arrivals are
+    admitted, exercising both branches at every SF. Within-stream
+    duplicates are admitted here and collapse in `video_dup_pairs` —
+    the same division of labor as the text and image front doors.
+
+    Scale shape: both roles FILTER the shared `_video_fingerprints`
+    table (one decode pass + one per-clip aggregation for the whole
+    family — the r12 media_ingest_dedup plan-fix discipline); the
+    known side reduces to DISTINCT fingerprints (footage count, not
+    clip count) and broadcasts; the arriving side anti-joins without
+    shuffling. The streaming twin fingerprints arrivals statelessly
+    per microbatch via `video_clip_fingerprints`. Emits
+    (doc_id, colorspace, fingerprint) survivors."""
+    fp = _video_fingerprints(spark, sf_dir, modulo)
+    k = _dup_k(modulo)
+    jdx = F.expr(f"(doc_id div {modulo}) div {VIDEO_DUP_GROUP}")
+    known = (
+        fp.filter((k % 2 == 0) & (jdx % 2 == 0)).select("fingerprint").distinct()
+    )
+    arrived = fp.filter(k % 2 == 1)
+    return arrived.join(F.broadcast(known), "fingerprint", "left_anti").select(
+        "doc_id", "colorspace", "fingerprint"
+    )
+
+
+def video_ingest_dedup_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Both roles re-derived from the shared fingerprint CTE — the
+    known set, the arriving set, and the anti-join all in SQL, so the
+    Spark side's real decode of BOTH roles is value-pinned."""
+    from ..functions import hashing as H
+
+    seq = "string_agg(phash, '' ORDER BY frame)"
+    return f"""
+WITH {_video_sql_ctes(modulo)},
+fp AS (
+  SELECT doc_id, {H.h60_sql(seq)} AS fingerprint
+  FROM fphash GROUP BY doc_id
+),
+fpc AS (
+  SELECT fp.doc_id, fp.fingerprint, v.colorspace, v.k, v.jdx
+  FROM fp JOIN v USING (doc_id)
+),
+known AS (
+  SELECT DISTINCT fingerprint FROM fpc WHERE k % 2 = 0 AND jdx % 2 = 0
+)
+SELECT doc_id, colorspace, fingerprint FROM fpc
+WHERE k % 2 = 1 AND fingerprint NOT IN (SELECT fingerprint FROM known)
 """
 
 

@@ -253,6 +253,48 @@ def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_video_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `operators/multimodal.video_ingest_dedup` —
+    the VIDEO front door (r12): arriving clips are synthesized and
+    fingerprinted per microbatch via `video_clip_fingerprints` (one
+    stateless mapInPandas emitting clip-level cell stacks + a pure
+    Catalyst hash over the nested array — no per-clip groupBy, so no
+    stream state), then stream-static LEFT-ANTI-joined against the
+    known corpus's broadcast fingerprint set. A rescaled or
+    colorspace-converted copy of known footage never reaches the sink
+    even though its bytes are new. Append-mode, no watermark; the
+    known set is a static DataFrame re-resolved per microbatch. The
+    batch side derives the same fingerprints from the persisted
+    per-frame decode (`_video_fingerprints`) — the stream==batch test
+    pins the two formulations to identical values."""
+    from ..operators import multimodal as mm
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    modulo = mm.CONTRACT_MODULO
+    k = F.expr(f"doc_id div {modulo}")
+    jdx = F.expr(f"(doc_id div {modulo}) div {mm.VIDEO_DUP_GROUP}")
+    arriving_media = mm.synthetic_video_media(
+        spark, sf_dir, modulo, docs=stream.select("doc_id")
+    ).filter(k % 2 == 1)
+    arrived = mm.video_clip_fingerprints(
+        spark, sf_dir, modulo, media_df=arriving_media
+    )
+    known = (
+        mm._video_fingerprints(spark, sf_dir, modulo)
+        .filter((k % 2 == 0) & (jdx % 2 == 0))
+        .select("fingerprint")
+        .distinct()
+    )
+    return arrived.join(F.broadcast(known), "fingerprint", "left_anti").select(
+        "doc_id", "colorspace", "fingerprint"
+    )
+
+
 def stream_media_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `operators/multimodal.media_ingest_near_dedup`
     — the perceptual NEAR-dup image front door: the arriving stream

@@ -1350,3 +1350,81 @@ def test_video_frames_stub_arm_on_undecodable(spark, sf_dir):
     )
     ph = M.video_frame_phash(spark, sf_dir, media_df=corrupt).collect()
     assert ph and all(r.phash == "" and r.arm == "stub" for r in ph)
+
+
+def test_video_keyframes_oracle_parity_and_per_segment(spark, sf_dir):
+    """Keyframe extraction: driver-style parity, exactly ONE keyframe
+    per (clip, segment), and each keyframe is its segment's FIRST
+    frame with that segment's hash."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    kf = M.video_keyframes(spark, sf_dir)
+    compare_spark_duckdb(kf, M.video_keyframes_oracle(), sf_dir)
+    rows = kf.collect()
+    assert rows
+    seen = {(r.doc_id, r.segment) for r in rows}
+    assert len(seen) == len(rows)  # one keyframe per segment
+    cuts = {
+        (r.doc_id, r.frame): r.segment
+        for r in M.video_scene_cuts(spark, sf_dir).collect()
+    }
+    segs = {(d, s) for (d, _), s in cuts.items()}
+    assert seen == segs  # every segment represented
+    first = {}
+    for (d, f), s in sorted(cuts.items()):
+        first.setdefault((d, s), f)
+    assert {(r.doc_id, r.segment): r.frame for r in rows} == first
+    ph = {
+        (r.doc_id, r.frame): r.phash
+        for r in M.video_frame_phash(spark, sf_dir).collect()
+    }
+    assert all(ph[(r.doc_id, r.frame)] == r.phash for r in rows)
+
+
+def test_video_ingest_dedup_oracle_parity_and_roles(spark, sf_dir):
+    """The video front door: driver-style parity, both branches
+    exercised (some arrivals rejected, some admitted), every survivor
+    from an ODD lattice group, and every rejection a cross-encoding
+    catch (the arriving copy differs from its known twin in BOTH
+    resolution and colorspace)."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    vid = M.video_ingest_dedup(spark, sf_dir)
+    compare_spark_duckdb(vid, M.video_ingest_dedup_oracle(), sf_dir)
+    survivors = vid.collect()
+    assert survivors
+    mod, grp = M.CONTRACT_MODULO, M.VIDEO_DUP_GROUP
+    arriving = [
+        r.doc_id
+        for r in M._video_fingerprints(spark, sf_dir).collect()
+        if (r.doc_id // mod) % 2 == 1
+    ]
+    assert 0 < len(survivors) < len(arriving)  # both branches taken
+    for r in survivors:
+        assert (r.doc_id // mod) % 2 == 1  # arriving role
+        assert (r.doc_id // mod // grp) % 2 == 1  # admitted: odd group
+        assert r.colorspace == "420jpeg"  # known side is all mono
+
+
+def test_video_clip_fingerprints_match_batch_aggregation(spark, sf_dir):
+    """The two fingerprint formulations — the stateless clip-level
+    path the streaming front door uses and the per-frame groupBy the
+    batch side uses — agree value-for-value, and the clip path's stub
+    arm degrades (empty frames -> hash of '') instead of crashing."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    a = {
+        (r.doc_id, r.colorspace, r.fingerprint)
+        for r in M.video_clip_fingerprints(spark, sf_dir).collect()
+    }
+    b = {
+        (r.doc_id, r.colorspace, r.fingerprint)
+        for r in M._video_fingerprints(spark, sf_dir).collect()
+    }
+    assert a and a == b
+
+    corrupt = M.synthetic_video_media(spark, sf_dir).withColumn(
+        "content", F.concat(F.lit(b"XX"), F.col("content"))
+    )
+    rows = M.video_clip_fingerprints(spark, sf_dir, media_df=corrupt).collect()
+    assert rows and all(r.arm == "stub" and r.colorspace == "" for r in rows)
