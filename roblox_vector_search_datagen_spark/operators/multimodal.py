@@ -1960,6 +1960,62 @@ FROM capped a JOIN capped b
 """
 
 
+def audio_ingest_dedup(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """The AUDIO front door — loudness-invariant dedup-at-ingest: an
+    arriving recording is dropped when its sign-sequence fingerprint
+    already appears in the known corpus, so the same waveform
+    re-recorded at a different gain never lands (a byte-level digest
+    admits those — amplitude changes every PCM byte). Completes the
+    front-door family across all three modalities (text, image, video
+    front doors already exist). Roles on the square-wave lattice,
+    whose collision classes are the k%20 cells ((n_samples, half) has
+    period lcm(5,4)); the classes are parity-pure (20 is even), so
+    roles split WITHIN each parity: arriving = k%40 >= 20; known =
+    k%40 < 20 with even k — an arriving even-k recording's class is
+    known (rejected: same waveform previously seen at a different
+    amplitude), an odd-k arrival's class is not (admitted), both
+    branches at every SF.
+
+    Scale shape: both roles FILTER the shared persisted decode
+    (`audio_samples`) through the Catalyst sign-fingerprint expression
+    — one decode pass for the whole audio family; the known side
+    reduces to DISTINCT fingerprints and broadcasts; the arriving side
+    anti-joins without shuffling — the stream-static append-mode-safe
+    shape (`streaming/ingest.stream_audio_ingest_dedup` feeds the
+    arriving side statelessly per microbatch). Emits
+    (doc_id, fingerprint) survivors."""
+    fp = audio_sign_fingerprint(spark, sf_dir, modulo)
+    k = _dup_k(modulo)
+    known = (
+        fp.filter((k % 40 < 20) & (k % 2 == 0)).select("fingerprint").distinct()
+    )
+    arrived = fp.filter(k % 40 >= 20)
+    return arrived.join(F.broadcast(known), "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+def audio_ingest_dedup_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Both roles re-derived from the shared sign-fingerprint CTE —
+    the known set, the arriving set, and the anti-join all in SQL, so
+    the Spark side's real decode of BOTH roles is value-pinned; the
+    known set comes from the data (not closed form), so partial tail
+    lattices are handled."""
+    return f"""
+WITH {_audio_sign_sql(modulo)},
+ak AS (
+  SELECT af.doc_id, af.fingerprint, af.doc_id // {modulo} AS k FROM af
+),
+known AS (
+  SELECT DISTINCT fingerprint FROM ak WHERE k % 40 < 20 AND k % 2 = 0
+)
+SELECT doc_id, fingerprint FROM ak
+WHERE k % 40 >= 20 AND fingerprint NOT IN (SELECT fingerprint FROM known)
+"""
+
+
 # ---------------------------------------------------------------------------
 # VIDEO: the third modality goes REAL (r12) — vendored YUV4MPEG2 codec
 # (functions/y4m.py: raw planar frames, losslessly decodable), one
@@ -2672,6 +2728,146 @@ known AS (
 )
 SELECT doc_id, colorspace, fingerprint FROM fpc
 WHERE k % 2 = 1 AND fingerprint NOT IN (SELECT fingerprint FROM known)
+"""
+
+
+_VIDEO_LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("colorspace", T.StringType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("frames", T.ArrayType(T.ArrayType(T.IntegerType())), False),
+    ]
+)
+
+
+def video_ingest_decision_report(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """The video front door's admission ledger — the observability
+    twin `video_ingest_dedup` lacks (it emits survivors only): one row
+    per ARRIVING clip with its verdict, `exact_dup` (byte digest
+    already in the corpus) > `perceptual_dup` (frame-hash-sequence
+    fingerprint already known) > `accepted` — the same precedence and
+    audit-trail role as the text and image ledgers. Roles are the
+    ingest lattice's: arriving = odd k, known = even k in even jdx
+    groups.
+
+    Scale shape: arriving features (digest + per-frame cell stacks)
+    come from ONE stateless decode mapInPandas pass, with the
+    fingerprint folded over the nested array in Catalyst (the shared
+    `_cells_phash_expr` — no per-clip groupBy, so `docs` lets
+    `streaming/ingest.stream_video_ingest_decision_report` feed the
+    arriving side from an unbounded stream); the known digest set is
+    codegen'd md5 over the known blobs (no decode — digests need
+    bytes, not pixels) and the known fingerprint set filters the
+    shared `_video_fingerprints` table (decode shared with the
+    family); both known sets reduce to DISTINCT keys and broadcast.
+    Emits (doc_id, colorspace, is_exact_dup, is_perceptual_dup,
+    verdict)."""
+    import pandas as pd
+
+    from ..functions import hashing as H
+
+    k = _dup_k(modulo)
+    jdx = F.expr(f"(doc_id div {modulo}) div {VIDEO_DUP_GROUP}")
+    corpus = synthetic_video_media(spark, sf_dir, modulo)
+    arriving = (
+        synthetic_video_media(spark, sf_dir, modulo, docs=docs).filter(k % 2 == 1)
+        if docs is not None
+        else corpus.filter(k % 2 == 1)
+    )
+
+    def feats(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import resample as _resample
+        from ..functions import y4m as _y4mmod
+
+        for pdf in batches:
+            out = {c: [] for c in ("doc_id", "colorspace", "digest", "frames")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                content = bytes(content)
+                try:
+                    _w, _h, _fn, _fd, cs, frames = _y4mmod.decode_y4m(content)
+                    cells = [
+                        [v for row in _resample.resample_gray_box(fr, 8, 8) for v in row]
+                        for fr in frames
+                    ]
+                except ValueError:
+                    cs, cells = "", []
+                out["doc_id"].append(doc_id)
+                out["colorspace"].append(cs)
+                out["digest"].append(hashlib.md5(content).hexdigest())
+                out["frames"].append(cells)
+            yield pd.DataFrame(out)
+
+    fp = H.h60_expr(
+        F.array_join(F.transform("frames", lambda fc: _cells_phash_expr(fc)), "")
+    )
+    arr = arriving.mapInPandas(feats, _VIDEO_LEDGER_SCHEMA).select(
+        "doc_id", "colorspace", "digest", fp.alias("fingerprint")
+    )
+    known_digests = (
+        corpus.filter((k % 2 == 0) & (jdx % 2 == 0))
+        .select(F.md5("content").alias("digest"))
+        .distinct()
+        .withColumn("d_hit", F.lit(1))
+    )
+    known_fps = (
+        _video_fingerprints(spark, sf_dir, modulo)
+        .filter((k % 2 == 0) & (jdx % 2 == 0))
+        .select("fingerprint")
+        .distinct()
+        .withColumn("p_hit", F.lit(1))
+    )
+    return (
+        arr.join(F.broadcast(known_digests), "digest", "left")
+        .join(F.broadcast(known_fps), "fingerprint", "left")
+        .select(
+            "doc_id",
+            "colorspace",
+            F.col("d_hit").isNotNull().alias("is_exact_dup"),
+            F.col("p_hit").isNotNull().alias("is_perceptual_dup"),
+            F.when(F.col("d_hit").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("p_hit").isNotNull(), F.lit("perceptual_dup"))
+            .otherwise(F.lit("accepted"))
+            .alias("verdict"),
+        )
+    )
+
+
+def video_ingest_decision_report_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Fingerprint verdicts re-derived from the shared lattice CTEs;
+    the known fingerprint set comes from the data (not closed form),
+    so partial tail groups are handled. is_exact_dup is pinned FALSE
+    by construction — arriving clips are C420jpeg (odd k), known clips
+    Cmono (even k), so their y4m headers (and plane layouts) can never
+    byte-match; the Spark side still runs a REAL digest probe, and any
+    false match reds the hash."""
+    from ..functions import hashing as H
+
+    seq = "string_agg(phash, '' ORDER BY frame)"
+    return f"""
+WITH {_video_sql_ctes(modulo)},
+fp AS (
+  SELECT doc_id, {H.h60_sql(seq)} AS fingerprint
+  FROM fphash GROUP BY doc_id
+),
+fpc AS (
+  SELECT fp.doc_id, fp.fingerprint, v.colorspace, v.k, v.jdx
+  FROM fp JOIN v USING (doc_id)
+),
+known AS (
+  SELECT DISTINCT fingerprint FROM fpc WHERE k % 2 = 0 AND jdx % 2 = 0
+)
+SELECT doc_id, colorspace,
+       FALSE AS is_exact_dup,
+       fingerprint IN (SELECT fingerprint FROM known) AS is_perceptual_dup,
+       CASE WHEN fingerprint IN (SELECT fingerprint FROM known)
+            THEN 'perceptual_dup' ELSE 'accepted' END AS verdict
+FROM fpc WHERE k % 2 = 1
 """
 
 

@@ -295,6 +295,66 @@ def stream_video_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_audio_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `operators/multimodal.audio_ingest_dedup` —
+    the loudness-invariant AUDIO front door: arriving recordings are
+    synthesized+decoded+sign-fingerprinted per microbatch (stateless
+    mapInPandas + Catalyst hash — per-row, so no stream state), then
+    stream-static LEFT-ANTI-joined against the known corpus's
+    broadcast fingerprint set. The same waveform at a different gain
+    never reaches the sink even though every PCM byte is new.
+    Append-mode, no watermark; the known set is a static DataFrame
+    re-resolved per microbatch."""
+    from ..operators import multimodal as mm
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    modulo = mm.CONTRACT_MODULO
+    k = F.expr(f"doc_id div {modulo}")
+    arriving_media = mm.synthetic_audio_media(
+        spark, sf_dir, modulo, docs=stream.select("doc_id")
+    ).filter(k % 40 >= 20)
+    arrived = mm.audio_sign_fingerprint(
+        spark, sf_dir, modulo, media_df=arriving_media
+    )
+    known = (
+        mm.audio_sign_fingerprint(spark, sf_dir, modulo)
+        .filter((k % 40 < 20) & (k % 2 == 0))
+        .select("fingerprint")
+        .distinct()
+    )
+    return arrived.join(F.broadcast(known), "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+def stream_video_ingest_decision_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the video admission ledger
+    (`operators/multimodal.video_ingest_decision_report`): the
+    arriving side synthesizes, digests, and fingerprints per
+    microbatch (one stateless mapInPandas + the Catalyst nested-array
+    hash), then takes the same two broadcast left-join probes against
+    the static known digest and fingerprint sets — one verdict row per
+    arriving clip, append-mode, no watermark, no stream state."""
+    from ..operators import multimodal as mm
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return mm.video_ingest_decision_report(
+        spark, sf_dir, docs=stream.select("doc_id")
+    )
+
+
 def stream_media_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `operators/multimodal.media_ingest_near_dedup`
     — the perceptual NEAR-dup image front door: the arriving stream

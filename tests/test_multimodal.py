@@ -1428,3 +1428,51 @@ def test_video_clip_fingerprints_match_batch_aggregation(spark, sf_dir):
     )
     rows = M.video_clip_fingerprints(spark, sf_dir, media_df=corrupt).collect()
     assert rows and all(r.arm == "stub" and r.colorspace == "" for r in rows)
+
+
+def test_audio_ingest_dedup_oracle_parity_and_roles(spark, sf_dir):
+    """The audio front door: driver-style parity, both branches
+    exercised, and the semantics — every rejected arrival shares its
+    (n_samples, half-period) collision class with a known recording at
+    a DIFFERENT amplitude (the loudness-invariant catch), every
+    survivor's class is unseen."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    aid = M.audio_ingest_dedup(spark, sf_dir)
+    compare_spark_duckdb(aid, M.audio_ingest_dedup_oracle(), sf_dir)
+    survivors = {r.doc_id for r in aid.collect()}
+    assert survivors
+    mod = M.CONTRACT_MODULO
+    fps = {r.doc_id: r.fingerprint for r in M.audio_sign_fingerprint(spark, sf_dir).collect()}
+    arriving = {d for d in fps if (d // mod) % 40 >= 20}
+    known = {
+        fps[d] for d in fps if (d // mod) % 40 < 20 and (d // mod) % 2 == 0
+    }
+    assert survivors < arriving  # both branches taken
+    for d in arriving:
+        assert (d in survivors) == (fps[d] not in known)
+    # rejected arrivals are even k (their class parity matches a known
+    # member); amplitudes differ between the pair (k vs k-20 differ mod 7
+    # whenever the lattice tail allows, loudness-invariance is pinned by
+    # audio_dup_pairs) — here pin the class-arithmetic role split:
+    for d in arriving - survivors:
+        assert (d // mod) % 2 == 0
+
+
+def test_video_ingest_decision_report_parity_and_verdicts(spark, sf_dir):
+    """The video admission ledger: driver-style parity, one row per
+    arriving clip, verdict precedence respected, the digest probe real
+    but never firing (arriving 420jpeg can't byte-match known mono),
+    and agreement with the survivor query — accepted == survivors."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    rep = M.video_ingest_decision_report(spark, sf_dir)
+    compare_spark_duckdb(rep, M.video_ingest_decision_report_oracle(), sf_dir)
+    rows = rep.collect()
+    assert rows and all(not r.is_exact_dup for r in rows)
+    assert {r.verdict for r in rows} == {"perceptual_dup", "accepted"}
+    accepted = {r.doc_id for r in rows if r.verdict == "accepted"}
+    survivors = {r.doc_id for r in M.video_ingest_dedup(spark, sf_dir).collect()}
+    assert accepted == survivors
+    mod = M.CONTRACT_MODULO
+    assert all((r.doc_id // mod) % 2 == 1 for r in rows)  # arriving role only

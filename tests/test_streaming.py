@@ -728,3 +728,43 @@ def test_stream_video_ingest_dedup_matches_batch(spark, sf_dir):
     q.awaitTermination(180)
     streamed = {tuple(r) for r in spark.sql("SELECT * FROM video_ingest").collect()}
     assert streamed == batch
+
+
+def test_stream_audio_ingest_dedup_matches_batch(spark, sf_dir):
+    """The audio front door's streaming twin: per-microbatch stateless
+    sign-fingerprinting + broadcast anti-join equals the batch
+    survivors exactly."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {tuple(r) for r in mm.audio_ingest_dedup(spark, sf_dir).collect()}
+    assert batch
+    q = S.run_stream_to_memory(
+        ingest.stream_audio_ingest_dedup(spark, sf_dir),
+        "audio_ingest",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM audio_ingest").collect()}
+    assert streamed == batch
+
+
+def test_stream_video_ingest_decision_report_matches_batch(spark, sf_dir):
+    """The video ledger's streaming twin: one stateless decode pass +
+    two broadcast probes per microbatch equals the batch ledger
+    exactly."""
+    from roblox_vector_search_datagen_spark.operators import multimodal as mm
+    from roblox_vector_search_datagen_spark.streaming import ingest
+
+    batch = {
+        tuple(r) for r in mm.video_ingest_decision_report(spark, sf_dir).collect()
+    }
+    assert batch
+    q = S.run_stream_to_memory(
+        ingest.stream_video_ingest_decision_report(spark, sf_dir),
+        "video_ledger",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM video_ledger").collect()}
+    assert streamed == batch
