@@ -95,25 +95,26 @@ def decode_y4m(
     w = h = 0
     fps_num = fps_den = 0
     colorspace = "420jpeg"  # the spec's default when no C tag appears
+    def _num(s: str, tag: str) -> int:
+        try:
+            return int(s)
+        except ValueError:
+            raise ValueError(f"malformed y4m header tag {tag}") from None
+
     for tok in header.split():
         tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
-        try:
-            if tag == "W":
-                w = int(val)
-            elif tag == "H":
-                h = int(val)
-            elif tag == "F":
-                num, _, den = val.partition(":")
-                fps_num, fps_den = int(num), int(den)
-            elif tag == "C":
-                colorspace = val
-            elif tag == "I" and val not in ("p", "?"):
-                raise ValueError(f"unsupported y4m interlacing I{val}")
-            # A (aspect) and X (metadata) tags are skipped per spec
-        except ValueError:
-            raise
-        except Exception as exc:  # int() on junk etc.
-            raise ValueError(f"malformed y4m header tag {tag}") from exc
+        if tag == "W":
+            w = _num(val, tag)
+        elif tag == "H":
+            h = _num(val, tag)
+        elif tag == "F":
+            num, _, den = val.partition(":")
+            fps_num, fps_den = _num(num, tag), _num(den, tag)
+        elif tag == "C":
+            colorspace = val
+        elif tag == "I" and val not in ("p", "?"):
+            raise ValueError(f"unsupported y4m interlacing I{val}")
+        # A (aspect) and X (metadata) tags are skipped per spec
     if w < 1 or h < 1:
         raise ValueError("y4m header missing W/H dims")
     if fps_num <= 0 or fps_den <= 0:

@@ -2153,6 +2153,29 @@ def _video_expected_frames(jdx: int) -> list[list[int]]:
     return out
 
 
+def _frame_cells(fr_mat: list[list[int]]) -> list[int]:
+    """One frame's 64-cell analysis grid: the 8x8 box resample of its
+    luma, flattened row-major — THE cell derivation every video decode
+    body shares (per-frame table, clip fingerprints, ledger), so a
+    resample change can never desynchronize the family's consumers."""
+    from ..functions import resample as _resample
+
+    return [v for row in _resample.resample_gray_box(fr_mat, 8, 8) for v in row]
+
+
+def _clip_cells(content: bytes) -> tuple[str, list[list[int]]]:
+    """Decode one blob to (colorspace, per-frame cell grids); a blob
+    the strict codec refuses degrades to the ('', []) stub — the
+    shared decode core of the clip-level stages."""
+    from ..functions import y4m as _y4mmod
+
+    try:
+        _w, _h, _fn, _fd, cs, frames = _y4mmod.decode_y4m(content)
+    except ValueError:
+        return "", []
+    return cs, [_frame_cells(fr) for fr in frames]
+
+
 VIDEO_FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -2199,7 +2222,6 @@ def video_frames(
     )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import resample as _resample
         from ..functions import y4m as _y4mmod
 
         cols = (
@@ -2215,7 +2237,7 @@ def video_frames(
                         (
                             cs, w, h, fn, fd, f,
                             sum(map(sum, fr)),
-                            [v for row in _resample.resample_gray_box(fr, 8, 8) for v in row],
+                            _frame_cells(fr),
                             "real",
                         )
                         for f, fr in enumerate(frames)
@@ -2370,6 +2392,27 @@ FROM fphash
 """
 
 
+def _with_scene_segments(fr: DataFrame, threshold: float) -> DataFrame:
+    """Append is_cut and segment to a per-frame cells table — THE
+    scene-boundary construction (lag window, L1 cell distance, running
+    cut count) shared by `video_scene_cuts` and `video_keyframes`, so
+    a threshold or distance-formula change can never desynchronize
+    them (or their shared oracle CTEs)."""
+    w_ord = Window.partitionBy("doc_id").orderBy("frame")
+    prev = F.lag("cells").over(w_ord)
+    dist = F.aggregate(
+        F.zip_with("cells", prev, lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    ) / 64.0
+    seg = F.sum(F.col("is_cut").cast("int")).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return fr.withColumn(
+        "is_cut", F.coalesce(dist > threshold, F.lit(False))
+    ).withColumn("segment", seg.cast("int"))
+
+
 def video_scene_cuts(
     spark: SparkSession,
     sf_dir: str,
@@ -2392,21 +2435,8 @@ def video_scene_cuts(
     identical (diff 0), so `is_cut` equals the group's cut-flag word
     bit-for-bit and DuckDB value-pins the whole chain."""
     fr = video_frames(spark, sf_dir, modulo)
-    w_ord = Window.partitionBy("doc_id").orderBy("frame")
-    prev = F.lag("cells").over(w_ord)
-    dist = F.aggregate(
-        F.zip_with("cells", prev, lambda a, b: F.abs(a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x.cast("long"),
-    ) / 64.0
-    with_cut = fr.withColumn(
-        "is_cut", F.coalesce(dist > threshold, F.lit(False))
-    )
-    seg = F.sum(F.col("is_cut").cast("int")).over(
-        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return with_cut.select(
-        "doc_id", "frame", "is_cut", seg.cast("int").alias("segment")
+    return _with_scene_segments(fr, threshold).select(
+        "doc_id", "frame", "is_cut", "segment"
     )
 
 
@@ -2569,21 +2599,8 @@ def video_keyframes(
     plus the shared average-hash expression); output is bounded by
     scene count, not frame count."""
     fr = video_frames(spark, sf_dir, modulo)
-    w_ord = Window.partitionBy("doc_id").orderBy("frame")
-    prev = F.lag("cells").over(w_ord)
-    dist = F.aggregate(
-        F.zip_with("cells", prev, lambda a, b: F.abs(a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x.cast("long"),
-    ) / 64.0
-    with_cut = fr.withColumn(
-        "is_cut", F.coalesce(dist > threshold, F.lit(False))
-    )
-    seg = F.sum(F.col("is_cut").cast("int")).over(
-        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        with_cut.withColumn("segment", seg.cast("int"))
+        _with_scene_segments(fr, threshold)
         .filter((F.col("frame") == 0) | F.col("is_cut"))
         .select(
             "doc_id",
@@ -2642,25 +2659,14 @@ def video_clip_fingerprints(
     )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import resample as _resample
-        from ..functions import y4m as _y4mmod
-
         for pdf in batches:
             out = {c: [] for c in ("doc_id", "colorspace", "frames", "arm")}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                try:
-                    _w, _h, _fn, _fd, cs, frames = _y4mmod.decode_y4m(bytes(content))
-                    cells = [
-                        [v for row in _resample.resample_gray_box(fr, 8, 8) for v in row]
-                        for fr in frames
-                    ]
-                    arm = "real"
-                except ValueError:
-                    cs, cells, arm = "", [], "stub"
+                cs, cells = _clip_cells(bytes(content))
                 out["doc_id"].append(doc_id)
                 out["colorspace"].append(cs)
                 out["frames"].append(cells)
-                out["arm"].append(arm)
+                out["arm"].append("stub" if cells == [] else "real")
             yield pd.DataFrame(out)
 
     clips = corpus.mapInPandas(run, VIDEO_CLIP_SCHEMA)
@@ -2782,21 +2788,11 @@ def video_ingest_decision_report(
     )
 
     def feats(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import resample as _resample
-        from ..functions import y4m as _y4mmod
-
         for pdf in batches:
             out = {c: [] for c in ("doc_id", "colorspace", "digest", "frames")}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 content = bytes(content)
-                try:
-                    _w, _h, _fn, _fd, cs, frames = _y4mmod.decode_y4m(content)
-                    cells = [
-                        [v for row in _resample.resample_gray_box(fr, 8, 8) for v in row]
-                        for fr in frames
-                    ]
-                except ValueError:
-                    cs, cells = "", []
+                cs, cells = _clip_cells(content)
                 out["doc_id"].append(doc_id)
                 out["colorspace"].append(cs)
                 out["digest"].append(hashlib.md5(content).hexdigest())
