@@ -2867,6 +2867,373 @@ FROM fpc WHERE k % 2 = 1
 """
 
 
+def synthetic_near_dup_video(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Generative corpus of CONSTRUCTED video NEAR-twins on the
+    residue-(7*modulo/8) docs (disjoint from the six sibling media
+    corpora): every VIDEO_DUP_GROUP consecutive k render the same clip
+    (jdx = k/4 picks the `_video_expected_frames` sequence — same
+    frames, same cuts) with member t = k%4 complementing the cells in
+    PHASH_NEAR_FLIP_SETS[t] in EVERY frame — a logo overlay /
+    letterbox / brightness-edit stand-in that moves each frame's
+    average-hash by exactly the flip-set size, so identical-
+    fingerprint dedup (`video_dup_pairs`) misses the pair but
+    Hamming<=3 frame banding must find it (the flip sets are the image
+    near-twin family's: see their comment for the per-pair distances
+    and which banding path each pair exercises). Dims and colorspace
+    vary per member on coordinates decorrelated from the member index
+    (the residue-pinning discipline) so the pair search also spans the
+    resample and both plane layouts. Flipping <= 8 of 64 cells keeps
+    each frame's ones-count in [24, 40] — the cell mean stays strictly
+    between the two cell values, and the y4m decode is lossless, so
+    the threshold is exact. Deterministic in doc_id alone."""
+    import pandas as pd
+
+    d = (
+        (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
+        .filter(F.col("doc_id") % modulo == 7 * modulo // 8)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import y4m as _y4mmod
+
+        for pdf in batches:
+            metas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = doc_id // modulo
+                t = k % VIDEO_DUP_GROUP
+                flips = PHASH_NEAR_FLIP_SETS[t]
+                w = ((k + k // 4) % 4 + 1) * 16
+                h = ((k // 2) % 2 + 1) * 16
+                cs = "mono" if (k + k // 8) % 2 == 0 else "420jpeg"
+                flipped = [
+                    [1 - b if i in flips else b for i, b in enumerate(bits)]
+                    for bits in _video_expected_frames(k // VIDEO_DUP_GROUP)
+                ]
+                frames = [
+                    [
+                        [255 * fb[(r * 8 // h) * 8 + (c * 8 // w)] for c in range(w)]
+                        for r in range(h)
+                    ]
+                    for fb in flipped
+                ]
+                blobs.append(
+                    _y4mmod.encode_y4m(frames, VIDEO_FPS_NUM, VIDEO_FPS_DEN, cs)
+                )
+                metas.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "duration_ms": len(frames)
+                        * 1000
+                        * VIDEO_FPS_DEN
+                        // VIDEO_FPS_NUM,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["video"] * len(blobs),
+                    "content": blobs,
+                    "meta": metas,
+                }
+            )
+
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _video_near_phash(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """(doc_id, frame, phash) over the near-twin video corpus — the
+    persisted decode subtree the banded pair search references on both
+    join sides AND in the verify join (Catalyst never shares a subtree
+    across a self-join; without the cache the synthesize+decode chain
+    runs once per reference)."""
+    from ..functions.caching import persist_if
+
+    ph = video_frame_phash(
+        spark,
+        sf_dir,
+        modulo,
+        media_df=synthetic_near_dup_video(spark, sf_dir, modulo),
+    ).select("doc_id", "frame", "phash")
+    return persist_if(ph, modulo == CONTRACT_MODULO)
+
+
+def video_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    max_hamming: int = PHASH_NEAR_MAX_HAMMING,
+    band_cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Video NEAR-duplicate pairs: clips with the same frame count
+    whose aligned frames each differ in <= max_hamming of 64 hash bits
+    — the logo overlays, letterboxes, and brightness edits that flip a
+    few threshold cells in every frame and escape the identical-
+    fingerprint path (`video_dup_pairs` is the t=0 fast path; this is
+    the production video dedup, the image family's r12 escalation
+    applied to the third modality). Candidate generation banding rides
+    frame 0 ONLY — sound by pigeonhole: a qualifying pair's frame 0 is
+    within Hamming <= 3, so it agrees exactly on >= 1 of frame 0's 4
+    prefix bands — and keeps the unpivot at 4 rows per CLIP, not per
+    frame. The verify is an aligned per-frame join over the persisted
+    hash table: per candidate pair, every frame's Hamming (codegen'd
+    conv/xor/bit_count — no UDF) aggregates to a max, and differing
+    frame counts disqualify. Band buckets above band_cap are dropped,
+    cap mirrored exactly in the oracle (`media_phash_dropped_bands`'
+    cap discipline).
+
+    Scale shape: ONE persisted synthesize+decode pass feeds the band
+    unpivot (both sides) and the verify join (both sides); exchanges
+    are the band equi-join and the per-pair aggregation — pair space
+    never materializes beyond frame-0 band collisions. Emits
+    (doc_a, doc_b, n_frames, max_hamming)."""
+    ph = _video_near_phash(spark, sf_dir, modulo)
+    f0 = ph.filter(F.col("frame") == 0)
+    bands = f0.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.substring(
+                        "phash", 1 + j * PHASH_NEAR_BAND_BITS, PHASH_NEAR_BAND_BITS
+                    ).alias("val"),
+                )
+                for j in range(PHASH_NEAR_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    wb = Window.partitionBy("band", "val")
+    kept = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= band_cap)
+        .drop("bucket_n")
+    )
+    cand = (
+        kept.select("band", "val", F.col("doc_id").alias("doc_a"))
+        .join(kept.select("band", "val", F.col("doc_id").alias("doc_b")), ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = ph.select(
+        F.col("doc_id").alias("doc_a"), "frame", F.col("phash").alias("fp_a")
+    )
+    fb = ph.select(
+        F.col("doc_id").alias("doc_b"), "frame", F.col("phash").alias("fp_b")
+    )
+    n_by_doc = ph.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    verified = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "frame"])
+        .withColumn("h", _bits_hamming(F.col("fp_a"), F.col("fp_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("h").alias("max_hamming"),
+        )
+    )
+    return (
+        verified.join(
+            n_by_doc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            n_by_doc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .filter(
+            (F.col("n_frames") == F.col("n_a"))
+            & (F.col("n_frames") == F.col("n_b"))
+            & (F.col("max_hamming") <= max_hamming)
+        )
+        .select("doc_a", "doc_b", F.col("n_frames").cast("int").alias("n_frames"), "max_hamming")
+    )
+
+
+def _video_near_sql_ctes(modulo: int) -> str:
+    """The near-twin video corpus's per-frame hash derivation — the
+    shared `_video_sql_ctes` lattice with the flip predicate GENERATED
+    from PHASH_NEAR_FLIP_SETS (one definition, both engines), on the
+    7*modulo/8 residue."""
+    flip_cond = " OR ".join(
+        f"(t = {m} AND i IN ({', '.join(str(i) for i in sorted(cells))}))"
+        for m, cells in enumerate(PHASH_NEAR_FLIP_SETS)
+        if cells
+    )
+    return f"""v AS (
+  SELECT doc_id, k, jdx,
+         CAST(k % {VIDEO_DUP_GROUP} AS INT) AS t,
+         CAST(jdx % 5 + 2 AS INT) AS n,
+         CAST((CAST(jdx AS HUGEINT) * {_VIDEO_MIX_CUTS} + 1) % {_I63} AS BIGINT) AS g
+  FROM (
+    SELECT doc_id, doc_id // {modulo} AS k,
+           (doc_id // {modulo}) // {VIDEO_DUP_GROUP} AS jdx
+    FROM documents WHERE doc_id % {modulo} = {7 * modulo // 8}
+  )
+),
+seg AS (
+  SELECT v.*, CAST(f AS INT) AS frame,
+         CAST(SUM(CASE WHEN f = 0 THEN 0 ELSE (g >> CAST(f AS INT)) & 1 END)
+              OVER (PARTITION BY doc_id ORDER BY f) AS INT) AS segment
+  FROM v, unnest(range(0, n)) AS t2(f)
+),
+pw AS (
+  SELECT seg.*,
+         CAST((CAST(jdx AS HUGEINT) * {_PHASH_MIX}
+               + CAST(segment AS HUGEINT) * {_VIDEO_MIX_SEG} + 1) % {_I63} AS BIGINT) AS p
+  FROM seg
+),
+fbits AS (
+  SELECT doc_id, frame, i,
+         CASE WHEN {flip_cond} THEN 1 - b0 ELSE b0 END AS b
+  FROM (
+    SELECT doc_id, t, frame, i,
+           CASE WHEN i % 2 = 0 THEN (p >> CAST(i // 2 AS INT)) & 1
+                ELSE 1 - ((p >> CAST(i // 2 AS INT)) & 1) END AS b0
+    FROM pw, range(64) u(i)
+  )
+),
+fphash AS (
+  SELECT doc_id, frame, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS phash
+  FROM fbits GROUP BY doc_id, frame
+)"""
+
+
+def video_near_dup_pairs_oracle(
+    modulo: int = CONTRACT_MODULO,
+    max_hamming: int = PHASH_NEAR_MAX_HAMMING,
+    band_cap: int = PHASH_BUCKET_CAP,
+) -> str:
+    """The full discipline re-derived in SQL — frame-0 band unpivot,
+    bucket cap, equi-join, aligned per-frame Hamming verify (DuckDB's
+    hamming() text function vs Spark's conv/xor/bit_count), equal
+    frame counts — cap included."""
+    return f"""
+WITH {_video_near_sql_ctes(modulo)},
+f0bands AS (
+  SELECT doc_id, CAST(j AS INT) AS band,
+         substring(phash, 1 + CAST(j AS INT) * {PHASH_NEAR_BAND_BITS},
+                   {PHASH_NEAR_BAND_BITS}) AS val
+  FROM fphash, range({PHASH_NEAR_BANDS}) u(j) WHERE frame = 0
+),
+bcnt AS (SELECT band, val, count(*) AS cnt FROM f0bands GROUP BY 1, 2),
+kept AS (
+  SELECT b.* FROM f0bands b JOIN bcnt USING (band, val) WHERE bcnt.cnt <= {band_cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+nf AS (SELECT doc_id, count(*) AS n FROM fphash GROUP BY 1),
+verified AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_frames,
+         max(hamming(fa.phash, fb.phash)) AS max_h
+  FROM cand c
+  JOIN fphash fa ON fa.doc_id = c.doc_a
+  JOIN fphash fb ON fb.doc_id = c.doc_b AND fb.frame = fa.frame
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT v.doc_a, v.doc_b, CAST(v.n_frames AS INT) AS n_frames,
+       CAST(v.max_h AS BIGINT) AS max_hamming
+FROM verified v
+JOIN nf na ON na.doc_id = v.doc_a
+JOIN nf nb ON nb.doc_id = v.doc_b
+WHERE v.n_frames = na.n AND v.n_frames = nb.n AND v.max_h <= {max_hamming}
+"""
+
+
+def media_fingerprint_catalog(
+    spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
+) -> DataFrame:
+    """The cross-modality perceptual-identity catalog: ONE table
+    listing every perceptual fingerprint the engine maintains — image
+    average-hashes, loudness-invariant audio sign fingerprints, video
+    frame-sequence fingerprints — keyed (doc_id, modality,
+    fingerprint). This is the governance surface a multimodal corpus
+    build audits and the lookup table cross-store dedup probes: each
+    family's front door consults its own known set, and this catalog
+    is their union, served from the SAME persisted decode subtrees
+    (zero extra decode passes — three cached scans and a union). The
+    bigint fingerprints are rendered as strings so one column spans
+    the modalities' key types."""
+    img = media_phash(spark, sf_dir, modulo).select(
+        "doc_id", F.lit("image").alias("modality"), F.col("phash").alias("fingerprint")
+    )
+    aud = audio_sign_fingerprint(spark, sf_dir, modulo).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        F.col("fingerprint").cast("string").alias("fingerprint"),
+    )
+    vid = _video_fingerprints(spark, sf_dir, modulo).select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        F.col("fingerprint").cast("string").alias("fingerprint"),
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+def media_fingerprint_catalog_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Union of the three families' fingerprint derivations — each the
+    SAME shared CTE block its own family's oracles embed, so the
+    catalog can never drift from the per-family gates."""
+    from ..functions import hashing as H
+
+    vseq = "string_agg(phash, '' ORDER BY frame)"
+    return f"""
+WITH {_phash_sql_ctes(modulo)},
+{_audio_sign_sql(modulo)},
+vv AS (
+  SELECT doc_id, doc_id // {modulo} AS k,
+         (doc_id // {modulo}) // {VIDEO_DUP_GROUP} AS jdx
+  FROM documents WHERE doc_id % {modulo} = {3 * modulo // 8}
+),
+vseg AS (
+  SELECT vv.*, CAST(f AS INT) AS frame,
+         CAST(SUM(CASE WHEN f = 0 THEN 0 ELSE
+               ((CAST((CAST(jdx AS HUGEINT) * {_VIDEO_MIX_CUTS} + 1) % {_I63} AS BIGINT))
+                >> CAST(f AS INT)) & 1 END)
+              OVER (PARTITION BY doc_id ORDER BY f) AS INT) AS segment
+  FROM vv, unnest(range(0, jdx % 5 + 2)) AS t2(f)
+),
+vpw AS (
+  SELECT vseg.*,
+         CAST((CAST(jdx AS HUGEINT) * {_PHASH_MIX}
+               + CAST(segment AS HUGEINT) * {_VIDEO_MIX_SEG} + 1) % {_I63} AS BIGINT) AS p
+  FROM vseg
+),
+vfbits AS (
+  SELECT doc_id, frame, i,
+         CASE WHEN i % 2 = 0 THEN (p >> CAST(i // 2 AS INT)) & 1
+              ELSE 1 - ((p >> CAST(i // 2 AS INT)) & 1) END AS b
+  FROM vpw, range(64) u(i)
+),
+vfphash AS (
+  SELECT doc_id, frame, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS phash
+  FROM vfbits GROUP BY doc_id, frame
+),
+vfp AS (
+  SELECT doc_id, {H.h60_sql(vseq)} AS fingerprint
+  FROM vfphash GROUP BY doc_id
+)
+SELECT doc_id, 'image' AS modality, phash AS fingerprint FROM h
+UNION ALL
+SELECT doc_id, 'audio' AS modality, CAST(fingerprint AS VARCHAR) AS fingerprint FROM af
+UNION ALL
+SELECT doc_id, 'video' AS modality, CAST(fingerprint AS VARCHAR) AS fingerprint FROM vfp
+"""
+
+
 def frame_sample_plan(spark: SparkSession, sf_dir: str, every_ms: int = 5000) -> DataFrame:
     """Video frame-sampling plan: explode each video into the frame
     timestamps a decoder would extract (the decode itself is the

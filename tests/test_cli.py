@@ -592,3 +592,33 @@ def test_find_duplicate_videos_command(spark, sf_dir, tmp_path, monkeypatch, cap
     assert capsys.readouterr().out.strip() == ""
     assert cli.main(["findDuplicateVideos", sf_dir, "--cap", "oops"]) == 2
     assert "usage" in capsys.readouterr().err
+
+
+def test_find_near_duplicate_videos_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """Video near-dup search from the shell: the constructed 1/2/3
+    distances surface; --max-hamming 0 finds nothing (near-twin clips
+    have no identical pair); past the pigeonhole bound is refused."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["findNearDuplicateVideos", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and {r["max_hamming"] for r in rows} == {1, 2, 3}
+
+    assert cli.main(["findNearDuplicateVideos", sf_dir, "--max-hamming", "0"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    assert cli.main(["findNearDuplicateVideos", sf_dir, "--max-hamming", "9"]) == 2
+    assert "banding" in capsys.readouterr().err
+    assert cli.main(["findNearDuplicateVideos", sf_dir, "--cap", "x"]) == 2
+    assert "usage" in capsys.readouterr().err
+
+
+def test_fingerprint_catalog_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The cross-modality catalog from the shell: all three modalities
+    present, one row per (doc, modality)."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["fingerprintCatalog", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["modality"] for r in rows} == {"image", "audio", "video"}
+    assert len({(r["doc_id"], r["modality"]) for r in rows}) == len(rows)

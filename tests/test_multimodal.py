@@ -1476,3 +1476,80 @@ def test_video_ingest_decision_report_parity_and_verdicts(spark, sf_dir):
     assert accepted == survivors
     mod = M.CONTRACT_MODULO
     assert all((r.doc_id // mod) % 2 == 1 for r in rows)  # arriving role only
+
+
+def test_video_near_dup_pairs_oracle_parity_and_exact_pair_set(spark, sf_dir):
+    """The video near-dup escalation: driver-style parity, and the
+    pair set pinned against an O(n^2) brute force over the EXPECTED
+    flipped frame bits — every constructed distance-1/2/3 pair found
+    with its exact max aligned-frame Hamming, the 8-flip member
+    excluded by the frame-0 banding itself (it shares no band value
+    with any sibling), and no cross-group pair."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    nd = M.video_near_dup_pairs(spark, sf_dir)
+    compare_spark_duckdb(nd, M.video_near_dup_pairs_oracle(), sf_dir)
+    got = {(r.doc_a, r.doc_b): (r.n_frames, r.max_hamming) for r in nd.collect()}
+    assert got
+
+    mod, grp = M.CONTRACT_MODULO, M.VIDEO_DUP_GROUP
+    docs = sorted(
+        d
+        for (d,) in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+            f"WHERE doc_id % {mod} = {7 * mod // 8}"
+        ).fetchall()
+    )
+
+    def member_frames(doc_id):
+        k = doc_id // mod
+        flips = M.PHASH_NEAR_FLIP_SETS[k % grp]
+        return [
+            [1 - b if i in flips else b for i, b in enumerate(bits)]
+            for bits in M._video_expected_frames(k // grp)
+        ]
+
+    expected = {}
+    for ia, da in enumerate(docs):
+        fa = member_frames(da)
+        for db in docs[ia + 1 :]:
+            fb = member_frames(db)
+            if len(fa) != len(fb):
+                continue
+            maxh = max(
+                sum(x != y for x, y in zip(pa, pb)) for pa, pb in zip(fa, fb)
+            )
+            # frame-0 banding completeness bound: only pairs agreeing on
+            # >= 1 frame-0 band are discoverable; Hamming <= 3 guarantees
+            # that, the 8-flip member never does (2 flips per band)
+            if maxh <= M.PHASH_NEAR_MAX_HAMMING:
+                expected[(da, db)] = (len(fa), maxh)
+    assert got == expected
+    assert {h for _, h in got.values()} == {1, 2, 3}
+    for (da, db) in got:
+        assert da // (mod * grp) == db // (mod * grp)  # same lattice group
+
+
+def test_media_fingerprint_catalog_parity_and_union_semantics(spark, sf_dir):
+    """The cross-modality catalog: driver-style parity, one row per
+    (doc, modality), and value agreement with each family's own
+    fingerprint table."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    cat = M.media_fingerprint_catalog(spark, sf_dir)
+    compare_spark_duckdb(cat, M.media_fingerprint_catalog_oracle(), sf_dir)
+    rows = cat.collect()
+    assert {r.modality for r in rows} == {"image", "audio", "video"}
+    assert len({(r.doc_id, r.modality) for r in rows}) == len(rows)
+    img = {r.doc_id: r.phash for r in M.media_phash(spark, sf_dir).collect()}
+    aud = {
+        r.doc_id: str(r.fingerprint)
+        for r in M.audio_sign_fingerprint(spark, sf_dir).collect()
+    }
+    vid = {
+        r.doc_id: str(r.fingerprint)
+        for r in M._video_fingerprints(spark, sf_dir).collect()
+    }
+    by_mod = {"image": img, "audio": aud, "video": vid}
+    for r in rows:
+        assert by_mod[r.modality][r.doc_id] == r.fingerprint
