@@ -3153,6 +3153,155 @@ WHERE v.n_frames = na.n AND v.n_frames = nb.n AND v.max_h <= {max_hamming}
 """
 
 
+def synthetic_poster_media(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Generative POSTER-image corpus on the residue-(5*modulo/8) docs
+    (disjoint from the seven sibling media corpora): doc k renders the
+    opening-scene cell pattern of video lattice group k
+    (`_video_pattern_bits(k, 0)` — exactly what the residue-6 video
+    corpus's groups show at frame 0) as a standalone image, at its own
+    dims lattice and codec split (PNG even k, baseline JPEG odd). The
+    still-to-footage stand-in: a thumbnail, cover art, or scraped
+    screenshot of a clip the corpus also holds as video. Each pattern
+    has exactly 32 of 64 cells set, so the average-hash is bit-stable
+    under the JPEG arm's DCT rounding (the `synthetic_dup_media`
+    margin argument)."""
+    import pandas as pd
+
+    d = (
+        (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
+        .filter(F.col("doc_id") % modulo == 5 * modulo // 8)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import jpeg as _jpegmod
+        from ..functions import png as _pngmod
+
+        for pdf in batches:
+            metas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = doc_id // modulo
+                w = (k % 8 + 1) * 8
+                h = (k % 4 + 1) * 8
+                bits = _video_pattern_bits(k, 0)
+                rows = [
+                    [255 * bits[(r * 8 // h) * 8 + (c * 8 // w)] for c in range(w)]
+                    for r in range(h)
+                ]
+                encode = (
+                    _pngmod.encode_png_gray if k % 2 == 0 else _jpegmod.encode_jpeg_gray
+                )
+                blobs.append(encode(rows))
+                metas.append({"width": w, "height": h, "duration_ms": None})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image"] * len(blobs),
+                    "content": blobs,
+                    "meta": metas,
+                }
+            )
+
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def video_poster_matches(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    bucket_cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """CROSS-MODALITY perceptual join: still images matched to the
+    video keyframes they depict — the image-to-video grounding
+    primitive (which clip does this thumbnail/cover/screenshot come
+    from?) that neither byte dedup nor within-modality perceptual
+    dedup can answer. Both sides reduce to the SAME 64-bit average-
+    hash space: poster images through the image decode
+    (`media_phash`), clips through the video decode's keyframe table
+    (`video_keyframes` — one hash per scene, so a poster matches each
+    clip at most once per depicted scene, not once per frame). The
+    join is hash-keyed with the repo's bucket-cap discipline on both
+    sides (cap mirrored exactly in the oracle). On the constructed
+    corpora, poster k shows video group k's opening scene, so the
+    expected match set — every group-k clip's frame-0 keyframe — is
+    pure doc_id arithmetic and DuckDB value-pins BOTH modality decode
+    chains in one query.
+
+    Scale shape: the poster side is one stateless synthesize+decode
+    pass; the keyframe side reuses the persisted video decode; one
+    exchange on the hash; pair space bounded by real hash collisions
+    and the cap. Emits (poster_doc_id, video_doc_id, frame, phash)."""
+    posters = media_phash(
+        spark,
+        sf_dir,
+        modulo,
+        media_df=synthetic_poster_media(spark, sf_dir, modulo),
+    ).select(F.col("doc_id").alias("poster_doc_id"), "phash")
+    keyframes = video_keyframes(spark, sf_dir, modulo).select(
+        F.col("doc_id").alias("video_doc_id"), "frame", "phash"
+    )
+    wb = Window.partitionBy("phash")
+    p_kept = (
+        posters.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= bucket_cap)
+        .drop("bucket_n")
+    )
+    k_kept = (
+        keyframes.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= bucket_cap)
+        .drop("bucket_n")
+    )
+    return p_kept.join(k_kept, "phash").select(
+        "poster_doc_id", "video_doc_id", "frame", "phash"
+    )
+
+
+def video_poster_matches_oracle(
+    modulo: int = CONTRACT_MODULO, bucket_cap: int = PHASH_BUCKET_CAP
+) -> str:
+    """Both modality chains re-derived: the poster hash from the video
+    pattern formula at segment 0 on the poster residue, the keyframe
+    hashes from the shared video CTEs filtered to segment firsts, the
+    capped join on the hash — one oracle spanning two decode
+    pipelines."""
+    return f"""
+WITH {_video_sql_ctes(modulo)},
+keyf AS (
+  SELECT seg.doc_id AS video_doc_id, seg.frame, fphash.phash
+  FROM seg JOIN fphash ON seg.doc_id = fphash.doc_id AND seg.frame = fphash.frame
+  WHERE seg.frame = 0 OR seg.cutbit = 1
+),
+pm AS (
+  SELECT doc_id AS poster_doc_id,
+         CAST((CAST(doc_id // {modulo} AS HUGEINT) * {_PHASH_MIX} + 1)
+              % {_I63} AS BIGINT) AS p
+  FROM documents WHERE doc_id % {modulo} = {5 * modulo // 8}
+),
+pbits AS (
+  SELECT poster_doc_id, i,
+         CASE WHEN i % 2 = 0 THEN (p >> CAST(i // 2 AS INT)) & 1
+              ELSE 1 - ((p >> CAST(i // 2 AS INT)) & 1) END AS b
+  FROM pm, range(64) t(i)
+),
+ph AS (
+  SELECT poster_doc_id, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS phash
+  FROM pbits GROUP BY poster_doc_id
+),
+pcnt AS (SELECT phash, count(*) AS n FROM ph GROUP BY 1),
+kcnt AS (SELECT phash, count(*) AS n FROM keyf GROUP BY 1),
+pk AS (SELECT ph.* FROM ph JOIN pcnt USING (phash) WHERE pcnt.n <= {bucket_cap}),
+kk AS (SELECT keyf.* FROM keyf JOIN kcnt USING (phash) WHERE kcnt.n <= {bucket_cap})
+SELECT pk.poster_doc_id, kk.video_doc_id, kk.frame, pk.phash
+FROM pk JOIN kk USING (phash)
+"""
+
+
 def media_fingerprint_catalog(
     spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
 ) -> DataFrame:

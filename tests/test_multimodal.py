@@ -1553,3 +1553,31 @@ def test_media_fingerprint_catalog_parity_and_union_semantics(spark, sf_dir):
     by_mod = {"image": img, "audio": aud, "video": vid}
     for r in rows:
         assert by_mod[r.modality][r.doc_id] == r.fingerprint
+
+
+def test_video_poster_matches_cross_modality_join(spark, sf_dir):
+    """The cross-modality perceptual join: driver-style parity, every
+    match pairs poster k with a clip of video lattice group k at its
+    frame-0 keyframe, every group member matched, and the poster's
+    IMAGE-decoded hash equals the clip's VIDEO-decoded hash — two
+    codec chains landing on one fingerprint."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    vm = M.video_poster_matches(spark, sf_dir)
+    compare_spark_duckdb(vm, M.video_poster_matches_oracle(), sf_dir)
+    rows = vm.collect()
+    assert rows
+    mod, grp = M.CONTRACT_MODULO, M.VIDEO_DUP_GROUP
+    assert all(r.frame == 0 for r in rows)
+    for r in rows:
+        assert r.poster_doc_id % mod == 5 * mod // 8
+        assert r.video_doc_id % mod == 3 * mod // 8
+        assert (r.video_doc_id // mod) // grp == r.poster_doc_id // mod
+    # every clip whose group has a poster doc is matched exactly once
+    posters = {r.poster_doc_id // mod for r in rows}
+    videos = {r.doc_id: r for r in M.video_features(spark, sf_dir).collect()}
+    expect = {
+        d for d in videos if (d // mod) // grp in posters
+    }
+    assert {r.video_doc_id for r in rows} == expect
+    assert len(rows) == len(expect)
