@@ -1235,6 +1235,20 @@ _R12_R9_FILL = ()
 
 _ADJUDICATE_FIRST = _R12_NEW + _R12_R8_STALE + _R12_R9_FILL
 
+# R13 ROTATION PRE-STAGE (do not register before the rotation: the
+# window is exactly full and the tripwire requires every unadjudicated
+# registry query to be windowed). Built, oracle'd, and pytest-pinned
+# in the r12 post-gate build (operators/multimodal.py), each verified
+# hash-green against its DuckDB oracle at sf0.001/0.01/0.1 — register
+# these 11 at the r13 rotation, then fill the window with the oldest
+# 39 of the 46-query r9 cohort (registry 195 + 11 = 206 keeps
+# CYCLE_ROUNDS at 5, so the r9 cohort is not yet stale at r13; its
+# leftover 7 lead the r14 window):
+#   video_features, video_frame_phash, video_scene_cuts,
+#   video_dup_pairs, video_keyframes, video_ingest_dedup,
+#   video_ingest_decision_report, video_near_dup_pairs,
+#   video_poster_matches, audio_ingest_dedup, media_fingerprint_catalog
+
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:
     first = {n: r[n] for n in _ADJUDICATE_FIRST if n in r}
     rest = {n: q for n, q in r.items() if n not in first}

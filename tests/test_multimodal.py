@@ -1581,3 +1581,34 @@ def test_video_poster_matches_cross_modality_join(spark, sf_dir):
     }
     assert {r.video_doc_id for r in rows} == expect
     assert len(rows) == len(expect)
+
+
+def test_video_cell_threshold_scale_invariance_property():
+    """Property (hypothesis): for ANY 8x8 bit pattern with 0 < ones <
+    64 and ANY dims that render cells as exact integer rectangles, the
+    decode-free kernel chain (render -> _frame_cells -> threshold at
+    the cell mean) recovers the pattern exactly — the invariance that
+    makes a clip's frame hashes stable across every resolution the
+    corpus re-encodes it at."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        bits=st.lists(st.integers(0, 1), min_size=64, max_size=64).filter(
+            lambda b: 0 < sum(b) < 64
+        ),
+        wmul=st.integers(1, 6),
+        hmul=st.integers(1, 4),
+    )
+    def check(bits, wmul, hmul):
+        w, h = wmul * 8, hmul * 8
+        frame = [
+            [255 * bits[(r * 8 // h) * 8 + (c * 8 // w)] for c in range(w)]
+            for r in range(h)
+        ]
+        cells = M._frame_cells(frame)
+        mean = sum(cells) / 64.0
+        assert [1 if c > mean else 0 for c in cells] == bits
+
+    check()
