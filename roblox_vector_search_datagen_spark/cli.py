@@ -876,8 +876,9 @@ def main(argv: list[str] | None = None) -> int:
         show(mm_ops.audio_dup_pairs(spark, sf_dir, bucket_cap=cap))
     elif cmd == "videoStats":
         # per-clip profile over REAL decoded y4m frames, or the
-        # scene-cut segmentation / per-frame perceptual hashes
-        # (usage: videoStats [sf_dir] [--cuts | --hashes])
+        # scene-cut segmentation / per-frame perceptual hashes /
+        # per-frame motion intensity
+        # (usage: videoStats [sf_dir] [--cuts | --hashes | --motion])
         from .operators import multimodal as mm_ops
 
         sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
@@ -887,6 +888,8 @@ def main(argv: list[str] | None = None) -> int:
             show(mm_ops.video_scene_cuts(spark, sf_dir))
         elif "--hashes" in args:
             show(mm_ops.video_frame_phash(spark, sf_dir))
+        elif "--motion" in args:
+            show(mm_ops.video_motion_profile(spark, sf_dir))
         else:
             show(mm_ops.video_features(spark, sf_dir))
     elif cmd == "findDuplicateVideos":

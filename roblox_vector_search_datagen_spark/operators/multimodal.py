@@ -2498,6 +2498,51 @@ def _video_fingerprints(
     )
 
 
+def video_motion_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+) -> DataFrame:
+    """Per-frame motion intensity: each frame's mean absolute luma-
+    cell difference from its predecessor (frame 0 reads 0.0) — the
+    NUMERIC signal `video_scene_cuts` thresholds into a boolean, and
+    the triage column a video pipeline keys static-content filtering
+    and sampling-rate decisions on. Same lag-window L1 construction,
+    emitted as a rounded double so the oracle pins the distance
+    VALUES, not just their threshold crossings: on the constructed
+    corpus motion is 0 within a scene and exactly
+    255 * (2 * differing base bits) / 64 at each cut. Emits
+    (doc_id, frame, motion)."""
+    fr = video_frames(spark, sf_dir, modulo)
+    w_ord = Window.partitionBy("doc_id").orderBy("frame")
+    prev = F.lag("cells").over(w_ord)
+    dist = F.aggregate(
+        F.zip_with("cells", prev, lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    ) / 64.0
+    return fr.select(
+        "doc_id",
+        "frame",
+        F.round(F.coalesce(dist, F.lit(0.0)), 6).alias("motion"),
+    )
+
+
+def video_motion_profile_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """The distances re-derived from the expected per-frame hash
+    strings: hamming of consecutive frame patterns scaled to the mean
+    — a cut's exact magnitude is pinned, not just its existence."""
+    return f"""
+WITH {_video_sql_ctes(modulo)}
+SELECT doc_id, frame,
+       round(coalesce(
+         255.0 * hamming(lag(phash) OVER (PARTITION BY doc_id ORDER BY frame),
+                         phash) / 64.0,
+         0.0), 6) AS motion
+FROM fphash
+"""
+
+
 def video_dup_pairs(
     spark: SparkSession,
     sf_dir: str,

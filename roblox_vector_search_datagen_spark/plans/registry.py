@@ -1235,19 +1235,85 @@ _R12_R9_FILL = ()
 
 _ADJUDICATE_FIRST = _R12_NEW + _R12_R8_STALE + _R12_R9_FILL
 
-# R13 ROTATION PRE-STAGE (do not register before the rotation: the
-# window is exactly full and the tripwire requires every unadjudicated
-# registry query to be windowed). Built, oracle'd, and pytest-pinned
-# in the r12 post-gate build (operators/multimodal.py), each verified
-# hash-green against its DuckDB oracle at sf0.001/0.01/0.1 — register
-# these 11 at the r13 rotation, then fill the window with the oldest
-# 39 of the 46-query r9 cohort (registry 195 + 11 = 206 keeps
-# CYCLE_ROUNDS at 5, so the r9 cohort is not yet stale at r13; its
-# leftover 7 lead the r14 window):
-#   video_features, video_frame_phash, video_scene_cuts,
-#   video_dup_pairs, video_keyframes, video_ingest_dedup,
-#   video_ingest_decision_report, video_near_dup_pairs,
-#   video_poster_matches, audio_ingest_dedup, media_fingerprint_catalog
+# R13 ROTATION PRE-STAGE (do not merge into _registry() before the
+# rotation: the window is exactly full and the tripwire requires every
+# unadjudicated registry query to be windowed). Built, oracle'd, and
+# pytest-pinned in the r12 post-gate build (operators/multimodal.py),
+# each verified hash-green against its DuckDB oracle at
+# sf0.001/0.01/0.1; the blanket plan invariants (tests/test_plans.py)
+# scan this dict alongside QUERIES so the no-cartesian / no-row-UDF /
+# oracle-parses discipline holds pre-registration. At r13: merge these
+# into _registry(), window them + the oldest ~38 of the 46-query r9
+# cohort (registry grows past 200, CYCLE_ROUNDS stays 5, so the r9
+# cohort is not yet stale at r13; its leftovers lead the r14 window).
+
+
+def _pending_r13() -> dict[str, Query]:
+    return {
+        "video_features": Query(
+            lambda spark, sf: multimodal.video_features(spark, sf),
+            multimodal.video_features_oracle(),
+            ("multimodal", "video"),
+        ),
+        "video_frame_phash": Query(
+            lambda spark, sf: multimodal.video_frame_phash(spark, sf),
+            multimodal.video_frame_phash_oracle(),
+            ("multimodal", "video"),
+        ),
+        "video_scene_cuts": Query(
+            lambda spark, sf: multimodal.video_scene_cuts(spark, sf),
+            multimodal.video_scene_cuts_oracle(),
+            ("multimodal", "video"),
+        ),
+        "video_motion_profile": Query(
+            lambda spark, sf: multimodal.video_motion_profile(spark, sf),
+            multimodal.video_motion_profile_oracle(),
+            ("multimodal", "video"),
+        ),
+        "video_keyframes": Query(
+            lambda spark, sf: multimodal.video_keyframes(spark, sf),
+            multimodal.video_keyframes_oracle(),
+            ("multimodal", "video"),
+        ),
+        "video_dup_pairs": Query(
+            lambda spark, sf: multimodal.video_dup_pairs(spark, sf),
+            multimodal.video_dup_pairs_oracle(),
+            ("multimodal", "video", "dedup"),
+        ),
+        "video_near_dup_pairs": Query(
+            lambda spark, sf: multimodal.video_near_dup_pairs(spark, sf),
+            multimodal.video_near_dup_pairs_oracle(),
+            ("multimodal", "video", "dedup"),
+        ),
+        "video_ingest_dedup": Query(
+            lambda spark, sf: multimodal.video_ingest_dedup(spark, sf),
+            multimodal.video_ingest_dedup_oracle(),
+            ("multimodal", "video", "ingest"),
+        ),
+        "video_ingest_decision_report": Query(
+            lambda spark, sf: multimodal.video_ingest_decision_report(spark, sf),
+            multimodal.video_ingest_decision_report_oracle(),
+            ("multimodal", "video", "ingest"),
+        ),
+        "video_poster_matches": Query(
+            lambda spark, sf: multimodal.video_poster_matches(spark, sf),
+            multimodal.video_poster_matches_oracle(),
+            ("multimodal", "video", "cross-modal"),
+        ),
+        "audio_ingest_dedup": Query(
+            lambda spark, sf: multimodal.audio_ingest_dedup(spark, sf),
+            multimodal.audio_ingest_dedup_oracle(),
+            ("multimodal", "audio", "ingest"),
+        ),
+        "media_fingerprint_catalog": Query(
+            lambda spark, sf: multimodal.media_fingerprint_catalog(spark, sf),
+            multimodal.media_fingerprint_catalog_oracle(),
+            ("multimodal", "cross-modal"),
+        ),
+    }
+
+
+_PENDING_R13: dict[str, Query] = _pending_r13()
 
 def _reordered(r: dict[str, Query]) -> dict[str, Query]:
     first = {n: r[n] for n in _ADJUDICATE_FIRST if n in r}

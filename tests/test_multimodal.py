@@ -1612,3 +1612,27 @@ def test_video_cell_threshold_scale_invariance_property():
         assert [1 if c > mean else 0 for c in cells] == bits
 
     check()
+
+
+def test_video_motion_profile_pins_cut_magnitudes(spark, sf_dir):
+    """Motion intensity: driver-style parity, zero within scenes,
+    and every cut's magnitude exactly 255 * hamming(prev, cur) / 64
+    recomputed from the expected patterns — the numeric pin on top of
+    scene_cuts' boolean one."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    mp = M.video_motion_profile(spark, sf_dir)
+    compare_spark_duckdb(mp, M.video_motion_profile_oracle(), sf_dir)
+    motion = {(r.doc_id, r.frame): r.motion for r in mp.collect()}
+    cuts = {
+        (r.doc_id, r.frame): r.is_cut
+        for r in M.video_scene_cuts(spark, sf_dir).collect()
+    }
+    assert motion and set(motion) == set(cuts)
+    for (d, f), m in motion.items():
+        if not cuts[(d, f)]:
+            assert m == 0.0
+            continue
+        frames = M._video_expected_frames((d // M.CONTRACT_MODULO) // M.VIDEO_DUP_GROUP)
+        expect = 255.0 * sum(a != b for a, b in zip(frames[f - 1], frames[f])) / 64.0
+        assert m == round(expect, 6)

@@ -212,10 +212,13 @@ def test_no_registry_plan_has_cartesian_or_row_udf(spark, sf_dir):
     CartesianProduct (quadratic join fallback) and no BatchEvalPython
     (row-at-a-time Python in a relational path). Arrow mapInPandas
     stages are allowed — that is the sanctioned UDF form."""
-    from roblox_vector_search_datagen_spark.plans.registry import QUERIES
+    from roblox_vector_search_datagen_spark.plans.registry import (
+        _PENDING_R13,
+        QUERIES,
+    )
 
     flagged = []
-    for name, q in QUERIES.items():
+    for name, q in (QUERIES | _PENDING_R13).items():
         p = plan_of(q.builder(spark, sf_dir))
         marks = [m for m in ("CartesianProduct", "BatchEvalPython") if m in p]
         if marks:
@@ -228,7 +231,10 @@ def test_every_oracle_parses_in_duckdb(sf_dir):
     for the whole registry twice."""
     import duckdb
 
-    from roblox_vector_search_datagen_spark.plans.registry import QUERIES
+    from roblox_vector_search_datagen_spark.plans.registry import (
+        _PENDING_R13,
+        QUERIES,
+    )
     from roblox_vector_search_datagen_spark.sources.tables import TPCH_TABLES
 
     con = duckdb.connect()
@@ -237,7 +243,7 @@ def test_every_oracle_parses_in_duckdb(sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     bad = []
-    for name, q in QUERIES.items():
+    for name, q in (QUERIES | _PENDING_R13).items():
         if q.oracle is None:
             continue
         try:
