@@ -415,6 +415,7 @@ COMMANDS = (
     "findDuplicateVideos",
     "findNearDuplicateVideos",
     "fingerprintCatalog",
+    "videoCaptions",
 )
 
 def _int_flag(args: list[str], flag: str, default: int) -> int | None:
@@ -936,6 +937,18 @@ def main(argv: list[str] | None = None) -> int:
                 spark, sf_dir, max_hamming=t, band_cap=cap
             )
         )
+    elif cmd == "videoCaptions":
+        # parsed caption cues, or the (scene, caption, keyframe-hash)
+        # training pairs (usage: videoCaptions [sf_dir] [--pairs])
+        from .operators import multimodal as mm_ops
+
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        if "--pairs" in args:
+            show(mm_ops.video_caption_pairs(spark, sf_dir))
+        else:
+            show(mm_ops.video_captions(spark, sf_dir))
     elif cmd == "fingerprintCatalog":
         # the cross-modality perceptual-identity catalog
         # (usage: fingerprintCatalog [sf_dir])

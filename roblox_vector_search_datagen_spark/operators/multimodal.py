@@ -3347,6 +3347,205 @@ FROM pk JOIN kk USING (phash)
 """
 
 
+def synthetic_caption_media(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Caption tracks for the residue-(3*modulo/8) VIDEO docs — the
+    same doc set as `synthetic_video_media`, because a caption track
+    belongs to a clip: doc k carries an SRT blob (vendored
+    `functions/srt.py`) with one cue per scene segment, spanning the
+    segment's frames at 25 fps, text 'scene {s} of clip {jdx}'. Every
+    cue boundary and text is the same doc_id arithmetic as the video
+    lattice, so caption parsing AND caption-video alignment are
+    DuckDB-pinnable end-to-end."""
+    import pandas as pd
+
+    d = (
+        (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
+        .filter(F.col("doc_id") % modulo == 3 * modulo // 8)
+        .select("doc_id")
+    )
+    ms_per_frame = 1000 * VIDEO_FPS_DEN // VIDEO_FPS_NUM
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import srt as _srtmod
+
+        for pdf in batches:
+            metas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = doc_id // modulo
+                jdx = k // VIDEO_DUP_GROUP
+                g = (jdx * _VIDEO_MIX_CUTS + 1) % _I63
+                n = jdx % 5 + 2
+                seg_first: list[int] = [0]
+                for f in range(1, n):
+                    if (g >> f) & 1:
+                        seg_first.append(f)
+                cues = []
+                for s, first in enumerate(seg_first):
+                    last = (seg_first[s + 1] - 1) if s + 1 < len(seg_first) else n - 1
+                    cues.append(
+                        (
+                            first * ms_per_frame,
+                            (last + 1) * ms_per_frame,
+                            f"scene {s} of clip {jdx}",
+                        )
+                    )
+                blobs.append(_srtmod.encode_srt(cues))
+                metas.append(
+                    {"width": None, "height": None, "duration_ms": n * ms_per_frame}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["caption"] * len(blobs),
+                    "content": blobs,
+                    "meta": metas,
+                }
+            )
+
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+CAPTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("cue", T.IntegerType(), False),
+        T.StructField("start_ms", T.IntegerType(), False),
+        T.StructField("end_ms", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("arm", T.StringType(), False),
+    ]
+)
+
+
+def video_captions(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+    media_df: DataFrame | None = None,
+) -> DataFrame:
+    """The caption decode boundary: one Arrow-batched mapInPandas pass
+    through the vendored SRT reader, emitting one row per cue —
+    (doc_id, cue, start_ms, end_ms, text) — the text-track extraction
+    that turns a captioned clip into alignable training text.
+    Unparseable blobs take arm='stub' with a single empty cue row
+    (pytest negative arm; the strict codec refuses rather than
+    mis-parses). Persisted at default args for its two consumers.
+    Stateless, so `media_df` admits a streaming blob source."""
+    import pandas as pd
+
+    from ..functions.caching import persist_if
+
+    invariant = media_df is None and modulo == CONTRACT_MODULO
+    corpus = (
+        synthetic_caption_media(spark, sf_dir, modulo) if media_df is None else media_df
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import srt as _srtmod
+
+        cols = ("doc_id", "cue", "start_ms", "end_ms", "text", "arm")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    rows = [
+                        (i, start, end, text, "real")
+                        for i, (start, end, text) in enumerate(
+                            _srtmod.decode_srt(bytes(content)), 1
+                        )
+                    ]
+                except ValueError:
+                    rows = [(0, 0, 0, "", "stub")]
+                for r in rows:
+                    out["doc_id"].append(doc_id)
+                    for c, v in zip(cols[1:], r):
+                        out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return persist_if(corpus.mapInPandas(run, CAPTION_SCHEMA), invariant)
+
+
+def _caption_cues_sql(modulo: int) -> str:
+    """The expected cue lattice: one cue per scene segment with its
+    frame span at 25 fps — shared by the parse oracle and the
+    training-pair oracle (extends the `_video_sql_ctes` seg CTE)."""
+    ms = 1000 * VIDEO_FPS_DEN // VIDEO_FPS_NUM
+    return f"""cues AS (
+  SELECT doc_id, jdx, segment,
+         CAST(segment + 1 AS INT) AS cue,
+         CAST(min(frame) * {ms} AS INT) AS start_ms,
+         CAST((max(frame) + 1) * {ms} AS INT) AS end_ms,
+         'scene ' || segment || ' of clip ' || jdx AS text
+  FROM seg GROUP BY doc_id, jdx, segment
+)"""
+
+
+def video_captions_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    """Cues re-derived from the segment lattice: if the SRT writer,
+    the parser, or the cue arithmetic drifts by a millisecond or a
+    character anywhere, that row reds."""
+    return f"""
+WITH {_video_sql_ctes(modulo)},
+{_caption_cues_sql(modulo)}
+SELECT doc_id, cue, start_ms, end_ms, text, 'real' AS arm
+FROM cues
+"""
+
+
+def video_caption_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    modulo: int = CONTRACT_MODULO,
+) -> DataFrame:
+    """The video-caption TRAINING-PAIR emitter — the sample shape a
+    video-captioning / video-text contrastive dataset is made of: one
+    row per scene with its time span, its caption text, and its
+    keyframe's perceptual hash (the visual key a pair-builder joins
+    embeddings or pixels back onto). Joins the parsed caption track
+    (cue i <-> segment i-1) with the keyframe table on (clip, scene) —
+    two persisted decode subtrees, one narrow equi-join, no extra
+    Python. On the constructed corpora the join is total by
+    construction: every scene has exactly one cue and one keyframe,
+    so a dropped or misaligned row anywhere in EITHER decode chain
+    changes the row count and reds the gate. Emits
+    (doc_id, segment, start_ms, end_ms, caption, keyframe_phash)."""
+    caps = video_captions(spark, sf_dir, modulo).filter(F.col("arm") == "real")
+    kf = video_keyframes(spark, sf_dir, modulo)
+    return (
+        caps.withColumn("segment", (F.col("cue") - 1).cast("int"))
+        .join(kf, ["doc_id", "segment"])
+        .select(
+            "doc_id",
+            "segment",
+            "start_ms",
+            "end_ms",
+            F.col("text").alias("caption"),
+            F.col("phash").alias("keyframe_phash"),
+        )
+    )
+
+
+def video_caption_pairs_oracle(modulo: int = CONTRACT_MODULO) -> str:
+    return f"""
+WITH {_video_sql_ctes(modulo)},
+{_caption_cues_sql(modulo)},
+keyf AS (
+  SELECT seg.doc_id, seg.segment, seg.frame, fphash.phash
+  FROM seg JOIN fphash ON seg.doc_id = fphash.doc_id AND seg.frame = fphash.frame
+  WHERE seg.frame = 0 OR seg.cutbit = 1
+)
+SELECT c.doc_id, c.segment, c.start_ms, c.end_ms,
+       c.text AS caption, k.phash AS keyframe_phash
+FROM cues c JOIN keyf k ON c.doc_id = k.doc_id AND c.segment = k.segment
+"""
+
+
 def media_fingerprint_catalog(
     spark: SparkSession, sf_dir: str, modulo: int = CONTRACT_MODULO
 ) -> DataFrame:

@@ -1300,6 +1300,16 @@ def _pending_r13() -> dict[str, Query]:
             multimodal.video_poster_matches_oracle(),
             ("multimodal", "video", "cross-modal"),
         ),
+        "video_captions": Query(
+            lambda spark, sf: multimodal.video_captions(spark, sf),
+            multimodal.video_captions_oracle(),
+            ("multimodal", "video", "text-track"),
+        ),
+        "video_caption_pairs": Query(
+            lambda spark, sf: multimodal.video_caption_pairs(spark, sf),
+            multimodal.video_caption_pairs_oracle(),
+            ("multimodal", "video", "text-track", "cross-modal"),
+        ),
         "audio_ingest_dedup": Query(
             lambda spark, sf: multimodal.audio_ingest_dedup(spark, sf),
             multimodal.audio_ingest_dedup_oracle(),

@@ -622,3 +622,19 @@ def test_fingerprint_catalog_command(spark, sf_dir, tmp_path, monkeypatch, capsy
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert {r["modality"] for r in rows} == {"image", "audio", "video"}
     assert len({(r["doc_id"], r["modality"]) for r in rows}) == len(rows)
+
+
+def test_video_captions_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The text-track family from the shell: parsed cue rows on the
+    real arm; --pairs switches to the (scene, caption, keyframe-hash)
+    training pairs."""
+    monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
+
+    assert cli.main(["videoCaptions", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["arm"] == "real" and r["text"].startswith("scene ") for r in rows)
+
+    assert cli.main(["videoCaptions", sf_dir, "--pairs"]) == 0
+    pairs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert pairs and all(len(p["keyframe_phash"]) == 64 for p in pairs)
+    assert len(pairs) == len(rows)

@@ -1636,3 +1636,77 @@ def test_video_motion_profile_pins_cut_magnitudes(spark, sf_dir):
         frames = M._video_expected_frames((d // M.CONTRACT_MODULO) // M.VIDEO_DUP_GROUP)
         expect = 255.0 * sum(a != b for a, b in zip(frames[f - 1], frames[f])) / 64.0
         assert m == round(expect, 6)
+
+
+def test_srt_codec_roundtrip_and_refusals():
+    """Encode->decode is exact for multi-cue, multi-line, hour-plus
+    tracks; dot-separator, BOM, and CRLF variants from common tools
+    decode; malformed blocks (wrong index, bad arrow, minutes > 59,
+    end <= start, empty text, non-UTF-8) are ValueError."""
+    from roblox_vector_search_datagen_spark.functions import srt
+
+    cues = [(0, 1200, "hello"), (1200, 3_600_123, "two\nlines"), (3_600_123, 3_600_124, "x")]
+    assert srt.decode_srt(srt.encode_srt(cues)) == cues
+    alt = (
+        "﻿1\r\n00:00:00.000 --> 00:00:01.500\r\nhey\r\n\r\n"
+        "2\r\n00:00:01,500 --> 00:00:02,000\r\nyo\r\n"
+    )
+    assert srt.decode_srt(alt.encode()) == [(0, 1500, "hey"), (1500, 2000, "yo")]
+    bad = [
+        b"",
+        b"junk",
+        b"1\n00:00:00,000 --> 00:00:00,000\nx\n",
+        b"2\n00:00:00,000 --> 00:00:01,000\nx\n",
+        b"1\n00:00:00,000 -> 00:00:01,000\nx\n",
+        b"1\n00:61:00,000 --> 00:61:01,000\nx\n",
+        b"1\n00:00:00,000 --> 00:00:01,000\n\n",
+        b"\xff\xfe junk",
+    ]
+    for blob in bad:
+        with pytest.raises(ValueError):
+            srt.decode_srt(blob)
+    with pytest.raises(ValueError):
+        srt.encode_srt([])
+    with pytest.raises(ValueError):
+        srt.encode_srt([(5, 5, "x")])
+
+
+def test_video_captions_and_pairs_parity(spark, sf_dir):
+    """The text-track family: driver-style parity for both queries;
+    the caption-keyframe join is TOTAL (one pair per scene — a
+    dropped row in either decode chain changes the count); cue spans
+    tile each clip's duration exactly; stub arm on corrupt blobs."""
+    from tests.oracle_utils import compare_spark_duckdb
+
+    caps = M.video_captions(spark, sf_dir)
+    compare_spark_duckdb(caps, M.video_captions_oracle(), sf_dir)
+    pairs = M.video_caption_pairs(spark, sf_dir)
+    compare_spark_duckdb(pairs, M.video_caption_pairs_oracle(), sf_dir)
+
+    crows = caps.collect()
+    prows = pairs.collect()
+    assert len(crows) == len(prows) > 0
+    segs = {
+        (r.doc_id, r.segment)
+        for r in M.video_scene_cuts(spark, sf_dir).collect()
+    }
+    assert {(r.doc_id, r.segment) for r in prows} == segs
+    # cues tile [0, duration) without gap or overlap
+    feats = {r.doc_id: r for r in M.video_features(spark, sf_dir).collect()}
+    by_doc = {}
+    for r in sorted(crows, key=lambda r: (r.doc_id, r.cue)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, cues in by_doc.items():
+        assert cues[0].start_ms == 0
+        for a, b in zip(cues, cues[1:]):
+            assert a.end_ms == b.start_ms
+        assert cues[-1].end_ms == feats[doc_id].duration_ms
+        assert all(c.text == f"scene {c.cue - 1} of clip {doc_id // M.CONTRACT_MODULO // M.VIDEO_DUP_GROUP}" for c in cues)
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    corrupt = M.synthetic_caption_media(spark, sf_dir).withColumn(
+        "content", F.concat(F.lit(b"XX"), F.col("content"))
+    )
+    out = M.video_captions(spark, sf_dir, media_df=corrupt).collect()
+    assert out and all(r.arm == "stub" and r.text == "" for r in out)
