@@ -954,7 +954,7 @@ def main(argv: list[str] | None = None) -> int:
         # (usage: fingerprintCatalog [sf_dir])
         from .operators import multimodal as mm_ops
 
-        sf_dir = args[0] if args else os.environ.get(
+        sf_dir = args[0] if args and not args[0].startswith("--") else os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
         )
         show(mm_ops.media_fingerprint_catalog(spark, sf_dir))

@@ -54,8 +54,14 @@ def encode_srt(cues: list[tuple[int, int, str]]) -> bytes:
     for i, (start, end, text) in enumerate(cues, 1):
         if end <= start:
             raise ValueError("SRT cue end must be after start")
-        if not text.strip() or "\n\n" in text:
-            raise ValueError("SRT cue text must be non-empty, no blank lines")
+        if not text or text != text.strip() or "\n\n" in text or "\r" in text:
+            # leading/trailing whitespace or embedded blank lines would
+            # emit a blob this module's own decoder refuses or silently
+            # normalizes — refuse at encode time (strict roundtrip)
+            raise ValueError(
+                "SRT cue text must be non-empty, stripped, and free of "
+                "blank lines"
+            )
         blocks.append(
             f"{i}\n{format_srt_time(start)} --> {format_srt_time(end)}\n{text}\n"
         )

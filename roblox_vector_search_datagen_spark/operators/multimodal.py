@@ -2392,6 +2392,18 @@ FROM fphash
 """
 
 
+def _frame_l1_dist(prev) -> F.Column:
+    """Mean absolute cell difference between the current row's cells
+    and a previous frame's — THE distance formula under scene-cut
+    detection AND the motion profile; one definition so the numeric
+    signal and its thresholded boolean can never desynchronize."""
+    return F.aggregate(
+        F.zip_with("cells", prev, lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    ) / 64.0
+
+
 def _with_scene_segments(fr: DataFrame, threshold: float) -> DataFrame:
     """Append is_cut and segment to a per-frame cells table — THE
     scene-boundary construction (lag window, L1 cell distance, running
@@ -2399,12 +2411,7 @@ def _with_scene_segments(fr: DataFrame, threshold: float) -> DataFrame:
     a threshold or distance-formula change can never desynchronize
     them (or their shared oracle CTEs)."""
     w_ord = Window.partitionBy("doc_id").orderBy("frame")
-    prev = F.lag("cells").over(w_ord)
-    dist = F.aggregate(
-        F.zip_with("cells", prev, lambda a, b: F.abs(a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x.cast("long"),
-    ) / 64.0
+    dist = _frame_l1_dist(F.lag("cells").over(w_ord))
     seg = F.sum(F.col("is_cut").cast("int")).over(
         w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -2515,12 +2522,7 @@ def video_motion_profile(
     (doc_id, frame, motion)."""
     fr = video_frames(spark, sf_dir, modulo)
     w_ord = Window.partitionBy("doc_id").orderBy("frame")
-    prev = F.lag("cells").over(w_ord)
-    dist = F.aggregate(
-        F.zip_with("cells", prev, lambda a, b: F.abs(a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x.cast("long"),
-    ) / 64.0
+    dist = _frame_l1_dist(F.lag("cells").over(w_ord))
     return fr.select(
         "doc_id",
         "frame",
@@ -3586,38 +3588,10 @@ def media_fingerprint_catalog_oracle(modulo: int = CONTRACT_MODULO) -> str:
     return f"""
 WITH {_phash_sql_ctes(modulo)},
 {_audio_sign_sql(modulo)},
-vv AS (
-  SELECT doc_id, doc_id // {modulo} AS k,
-         (doc_id // {modulo}) // {VIDEO_DUP_GROUP} AS jdx
-  FROM documents WHERE doc_id % {modulo} = {3 * modulo // 8}
-),
-vseg AS (
-  SELECT vv.*, CAST(f AS INT) AS frame,
-         CAST(SUM(CASE WHEN f = 0 THEN 0 ELSE
-               ((CAST((CAST(jdx AS HUGEINT) * {_VIDEO_MIX_CUTS} + 1) % {_I63} AS BIGINT))
-                >> CAST(f AS INT)) & 1 END)
-              OVER (PARTITION BY doc_id ORDER BY f) AS INT) AS segment
-  FROM vv, unnest(range(0, jdx % 5 + 2)) AS t2(f)
-),
-vpw AS (
-  SELECT vseg.*,
-         CAST((CAST(jdx AS HUGEINT) * {_PHASH_MIX}
-               + CAST(segment AS HUGEINT) * {_VIDEO_MIX_SEG} + 1) % {_I63} AS BIGINT) AS p
-  FROM vseg
-),
-vfbits AS (
-  SELECT doc_id, frame, i,
-         CASE WHEN i % 2 = 0 THEN (p >> CAST(i // 2 AS INT)) & 1
-              ELSE 1 - ((p >> CAST(i // 2 AS INT)) & 1) END AS b
-  FROM vpw, range(64) u(i)
-),
-vfphash AS (
-  SELECT doc_id, frame, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS phash
-  FROM vfbits GROUP BY doc_id, frame
-),
+{_video_sql_ctes(modulo)},
 vfp AS (
   SELECT doc_id, {H.h60_sql(vseq)} AS fingerprint
-  FROM vfphash GROUP BY doc_id
+  FROM fphash GROUP BY doc_id
 )
 SELECT doc_id, 'image' AS modality, phash AS fingerprint FROM h
 UNION ALL

@@ -1669,6 +1669,11 @@ def test_srt_codec_roundtrip_and_refusals():
         srt.encode_srt([])
     with pytest.raises(ValueError):
         srt.encode_srt([(5, 5, "x")])
+    # strict roundtrip: text the decoder would refuse or normalize is
+    # refused at ENCODE time (self-review r12)
+    for bad_text in ("\nhi", "hi\n", " hi", "a\n\nb", "cr\rlf"):
+        with pytest.raises(ValueError):
+            srt.encode_srt([(0, 1000, bad_text)])
 
 
 def test_video_captions_and_pairs_parity(spark, sf_dir):
