@@ -48,6 +48,40 @@ def h32_expr(col: Column) -> Column:
     """Portable 32-bit string hash: int(md5(s)[:8], 16)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
+# Spark-SQL *string* twins of the Column builders below: one F.expr()
+# parse costs a single py4j round-trip where the equivalent Column
+# composition costs one per operator call. Profiled r12: the fingerprint
+# builders (60-bit simhash sums, K affine minhash transforms) spent
+# seconds per *plan construction* in py4j chatter — 45% of the whole
+# bench — so the hot builders assemble their repetitive expression
+# blocks as SQL text and parse once. Values are pinned identical to the
+# Column forms by the same DuckDB oracles.
+
+def h32_expr_sql(col: str) -> str:
+    """Spark-SQL text of h32_expr (NOT DuckDB; see h32_sql for that)."""
+    return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS BIGINT)"
+
+def h60_expr_sql(col: str) -> str:
+    """Spark-SQL text of h60_expr."""
+    return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+def minhash_value_expr_sql(h: str, i: int) -> str:
+    """Spark-SQL text of minhash_value_expr (same integer arithmetic)."""
+    return f"(({MINHASH_A[i]} * (({h}) % {P}) + {MINHASH_B[i]}) % {P})"
+
+def word_shingles_expr_sql(text: str, n: int = SHINGLE_WORDS) -> str:
+    """Spark-SQL text of word_shingles_expr: identical let-binding shape
+    (transform over a 1-element array) so the split runs once per row."""
+    parts = ", ".join(f"element_at(w, i + {j + 1})" for j in range(n))
+    body = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {parts}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        f"element_at(transform(array(split(lower({text}), '\\\\s+')), w -> {body}), 1)"
+    )
+
 def h32_sql(col: str) -> str:
     return f"(('0x' || substring(md5({col}), 1, 8))::BIGINT)"
 

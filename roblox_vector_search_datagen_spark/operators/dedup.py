@@ -57,13 +57,22 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh0..mh15): explode distinct shingles once, then K min
-    aggregates in one pass."""
+    aggregates in one pass. The K affine transforms are assembled as ONE
+    SQL string (struct of aggregates) — one parse round-trip instead of
+    ~200 py4j calls; same values, pinned by the family oracles."""
     d = tables.load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(H.word_shingles_expr(F.col("text"))).alias("shingle")
-    ).withColumn("h", H.h32_expr(F.col("shingle")))
-    aggs = [F.min(H.minhash_value_expr(F.col("h"), i)).alias(f"mh{i}") for i in range(H.MINHASH_K)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sh = d.selectExpr(
+        "doc_id",
+        f"explode({H.word_shingles_expr_sql('text')}) AS shingle",
+    ).selectExpr("doc_id", f"{H.h32_expr_sql('shingle')} AS h")
+    mins = ", ".join(
+        f"min({H.minhash_value_expr_sql('h', i)}) AS mh{i}" for i in range(H.MINHASH_K)
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.expr(f"struct({mins})").alias("st"))
+        .selectExpr("doc_id", "st.*")
+    )
 
 
 def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,17 +129,13 @@ def _minhash_band_unpivot(sig: DataFrame) -> DataFrame:
     """(doc_id, band, sig) unpivot of the minhash signature table — one
     generator pass instead of a per-band union (which would re-run the
     whole signature aggregation per band per join side)."""
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(c).cast("string") for c in _band_sig("", b)]
-            ).alias("sig"),
-        )
-        for b in range(H.LSH_BANDS)
-    ]
-    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    def band_struct(b: int) -> str:
+        cat = ", ".join(f"CAST({c} AS STRING)" for c in _band_sig("", b))
+        return f"struct({b} AS band, concat_ws(',', {cat}) AS sig)"
+
+    arr = ", ".join(band_struct(b) for b in range(H.LSH_BANDS))
+    return sig.selectExpr("doc_id", f"explode(array({arr})) AS bs").selectExpr(
+        "doc_id", "bs.band AS band", "bs.sig AS sig"
     )
 
 def lsh_candidate_pairs(
@@ -274,18 +279,18 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpivot subtree is the SAME session-invariant plan the sibling
     # queries persist — one cache entry, shared
     pairs = lsh_candidate_pairs(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(H.MINHASH_K)])
-    b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(H.MINHASH_K)])
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(H.MINHASH_K)
+    a = sig.selectExpr("doc_id AS doc_a", *[f"mh{i} AS a{i}" for i in range(H.MINHASH_K)])
+    b = sig.selectExpr("doc_id AS doc_b", *[f"mh{i} AS b{i}" for i in range(H.MINHASH_K)])
+    agree = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(H.MINHASH_K)
     )
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.round(agree / F.lit(float(H.MINHASH_K)), 6).alias("jaccard_est"),
+            f"round(({agree}) / {float(H.MINHASH_K)}, 6) AS jaccard_est",
         )
     )
 
@@ -316,20 +321,37 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SLOWER at repetition ratio ~2.3 — the extra word-keyed shuffle
     costs more than the saved per-token expression work, so the direct
     token-stream aggregation (one shuffle, map-side combined) stays."""
+    return _simhash_fp(spark, sf_dir, H.SIMHASH_BITS, H.h32_expr_sql("tok"))
+
+
+def _simhash_fp(
+    spark: SparkSession, sf_dir: str, bits: int, h_sql: str
+) -> DataFrame:
+    """Shared (doc_id, simhash) builder for both fingerprint widths.
+    The per-bit conditional sums and the fingerprint fold are assembled
+    as TWO SQL strings (struct-of-aggregates + one fold projection):
+    profiled r12, the Column-by-Column construction of the 60-bit
+    variant alone cost ~4.7 s of py4j round-trips per plan build —
+    more than the query's execution. Same expressions after parsing;
+    values pinned bit-identical by the simhash oracles."""
     d = tables.load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
-    ).withColumn("h", H.h32_expr(F.col("tok")))
-    bit = lambda j: F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
-    sums = [
-        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}") for j in range(H.SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*sums)
-    fp = None
-    for j in range(H.SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return agg.select("doc_id", fp.alias("simhash"))
+    tok = d.selectExpr(
+        "doc_id", r"explode(split(lower(text), '\\s+')) AS tok"
+    ).selectExpr("doc_id", f"{h_sql} AS h")
+    sums = ", ".join(
+        f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN st.s{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j})"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(F.expr(f"struct({sums})").alias("st"))
+        .selectExpr("doc_id", f"{fp} AS simhash")
+    )
 
 _SIMHASH_SQL = None
 
@@ -420,23 +442,7 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle. (A (doc_id, word)-histogram pre-aggregation was
     A/B-measured ~18% slower here — see `simhash`'s docstring — so the
     single token-stream shuffle stays.)"""
-    d = tables.load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
-    ).withColumn("h", H.h60_expr(F.col("tok")))
-    bit = lambda j: F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
-    sums = [
-        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}")
-        for j in range(SIMHASH64_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*sums)
-    fp = None
-    for j in range(SIMHASH64_BITS):
-        term = F.when(
-            F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return agg.select("doc_id", fp.alias("simhash"))
+    return _simhash_fp(spark, sf_dir, SIMHASH64_BITS, H.h60_expr_sql("tok"))
 
 
 _SIMHASH64_SQL = None
@@ -478,21 +484,14 @@ def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation runs twice
     fps = simhash64(spark, sf_dir).persist()
     mask = (1 << SIMHASH_BAND_BITS) - 1
-    return fps.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("val"),
-                )
-                for j in range(SIMHASH_BANDS)
-            ])
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    arr = ", ".join(
+        f"struct({j} AS band,"
+        f" shiftright(simhash, {j * SIMHASH_BAND_BITS}) & {mask} AS val)"
+        for j in range(SIMHASH_BANDS)
+    )
+    return fps.selectExpr(
+        "doc_id", "simhash", f"explode(array({arr})) AS b"
+    ).selectExpr("doc_id", "simhash", "b.band AS band", "b.val AS val")
 
 
 def simhash_banded_near_dups(
@@ -928,12 +927,16 @@ def clear_session_memos(spark: SparkSession | None = None) -> None:
     commit, the price of correctness). Without a session argument only
     the driver-side memos clear — enough for read-only sessions that
     just want the memory back."""
+    from ..sources import tables as _tables
     from . import textstats as _ts
 
     _CLUSTERS_MEMO.clear()
     _ts._BPE_MEMO.clear()
     _ts._VOCAB_COUNT_MEMO.clear()
     _ts._STORED_WORDS_MEMO.clear()
+    # plan memo, not a result memo — but its DataFrames captured a file
+    # listing at construction, so a mutated sf_dir needs fresh plans
+    _tables._TABLE_MEMO.clear()
     if spark is not None:
         spark.catalog.clearCache()
 
@@ -1776,18 +1779,16 @@ def minhash_band_sweep(
                 f"swept config b={b} must nest in the finest banding b={fine_b}"
             )
     sig = minhash_signature_table(spark, sf_dir)
-    structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ",",
-                *[F.col(f"mh{band * fine_r + j}").cast("string") for j in range(fine_r)],
-            ).alias("sig"),
+
+    def fine_struct(band: int) -> str:
+        cat = ", ".join(
+            f"CAST(mh{band * fine_r + j} AS STRING)" for j in range(fine_r)
         )
-        for band in range(fine_b)
-    ]
-    unpiv = sig.select("doc_id", F.explode(F.array(*structs)).alias("s")).select(
-        "doc_id", F.col("s.band").alias("band"), F.col("s.sig").alias("sig")
+        return f"struct({band} AS band, concat_ws(',', {cat}) AS sig)"
+
+    arr = ", ".join(fine_struct(band) for band in range(fine_b))
+    unpiv = sig.selectExpr("doc_id", f"explode(array({arr})) AS s").selectExpr(
+        "doc_id", "s.band AS band", "s.sig AS sig"
     )
     left = unpiv.select("band", "sig", F.col("doc_id").alias("doc_a"))
     right = unpiv.select("band", "sig", F.col("doc_id").alias("doc_b"))
@@ -1810,31 +1811,32 @@ def minhash_band_sweep(
     aggs = []
     for b in configs:
         span = fine_b // b  # fine bands per config-b band
-        collides = F.lit(False)
-        for i in range(b):
-            grp = F.lit(True)
-            for j in range(span):
-                grp = grp & F.array_contains(F.col("fbs"), i * span + j)
-            collides = collides | grp
-        aggs.append(
-            F.sum(F.when(collides, 1).otherwise(0)).cast("bigint").alias(f"cand{b}")
-        )
-        aggs.append(
-            F.sum(F.when(collides & F.col("t").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"hit{b}")
-        )
-    totals = marked.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("bands"),
-                F.lit(H.MINHASH_K // b).alias("rows_per_band"),
-                F.col(f"cand{b}").alias("n_candidates"),
-                F.col(f"hit{b}").alias("n_hits"),
+        collides = "(false " + " ".join(
+            "OR ("
+            + " AND ".join(
+                f"array_contains(fbs, {i * span + j})" for j in range(span)
             )
+            + ")"
+            for i in range(b)
+        ) + ")"
+        aggs.append(
+            f"CAST(sum(CASE WHEN {collides} THEN 1 ELSE 0 END) AS BIGINT) AS cand{b}"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN {collides} AND t IS NOT NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS hit{b}"
+        )
+    totals = marked.agg(F.expr(f"struct({', '.join(aggs)})").alias("st")).selectExpr(
+        "st.*"
+    )
+    rows = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} AS bands, {H.MINHASH_K // b} AS rows_per_band,"
+            f" cand{b} AS n_candidates, hit{b} AS n_hits)"
             for b in configs
-        ]
+        )
+        + ")"
     )
     return (
         totals.crossJoin(F.broadcast(n_truth))

@@ -36,6 +36,20 @@ TPCH_TABLES = (
     "embeddings",
 )
 
+# (applicationId, sf_dir, name) -> DataFrame. A PLAN memo, not a result
+# memo: a DataFrame is an immutable lazy plan, so every action on it
+# still recomputes from the parquet files — only the plan-construction
+# cost (a spark.read.parquet round-trip is ~0.1 s of py4j + file
+# listing + schema read, and every builder pays it 1-4 times) is
+# amortized across a session. Profiled r12: builder invocation was 45%
+# of the whole-registry bench, and redundant scans were a top line
+# item. Cleared by dedup.clear_session_memos alongside the other memos
+# (an ingest that mutates a previously-read sf_dir must invalidate the
+# captured file listing the same way it invalidates persisted
+# subtrees).
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Column pruning + predicate pushdown reach the scan
     because downstream operators select/filter declaratively.
@@ -60,6 +74,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.sql.session.timeZone, so a non-UTC driver session cannot
     shift the wall-clock (an NTZ<->LTZ cast would).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -88,6 +106,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
                 ),
             )
+    _TABLE_MEMO[key] = df
     return df
 
 # ---------------------------------------------------------------------------
