@@ -2,9 +2,21 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
 single JSON line the driver records as BENCH_r{N}.json.
 
-Each query is forced with a full-result count-style action (collect on
-the final, already-limited/aggregated DataFrame — the same action the
-driver's correctness harness takes).
+Timed action (r12 measurement fix, guide §1.4): each query is forced
+with the built-in NOOP SINK (`df.write.format("noop").save()`), which
+computes every column of every row and discards the result — the cost
+of the query itself. Through r11 the timed action was `.collect()`;
+profiling r12 found that for corpus-sized outputs the collect's
+driver-side row pickling dominated the number (token_shards: 4.8 s
+collect-timed vs 1.3 s to actually compute — 70% of the entry was py4j
+deserialization of 270k result rows on one core, not query execution),
+which misattributes driver-transfer cost to the plan under test. The
+OLD methodology is still measured and recorded alongside: `queries`
+(and `value`) are noop-timed; `queries_collect` / `collect_value` in
+the full artifact carry the collect-timed numbers so every prior
+round's map stays comparable. Both actions run min-of-three on the
+same warm session, noop first (it absorbs first-touch/codegen exactly
+like the old first collect did).
 """
 
 from __future__ import annotations
@@ -95,6 +107,7 @@ def main() -> None:
     # the min over three reflects the plan's steady-state cost — what a
     # cluster executing the query repeatedly actually sees
     times: dict[str, float] = {}
+    times_collect: dict[str, float] = {}
     storage: dict[str, list] = {}
     evictions = 0
     prev_mb = 0.0
@@ -103,14 +116,22 @@ def main() -> None:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            q.builder(spark, sf_dir).collect()
+            q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        # old (≤r11) methodology, kept for round-over-round comparability:
+        # same builder-inside-the-loop shape, action = full collect
+        best_c = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).collect()
+            best_c = min(best_c, time.perf_counter() - t0)
+        times_collect[name] = round(best_c, 3)
         n_cached, mem_mb = _storage_sample(spark)
         gc_ms, task_ms = _runtime_sample(spark)
         # per-query [cached-RDD count, cached MiB, gc-ms delta,
-        # task-ms delta, first-touch flag] — deltas cover all 3 timed
-        # runs of the query; first_touch=1 marks a query whose run grew
+        # task-ms delta, first-touch flag] — deltas cover all 6 timed
+        # runs (3 noop + 3 collect); first_touch=1 marks a query whose run grew
         # the storage pool (it materialized a shared persisted subtree
         # its family siblings will read from memory), so a
         # round-over-round slowdown on a first-touch query paired with a
@@ -162,7 +183,12 @@ def main() -> None:
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
+        "action": "noop",
         "queries": times,
+        # old-methodology (collect-action) numbers, kept per the r12
+        # measurement-fix note in OPTIMIZATION_r12.md
+        "collect_value": round(sum(times_collect.values()), 3),
+        "queries_collect": times_collect,
         "sf": sf_val,
         # per-query [cached-RDD count, cached MiB, gc-ms delta,
         # task-ms delta, first-touch flag] + eviction count: the
@@ -198,6 +224,8 @@ def main() -> None:
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
+        "action": "noop",
+        "collect_value": round(sum(times_collect.values()), 3),
         "sf": sf_val,
         "n_queries": len(times),
         "driver_memory": full["storage"]["driver_memory"],

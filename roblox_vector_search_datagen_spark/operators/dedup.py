@@ -808,18 +808,42 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.3
 
     Norms are precomputed per vector BEFORE the pair join, so each of
     the O(pairs) rows pays one dot product instead of three — at n
-    vectors per block that's 2n norm computations instead of n^2."""
+    vectors per block that's 2n norm computations instead of n^2.
+
+    The probe side is SALTED on xxhash64(vec_id) % SALT_BUCKETS and
+    pin-repartitioned on (label, salt) — the `simhash_near_dups` skew
+    treatment (r12): `label` has single-digit cardinality, so the plain
+    label equi-join put every block's O(n^2/blocks) interpreted-HOF dot
+    products on one reducer; each pair still meets exactly once (the
+    probe row's salt is deterministic, the build side is replicated
+    across all salts), the per-pair work is unchanged, and the blocks
+    now spread over blocks×SALT_BUCKETS partitions."""
     e = tables.load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", V.norm_expr(F.col("embedding")).alias("nrm")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"), "label")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"), "label")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "label",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(SALT_BUCKETS)).cast("int").alias("salt"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "label",
+    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(SALT_BUCKETS)])))
     denom = F.col("nrm_a") * F.col("nrm_b")
     cosine = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
         V.dot_expr(F.col("emb_a"), F.col("emb_b")) / denom
     )
+    from ..functions import parallelism
+
+    n_parts = parallelism.corpus_partitions(spark, sf_dir, "embeddings")
     return (
-        a.join(b, "label")
+        a.repartition(n_parts, "label", "salt")
+        .join(F.broadcast(b), ["label", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)

@@ -26,9 +26,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import parallelism
 from ..sources import tables
 
 MEDIA_TYPES = ("image", "audio", "video")
+
+
+def _spread_gen_input(
+    spark: SparkSession, sf_dir: str, d: DataFrame, batch: bool
+) -> DataFrame:
+    """Spread a synthetic-corpus generator's doc_id-only input over the
+    scan-equivalent partition count (functions/parallelism.py) before
+    its mapInPandas stage. The generators and every decode pass
+    downstream of them are CPU-per-row work (vendored codecs), but the
+    input is an 8-byte key stream off a byte-light scan — at fixture
+    scale one task, and too small for byte-based AQE coalescing to keep
+    parallel — so the codec work serialized on one core (measured r12:
+    the JPEG contract ran 312 decode+resample+encode roundtrips on 1 of
+    32 cores). The exchange moves keys, never blobs (guide §8: decide
+    with small rows, move heavy bytes once — here the heavy bytes are
+    *generated* after the exchange). Streaming twins (batch=False) keep
+    their stateless no-shuffle per-microbatch shape."""
+    if not batch:
+        return d
+    return d.repartition(
+        parallelism.corpus_partitions(spark, sf_dir, "documents"), "doc_id"
+    )
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -504,10 +527,13 @@ def _synthetic_gray_media(
 ) -> DataFrame:
     import pandas as pd
 
-    d = (
+    d = _spread_gen_input(
+        spark,
+        sf_dir,
         tables.load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % modulo == residue)
-        .select("doc_id")
+        .select("doc_id"),
+        batch=True,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -807,10 +833,13 @@ def synthetic_dup_media(
     residue filter is applied either way so role predicates compose."""
     import pandas as pd
 
-    d = (
+    d = _spread_gen_input(
+        spark,
+        sf_dir,
         (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
         .filter(F.col("doc_id") % modulo == modulo // 4)
-        .select("doc_id")
+        .select("doc_id"),
+        batch=docs is None,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1183,10 +1212,13 @@ def synthetic_near_dup_media(
     `synthetic_dup_media`). Deterministic in doc_id alone."""
     import pandas as pd
 
-    d = (
+    d = _spread_gen_input(
+        spark,
+        sf_dir,
         (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
         .filter(F.col("doc_id") % modulo == 3 * modulo // 4)
-        .select("doc_id")
+        .select("doc_id"),
+        batch=docs is None,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1649,10 +1681,13 @@ def synthetic_audio_media(
     mapInPandas)."""
     import pandas as pd
 
-    d = (
+    d = _spread_gen_input(
+        spark,
+        sf_dir,
         (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
         .filter(F.col("doc_id") % modulo == modulo // 8)
-        .select("doc_id")
+        .select("doc_id"),
+        batch=docs is None,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2073,10 +2108,13 @@ def synthetic_video_media(
     mapInPandas)."""
     import pandas as pd
 
-    d = (
+    d = _spread_gen_input(
+        spark,
+        sf_dir,
         (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
         .filter(F.col("doc_id") % modulo == 3 * modulo // 8)
-        .select("doc_id")
+        .select("doc_id"),
+        batch=docs is None,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2940,10 +2978,13 @@ def synthetic_near_dup_video(
     the threshold is exact. Deterministic in doc_id alone."""
     import pandas as pd
 
-    d = (
+    d = _spread_gen_input(
+        spark,
+        sf_dir,
         (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
         .filter(F.col("doc_id") % modulo == 7 * modulo // 8)
-        .select("doc_id")
+        .select("doc_id"),
+        batch=docs is None,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3219,10 +3260,13 @@ def synthetic_poster_media(
     margin argument)."""
     import pandas as pd
 
-    d = (
+    d = _spread_gen_input(
+        spark,
+        sf_dir,
         (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
         .filter(F.col("doc_id") % modulo == 5 * modulo // 8)
-        .select("doc_id")
+        .select("doc_id"),
+        batch=docs is None,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3365,10 +3409,13 @@ def synthetic_caption_media(
     DuckDB-pinnable end-to-end."""
     import pandas as pd
 
-    d = (
+    d = _spread_gen_input(
+        spark,
+        sf_dir,
         (tables.load_table(spark, sf_dir, "documents") if docs is None else docs)
         .filter(F.col("doc_id") % modulo == 3 * modulo // 8)
-        .select("doc_id")
+        .select("doc_id"),
+        batch=docs is None,
     )
     ms_per_frame = 1000 * VIDEO_FPS_DEN // VIDEO_FPS_NUM
 

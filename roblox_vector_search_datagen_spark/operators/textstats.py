@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions import parallelism
 from ..functions import warehouse
 from ..functions.caching import persist_if
 from ..functions import vector as V
@@ -669,6 +670,34 @@ def _bpe_apply_expr(seg, a: str, b: str) -> F.Column:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal of `s` (escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bpe_apply_expr_sql(seg: str, a: str, b: str) -> str:
+    """Spark-SQL text twin of `_bpe_apply_expr` (same fold, one parse
+    instead of ~20 py4j round-trips per merge round — the m-round
+    chain was the dominant plan-construction cost of the encode
+    family, r12 profile). `seg` is referenced exactly once for the
+    same interpreted-CSE reason as the Column form."""
+    return (
+        f"aggregate(split({seg}, ' '), '', (acc, x) -> "
+        f"CASE WHEN acc = '' THEN x "
+        f"WHEN regexp_extract(acc, '[^ ]*$', 0) = {_sql_str(a)} AND x = {_sql_str(b)} "
+        f"THEN concat(acc, x) ELSE concat(acc, ' ', x) END)"
+    )
+
+
+def _bpe_seg_sql(merges: list[tuple[int, str, str, int]]) -> str:
+    """The m learned merges folded over a word's character split, as
+    ONE Spark-SQL expression string (input column `w`)."""
+    seg = "array_join(split(w, ''), ' ')"
+    for _, a, b, _t in merges:
+        seg = _bpe_apply_expr_sql(seg, a, b)
+    return seg
+
+
 def _bpe_apply_sql(seg: str, a_expr: str, b_expr: str) -> str:
     return f"""CASE WHEN len(string_split({seg}, ' ')) = 1 THEN {seg} ELSE
       list_reduce(string_split({seg}, ' '),
@@ -832,11 +861,9 @@ def bpe_vocab(spark: SparkSession, sf_dir: str, m: int = BPE_MERGES) -> DataFram
     freq)."""
     merges = _bpe_train(spark, sf_dir, m)
     vocab = _bpe_vocab(spark, sf_dir)
-    seg = F.array_join(F.split(F.col("w"), ""), " ")
-    for _, a, b, _t in merges:
-        seg = _bpe_apply_expr(seg, a, b)
+    seg = _bpe_seg_sql(merges)
     syms = (
-        vocab.select("w", "cnt", F.explode(F.split(seg, " ")).alias("token"))
+        vocab.selectExpr("w", "cnt", f"explode(split({seg}, ' ')) AS token")
         .groupBy("token")
         .agg(
             F.countDistinct("w").alias("n_words"),
@@ -955,22 +982,34 @@ def _bpe_encode(
     None is the full-corpus production encode (`token_shards`). Emits
     (doc_id, pos, token, token_id)."""
     merges = _bpe_train(spark, sf_dir, m)
-    seg = F.array_join(F.split(F.col("w"), ""), " ")
-    for _, a, b, _t in merges:
-        seg = _bpe_apply_expr(seg, a, b)
+    seg = _bpe_seg_sql(merges)
     ids = bpe_vocab(spark, sf_dir, m).select("token", "token_id")
     word_tokens = (
         _bpe_vocab(spark, sf_dir)
-        .select("w", F.posexplode(F.split(seg, " ")).alias("spos", "token"))
+        .selectExpr("w", f"posexplode(split({seg}, ' ')) AS (spos, token)")
         .join(ids, "token")
     )
     d = tables.load_table(spark, sf_dir, "documents")
     if doc_bound is not None:
         d = d.filter(F.col("doc_id") < doc_bound)
-    words = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("wpos", "w"),
-    ).filter(F.col("w") != "")
+    # The doc_id exchange the position window needs anyway is taken
+    # BEFORE the tokenize-explode (r12, guide §2.3/§3.3): the shuffle
+    # then carries each document's text once (~44 B/token exploded vs
+    # the raw text bytes — measured 11.3 MB -> 1.5 MB at sf0.1) and the
+    # explode + vocab join + window all run partition-local after it,
+    # parallel across the cluster instead of serial per scan split.
+    # The count is pinned (scan-equivalent arithmetic, see
+    # functions/parallelism.py) so byte-based AQE coalescing cannot
+    # serialize the CPU-heavy explode at fixture scale.
+    n_parts = parallelism.corpus_partitions(spark, sf_dir, "documents")
+    words = (
+        d.repartition(n_parts, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("wpos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
     w_pos = Window.partitionBy("doc_id").orderBy("wpos", "spos")
     return words.join(
         _vocab_join_side(spark, sf_dir, word_tokens, broadcast_max), "w"
@@ -1311,13 +1350,11 @@ def bpe_tokenizer_store(
             vocab_path
         )
         merges = _bpe_train(spark, sf_dir, m)
-        seg = F.array_join(F.split(F.col("w"), ""), " ")
-        for _, a, b, _t in merges:
-            seg = _bpe_apply_expr(seg, a, b)
+        seg = _bpe_seg_sql(merges)
         ids = bpe_vocab(spark, sf_dir, m).select("token", "token_id")
         (
             _bpe_vocab(spark, sf_dir)
-            .select("w", F.posexplode(F.split(seg, " ")).alias("spos", "token"))
+            .selectExpr("w", f"posexplode(split({seg}, ' ')) AS (spos, token)")
             .join(F.broadcast(ids), "token")
             .select("w", "spos", "token", "token_id")
             .coalesce(1)
@@ -1700,11 +1737,9 @@ def pack_token_sequences(
     seed = SHUFFLE_SEED if seed is None else seed
     shards = SHUFFLE_SHARDS if shards is None else shards
     merges = _bpe_train(spark, sf_dir, m)
-    seg = F.array_join(F.split(F.col("w"), ""), " ")
-    for _, a, b, _t in merges:
-        seg = _bpe_apply_expr(seg, a, b)
-    word_n = _bpe_vocab(spark, sf_dir).select(
-        "w", F.size(F.split(seg, " ")).alias("n_sub")
+    seg = _bpe_seg_sql(merges)
+    word_n = _bpe_vocab(spark, sf_dir).selectExpr(
+        "w", f"size(split({seg}, ' ')) AS n_sub"
     )
     d = tables.load_table(spark, sf_dir, "documents")
     occurrences = d.select(
@@ -1800,13 +1835,14 @@ def bpe_fertility_report(
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    seg = F.array_join(F.split(F.col("w"), ""), " ")
-    for _, a, b, _t in merges:
-        seg = _bpe_apply_expr(seg, a, b)
-    toks = F.size(F.split(seg, " "))
+    seg = _bpe_seg_sql(merges)
     return (
-        src.select("source", "cnt", (F.col("cnt") * toks).alias("t"),
-                   (F.col("cnt") * F.length("w")).alias("c"))
+        src.selectExpr(
+            "source",
+            "cnt",
+            f"cnt * size(split({seg}, ' ')) AS t",
+            "cnt * length(w) AS c",
+        )
         .groupBy("source")
         .agg(
             F.sum("cnt").alias("n_words"),
