@@ -59,6 +59,40 @@ def _max_partition_bytes(spark: SparkSession) -> int:
         return 128 * 1024 * 1024
 
 
+def scan_splits(spark: SparkSession, sf_dir: str, table: str = "documents") -> int:
+    """How many splits a scan of `table` gets from file layout alone
+    (ceil(bytes / maxPartitionBytes), min 1). A single small parquet
+    file (one row group) reads as ONE task no matter how many cores
+    the cluster has — the degenerate layout `spread_scan` repairs."""
+    size = _size_bytes(os.path.join(sf_dir, f"{table}.parquet"))
+    return max(1, math.ceil(size / _max_partition_bytes(spark)))
+
+
+def spread_scan(spark: SparkSession, sf_dir: str, df, table: str = "documents", *keys: str):
+    """Repair a degenerate scan layout for CPU-per-row-heavy pipelines
+    (guide §2.5, input skew: "one huge unsplittable file ... otherwise
+    repartition immediately after the read").
+
+    ONLY fires when the table's split count is below the cluster's
+    defaultParallelism — i.e. the scan cannot use the machine. On a
+    healthy layout (any real 100 TB table) the condition is false and
+    the plan is returned UNCHANGED: no extra exchange ever reaches
+    production-scale plans, so this is a layout repair, not a local[32]
+    tuning constant. When it fires, the repartition hash-partitions on
+    `keys` (pass the pipeline's next exchange key — groupBy/window key —
+    so the added exchange REPLACES the one downstream rather than
+    stacking a second one; ensureRequirements recognizes the clustering)
+    or round-robins when no key applies (pure per-row projections)."""
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df  # A/B kill switch: measure the unrepaired layout
+    if scan_splits(spark, sf_dir, table) >= spark.sparkContext.defaultParallelism:
+        return df
+    n = corpus_partitions(spark, sf_dir, table)
+    if keys:
+        return df.repartition(n, *keys)
+    return df.repartition(n)
+
+
 def corpus_partitions(spark: SparkSession, sf_dir: str, table: str = "documents") -> int:
     """max(defaultParallelism, ceil(table bytes / maxPartitionBytes)) —
     the partition count a parallel scan of `table` would get, floored

@@ -17,6 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import parallelism
 from ..functions import vector as V
 from ..functions import warehouse
 from ..functions.caching import persist_if
@@ -296,7 +297,12 @@ def _centroid_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
         )
     )
-    return e.crossJoin(cents).select(
+    # layout repair only (no-op on healthy scans): the K-way cosine
+    # scoring is the family's CPU-heavy per-row stage, and the fixture
+    # scan is one split; keying on vec_id makes the added exchange the
+    # same one _argmax_centroid's groupBy(vec_id) needs anyway
+    probe = parallelism.spread_scan(spark, sf_dir, e, "embeddings", "vec_id")
+    return probe.crossJoin(cents).select(
         "vec_id",
         "cent_id",
         F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
@@ -777,7 +783,9 @@ def ivf_centroid_update(
     if assign is None:
         assign = ivf_assignments(spark, sf_dir, k)
     assign = assign.select("vec_id", "cent_id")
-    e = tables.load_table(spark, sf_dir, "embeddings")
+    e = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "embeddings"), "embeddings", "vec_id"
+    )
     dims = (
         e.join(assign, "vec_id")
         .select("cent_id", F.posexplode("embedding").alias("pos", "v"))
@@ -1325,7 +1333,9 @@ def ivf_train(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
         .groupBy("cent_id")
         .agg(qsum6(F.abs(F.col("mean_v") - F.col("v0").cast("double"))).alias("shift"))
     )
-    scored = e.crossJoin(F.broadcast(c1)).select(
+    scored = parallelism.spread_scan(spark, sf_dir, e, "embeddings", "vec_id").crossJoin(
+        F.broadcast(c1)
+    ).select(
         "vec_id",
         "cent_id",
         F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
@@ -1442,7 +1452,9 @@ def ivf_train_iters(
     Emits (round, cent_id, n_members, shift) — shift is the L1
     distance each centroid moved that round, the scalar a training
     loop thresholds on."""
-    e = tables.load_table(spark, sf_dir, "embeddings")
+    e = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "embeddings"), "embeddings", "vec_id"
+    )
     invariant = k == IVF_K and rounds == IVF_TRAIN_ROUNDS
     flat = (
         e.filter(F.col("vec_id") < k)
@@ -1553,7 +1565,9 @@ def ivf_train_converged(
     Scale: per round, two corpus scans (score + update fan-out) and
     K×dim-sized everything else; the loop state checkpointed between
     rounds is K×dim rows. Driver-side data is O(rounds) scalars."""
-    e = tables.load_table(spark, sf_dir, "embeddings")
+    e = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "embeddings"), "embeddings", "vec_id"
+    )
     flat = (
         e.filter(F.col("vec_id") < k)
         .select(
@@ -1656,6 +1670,7 @@ def ivf_upsert_assignments(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
         )
     cents = F.broadcast(centroids.select("cent_id", "cent"))
+    delta = parallelism.spread_scan(spark, sf_dir, delta, "embeddings", "vec_id")
     scored = delta.crossJoin(cents).select(
         "vec_id",
         "cent_id",
@@ -1752,7 +1767,9 @@ def _staleness_core(
         .select("cent_id", F.transform("ps", lambda s: s["mean_v"]).alias("cent"))
     )
     e = tables.load_table(spark, sf_dir, "embeddings")
-    scored = e.crossJoin(F.broadcast(c1)).select(
+    scored = parallelism.spread_scan(spark, sf_dir, e, "embeddings", "vec_id").crossJoin(
+        F.broadcast(c1)
+    ).select(
         "vec_id",
         "cent_id",
         F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions import parallelism
 from ..functions.caching import persist_if
 from ..functions import vector as V
 from ..sources import tables
@@ -60,7 +61,9 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates in one pass. The K affine transforms are assembled as ONE
     SQL string (struct of aggregates) — one parse round-trip instead of
     ~200 py4j calls; same values, pinned by the family oracles."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents", "doc_id"
+    )
     sh = d.selectExpr(
         "doc_id",
         f"explode({H.word_shingles_expr_sql('text')}) AS shingle",
@@ -334,7 +337,9 @@ def _simhash_fp(
     variant alone cost ~4.7 s of py4j round-trips per plan build —
     more than the query's execution. Same expressions after parsing;
     values pinned bit-identical by the simhash oracles."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents", "doc_id"
+    )
     tok = d.selectExpr(
         "doc_id", r"explode(split(lower(text), '\\s+')) AS tok"
     ).selectExpr("doc_id", f"{h_sql} AS h")
@@ -729,7 +734,9 @@ def ngram_jaccard_pairs(
 
 def _ngram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index: (shingle-hash, list of doc_ids containing it)."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents"
+    )
     sh = d.select(
         "doc_id", F.explode(H.word_shingles_expr(F.col("text"))).alias("shingle")
     ).select("doc_id", H.h32_expr(F.col("shingle")).alias("sh_h"))

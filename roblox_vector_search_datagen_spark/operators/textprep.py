@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions import parallelism
 from ..functions.caching import persist_if
 from ..sources import tables
 
@@ -46,7 +47,9 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Models", repetition filters C.2). One projection pass, no shuffle;
     the O(distinct×n) top-word scan stays inside codegen'd higher-order
     functions instead of a Python UDF."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents"
+    )
 
     def from_words(w):
         n = F.size(w)
@@ -193,7 +196,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train corpus, so the distinct benchmark-shingle set is broadcast
     and the train side never shuffles for the join; the only exchange
     is the final per-doc count aggregation (map-side combined)."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents", "doc_id"
+    )
     bucket = H.h32_expr(F.col("doc_id").cast("string")) % 100
     docs = d.select("doc_id", bucket.alias("bucket"), H.word_shingles_expr(F.col("text")).alias("sh"))
     train = docs.filter(F.col("bucket") < _TRAIN_BUCKET_LT).select(
@@ -495,7 +500,9 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .quality import quality_struct_expr
     from .textstats import lang_struct_expr, split_struct_expr
 
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents", "doc_id"
+    )
     base = (
         d.select(
             "doc_id",
@@ -629,7 +636,9 @@ def repeated_spans(
     text from a min() agg — same plan shape, narrower key; the string
     key keeps the fixture-scale oracle byte-identical. Emits
     (span, n_docs, n_occurrences), most-shared first."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents"
+    )
     w = d.select("doc_id", _words(F.col("text")).alias("w")).withColumn("n", F.size("w"))
     spans = w.filter(F.col("n") >= n).select(
         "doc_id",
@@ -764,7 +773,9 @@ def _span_runs(
         n == SPAN_N and min_docs == SPAN_MIN_DOCS
         and min_words == SPAN_CHAIN_MIN_WORDS and k == SPAN_CHAIN_TOPK
     )
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents", "doc_id"
+    )
     t = persist_if(
         d.select("doc_id", _words(F.col("text")).alias("w")).withColumn("nw", F.size("w")),
         invariant,
@@ -1444,7 +1455,9 @@ def bloom_decontaminate(
     pipelined row stream between those exchanges never widens. Emits
     one row per train document: (doc_id, n_shingles, n_bloom_hits,
     n_exact_hits, contaminated, bloom_flagged, no_false_negatives)."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents"
+    )
     bucket = H.h32_expr(F.col("doc_id").cast("string")) % 100
     docs = d.select(
         "doc_id", bucket.alias("bucket"), H.word_shingles_expr(F.col("text")).alias("sh")
@@ -1584,7 +1597,9 @@ def doc_span_novelty(spark: SparkSession, sf_dir: str, n: int = SPAN_N) -> DataF
     Zipf-skewed join AQE skew-splitting handles; at 100 TB pre-hash
     the span to an 8-byte key for the exchange. Emits
     (doc_id, n_spans, n_shared, shared_ratio)."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents"
+    )
     w = d.select("doc_id", _words(F.col("text")).alias("w")).withColumn("n", F.size("w"))
     spans = w.filter(F.col("n") >= n).select(
         "doc_id",
