@@ -45,6 +45,38 @@ def cosine_expr(a: Column, b: Column) -> Column:
     denom = norm_expr(a) * norm_expr(b)
     return F.when(denom == 0, F.lit(None).cast("double")).otherwise(dot_expr(a, b) / denom)
 
+# Spark-SQL *string* twins of the Column builders above (NOT DuckDB —
+# see cosine_sql for that dialect): one F.expr()/selectExpr parse costs
+# a single py4j round-trip where each higher-order-function Column
+# costs ~20 (building the lambdas dominates the hot builders' time,
+# r12 profile). `0.0` alone would parse as DECIMAL in SQL text, so the
+# accumulator inits are cast explicitly — same expression trees as the
+# Column forms after parsing, value-pinned by every vector oracle.
+
+def dot_expr_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+def norm_expr_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+def cosine_expr_sql(a: str, b: str) -> str:
+    denom = f"{norm_expr_sql(a)} * {norm_expr_sql(b)}"
+    return (
+        f"CASE WHEN {denom} = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {dot_expr_sql(a, b)} / ({denom}) END"
+    )
+
+def vector_lit_spark_sql(vec: list[float]) -> str:
+    """Spark-SQL literal array<double> of a query vector (the SQL-text
+    twin of vector_lit; `D` suffix keeps each element a double)."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
+
 def cosine_batch(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Vectorized cosine of a (n, d) float matrix against one query."""
     mat = mat.astype(np.float64, copy=False)

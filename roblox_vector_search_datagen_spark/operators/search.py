@@ -57,16 +57,15 @@ def vector_search_df(
     deterministic tie-break. At 6dp the rank inversion window is ~1e-6,
     far below embedding noise."""
     limit = max(1, min(100, limit))  # clamp, vectorSearch.get.ts:84-90
-    qv = V.vector_lit(query_vec)
+    qv = V.vector_lit_spark_sql(query_vec)
+    sim = (
+        f"round(({V.cosine_expr_sql('embedding', qv)})"
+        f" * {POPULARITY_SQL.format(pc='playerCount')}, 6)"
+    )
     scored = (
         emb_df.filter(F.size("embedding") == len(query_vec))  # P11 guard, search.ts:74-76
         .join(games_df.select("universeId", "playerCount"), "universeId", "left")
-        .select(
-            "universeId",
-            F.round(
-                V.cosine_expr(F.col("embedding"), qv) * popularity_factor(F.col("playerCount")), 6
-            ).alias("similarity"),
-        )
+        .selectExpr("universeId", f"{sim} AS similarity")
     )
     topk = scored.orderBy(F.col("similarity").desc_nulls_last(), F.col("universeId")).limit(limit)
     return _decorate_topk(topk, games_df)

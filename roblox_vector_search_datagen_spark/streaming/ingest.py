@@ -79,35 +79,25 @@ def _rowwise_band_sigs() -> F.Column:
     lambda boundaries, so inlining h32 into each component would md5
     the whole array K times (measured ~4x on the ingest ledger)."""
 
-    def build(hv: F.Column) -> F.Column:
-        # hv: array<long> of h32(shingle) % P values (already reduced)
-        comps = [
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        hv,
-                        lambda h: (F.lit(H.MINHASH_A[i]) * h + F.lit(H.MINHASH_B[i]))
-                        % H.P,
-                    )
-                ),
-                F.lit(-1),
-            )
-            for i in range(H.MINHASH_K)
-        ]
-        bands = []
-        for b in range(H.LSH_BANDS):
-            cols = comps[b * H.ROWS_PER_BAND : (b + 1) * H.ROWS_PER_BAND]
-            bands.append(
-                F.concat_ws(
-                    ",", F.lit(str(b)), *[c.cast("string") for c in cols]
-                )
-            )
-        return F.array(*bands)
-
-    hashed = F.transform(
-        H.word_shingles_expr(F.col("text")), lambda x: H.h32_expr(x) % H.P
+    # assembled as ONE SQL string (single parse; the K×bands lambda
+    # Columns cost ~1 s of py4j per plan build — r12 profile). Same
+    # let-binding shape: the hashed shingle array is bound once via the
+    # 1-element transform, each component is a coalesced array_min.
+    comps = [
+        f"coalesce(array_min(transform(hv, h -> ({H.MINHASH_A[i]} * h + {H.MINHASH_B[i]}) % {H.P})), -1)"
+        for i in range(H.MINHASH_K)
+    ]
+    bands = []
+    for b in range(H.LSH_BANDS):
+        cols = comps[b * H.ROWS_PER_BAND : (b + 1) * H.ROWS_PER_BAND]
+        cast_cols = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        bands.append(f"concat_ws(',', '{b}', {cast_cols})")
+    hashed = (
+        f"transform({H.word_shingles_expr_sql('text')}, x -> {H.h32_expr_sql('x')} % {H.P})"
     )
-    return H.let_expr(hashed, build)
+    return F.expr(
+        f"element_at(transform(array({hashed}), hv -> array({', '.join(bands)})), 1)"
+    )
 
 
 def _band_sigs_sql() -> str:

@@ -85,19 +85,61 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 def test_corpus_prep_projections_are_shuffle_free(spark, sf_dir):
-    """repetition_stats, doc_chunks and stratified_sample are per-row
-    pipelines: any Exchange means a refactor introduced a pointless
-    shuffle into an embarrassingly-parallel pass. pack_sequences gets
-    exactly one (the per-shard window). All stay JVM-side."""
+    """doc_chunks and stratified_sample are per-row pipelines: any
+    Exchange means a refactor introduced a pointless shuffle into an
+    embarrassingly-parallel pass. repetition_stats is also per-row but
+    carries the r12 layout-repair repartition (functions/parallelism.
+    spread_scan) on the degenerate single-split fixture scan — allowed
+    exactly ONE round-robin exchange here, and ZERO once the layout is
+    healthy (gate pinned by test_spread_scan_gates_on_layout).
+    pack_sequences gets exactly one (the per-shard window). All stay
+    JVM-side."""
+    import os
+
     from roblox_vector_search_datagen_spark.operators import textprep
 
-    for fn in (textprep.repetition_stats, textprep.doc_chunks, textprep.stratified_sample):
+    for fn in (textprep.doc_chunks, textprep.stratified_sample):
         p = plan_of(fn(spark, sf_dir))
         assert "Exchange" not in p, fn.__name__
         assert "EvalPython" not in p, fn.__name__
+    p = plan_of(textprep.repetition_stats(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "roundrobin" in p.lower() or "Exchange" not in p
+    assert "EvalPython" not in p
+    # with the layout repair disabled the pass is exchange-free again
+    os.environ["SPARK_GRAFT_NO_SPREAD"] = "1"
+    try:
+        p = plan_of(textprep.repetition_stats(spark, sf_dir))
+        assert "Exchange" not in p
+    finally:
+        del os.environ["SPARK_GRAFT_NO_SPREAD"]
     p = plan_of(textprep.pack_sequences(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "EvalPython" not in p
+
+
+def test_spread_scan_gates_on_layout(spark, sf_dir):
+    """spread_scan is a LAYOUT repair, not a local-mode tuning knob: it
+    must return the plan unchanged whenever the scan's split count
+    already reaches the cluster's parallelism (any healthy 100 TB
+    layout), and repartition to the scan-equivalent count only on a
+    degenerate (fewer-splits-than-cores) layout like the single-file
+    fixtures."""
+    from roblox_vector_search_datagen_spark.functions import parallelism
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    d = tables.load_table(spark, sf_dir, "documents")
+    splits = parallelism.scan_splits(spark, sf_dir, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    out = parallelism.spread_scan(spark, sf_dir, d, "documents", "doc_id")
+    if splits < cores:  # fixture regime: repaired
+        assert out is not d
+        assert "Repartition" in out._jdf.queryExecution().logical().toString()
+        assert parallelism.corpus_partitions(spark, sf_dir, "documents") == max(
+            cores, splits
+        )
+    else:  # healthy regime: untouched plan object
+        assert out is d
 
 def test_knn_and_pq_broadcast_small_sides(spark, sf_dir):
     """The query block (knn_join) and the K×M codebook / distance table
