@@ -302,10 +302,10 @@ def _centroid_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     # scan is one split; keying on vec_id makes the added exchange the
     # same one _argmax_centroid's groupBy(vec_id) needs anyway
     probe = parallelism.spread_scan(spark, sf_dir, e, "embeddings", "vec_id")
-    return probe.crossJoin(cents).select(
+    return probe.crossJoin(cents).selectExpr(
         "vec_id",
         "cent_id",
-        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+        f"round({V.cosine_expr_sql('embedding', 'cent')}, 6) AS cosine",
     )
 
 
@@ -364,7 +364,9 @@ def generate_vectors(spark: SparkSession, sf_dir: str, dim: int = GEN_DIM) -> Da
     model encoder slots in as the mapInPandas variant in sources/http.py
     embed_texts; this operator pins the distributed plumbing + layout).
     Emits (doc_id, embedding ARRAY<DOUBLE>[dim])."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents"
+    )
     comp = lambda i: F.round(
         F.conv(F.substring(F.md5(F.concat(F.col("text"), F.lit(":"), i)), 1, 8), 16, 10).cast(
             "long"
@@ -444,16 +446,18 @@ def knn_join(
         )
     )
     scored = (
-        e.filter(F.col("vec_id") >= n_queries)
+        parallelism.spread_scan(
+            spark, sf_dir, e.filter(F.col("vec_id") >= n_queries), "embeddings"
+        )
         .crossJoin(q)
-        .select(
+        .selectExpr(
             "query_id",
             "vec_id",
-            F.round(V.cosine_expr(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+            f"round({V.cosine_expr_sql('embedding', 'q_emb')}, 6) AS cosine",
             # materialized as a column so the (deterministic) reference
             # can key the local window; the id itself is assigned at
             # scan time, before any exchange
-            F.spark_partition_id().alias("_pid"),
+            "spark_partition_id() AS _pid",
         )
     )
     order = (F.col("cosine").desc_nulls_last(), F.col("vec_id"))
@@ -572,21 +576,27 @@ def _l2sq_expr(a, b) -> F.Column:
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
     )
 
+def _l2sq_expr_sql(a: str, b: str) -> str:
+    """Spark-SQL text twin of _l2sq_expr (one parse round-trip; see
+    functions/vector.py for the pattern and why the init is cast)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
 def _subvectors(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
     """(id, m, sub): each vector split into PQ_M contiguous 8-dim double
     blocks. Explode of a literal sequence — output partitioning inherits
     the scan, no shuffle."""
-    exploded = df.select(
-        F.col(id_col).alias(out_id),
+    return df.selectExpr(
+        f"{id_col} AS {out_id}",
         "embedding",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-    )
-    return exploded.select(
+        f"explode(sequence(0, {PQ_M - 1})) AS m",
+    ).selectExpr(
         out_id,
         "m",
-        F.transform(
-            F.slice("embedding", F.col("m") * PQ_DSUB + 1, PQ_DSUB), lambda x: x.cast("double")
-        ).alias("sub"),
+        f"transform(slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        " x -> CAST(x AS DOUBLE)) AS sub",
     )
 
 def _pq_codebook(e: DataFrame) -> DataFrame:
@@ -609,13 +619,11 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n×M narrow rows independent of K."""
     e = tables.load_table(spark, sf_dir, "embeddings")
     subs = _subvectors(e, "vec_id", "vec_id")
-    scored = subs.join(F.broadcast(_pq_codebook(e)), "m").select(
+    scored = subs.join(F.broadcast(_pq_codebook(e)), "m").selectExpr(
         "vec_id",
         "m",
-        F.struct(
-            F.round(_l2sq_expr(F.col("sub"), F.col("cent_sub")), 6).alias("dist"),
-            F.col("cent_id").alias("cent_id"),
-        ).alias("cand"),
+        f"struct(round({_l2sq_expr_sql('sub', 'cent_sub')}, 6) AS dist,"
+        " cent_id AS cent_id) AS cand",
     )
     best = scored.groupBy("vec_id", "m").agg(F.min("cand").alias("best"))
     # persisted: four registry queries (pq_adc_topk, pq_rerank_topk,
@@ -1335,10 +1343,10 @@ def ivf_train(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> DataFrame:
     )
     scored = parallelism.spread_scan(spark, sf_dir, e, "embeddings", "vec_id").crossJoin(
         F.broadcast(c1)
-    ).select(
+    ).selectExpr(
         "vec_id",
         "cent_id",
-        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+        f"round({V.cosine_expr_sql('embedding', 'cent')}, 6) AS cosine",
     )
     a2 = _argmax_centroid(scored)
     report = a2.groupBy("cent_id").agg(
@@ -1409,10 +1417,10 @@ def _lloyd_round(e: DataFrame, flat: DataFrame, invariant: bool):
     because each feeds two downstream branches (Catalyst instantiates
     a subtree once per reference)."""
     cents = F.broadcast(_cents_from_flat(flat))
-    scored = e.crossJoin(cents).select(
+    scored = e.crossJoin(cents).selectExpr(
         "vec_id",
         "cent_id",
-        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+        f"round({V.cosine_expr_sql('embedding', 'cent')}, 6) AS cosine",
     )
     assign = persist_if(_argmax_centroid(scored, with_cosine=False), invariant)
     upd = persist_if(
@@ -1671,10 +1679,10 @@ def ivf_upsert_assignments(
         )
     cents = F.broadcast(centroids.select("cent_id", "cent"))
     delta = parallelism.spread_scan(spark, sf_dir, delta, "embeddings", "vec_id")
-    scored = delta.crossJoin(cents).select(
+    scored = delta.crossJoin(cents).selectExpr(
         "vec_id",
         "cent_id",
-        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+        f"round({V.cosine_expr_sql('embedding', 'cent')}, 6) AS cosine",
     )
     # the default (simulated-index) invocation is session-invariant and
     # its delta scoring feeds three consumers (this registry query,
@@ -1769,10 +1777,10 @@ def _staleness_core(
     e = tables.load_table(spark, sf_dir, "embeddings")
     scored = parallelism.spread_scan(spark, sf_dir, e, "embeddings", "vec_id").crossJoin(
         F.broadcast(c1)
-    ).select(
+    ).selectExpr(
         "vec_id",
         "cent_id",
-        F.round(V.cosine_expr(F.col("embedding"), F.col("cent")), 6).alias("cosine"),
+        f"round({V.cosine_expr_sql('embedding', 'cent')}, 6) AS cosine",
     )
     nearest = _argmax_centroid(scored, with_cosine=False).select(
         "vec_id", F.col("cent_id").alias("new_cent")
@@ -2431,13 +2439,15 @@ def hard_negative_mining(
         )
     )
     scored = (
-        e.filter(F.col("vec_id") >= n_anchors)
+        parallelism.spread_scan(
+            spark, sf_dir, e.filter(F.col("vec_id") >= n_anchors), "embeddings"
+        )
         .crossJoin(anchors)
-        .select(
+        .selectExpr(
             "anchor_id",
-            F.col("vec_id").alias("neg_id"),
-            F.round(V.cosine_expr(F.col("embedding"), F.col("a_emb")), 6).alias("cosine"),
-            F.spark_partition_id().alias("_pid"),
+            "vec_id AS neg_id",
+            f"round({V.cosine_expr_sql('embedding', 'a_emb')}, 6) AS cosine",
+            "spark_partition_id() AS _pid",
         )
         .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
     )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions.caching import persist_if
 from ..functions.num import qmean6, qsum6, qsum6_sql
+from ..functions import parallelism
 from ..sources import tables
 
 # ---------------------------------------------------------------------------
@@ -48,7 +49,9 @@ def _pii_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived PII tokens (emails / phone numbers / IPv4 hosts by
     doc_id % 4) — the same construction the DuckDB oracle performs, so
     the scrub is exercised on rows that actually contain matches."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents"
+    )
     m4 = F.col("doc_id") % 4
     did = F.col("doc_id").cast("string")
     suffix = (

@@ -190,7 +190,8 @@ def top_terms(spark: SparkSession, sf_dir: str, k: int = TOP_TERMS_K) -> DataFra
     four exchanges are linear in token count; nothing is quadratic and
     no UDF appears — the whole pipeline is codegen'd Catalyst."""
     d = tables.load_table(spark, sf_dir, "documents")
-    tokens = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+    spread = parallelism.spread_scan(spark, sf_dir, d, "documents", "doc_id")
+    tokens = spread.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -329,7 +330,7 @@ def bm25_search(
     d = tables.load_table(spark, sf_dir, "documents")
     dl_expr = F.size(F.split(F.lower("text"), r"\s+"))
     qterms = F.array(*[F.lit(t) for t in terms])
-    tokens = d.select(
+    tokens = parallelism.spread_scan(spark, sf_dir, d, "documents", "doc_id").select(
         "doc_id",
         dl_expr.alias("dl"),
         F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
@@ -420,7 +421,9 @@ def pmi_collocations(
     small joins on single words). The min_count floor prunes the pair
     table before the joins, and top-k is TakeOrderedAndProject. Emits
     (w1, w2, n_pair, pmi)."""
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "documents"), "documents"
+    )
     toks = F.split(F.lower("text"), r"\s+")
     pairs_expr = F.expr(
         "transform(slice(tokens, 1, greatest(size(tokens) - 1, 0)), (t, i) -> struct(t as w1, tokens[i + 1] as w2))"
@@ -2171,7 +2174,7 @@ def known_item_search_eval(
         )
         .distinct()
     )
-    tokens = d.select(
+    tokens = parallelism.spread_scan(spark, sf_dir, d, "documents", "doc_id").select(
         "doc_id", dl_expr.alias("dl"), F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
     )
     # persisted: dfreq and the scoring join both reference the posting

@@ -191,13 +191,28 @@ def test_cobucketed_join_is_exchange_free(spark, sf_dir):
 
 def test_quality_ops_are_pure_catalyst_and_shuffle_free(spark, sf_dir):
     """pii_scrub and quality_filter are per-row projections: no Python
-    eval nodes and no exchange anywhere in the plan."""
+    eval nodes; quality_filter has no exchange anywhere, and pii_scrub
+    carries at most the r12 layout-repair round-robin exchange
+    (functions/parallelism.spread_scan — regex-heavy per-row work on a
+    degenerate single-split fixture scan; gated off on healthy
+    layouts, pinned by test_spread_scan_gates_on_layout)."""
+    import os
+
     from roblox_vector_search_datagen_spark.operators import quality
 
     for df in (quality.pii_scrub(spark, sf_dir), quality.quality_filter(spark, sf_dir)):
         p = plan_of(df)
         assert "EvalPython" not in p and "MapInPandas" not in p
-        assert "Exchange" not in p
+    p = plan_of(quality.quality_filter(spark, sf_dir))
+    assert "Exchange" not in p
+    p = plan_of(quality.pii_scrub(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "roundrobin" in p.lower() or "Exchange" not in p
+    os.environ["SPARK_GRAFT_NO_SPREAD"] = "1"
+    try:
+        assert "Exchange" not in plan_of(quality.pii_scrub(spark, sf_dir))
+    finally:
+        del os.environ["SPARK_GRAFT_NO_SPREAD"]
 
 def test_sq_quantize_broadcasts_dimension_stats(spark, sf_dir):
     """The per-dimension min/max table (dim rows) must broadcast to the
