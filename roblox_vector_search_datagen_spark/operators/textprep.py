@@ -739,7 +739,7 @@ def repeated_substring_spans(
     fixture-scale collision — none. Emits (doc_id, start_pos,
     len_words, span_text), longest first."""
     t, runs = _span_runs(spark, sf_dir, n, min_docs, min_words, k)
-    return (
+    out = (
         runs.join(t.select("doc_id", "w"), "doc_id")
         .select(
             "doc_id",
@@ -751,8 +751,18 @@ def repeated_substring_spans(
             ).alias("span_text"),
         )
         .orderBy(F.col("len_words").desc(), "doc_id", "start_pos")
-        .limit(k)
     )
+    # an effectively-unbounded k (tests pass 10**9 as "all runs") must
+    # not become a TakeOrderedAndProject: its per-task top-k buffer is
+    # O(k) (guava leastOf allocates 2k slots), which was survivable on
+    # the pre-r12 single-partition input but OOMs the moment the
+    # layout-repaired scan runs the sort on every core concurrently.
+    # Below the planner's top-k fallback threshold the limit is the
+    # normal bounded-priority-queue top-k; above it, a plain global
+    # sort returns the identical (sub-k-sized) result set.
+    if k < 1 << 20:
+        out = out.limit(k)
+    return out
 
 
 def _span_runs(
