@@ -184,6 +184,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "action": "noop",
+        # consumers comparing `value` across rounds must match on this:
+        # r12+ `value` is noop-sink-timed (min-of-3); rounds <= r11 timed
+        # .collect() — that series continues as collect_value/queries_collect
+        "methodology": "noop_min3",
         "queries": times,
         # old-methodology (collect-action) numbers, kept per the r12
         # measurement-fix note in OPTIMIZATION_r12.md
@@ -225,6 +229,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "action": "noop",
+        "methodology": "noop_min3",
         "collect_value": round(sum(times_collect.values()), 3),
         "sf": sf_val,
         "n_queries": len(times),

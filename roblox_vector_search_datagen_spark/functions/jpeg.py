@@ -251,11 +251,12 @@ def _decode_block(reader, dc_tab, ac_tab, quant, pred, want_pixels):
         return dc, None
     # separable IDCT as two 8x8 matrix products (numpy): rows then
     # columns — P = C^T (K C), identical summand products to the old
-    # per-pixel loops, half-even rounding preserved by np.rint
+    # per-pixel loops, half-even rounding preserved by np.rint.
+    # Returned as an 8x8 uint8 array (values already clipped to 0-255)
+    # so the caller can blit it into the numpy sample plane directly.
     k = _np.array(coef, dtype=_np.float64).reshape(8, 8)
     p = _COS_NP_T @ (k @ _COS_NP)
-    pixels = _np.clip(_np.rint(p) + 128, 0, 255).astype(_np.int64)
-    return dc, pixels.ravel().tolist()
+    return dc, _np.clip(_np.rint(p) + 128, 0, 255).astype(_np.uint8)
 
 
 def decode_jpeg_luminance(data: bytes) -> tuple[int, int, list[list[int]]]:
@@ -367,9 +368,10 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interv
     luma = by_id[luma_id]
     lw, lv = luma["h"], luma["v"]
     # Y sample plane, padded to whole MCUs; cropped to (width, height)
-    # at the end
+    # at the end (numpy: blocks blit in as 8x8 slices, the crop /
+    # sample-replication below is integer indexing — exact)
     pw, ph = mcux * 8 * lw, mcuy * 8 * lv
-    plane = [bytearray(pw) for _ in range(ph)]
+    plane = _np.zeros((ph, pw), dtype=_np.uint8)
     reader = _BitReader(data, pos)
     preds = {cs: 0 for cs, _, _ in scan}
     mcu_index = 0
@@ -392,20 +394,19 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interv
                         if pixels is not None:
                             y0 = (my * comp["v"] + by) * 8
                             x0 = (mx * comp["h"] + bx) * 8
-                            for yy in range(8):
-                                row = plane[y0 + yy]
-                                row[x0 : x0 + 8] = bytes(pixels[yy * 8 : yy * 8 + 8])
+                            plane[y0 : y0 + 8, x0 : x0 + 8] = pixels
             mcu_index += 1
     # the luma plane's natural resolution: full-frame when the Y
     # component carries the max sampling factors (the universal case),
     # scaled otherwise — replicate samples up to frame size so callers
-    # always get (width, height)
+    # always get (width, height). Same y//sy, x//sx indexing as the old
+    # per-pixel loop, done as one integer gather.
     sx, sy = hmax // lw, vmax // lv
-    rows: list[list[int]] = []
-    for y in range(height):
-        src = plane[y // sy]
-        rows.append([src[x // sx] for x in range(width)])
-    return width, height, rows
+    if sx == 1 and sy == 1:
+        return width, height, plane[:height, :width].tolist()
+    yi = _np.arange(height) // sy
+    xi = _np.arange(width) // sx
+    return width, height, plane[yi[:, None], xi[None, :]].tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -462,12 +463,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
 
 
-def _fdct_quant(block: list[list[int]], quant: list[int]) -> list[int]:
+def _fdct_quant(block, quant: list[int]) -> list[int]:
     """Forward DCT (exact inverse of the decoder's _COS basis, which is
     orthonormal) + quantize; returns 64 raster-order coefficients.
     Two 8x8 matrix products (numpy) — M = C S C^T — replacing the
-    O(64*64) per-block Python loop nest (r11 profile)."""
-    s = _np.array(block, dtype=_np.float64) - 128.0
+    O(64*64) per-block Python loop nest (r11 profile). `block` is an
+    8x8 list-of-lists or ndarray."""
+    s = _np.asarray(block, dtype=_np.float64) - 128.0
     m = _COS_NP @ s @ _COS_NP_T
     q = _np.array(quant, dtype=_np.float64).reshape(8, 8)
     return _np.rint(m / q).astype(_np.int64).ravel().tolist()
@@ -516,6 +518,22 @@ def _block_at(rows: list[list[int]], x0: int, y0: int) -> list[list[int]]:
     ]
 
 
+def _edge_padded(rows: list[list[int]], mult: int) -> "_np.ndarray":
+    """The image as an int array edge-replicated up to multiples of
+    `mult` — one np.pad per image replaces the per-block min()-clamped
+    _block_at loop nest (r13 profile: ~0.3 s of the media chain).
+    np.pad(mode='edge') repeats the last row/column, exactly the
+    min(idx, dim-1) clamp _block_at applies, so every sliced block is
+    value-identical."""
+    a = _np.asarray(rows, dtype=_np.int64)
+    h, w = a.shape
+    ph = (h + mult - 1) // mult * mult
+    pw = (w + mult - 1) // mult * mult
+    if ph == h and pw == w:
+        return a
+    return _np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
 def _segments(quant: list[int], width: int, height: int, comps: list[tuple[int, int, int]],
               restart_interval: int) -> bytearray:
     """Header segments shared by both encoders: SOI DQT DHT* [DRI] SOF0
@@ -556,6 +574,7 @@ def encode_jpeg_gray(
     writer = _BitWriter()
     pred = 0
     mcu_index = 0
+    padded = _edge_padded(rows, 8)
     for y0 in range(0, height, 8):
         for x0 in range(0, width, 8):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
@@ -564,7 +583,7 @@ def encode_jpeg_gray(
                 out += bytes([0xFF, 0xD0 + ((mcu_index // restart_interval - 1) % 8)])
                 writer = _BitWriter()
                 pred = 0
-            coef = _fdct_quant(_block_at(rows, x0, y0), quant)
+            coef = _fdct_quant(padded[y0 : y0 + 8, x0 : x0 + 8], quant)
             pred = _encode_block(writer, coef, pred, dc_codes, ac_codes)
             mcu_index += 1
     writer.flush()
@@ -585,12 +604,13 @@ def encode_jpeg_color420_flat_chroma(rows: list[list[int]]) -> bytes:
     writer = _BitWriter()
     preds = {1: 0, 2: 0, 3: 0}
     zero = [0] * 64
+    padded = _edge_padded(rows, 16)
     for my in range(0, (height + 15) // 16):
         for mx in range(0, (width + 15) // 16):
             for by in range(2):
                 for bx in range(2):
-                    block = _block_at(rows, mx * 16 + bx * 8, my * 16 + by * 8)
-                    coef = _fdct_quant(block, quant)
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    coef = _fdct_quant(padded[y0 : y0 + 8, x0 : x0 + 8], quant)
                     preds[1] = _encode_block(writer, coef, preds[1], dc_codes, ac_codes)
             for cid in (2, 3):  # flat chroma: DC diff 0, EOB
                 preds[cid] = _encode_block(writer, zero, preds[cid], dc_codes, ac_codes)

@@ -32,6 +32,12 @@ _PARTS_MEMO: dict[tuple[str, str, str], int] = {}
 
 
 def _size_bytes(path: str) -> int:
+    """Local file/dir size, or -1 when the path is not statable from
+    this process (remote storage URIs like s3://, hdfs://, or a path
+    that only exists executor-side). Unknown MUST NOT read as "tiny":
+    a 0 would make `scan_splits` report a degenerate layout and invert
+    `spread_scan`'s returns-unchanged-on-healthy-layouts guarantee on
+    every non-local table."""
     if os.path.isdir(path):
         total = 0
         for root, _dirs, files in os.walk(path):
@@ -44,7 +50,7 @@ def _size_bytes(path: str) -> int:
     try:
         return os.path.getsize(path)
     except OSError:
-        return 0
+        return -1
 
 
 def _max_partition_bytes(spark: SparkSession) -> int:
@@ -63,8 +69,14 @@ def scan_splits(spark: SparkSession, sf_dir: str, table: str = "documents") -> i
     """How many splits a scan of `table` gets from file layout alone
     (ceil(bytes / maxPartitionBytes), min 1). A single small parquet
     file (one row group) reads as ONE task no matter how many cores
-    the cluster has — the degenerate layout `spread_scan` repairs."""
+    the cluster has — the degenerate layout `spread_scan` repairs.
+
+    Returns 0 when the layout cannot be observed from this process
+    (unstatable path — remote storage, or an empty placeholder):
+    callers must treat 0 as "assume healthy", never as "one split"."""
     size = _size_bytes(os.path.join(sf_dir, f"{table}.parquet"))
+    if size <= 0:
+        return 0
     return max(1, math.ceil(size / _max_partition_bytes(spark)))
 
 
@@ -85,7 +97,10 @@ def spread_scan(spark: SparkSession, sf_dir: str, df, table: str = "documents", 
     or round-robins when no key applies (pure per-row projections)."""
     if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
         return df  # A/B kill switch: measure the unrepaired layout
-    if scan_splits(spark, sf_dir, table) >= spark.sparkContext.defaultParallelism:
+    splits = scan_splits(spark, sf_dir, table)
+    # 0 = layout unobservable (remote storage): assume healthy — the
+    # repair must only ever fire on a layout PROVEN degenerate.
+    if splits == 0 or splits >= spark.sparkContext.defaultParallelism:
         return df
     n = corpus_partitions(spark, sf_dir, table)
     if keys:
@@ -104,7 +119,7 @@ def corpus_partitions(spark: SparkSession, sf_dir: str, table: str = "documents"
         size = _size_bytes(os.path.join(sf_dir, f"{table}.parquet"))
         n = max(
             spark.sparkContext.defaultParallelism,
-            math.ceil(size / _max_partition_bytes(spark)),
+            math.ceil(max(size, 0) / _max_partition_bytes(spark)),
         )
         _PARTS_MEMO[key] = n
     return n

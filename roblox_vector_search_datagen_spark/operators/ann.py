@@ -2347,9 +2347,21 @@ def dim_truncation_recall(
     which at 100 TB is the difference between a 25 TB and a 12.5 TB
     float scan before any quantization. Both rankings are narrow
     TakeOrderedAndProject plans; the overlap join touches 2k rows.
-    Emits one row (k, d_full, d_trunc, n_overlap, recall)."""
+    Emits one row (k, d_full, d_trunc, n_overlap, recall).
+
+    The scan takes the layout-gated spread (r13): both rankings score
+    every vector with an interpreted-HOF cosine, which on the 1-split
+    fixture layout ran BOTH passes on one core (1.8 s bench — the one
+    ANN scoring probe the r12 spread sweep missed). The two rankings
+    share the same repartition subtree, so the shuffle executes once
+    (ReusedExchange) and each branch's top-k runs partition-parallel;
+    on any healthy multi-split layout the plan is unchanged."""
+    from ..functions import parallelism
+
     qv_list = V.embed_query(query_text)
-    e = tables.load_table(spark, sf_dir, "embeddings")
+    e = parallelism.spread_scan(
+        spark, sf_dir, tables.load_table(spark, sf_dir, "embeddings"), "embeddings", "vec_id"
+    )
     full_q = V.vector_lit(qv_list)
     trunc_q = V.vector_lit(qv_list[:d_trunc])
     scored_full = e.select(

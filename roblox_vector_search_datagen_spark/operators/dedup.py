@@ -293,7 +293,7 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_a",
             "doc_b",
-            f"round(({agree}) / {float(H.MINHASH_K)}, 6) AS jaccard_est",
+            f"round(({agree}) / CAST({float(H.MINHASH_K)} AS DOUBLE), 6) AS jaccard_est",
         )
     )
 
@@ -383,6 +383,18 @@ SELECT doc_id, {fp} AS simhash FROM sums
 
 SALT_BUCKETS = 8
 
+
+def salt_buckets(spark: SparkSession) -> int:
+    """Salt fan-out for the skewed within-block pair joins: one salt
+    bucket per core up to a cap, floored at the historical 8. A fixed
+    8 underspreads a hot block once the cluster outgrows 8 reducers —
+    the fan-out must scale with the parallelism the shuffle actually
+    has. Capped because the build side is replicated salt-ways: 64
+    bounds the replication factor while covering any per-key row
+    budget a real corpus needs (a hotter key is AQE skew-split on top).
+    Salt choice is internal — the pair set is identical at any value."""
+    return max(SALT_BUCKETS, min(spark.sparkContext.defaultParallelism, 64))
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
     """SimHash pairs within Hamming distance <= max_hamming, blocked by
     `source` — the WITHIN-SOURCE exact variant. The production-scale
@@ -408,15 +420,16 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str, max_hamming: int = 6) ->
     # cache the token explode + 32-sum aggregation runs twice (same
     # fix as simhash_banded_near_dups)
     fps = fps.join(src, "doc_id").persist()
+    n_salt = salt_buckets(spark)
     a = fps.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("fp_a"),
         "source",
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SALT_BUCKETS)).cast("int").alias("salt"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salt)).cast("int").alias("salt"),
     )
     b = fps.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "source"
-    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(SALT_BUCKETS)])))
+    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)])))
     return (
         a.join(b, ["source", "salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -817,14 +830,18 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.3
     the O(pairs) rows pays one dot product instead of three — at n
     vectors per block that's 2n norm computations instead of n^2.
 
-    The probe side is SALTED on xxhash64(vec_id) % SALT_BUCKETS and
-    pin-repartitioned on (label, salt) — the `simhash_near_dups` skew
-    treatment (r12): `label` has single-digit cardinality, so the plain
-    label equi-join put every block's O(n^2/blocks) interpreted-HOF dot
-    products on one reducer; each pair still meets exactly once (the
-    probe row's salt is deterministic, the build side is replicated
-    across all salts), the per-pair work is unchanged, and the blocks
-    now spread over blocks×SALT_BUCKETS partitions."""
+    Under the BROADCAST pair join there is no reducer to spread, so the
+    parallelism comes entirely from the probe side's partitioning: the
+    probe takes the layout-gated spread (hash on high-cardinality
+    vec_id; identity on any healthy multi-split layout, where the scan
+    is already parallel and an exchange would be pure waste) and the
+    build side is broadcast UNSALTED — the r12 version also salted
+    this join, but salting a broadcast join only multiplies the
+    broadcast payload SALT_BUCKETS-fold for zero reducer benefit (the
+    shuffle-join salt treatment lives on in `simhash_near_dups`, whose
+    build side outgrows the broadcast cap at scale). Each pair meets
+    exactly once (probe rows are unique; vec_a < vec_b dedupes the
+    symmetric match), per-pair work unchanged."""
     e = tables.load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", V.norm_expr(F.col("embedding")).alias("nrm")
     )
@@ -833,24 +850,22 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.3
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
         "label",
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(SALT_BUCKETS)).cast("int").alias("salt"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
         "label",
-    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(SALT_BUCKETS)])))
+    )
     denom = F.col("nrm_a") * F.col("nrm_b")
     cosine = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
         V.dot_expr(F.col("emb_a"), F.col("emb_b")) / denom
     )
     from ..functions import parallelism
 
-    n_parts = parallelism.corpus_partitions(spark, sf_dir, "embeddings")
     return (
-        a.repartition(n_parts, "label", "salt")
-        .join(F.broadcast(b), ["label", "salt"])
+        parallelism.spread_scan(spark, sf_dir, a, "embeddings", "vec_a")
+        .join(F.broadcast(b), "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)

@@ -46,12 +46,16 @@ def _spread_gen_input(
     32 cores). The exchange moves keys, never blobs (guide §8: decide
     with small rows, move heavy bytes once — here the heavy bytes are
     *generated* after the exchange). Streaming twins (batch=False) keep
-    their stateless no-shuffle per-microbatch shape."""
+    their stateless no-shuffle per-microbatch shape.
+
+    Routed through the layout gate (r13): on a healthy multi-split
+    layout the scan is already parallel and the repartition would be a
+    pure extra shuffle, so spread_scan returns the plan unchanged there
+    (and the SPARK_GRAFT_NO_SPREAD kill switch covers the generators
+    in A/Bs like every other spread site)."""
     if not batch:
         return d
-    return d.repartition(
-        parallelism.corpus_partitions(spark, sf_dir, "documents"), "doc_id"
-    )
+    return parallelism.spread_scan(spark, sf_dir, d, "documents", "doc_id")
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -537,6 +541,8 @@ def _synthetic_gray_media(
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from ..functions import jpeg as _jpegmod
         from ..functions import png as _pngmod
 
@@ -547,10 +553,12 @@ def _synthetic_gray_media(
                 k = doc_id // modulo
                 w = (k % 8 + 1) * 8
                 h = (k % 4 + 1) * 8
-                rows = [
-                    [(doc_id * 31 + r * 7 + c * 13) % 256 for c in range(w)]
-                    for r in range(h)
-                ]
+                # exact-integer lattice, vectorized (same values as the
+                # old per-pixel comprehension)
+                rows = (
+                    (doc_id * 31 + 7 * np.arange(h)[:, None] + 13 * np.arange(w)[None, :])
+                    % 256
+                ).tolist()
                 if fmt == "png":
                     encode = _pngmod.encode_png_gray
                 elif (k // 8) % 2 == 1:
@@ -1691,6 +1699,8 @@ def synthetic_audio_media(
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from ..functions import wav as _wavmod
 
         for pdf in batches:
@@ -1700,7 +1710,11 @@ def synthetic_audio_media(
                 n = (k % 5 + 1) * AUDIO_FRAME
                 amp = (k % 7 + 1) * 4000
                 half = k % 4 + 1
-                samples = [amp if (i // half) % 2 == 0 else -amp for i in range(n)]
+                # exact-integer square wave, vectorized (same values as
+                # the old per-sample comprehension)
+                samples = (
+                    amp * (1 - 2 * ((np.arange(n) // half) % 2))
+                ).tolist()
                 blobs.append(_wavmod.encode_wav_pcm16(samples, AUDIO_RATE))
                 metas.append(
                     {"width": None, "height": None, "duration_ms": n * 1000 // AUDIO_RATE}

@@ -752,17 +752,18 @@ def repeated_substring_spans(
         )
         .orderBy(F.col("len_words").desc(), "doc_id", "start_pos")
     )
-    # an effectively-unbounded k (tests pass 10**9 as "all runs") must
-    # not become a TakeOrderedAndProject: its per-task top-k buffer is
-    # O(k) (guava leastOf allocates 2k slots), which was survivable on
-    # the pre-r12 single-partition input but OOMs the moment the
-    # layout-repaired scan runs the sort on every core concurrently.
-    # Below the planner's top-k fallback threshold the limit is the
-    # normal bounded-priority-queue top-k; above it, a plain global
-    # sort returns the identical (sub-k-sized) result set.
-    if k < 1 << 20:
-        out = out.limit(k)
-    return out
+    # exact .limit(k) at EVERY k — r12 skipped the limit for k >= 2^20,
+    # which silently returned ALL rows whenever the result set
+    # outnumbered a huge k. The memory hazard that guard dodged (an
+    # effectively-unbounded k planning as TakeOrderedAndProject, whose
+    # per-task top-k buffer is O(k) — guava leastOf allocates 2k slots
+    # on every concurrent task) is handled where it belongs: the repo
+    # session caps spark.sql.execution.topKSortFallbackThreshold
+    # (session.py), so a huge-k limit plans as a spillable global sort
+    # + GlobalLimit instead. A window row_number fallback here is NOT
+    # an alternative — Catalyst's LimitPushDownThroughWindow rewrites
+    # rank-over-global-order filters straight back into the limit.
+    return out.limit(k)
 
 
 def _span_runs(

@@ -1163,89 +1163,89 @@ def _registry() -> dict[str, Query]:
 # advisories), so the counts now live in code, not prose.
 # Every query is self-contained, so order carries no semantics.
 
-# Round-12 ordering:
-# cohort new (8): zero driver rows — the perceptual image front door
-# (batch twin of the streaming ingest dedup; built and pytest-pinned
-# in r11), the Hamming<=3 banded near-dup pairs + their dropped-
-# bucket twin, the image admission ledger (r11 verdict's #2/#3/#6),
-# the REAL-decode audio family (vendored WAV codec: features, frame
-# energy, loudness-invariant dup pairs), and the image front door's
-# near-dup escalation.
-_R12_NEW = (
-    "media_ingest_dedup",
-    "media_phash_near_dup_pairs",
-    "media_phash_dropped_bands",
-    "media_ingest_decision_report",
-    "audio_features",
-    "audio_frame_energy",
-    "media_ingest_near_dedup",
-    "audio_dup_pairs",
+# Round-13 ordering (optimization round — no new registrations, so the
+# whole window rotates to the stale backlog):
+# cohort r9-stale (46): every query whose newest driver row is round 9
+# — the full r9 cohort the r12 window had to queue (its slots went to
+# the eight new audio/ingest queries plus the r8 backlog). After r13
+# lands green, no query's newest driver row predates r10.
+_R13_R9_STALE = (
+    "bigram_lm_score",
+    "bpe_encode_sample",
+    "bpe_fertility_report",
+    "bpe_merges",
+    "bpe_vocab",
+    "clear_gameplay",
+    "constraint_audit",
+    "index_lifecycle_report",
+    "ivf_silhouette",
+    "join_skew_advisor",
+    "k_anonymity_report",
+    "knn_label_accuracy",
+    "length_bucket_plan",
+    "media_features",
+    "merge_games_gather",
+    "merge_games_rolimons",
+    "merge_games_search",
+    "mixture_report",
+    "mixture_reweight",
+    "ngram_dropped_shingles",
+    "per_group_sample",
+    "pii_scrub",
+    "pmi_collocations",
+    "prune_counts",
+    "prune_games",
+    "quality_filter",
+    "repeated_substring_spans",
+    "repetition_budget_plan",
+    "retention_curve",
+    "scrubbed_token_counts",
+    "semantic_diverse_sample",
+    "sessionize",
+    "simhash_dropped_bands",
+    "skew_profile",
+    "source_divergence",
+    "stored_roundtrip_audit",
+    "substring_scrub",
+    "token_shards_stored",
+    "token_shards_upsert",
+    "tokenizer_lifecycle_report",
+    "top_quality_per_source",
+    "training_corpus",
+    "user_activity_entropy",
+    "user_retention",
+    "windowed_event_counts",
+    "zone_map_pruning",
 )
-# cohort r8-stale (42): every query whose newest driver row is round 8
-# — the full r8 cohort the r11 window had to queue (its filler slots
-# went to the three new perceptual-hash queries). After r12 lands
-# green, no query's newest driver row predates r9.
-_R12_R8_STALE = (
-    "exact_jaccard_verify",
-    "event_anomalies",
-    "event_value_histogram",
-    "asof_next_action",
-    "ingest_dedup",
-    "bm25_search",
-    "events_zorder",
-    "funnel_counts",
-    "ann_recall_at_k",
-    "corpus_profile",
-    "asof_attribution",
-    "interval_click_counts",
-    "event_rollup",
-    "event_props_rollup",
-    "sketch_event_profile",
-    "frame_sample_plan",
-    "enriched_events",
-    "simhash",
-    "simhash_near_dups",
-    "generate_vectors",
-    "pack_token_sequences",
-    "bloom_decontaminate",
-    "dedup_funnel_report",
-    "dedup_representatives",
-    "dup_graph_degrees",
-    "lsh_recall_report",
-    "media_dedup",
-    "minhash_band_sweep",
-    "pack_efficiency_report",
-    "repeated_spans",
-    "semantic_dedup",
-    "sliding_event_counts",
-    "source_overlap",
-    "split_leakage",
-    "token_length_histogram",
-    "vocab_coverage",
-    "ann_lsh_recall_at_k",
-    "ann_lsh_topk",
-    "cross_lingual_near_dups",
-    "event_value_quantiles_approx",
-    "ivf_label_purity",
-    "ivf_upsert_assignments",
+# cohort r10-fill (4): filler slots spent on the r10 queries this
+# round's optimization work touches most directly —
+# minhash_jaccard_estimates (the r12 DECIMAL output-dtype regression
+# the r12 ADVICE ordered back into the correctness run, fixed here),
+# ingest_decision_report (r13 A/B target), ivf_train (layout-repair
+# path), winsorized_event_stats_approx (the r12 driver-run outlier —
+# a fresh row settles noise-vs-real).
+_R13_R10_FILL = (
+    "minhash_jaccard_estimates",
+    "ingest_decision_report",
+    "ivf_train",
+    "winsorized_event_stats_approx",
 )
-# cohort r9-fill (0): the eight new queries took every filler slot —
-# the full 46-query r9 cohort queues for r13.
-_R12_R9_FILL = ()
 
-_ADJUDICATE_FIRST = _R12_NEW + _R12_R8_STALE + _R12_R9_FILL
+_ADJUDICATE_FIRST = _R13_R9_STALE + _R13_R10_FILL
 
-# R13 ROTATION PRE-STAGE (do not merge into _registry() before the
+# R14 ROTATION PRE-STAGE (do not merge into _registry() before the
 # rotation: the window is exactly full and the tripwire requires every
-# unadjudicated registry query to be windowed). Built, oracle'd, and
-# pytest-pinned in the r12 post-gate build (operators/multimodal.py),
-# each verified hash-green against its DuckDB oracle at
-# sf0.001/0.01/0.1; the blanket plan invariants (tests/test_plans.py)
-# scan this dict alongside QUERIES so the no-cartesian / no-row-UDF /
-# oracle-parses discipline holds pre-registration. At r13: merge these
-# into _registry(), window them + the oldest ~38 of the 46-query r9
-# cohort (registry grows past 200, CYCLE_ROUNDS stays 5, so the r9
-# cohort is not yet stale at r13; its leftovers lead the r14 window).
+# unadjudicated registry query to be windowed; r13 was an optimization
+# round, which adds no features, so the merge moved from r13 to the
+# next BUILD round). Built, oracle'd, and pytest-pinned in the r12
+# post-gate build (operators/multimodal.py), each verified hash-green
+# against its DuckDB oracle at sf0.001/0.01/0.1; the blanket plan
+# invariants (tests/test_plans.py) scan this dict alongside QUERIES so
+# the no-cartesian / no-row-UDF / oracle-parses discipline holds
+# pre-registration. At the next build round: merge these into
+# _registry(), window them + the oldest of the 45-query r10 cohort
+# (registry grows past 200, CYCLE_ROUNDS becomes 5; the r10 leftovers
+# lead the following window).
 
 
 def _pending_r13() -> dict[str, Query]:

@@ -57,6 +57,14 @@ def get_spark(app_name: str = "rvsd-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # a .limit(k) below this threshold plans as TakeOrderedAndProject,
+        # whose per-task top-k buffer is O(k) (2k slots) on EVERY
+        # concurrent task; an effectively-unbounded k (callers pass 10**9
+        # for "all rows") OOMed a 32-core run in r12. Above it the limit
+        # plans as a spillable global sort + GlobalLimit — identical rows
+        # at any k. 2^20 keeps every registry top-k (k <= 10^4) on the
+        # fast bounded-priority-queue path.
+        .config("spark.sql.execution.topKSortFallbackThreshold", str(1 << 20))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", _driver_memory())
         # bucketed tables (plans/bucketing.py) live outside the repo;

@@ -64,6 +64,7 @@ def test_stats(svc):
     assert s["total_games"] == 6
     assert s["lacking_embeddings"] == 5  # only universe 1 has an embedding
 
+@pytest.mark.slow
 def test_async_job_roundtrip(svc):
     resp = svc.post_gather_games()
     jid = resp["jobId"]

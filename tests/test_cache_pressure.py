@@ -72,6 +72,7 @@ def _run(sf_dir: str, extra_env: dict) -> subprocess.CompletedProcess:
         ("constrained", {"DRIVER_SIM_TESTING_MEMORY": str(64 * 1024 * 1024)}),
     ],
 )
+@pytest.mark.slow
 def test_cache_heavy_cohort_correct_under_memory_pressure(label, env, sf_dir):
     res = _run(sf_dir, env)
     tail = "\n".join(res.stdout.splitlines()[-3:])

@@ -280,6 +280,7 @@ def test_optimize_storage_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["buckets"] == 4 and res["games_bucketed"] > 0
 
+@pytest.mark.slow
 def test_build_vector_index_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
     out = str(tmp_path / "idx")
@@ -291,6 +292,7 @@ def test_build_vector_index_command(spark, sf_dir, tmp_path, monkeypatch, capsys
     assert res["ivf_centroids"] > 0
     assert spark.read.parquet(f"{out}/pq_codes.parquet").columns == ["vec_id", "m", "code", "dist"]
 
+@pytest.mark.slow
 def test_process_games_from_search_composite(corpus):
     res = cli.process_games_from_search(
         corpus,
@@ -334,6 +336,7 @@ def test_query_vector_index_command(spark, sf_dir, tmp_path, monkeypatch, capsys
     assert len(rows) == 5
     assert rows[0]["rank"] == 1 and "cosine" in rows[0]
 
+@pytest.mark.slow
 def test_jobs_db_export_import_roundtrip(spark, tmp_path, monkeypatch, capsys):
     """exportJobsDb writes a reference-DDL jobs.db from the Spark log;
     importJobsDb seeds a fresh log from it; states survive the trip."""
@@ -370,6 +373,7 @@ def test_query_vector_index_usage_errors(spark, capsys):
     assert cli.main(["queryVectorIndex", "q", "--k"]) == 2
     assert "--k requires a value" in capsys.readouterr().err
 
+@pytest.mark.slow
 def test_audit_corpus_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("RVSD_DATA_DIR", str(tmp_path / "data"))
     assert cli.main(["auditCorpus", sf_dir]) == 0
@@ -559,6 +563,7 @@ def test_find_duplicate_audio_command(spark, sf_dir, tmp_path, monkeypatch, caps
     assert "usage" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_video_stats_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     """The video family from the shell: per-clip profile rows on the
     real arm; --cuts switches to scene segmentation, --hashes to the
@@ -578,6 +583,7 @@ def test_video_stats_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     assert hashes and all(len(h["phash"]) == 64 for h in hashes)
 
 
+@pytest.mark.slow
 def test_find_duplicate_videos_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     """Resolution/colorspace-invariant video dedup from the shell:
     pair rows with a shared fingerprint; --cap 1 drops every bucket;
@@ -594,6 +600,7 @@ def test_find_duplicate_videos_command(spark, sf_dir, tmp_path, monkeypatch, cap
     assert "usage" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_find_near_duplicate_videos_command(spark, sf_dir, tmp_path, monkeypatch, capsys):
     """Video near-dup search from the shell: the constructed 1/2/3
     distances surface; --max-hamming 0 finds nothing (near-twin clips

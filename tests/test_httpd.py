@@ -58,6 +58,7 @@ def test_openapi_route(server):
     status, spec = _get(base, "/openapi.json")
     assert status == 200 and len(spec["paths"]) == 12
 
+@pytest.mark.slow
 def test_async_post_over_socket(server):
     base, svc_ = server
     status, resp = _post(base, "/gather-games")

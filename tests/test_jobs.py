@@ -21,6 +21,7 @@ class FakeClock:
 def jm(spark, tmp_path):
     return JobManager(spark, str(tmp_path / "joblog"), clock=FakeClock())
 
+@pytest.mark.slow
 def test_lifecycle_completed(jm):
     jid = jm.create_job("generateEmbeddings")
     assert jm.get_job(jid)["status"] == "pending"
@@ -35,6 +36,7 @@ def test_lifecycle_completed(jm):
     assert job["status"] == "completed" and job["result"] == "ok"
     assert job["completed_at"] > job["started_at"] > job["created_at"]
 
+@pytest.mark.slow
 def test_run_job_failure_path(jm):
     jid = jm.create_job("gatherGames")
 
@@ -47,6 +49,7 @@ def test_run_job_failure_path(jm):
     with pytest.raises(ValueError):
         jm.start_job(jid)
 
+@pytest.mark.slow
 def test_illegal_transitions(jm):
     jid = jm.create_job("x")
     with pytest.raises(ValueError):
@@ -54,6 +57,7 @@ def test_illegal_transitions(jm):
     with pytest.raises(KeyError):
         jm.start_job("nope")
 
+@pytest.mark.slow
 def test_listing_counts_and_cleanup(jm):
     ids = [jm.create_job(f"cmd{i}") for i in range(5)]
     jm.run_job(ids[0], lambda: "r0")
@@ -78,6 +82,7 @@ def test_listing_counts_and_cleanup(jm):
 # SQLite interchange (byte-level parity with the reference's data/jobs.db)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_sqlite_roundtrip_preserves_current_state(jm, spark, tmp_path):
     import sqlite3
 
@@ -132,6 +137,7 @@ def test_sqlite_read_rejects_unknown_status(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown status"):
         sqlite_jobs.read_jobs_db(spark, db)
 
+@pytest.mark.slow
 def test_job_updated_events(jm):
     """jobUpdated observer hook (jobManager.ts:188-192): every mutation
     notifies subscribers with the post-transition row; unsubscribe

@@ -18,6 +18,7 @@ def test_oracle_parity(spark, sf_dir, name):
     df = q.builder(spark, sf_dir)
     compare_spark_duckdb(df, q.oracle, sf_dir)
 
+@pytest.mark.slow
 def test_all_queries_return_rows(spark, sf_dir):
     for name, q in QUERIES.items():
         n = q.builder(spark, sf_dir).count()

@@ -5,6 +5,8 @@ properties the DuckDB oracle parity can't express, checked at sf0.001.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from roblox_vector_search_datagen_spark.operators import ann, dedup, quality, textprep, textstats
@@ -283,6 +285,7 @@ def test_cross_lingual_near_dups_is_lang_mismatched_subset(spark, sf_dir):
         assert langs[r.vec_a] == r.lang_a and langs[r.vec_b] == r.lang_b
 
 
+@pytest.mark.slow
 def test_ivf_train_converged_reaches_fixpoint(spark, sf_dir):
     """The Lloyd loop must (a) reach the fixpoint within budget on the
     fixture corpus, (b) end with max_shift <= tol and zero
@@ -438,6 +441,7 @@ def test_bpe_encode_sample_reconstructs_documents(spark, sf_dir):
     assert set(by_doc) == {d for d in texts if texts[d]}
 
 
+@pytest.mark.slow
 def test_bpe_train_checkpoint_cadence_preserves_merges(spark, sf_dir):
     """A 30-merge train crosses the localCheckpoint cadence three
     times (every 8 rounds); the learned merges must match the

@@ -141,6 +141,79 @@ def test_spread_scan_gates_on_layout(spark, sf_dir):
     else:  # healthy regime: untouched plan object
         assert out is d
 
+
+def test_spread_scan_treats_unobservable_layout_as_healthy(spark, sf_dir):
+    """On a path this process cannot stat (remote storage URIs,
+    executor-only paths) the layout is UNKNOWN, not tiny: spread_scan
+    must return the plan unchanged — r12's os.stat fallback of 0 bytes
+    read every s3://-style table as a 1-split degenerate layout and
+    inverted the returns-unchanged-on-healthy-layouts guarantee."""
+    from roblox_vector_search_datagen_spark.functions import parallelism
+    from roblox_vector_search_datagen_spark.sources import tables
+
+    d = tables.load_table(spark, sf_dir, "documents")
+    remote = "s3a://warehouse-bucket/tables"
+    assert parallelism.scan_splits(spark, remote, "documents") == 0
+    out = parallelism.spread_scan(spark, remote, d, "documents", "doc_id")
+    assert out is d
+    # and the partition-count helper degrades to the cluster's own
+    # parallelism instead of multiplying by a bogus 0-byte size
+    assert (
+        parallelism.corpus_partitions(spark, remote, "documents")
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+@pytest.mark.slow
+def test_repeated_substring_spans_huge_k_is_exact_topk(spark, tmp_path):
+    """The operator must keep exact .limit(k) semantics (exactly
+    min(k, rows) rows in the same global order) at EVERY k — r12's
+    guard silently returned all rows for k >= 2^20. The memory guard
+    now lives in the session's topKSortFallbackThreshold: above it a
+    limit plans as spillable sort + GlobalLimit, never as the O(k)
+    per-task TakeOrderedAndProject buffer. Pinned by shrinking the
+    threshold below the fixture's run count so the fallback plan
+    actually executes and returns the identical rows."""
+    from roblox_vector_search_datagen_spark.operators import textprep
+
+    boiler = " ".join(f"tpl{j}" for j in range(12))
+    rows = []
+    for i in range(8):  # 8 docs sharing one 12-word template => 8 runs
+        lead = " ".join(f"d{i}l{j}" for j in range(i + 1))
+        rows.append((i, f"{lead} {boiler}", "en", "s", 0))
+    d = tmp_path / "hugek"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    kwargs = dict(n=5, min_docs=2, min_words=7)
+    conf = "spark.sql.execution.topKSortFallbackThreshold"
+    # the repo session caps the threshold so huge-k limits never plan
+    # as TakeOrderedAndProject (the r12 OOM)
+    assert int(spark.conf.get(conf)) == 1 << 20
+    all_rows = textprep.repeated_substring_spans(
+        spark, str(d), k=10**9, **kwargs
+    ).collect()
+    assert len(all_rows) == 8
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "3")
+    try:
+        for k in (5, 8, 100):  # fallback regime: k < rows, == rows, > rows
+            df = textprep.repeated_substring_spans(spark, str(d), k=k, **kwargs)
+            got = df.collect()
+            p = df._jdf.queryExecution().executedPlan().toString()
+            assert "TakeOrderedAndProject" not in p, p
+            assert got == all_rows[: min(k, len(all_rows))]
+    finally:
+        spark.conf.set(conf, old)
+    # below the threshold the ordinary bounded-priority-queue top-k plans
+    df = textprep.repeated_substring_spans(spark, str(d), k=5, **kwargs)
+    got = df.collect()
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+    assert got == all_rows[:5]
+
+
 def test_knn_and_pq_broadcast_small_sides(spark, sf_dir):
     """The query block (knn_join) and the K×M codebook / distance table
     (PQ) are tiny against the corpus — every join must broadcast; a

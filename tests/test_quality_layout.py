@@ -5,6 +5,8 @@ monotonicity, the Morton bit layout)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from roblox_vector_search_datagen_spark.operators import layout, quality, textstats
@@ -538,6 +540,7 @@ def test_deletion_impact_empty_tables_yield_null_share(spark, sf_dir, tmp_path):
         assert r.n_rows == 0 and r.n_delete == 0 and r.share is None
 
 
+@pytest.mark.slow
 def test_scrub_store_file_count_scales_with_corpus_bytes(spark, tmp_path):
     """r9 verdict 'what's wrong #2': the scrub store must size its file
     count by target bytes (compaction_plan's constant), not a fixed 8 —

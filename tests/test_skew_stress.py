@@ -71,22 +71,31 @@ def test_join_key_is_salted_in_plan(spark, skew_dir):
 
 def test_salt_bounds_per_key_rows_on_hot_block(spark, skew_dir):
     """With 50% of docs on one source, the largest (source, salt) key
-    on the probe side must hold ~|hot|/SALT_BUCKETS rows, not |hot| —
-    the deterministic version of what AQE skew-split would do."""
+    on the probe side must hold ~|hot|/salt_buckets rows, not |hot| —
+    the deterministic version of what AQE skew-split would do. The
+    fan-out is parallelism-derived (r13), floored at the historical
+    SALT_BUCKETS, so the bucket count here matches the operator's."""
+    n_salt = dedup.salt_buckets(spark)
+    assert n_salt >= dedup.SALT_BUCKETS
+    assert n_salt <= 64
     d = spark.read.parquet(f"{skew_dir}/documents.parquet").select(
         "doc_id",
         "source",
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(dedup.SALT_BUCKETS)).cast("int").alias("salt"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salt)).cast("int").alias("salt"),
     )
     per_key = d.groupBy("source", "salt").count().collect()
     hot_total = sum(r["count"] for r in per_key if r.source == HOT)
     hot_max = max(r["count"] for r in per_key if r.source == HOT)
     assert hot_total == N_DOCS // 2
-    # fair share with 2x slack — catches a degenerate salt (constant,
+    # fair share with 3x slack — catches a degenerate salt (constant,
     # or derived from the block key) without flaking on remainders
-    assert hot_max <= 2 * (hot_total // dedup.SALT_BUCKETS + 1), per_key
-    # and the hot block actually spans every salt bucket
-    assert len({r.salt for r in per_key if r.source == HOT}) == dedup.SALT_BUCKETS
+    # when |hot| is only a few rows per bucket
+    assert hot_max <= 3 * (hot_total // n_salt + 1), per_key
+    # and the hot block spreads over most buckets (all of them is not
+    # guaranteed once buckets outnumber hot rows / ln(buckets))
+    assert len({r.salt for r in per_key if r.source == HOT}) >= min(
+        n_salt, hot_total
+    ) // 2
 
 
 def test_capped_postings_bound_bucket_width_at_scale(spark, skew_dir):
@@ -114,6 +123,7 @@ def test_capped_postings_bound_bucket_width_at_scale(spark, skew_dir):
     assert widths <= 10
 
 
+@pytest.mark.slow
 def test_repeated_spans_finds_injected_boilerplate(spark, tmp_path):
     """Docs sharing a boilerplate prefix must surface it as the top
     span; unique-text docs must contribute nothing."""
@@ -346,6 +356,7 @@ def test_connected_components_converges_on_deep_path_graph(spark):
     )
 
 
+@pytest.mark.slow
 def test_dedup_clusters_matches_union_find_on_chain_corpus(spark, tmp_path):
     """End-to-end on a sliding-window near-dup chain: whatever edge set
     LSH produces, the Spark clustering must equal an independent python
@@ -402,6 +413,7 @@ def test_embedding_lsh_dropped_buckets_reports_hot_bucket(spark, dupsat_emb_dir)
     assert r.n_buckets > 1
 
 
+@pytest.mark.slow
 def test_repeated_substring_spans_recovers_maximal_boilerplate(spark, tmp_path):
     """The chained upgrade must recover a LONG shared template as ONE
     maximal span per doc (the fixed-width sibling fragments it into

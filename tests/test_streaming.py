@@ -4,6 +4,8 @@ streaming path)."""
 
 from __future__ import annotations
 
+import pytest
+
 from roblox_vector_search_datagen_spark.streaming import events as S
 
 def _collect_set(rows, cols):
@@ -56,6 +58,7 @@ def test_foreachbatch_parquet_sink_is_idempotent(spark, sf_dir, tmp_path):
         q.awaitTermination(120)
     assert spark.read.parquet(out).count() == batch_n > 0
 
+@pytest.mark.slow
 def test_stream_merge_keep_last_upserts_and_publishes_atomically(spark, tmp_path):
     """The portable transactional MERGE sink: microbatches with
     overlapping keys upsert keep-last into a versioned snapshot whose
@@ -163,6 +166,7 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
         assert s.n_events == b.n_events, uid
         assert abs(s.sum_value - b.sum_value) < 1e-6, uid
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch_counts(spark, sf_dir):
     """Watermarked stream-stream join == the batch interval join's
     per-purchase counts (restricted to purchases with >=1 click, the
@@ -303,6 +307,7 @@ def _raw_stream(spark, feed):
     return s.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+@pytest.mark.slow
 def test_windowed_agg_drops_late_data_behind_watermark(spark, tmp_path):
     """Out-of-order feed with a late straggler: once the watermark
     (max ts - 1h, which Spark propagates with a one-trigger lag) has
@@ -350,6 +355,7 @@ def test_windowed_agg_drops_late_data_behind_watermark(spark, tmp_path):
     assert (dt(2024, 3, 1, 10, 0), 3, 3.0) not in got
 
 
+@pytest.mark.slow
 def test_rate_limit_admission_is_arrival_order_across_microbatches(spark, tmp_path):
     """The stateful rate limiter's documented contract: within a
     microbatch, (ts, event_id) order; ACROSS microbatches, arrival
@@ -382,6 +388,7 @@ def test_rate_limit_admission_is_arrival_order_across_microbatches(spark, tmp_pa
     assert {r.event_id: r.seq_in_win for r in rows}[17] == 7
 
 
+@pytest.mark.slow
 def test_session_window_late_event_merges_open_sessions(spark, tmp_path):
     """The hardest watermark case: a late-arriving event can MERGE two
     already-open sessions. Events at 10:00 and 10:50 (gap 50 min > the
@@ -414,6 +421,7 @@ def test_session_window_late_event_merges_open_sessions(spark, tmp_path):
     assert got == {(1, dt(2024, 3, 1, 10, 0), 3, 3.0)}
 
 
+@pytest.mark.slow
 def test_session_window_straggler_behind_watermark_is_dropped(spark, tmp_path):
     """Once the watermark finalized the two sessions, the same bridging
     event must be DROPPED: the streamed output equals the batch twin
@@ -551,6 +559,7 @@ def test_stateful_funnel_within_matches_batch(spark, sf_dir):
         assert conv == batch[i].conversion, i
 
 
+@pytest.mark.slow
 def test_stateful_funnel_repairs_out_of_order_arrivals(spark, tmp_path):
     """A click arrives in a microbatch BEFORE its user's earlier signup
     (cross-batch out-of-order): the tracker must retroactively re-derive

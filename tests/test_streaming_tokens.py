@@ -4,6 +4,8 @@ side of test_streaming_vectors.py."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import shutil
@@ -69,6 +71,7 @@ def _doc_feed(spark, tmp_path, batches, schema):
     return str(feed)
 
 
+@pytest.mark.slow
 def test_stream_token_shard_upsert_multibatch_drops_frozen_docs(
     spark, sf_dir, tmp_path
 ):

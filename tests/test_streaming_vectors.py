@@ -4,6 +4,8 @@ the routing expression's edge semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import shutil
@@ -53,6 +55,7 @@ def _embedding_feed(spark, tmp_path, batches):
     return str(feed)
 
 
+@pytest.mark.slow
 def test_stream_ivf_upsert_multibatch_anti_join_drops_indexed(spark, sf_dir, tmp_path):
     """Multi-microbatch feed: vectors already in the stored index are
     dropped by the stream-static anti-join in whichever microbatch
@@ -118,6 +121,7 @@ def test_nearest_centroid_expr_zero_norm_degrades_to_null(spark):
     assert row.cosine is None
 
 
+@pytest.mark.slow
 def test_stream_ivf_upsert_through_idempotent_sink_feeds_merge(spark, sf_dir, tmp_path):
     """The full continuous-ingestion loop: drain the streaming upsert
     through the batchId-idempotent parquet sink (twice — the second
